@@ -1,0 +1,78 @@
+"""Pinned configuration for the BM25 engine.
+
+The BM25 parameters are the north-rule override (k1=0.9, b=0.4) of the
+reference's Elasticsearch 7.0.0 defaults (reference invocation:
+crossencoder/beir/crossencoder_beir_bm25.ipynb cell 10; see SURVEY.md §7.0).
+Everything here is part of the engine *spec*: the single-threaded oracle in
+webindex/oracle.py consumes the same config so that rank-identity is
+well-defined.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Text-analysis chain: NFC -> lowercase -> regex tokenize -> stopword
+    filter -> Porter stem.
+
+    ``ascii_only`` switches the token pattern to ``[a-z0-9]+`` over the
+    lowercased text — used by the no-stem analyzer variant whose results are
+    checked against a pure-SQL DuckDB oracle (DuckDB regexp semantics are
+    ASCII-friendly), and cheap at web scale.
+    """
+
+    lowercase: bool = True
+    remove_stopwords: bool = True
+    stem: bool = True
+    ascii_only: bool = False
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    def cache_key(self) -> str:
+        return "-".join(f"{k}={v}" for k, v in sorted(asdict(self).items()))
+
+
+# Analyzer used when results must be reproducible by an ANSI-SQL oracle
+# (no stemming / stopwords, ASCII tokens only).
+SQL_SAFE_ANALYZER = AnalyzerConfig(
+    remove_stopwords=False, stem=False, ascii_only=True
+)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Index build + query configuration.
+
+    - ``k1``/``b``: BM25 parameters (north rule).
+    - ``block_size``: postings per block-max block (skip granularity).
+    - ``num_buckets``: term-hash buckets; segments + dictionary are
+      partitioned by bucket so query actors can prune reads and a resumed
+      build can skip finished buckets.
+    - ``df_salt_threshold`` / ``salt_shards``: terms with df above the
+      threshold have their posting rows salted by docID *range* into up to
+      ``salt_shards`` disjoint sub-groups before the groupby(term) shuffle.
+      Range (not hash) salting means the per-salt encoded runs concatenate
+      into a globally docID-sorted posting list with no secondary re-sort
+      (SURVEY.md §7.3 "Term skew").
+    """
+
+    k1: float = 0.9
+    b: float = 0.4
+    block_size: int = 128
+    num_buckets: int = 32
+    df_salt_threshold: int = 50_000
+    salt_shards: int = 32
+    top_k: int = 1000
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        d = dict(d)
+        d["analyzer"] = AnalyzerConfig(**d.get("analyzer", {}))
+        return IndexConfig(**d)
