@@ -1,0 +1,172 @@
+"""End-to-end: synth pages -> extract -> dedup/docIDs -> build -> query.
+
+Rank-identity gate (north rule): top-k docIDs AND BM25 scores from the Ray
+engine (both exhaustive and block-max WAND paths) must equal the
+single-threaded pure-Python oracle on the reference-style query set —
+exactly, including (score desc, docID asc) tie order.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from webindex.build import build_index
+from webindex.config import IndexConfig
+from webindex.docids import assign_doc_ids_py
+from webindex.extract import extract_text
+from webindex.oracle import OracleBM25
+from webindex.pipelines import prepare_corpus_from_pages
+from webindex.search import SearcherActor, search_queries
+from webindex.synth import synth_pages_table, synth_queries_table
+
+N_PAGES = 800
+NUM_SHARDS = 8
+# low salt threshold + tiny blocks on purpose: exercises the salted
+# groupby + multi-block path even at test scale
+CFG = IndexConfig(num_buckets=8, df_salt_threshold=60, salt_shards=4,
+                  block_size=32)
+
+
+def oracle_corpus():
+    """Single-threaded reference pipeline from the same pinned specs."""
+    tab = synth_pages_table(N_PAGES, seed=42)
+    urls = tab.column("url").to_pylist()
+    tss = [t.value for t in tab.column("warc_ts")]
+    htmls = tab.column("html").to_pylist()
+    # latest-wins per url, then extract + empty filter
+    latest: dict[str, tuple[int, bytes]] = {}
+    for u, ts, h in zip(urls, tss, htmls):
+        if u not in latest or ts > latest[u][0]:
+            latest[u] = (ts, h)
+    ids = assign_doc_ids_py([(u, ts) for u, (ts, _) in latest.items()], NUM_SHARDS)
+    out = []
+    for u, (ts, h) in latest.items():
+        text = extract_text(h)
+        if text:
+            out.append((ids[u], text))
+    return out
+
+
+@pytest.fixture(scope="session")
+def pages_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+    from webindex.synth import synth_pages_table as spt
+
+    idx_dir = str(tmp_path_factory.mktemp("idx") / "pages_index")
+    pages = rd.from_arrow(spt(N_PAGES, seed=42)).drop_columns(["text"])
+    corpus = prepare_corpus_from_pages(pages, num_shards=NUM_SHARDS)
+    build_index(corpus, idx_dir, CFG, tokenize_concurrency=2)
+    return idx_dir
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    return OracleBM25(oracle_corpus(), CFG)
+
+
+def test_stats_match_oracle(pages_index, oracle):
+    from webindex.util import read_json
+
+    stats = read_json(os.path.join(pages_index, "stats.json"))
+    assert stats["N"] == oracle.N
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-12
+    assert stats["n_heavy_terms"] > 0, "salting path not exercised"
+
+
+def test_df_matches_oracle(pages_index, oracle):
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(pages_index)
+    assert set(r._df) == set(oracle.postings)
+    for t in oracle.postings:
+        assert r.df(t) == oracle.df(t), t
+        assert r.cf(t) == sum(oracle.postings[t].values()), t
+
+
+def test_rank_identity_all_queries(pages_index, oracle):
+    qs = synth_queries_table()
+    exh = SearcherActor(pages_index, top_k=100, mode="exhaustive")
+    wnd = SearcherActor(pages_index, top_k=100, mode="wand")
+    n_nonempty = 0
+    for qid, text in zip(qs.column("qid").to_pylist(), qs.column("text").to_pylist()):
+        expect = oracle.topk(text, 100)
+        e_ids, e_sc = exh.search_one(qid, text)
+        w_ids, w_sc = wnd.search_one(qid, text)
+        assert list(zip(e_ids.tolist(), e_sc.tolist())) == expect, (qid, text)
+        assert list(zip(w_ids.tolist(), w_sc.tolist())) == expect, (qid, text)
+        n_nonempty += bool(expect)
+    assert n_nonempty >= 40  # query set is supposed to hit the corpus
+
+
+def test_posting_lists_sorted_and_complete(pages_index, oracle):
+    from webindex.segments import SegmentReader
+    import numpy as np
+
+    r = SegmentReader(pages_index)
+    # spot-check the heaviest (salted) and a light term
+    import json
+
+    heavy = json.load(open(os.path.join(pages_index, "heavy_terms.json")))
+    assert heavy, "expected heavy terms at this threshold"
+    some = [max(heavy, key=heavy.get), min(oracle.postings, key=lambda t: oracle.df(t))]
+    for t in some:
+        pl = r.postings(t)
+        assert pl is not None
+        assert np.all(np.diff(pl.ids) > 0), f"{t}: docIDs not strictly ascending"
+        expect = oracle.postings[t]
+        assert dict(zip(pl.ids.tolist(), pl.tfs.tolist())) == expect
+
+
+def test_self_hit_filter(pages_index, oracle):
+    # qid "3" == a docID string: engine must drop that doc from its results
+    text = "artificial intelligence"
+    expect = [d for d, _ in oracle.topk(text, 1000)]
+    if 3 not in expect:
+        pytest.skip("doc 3 not in result set for this corpus")
+    s = SearcherActor(pages_index, top_k=1000, mode="wand", self_hit_filter=True)
+    ids, _ = s.search_one("3", text)
+    assert 3 not in ids.tolist()
+    assert [d for d in expect if d != 3] == ids.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_runs_table_via_actor_pool(pages_index, oracle):
+    import ray.data as rd
+
+    qs = rd.from_arrow(synth_queries_table()).repartition(4)
+    runs = search_queries(
+        qs, pages_index, top_k=10, mode="wand", concurrency=2, batch_size=8
+    ).to_pandas()
+    assert set(runs.columns) == {"qid", "did", "doc_id", "score", "rank"}
+    for qid, grp in runs.groupby("qid"):
+        text = dict(
+            zip(
+                synth_queries_table().column("qid").to_pylist(),
+                synth_queries_table().column("text").to_pylist(),
+            )
+        )[qid]
+        expect = oracle.topk(text, 10)
+        got = list(zip(grp.sort_values("rank")["doc_id"], grp.sort_values("rank")["score"]))
+        assert got == expect, qid
+
+
+def test_salting_invariance(ray_session, pages_index, tmp_path_factory):
+    """Same corpus, different bucket/salt config -> identical search results
+    (partitioning must never affect scores; SURVEY.md §7.3)."""
+    import ray.data as rd
+
+    alt_dir = str(tmp_path_factory.mktemp("idx") / "alt_index")
+    alt_cfg = IndexConfig(num_buckets=3, df_salt_threshold=10**9,
+                          salt_shards=2, block_size=128)
+    pages = rd.from_arrow(synth_pages_table(N_PAGES, seed=42)).drop_columns(["text"])
+    corpus = prepare_corpus_from_pages(pages, num_shards=NUM_SHARDS)
+    build_index(corpus, alt_dir, alt_cfg, tokenize_concurrency=2)
+
+    a = SearcherActor(pages_index, top_k=50, mode="wand")
+    b = SearcherActor(alt_dir, top_k=50, mode="wand")
+    for text in ["search index query document", "deep learning", "r&d genome"]:
+        ia, sa = a.search_one("q", text)
+        ib, sb = b.search_one("q", text)
+        assert ia.tolist() == ib.tolist()
+        assert sa.tolist() == sb.tolist()

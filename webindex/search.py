@@ -1,0 +1,96 @@
+"""Query execution as a stateful actor-pool ``map_batches`` stage.
+
+The reference batches 128 queries per ES msearch round-trip
+(/root/reference/crossencoder/beir/crossencoder_beir_bm25.ipynb cell 10 via
+beir BM25Search — SURVEY.md §2.6 K6); here a pool of ``SearcherActor``s
+holds the hot dictionary / doclens / decoded-postings cache (loaded once in
+``__init__``, SURVEY.md §2.3 T4) and processes Arrow query batches.
+
+Output is the flat runs table (FIXTURES.md F4):
+``(qid:string, did:string, doc_id:int64, score:float64, rank:int32)`` —
+the reference's nested ``Dict[qid, Dict[did, score]]`` results JSON
+(/root/reference/biencoder/beir/beir_dense_retriever.py:443-445) made
+columnar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from webindex.analyze import Analyzer
+from webindex.segments import SegmentReader
+from webindex.wand import block_max_wand, exhaustive_topk
+
+
+class SearcherActor:
+    def __init__(self, index_dir: str, top_k: int = 1000,
+                 mode: str = "wand", self_hit_filter: bool = False):
+        self.reader = SegmentReader(index_dir)
+        self.an = Analyzer(self.reader.cfg.analyzer)
+        self.top_k = top_k
+        self.mode = mode
+        self.self_hit = self_hit_filter
+
+    def search_one(self, qid: str, text: str):
+        terms = self.an.tokens(text or "")
+        # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
+        k = self.top_k + 1 if self.self_hit else self.top_k
+        fn = block_max_wand if self.mode == "wand" else exhaustive_topk
+        ids, scores = fn(self.reader, terms, k)
+        if self.self_hit and ids.size:
+            keep = np.array([str(d) != qid for d in ids])
+            ids, scores = ids[keep], scores[keep]
+        ids, scores = ids[: self.top_k], scores[: self.top_k]
+        return ids, scores
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_out, dids_out, docid_out, score_out, rank_out = [], [], [], [], []
+        for qid, text in zip(
+            batch.column("qid").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ids, scores = self.search_one(qid, text)
+            n = ids.size
+            qids_out.extend([qid] * n)
+            dids_out.extend(str(d) for d in ids)
+            docid_out.append(ids)
+            score_out.append(scores)
+            rank_out.append(np.arange(1, n + 1, dtype=np.int32))
+        return pa.table(
+            {
+                "qid": pa.array(qids_out, pa.string()),
+                "did": pa.array(dids_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(docid_out) if docid_out else
+                    np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(score_out) if score_out else
+                    np.empty(0, np.float64)
+                ),
+                "rank": pa.array(
+                    np.concatenate(rank_out) if rank_out else
+                    np.empty(0, np.int32)
+                ),
+            }
+        )
+
+
+def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
+                   mode: str = "wand", self_hit_filter: bool = False,
+                   concurrency=None, batch_size: int = 128):
+    """queries(qid, text) Dataset -> runs Dataset via the actor pool."""
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    return queries_ds.map_batches(
+        SearcherActor,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, top_k=top_k, mode=mode,
+            self_hit_filter=self_hit_filter,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

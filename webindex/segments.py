@@ -1,0 +1,145 @@
+"""Index artifact reader: dictionary, doclens, encoded posting segments.
+
+The query-side analog of the reference's server-side ES index (SURVEY.md
+§2.3 T4): a ``SegmentReader`` holds the hot dictionary + stats in memory,
+loads term-bucket segment files lazily, and LRU-caches decoded posting
+lists. At cluster scale each searcher actor would own a subset of buckets
+(or memory-map them); on one node the reader simply page-caches the parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from webindex.compress import varbyte_decode
+from webindex.config import IndexConfig
+from webindex.scoring import idf as _idf
+from webindex.util import read_json, term_bucket
+
+
+@dataclass
+class PostingList:
+    """Decoded posting list: globally docID-sorted with block-max skip data."""
+
+    term: str
+    df: int
+    idf: float
+    ids: np.ndarray          # int64, ascending
+    tfs: np.ndarray          # int64
+    block_starts: np.ndarray  # int64 index into ids, one per block
+    block_last: np.ndarray    # int64 last docID per block
+    block_max: np.ndarray     # float64 max BM25 contribution per block
+    max_score: float          # max over blocks (WAND term upper bound)
+
+
+class SegmentReader:
+    def __init__(self, index_dir: str, postings_cache: int = 4096):
+        self.dir = index_dir
+        self.cfg = IndexConfig.from_dict(read_json(os.path.join(index_dir, "config.json")))
+        self.stats = read_json(os.path.join(index_dir, "stats.json"))
+        self.N = self.stats["N"]
+        self.avgdl = self.stats["avgdl"]
+        # doclens: parallel sorted arrays for searchsorted lookup
+        dl_tab = pads.dataset(os.path.join(index_dir, "doclens")).to_table()
+        order = np.argsort(dl_tab.column("doc_id").to_numpy(), kind="stable")
+        self._dl_ids = dl_tab.column("doc_id").to_numpy()[order]
+        self._dl = dl_tab.column("dl").to_numpy().astype(np.int64)[order]
+        # dictionary, loaded whole (small vs postings); per-bucket lazy load
+        # is the scale path — kept simple here because dict rows ~ vocab size
+        d_tab = pads.dataset(os.path.join(index_dir, "dict")).to_table(
+            columns=["term", "df", "cf"]
+        )
+        self._df = dict(
+            zip(d_tab.column("term").to_pylist(),
+                zip(d_tab.column("df").to_pylist(), d_tab.column("cf").to_pylist()))
+        )
+        self._seg_root = os.path.join(index_dir, "segments")
+        self._bucket_cache: dict[int, dict[str, list]] = {}
+        self._postings: OrderedDict[str, PostingList] = OrderedDict()
+        self._postings_cap = postings_cache
+
+    # -- doclens -----------------------------------------------------------
+    def doclen(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._dl_ids, doc_ids)
+        return self._dl[pos]
+
+    def doc_count(self) -> int:
+        return self.N
+
+    # -- dictionary --------------------------------------------------------
+    def df(self, term: str) -> int:
+        e = self._df.get(term)
+        return e[0] if e else 0
+
+    def cf(self, term: str) -> int:
+        e = self._df.get(term)
+        return e[1] if e else 0
+
+    # -- postings ----------------------------------------------------------
+    def _load_bucket(self, bucket: int) -> dict[str, list]:
+        cached = self._bucket_cache.get(bucket)
+        if cached is not None:
+            return cached
+        path = os.path.join(self._seg_root, f"bucket={bucket}")
+        rows: dict[str, list] = {}
+        if os.path.isdir(path):
+            tab = pads.dataset(path).to_table()
+            terms = tab.column("term").to_pylist()
+            salts = tab.column("salt").to_numpy()
+            bids = tab.column("block_id").to_numpy()
+            ns = tab.column("n").to_numpy()
+            lasts = tab.column("last_doc_id").to_numpy()
+            idbufs = tab.column("doc_ids").to_pylist()
+            tfbufs = tab.column("tfs").to_pylist()
+            maxes = tab.column("max_score").to_numpy()
+            for i, t in enumerate(terms):
+                rows.setdefault(t, []).append(
+                    (int(salts[i]), int(bids[i]), int(ns[i]), int(lasts[i]),
+                     idbufs[i], tfbufs[i], float(maxes[i]))
+                )
+        self._bucket_cache[bucket] = rows
+        return rows
+
+    def postings(self, term: str) -> PostingList | None:
+        pl = self._postings.get(term)
+        if pl is not None:
+            self._postings.move_to_end(term)
+            return pl
+        dfe = self._df.get(term)
+        if dfe is None:
+            return None
+        blocks = self._load_bucket(term_bucket(term, self.cfg.num_buckets)).get(term)
+        if not blocks:
+            return None
+        # (salt, block_id) order == ascending docID ranges (range salting)
+        blocks.sort(key=lambda r: (r[0], r[1]))
+        ids = np.concatenate([_decode_ids(b[4], b[2]) for b in blocks])
+        tfs = np.concatenate([varbyte_decode(b[5]) for b in blocks])
+        ns = np.array([b[2] for b in blocks], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        pl = PostingList(
+            term=term,
+            df=dfe[0],
+            idf=_idf(self.N, dfe[0]),
+            ids=ids,
+            tfs=tfs,
+            block_starts=starts,
+            block_last=np.array([b[3] for b in blocks], dtype=np.int64),
+            block_max=np.array([b[6] for b in blocks], dtype=np.float64),
+            max_score=max(b[6] for b in blocks),
+        )
+        self._postings[term] = pl
+        if len(self._postings) > self._postings_cap:
+            self._postings.popitem(last=False)
+        return pl
+
+
+def _decode_ids(buf: bytes, n: int) -> np.ndarray:
+    gaps = varbyte_decode(buf)
+    assert gaps.size == n
+    return np.cumsum(gaps)
