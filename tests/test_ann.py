@@ -1,0 +1,75 @@
+"""ANN: brute-force exact vs numpy oracle; IVF recall vs brute force."""
+
+import numpy as np
+import pytest
+
+from webindex.ann import brute_topk, ivf_build, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _oracle_topk(vecs, vids, q, k):
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return m / n
+
+    sims = (norm(q) @ norm(vecs).T)
+    out = []
+    for row in sims:
+        order = np.lexsort((vids, -row))[:k]
+        out.append([(int(vids[i]), float(row[i])) for i in order])
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_topk_matches_oracle(emb_ds):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    vids = np.array(tab.column("vec_id").to_pylist())
+    qvecs = vecs[:3] + 0.01
+    expect = _oracle_topk(vecs, vids, qvecs, 10)
+
+    out = brute_topk(
+        emb_ds.repartition(5), [100, 101, 102], qvecs, 10, concurrency=2
+    ).to_pandas()
+    for qi, qid in enumerate([100, 101, 102]):
+        grp = out[out.query_id == qid].sort_values("rank")
+        got = list(zip(grp["vec_id"].astype(int), grp["sim"]))
+        assert [g[0] for g in got] == [e[0] for e in expect[qi]]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [e[1] for e in expect[qi]], rtol=1e-12
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall(emb_ds):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    vids = np.array(tab.column("vec_id").to_pylist())
+    qvecs = vecs[10:15]
+    expect = _oracle_topk(vecs, vids, qvecs, 10)
+
+    assigned, cents = ivf_build(emb_ds, n_centroids=8)
+    out = ivf_topk(
+        assigned, cents, list(range(5)), qvecs, 10, nprobe=4, concurrency=2
+    ).to_pandas()
+    recalls = []
+    for qi in range(5):
+        got = set(out[out.query_id == qi]["vec_id"].astype(int))
+        want = {e[0] for e in expect[qi]}
+        recalls.append(len(got & want) / len(want))
+    assert np.mean(recalls) >= 0.7, recalls
+    # the probed query's own vector must be found (it is its own NN)
+    for qi in range(5):
+        top1 = out[(out.query_id == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
+        assert int(top1) == expect[qi][0][0]

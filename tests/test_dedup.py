@@ -1,0 +1,138 @@
+"""Dedup operator suite: exact, MinHash-LSH, SimHash, embedding-cosine."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webindex.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _MERSENNE,
+    _mod_p_mul_add,
+    connected_components,
+    embedding_dedup,
+    exact_dedup,
+    hamming64,
+    jaccard,
+    minhash_dedup,
+    simhash_dedup,
+)
+
+
+def test_mod_p_mul_add_matches_python_ints():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, _MERSENNE, size=50, dtype=np.uint64)
+    a = rng.integers(1, _MERSENNE, size=7, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=7, dtype=np.uint64)
+    got = _mod_p_mul_add(x, a, b)
+    for i in range(50):
+        for j in range(7):
+            expect = (int(x[i]) * int(a[j]) + int(b[j])) % _MERSENNE
+            assert int(got[i, j]) == expect
+
+
+def test_minhash_estimates_jaccard():
+    stage = MinHashStage(num_perm=256)
+    t1 = "the quick brown fox jumps over the lazy dog " * 20
+    t2 = t1.replace("fox", "cat")  # high overlap
+    t3 = "completely different text about the economy of spain " * 20
+    s1, s2, s3 = (stage.signature(t) for t in (t1, t2, t3))
+    est12 = float(np.mean(s1 == s2))
+    est13 = float(np.mean(s1 == s3))
+    true12 = jaccard(t1, t2)
+    assert abs(est12 - true12) < 0.15
+    assert est13 < 0.05
+    # determinism
+    assert np.array_equal(stage.signature(t1), MinHashStage(num_perm=256).signature(t1))
+
+
+def test_connected_components():
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    cc = connected_components(pairs)
+    m = dict(zip(cc["doc_id"], cc["cluster"]))
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_hamming64():
+    assert hamming64(0, 0) == 0
+    assert hamming64(0b1011, 0b0001) == 2
+    assert hamming64(-1 << 0, 0) == 64  # all bits set (as int64 -1)
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "web scale data processing with ray requires careful partitioning "
+    "and shuffle aware design of every operator in the pipeline " * 5
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup():
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")]
+    out = exact_dedup(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_clusters_near_dups():
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("careful", "cautious")),        # near-dup of 1
+        (3, "unrelated short document about gardens and flowers " * 6),
+        (4, BASE.replace("ray", "beam")),                 # near-dup of 1
+        (5, "another unrelated text on medieval history of europe " * 6),
+    ]
+    cc = minhash_dedup(_docs_ds(rows), threshold=0.5, concurrency=2)
+    m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
+    assert m.get(1) == m.get(2) == m.get(4) == 1
+    assert 3 not in m and 5 not in m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dedup():
+    rows = [
+        (1, BASE),
+        (2, BASE + " extra"),
+        (3, "gardens flowers unrelated " * 30),
+    ]
+    cc = simhash_dedup(_docs_ds(rows), max_hamming=6, concurrency=2)
+    m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
+    assert m.get(1) == m.get(2) == 1
+    assert 3 not in m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup():
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    rows = {
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [
+                base.tolist(),
+                (base + rng.standard_normal(32) * 0.01).tolist(),  # near-dup
+                rng.standard_normal(32).tolist(),
+                (-base).tolist(),  # anti-parallel: NOT a dup
+            ],
+            pa.list_(pa.float32()),
+        ),
+    }
+    cc = embedding_dedup(rd.from_arrow(pa.table(rows)), threshold=0.95)
+    m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
+    assert m.get(1) == m.get(2) == 1
+    assert 3 not in m and 4 not in m

@@ -1,0 +1,73 @@
+"""Metric implementation checks: hand-computed toy + perfect-ranking upper
+bound (reference oracle pattern: "perfect rerank" runs,
+/root/reference/other/sgpt_utils.ipynb cells 13-14 — SURVEY.md §5.3)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from webindex.eval import evaluate_runs, evaluate_runs_pd
+
+
+def _runs(rows):
+    return pd.DataFrame(rows, columns=["qid", "did", "score", "rank"])
+
+
+def test_hand_computed_toy():
+    # q1: ranked [d1, d2, d3]; rels: d1=2 (rank1), d3=1 (rank3)
+    runs = _runs([("q1", "d1", 3.0, 1), ("q1", "d2", 2.0, 2), ("q1", "d3", 1.0, 3)])
+    qrels = pd.DataFrame(
+        [("q1", "d1", 2), ("q1", "d3", 1)], columns=["qid", "did", "rel"]
+    )
+    m = evaluate_runs_pd(runs, qrels, k_values=[3]).iloc[0]
+    dcg = 2 / math.log2(2) + 0 + 1 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    assert m["ndcg@3"] == pytest.approx(dcg / idcg)
+    assert m["p@3"] == pytest.approx(2 / 3)
+    assert m["recall@3"] == pytest.approx(1.0)
+    assert m["mrr@3"] == pytest.approx(1.0)
+    assert m["map@3"] == pytest.approx((1 / 1 + 2 / 3) / 2)
+
+
+def test_perfect_ranking_upper_bound():
+    qrels = pd.DataFrame(
+        [("q1", "a", 2), ("q1", "b", 1), ("q2", "c", 1)],
+        columns=["qid", "did", "rel"],
+    )
+    runs = _runs(
+        [("q1", "a", 9.0, 1), ("q1", "b", 8.0, 2), ("q2", "c", 9.0, 1)]
+    )
+    df = evaluate_runs_pd(runs, qrels, k_values=[10])
+    assert (df["ndcg@10"] == 1.0).all()
+    assert (df["recall@10"] == 1.0).all()
+    assert (df["mrr@10"] == 1.0).all()
+    assert (df["map@10"] == 1.0).all()
+
+
+def test_query_without_qrels_skipped():
+    runs = _runs([("qX", "d", 1.0, 1)])
+    qrels = pd.DataFrame([("qY", "d", 1)], columns=["qid", "did", "rel"])
+    assert evaluate_runs_pd(runs, qrels).empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_eval_matches_pd():
+    import ray.data as rd
+
+    runs = _runs(
+        [("q1", "d1", 3.0, 1), ("q1", "d2", 2.0, 2), ("q2", "d9", 5.0, 1),
+         ("q2", "d1", 4.0, 2)]
+    )
+    qrels = pd.DataFrame(
+        [("q1", "d2", 1), ("q2", "d9", 2), ("q2", "d1", 1)],
+        columns=["qid", "did", "rel"],
+    )
+    expect = evaluate_runs_pd(runs, qrels, k_values=[1, 2]).set_index("qid")
+    per_q, macro = evaluate_runs(rd.from_pandas(runs), qrels, k_values=[1, 2])
+    got = per_q.to_pandas().set_index("qid")
+    pd.testing.assert_frame_equal(
+        got.sort_index(), expect.sort_index(), check_like=True
+    )
+    assert macro["n_queries"] == 2
+    assert macro["ndcg@2"] == pytest.approx(float(expect["ndcg@2"].mean()))

@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (list<float>).
+
+Ray-Data re-expression of the reference's dense retrieval core: chunked
+matmul top-k with a final merge
+(/root/reference/biencoder/beir/custommodels/exact_search.py:80-132,
+/root/reference/biencoder/nli_msmarco/sentence-transformers/
+sentence_transformers/util.py:197-258 — SURVEY.md §2.6 K1/K2):
+
+- ``brute_topk``: the exact baseline — queries broadcast once via
+  ``ray.put``; each Arrow batch of corpus vectors does one numpy matmul and
+  emits its *partial* top-k rows; a tiny ``groupby(query_id).map_groups``
+  merges partials (the heap-merge of K1, vectorized).
+- ``ivf_topk``: the scale path — k-means coarse centroids (trained on a
+  deterministic sample), vectors assigned to their nearest centroid
+  (one pass), queries probe the ``nprobe`` nearest centroid partitions
+  only.
+
+Scores are cosine similarity (float64), ties broken by ascending vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col.type, pa.FixedSizeListType) or pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        flat = col.combine_chunks()
+        arr = np.array(col.to_pylist(), dtype=np.float64)
+        return arr
+    raise TypeError(f"unsupported embedding column type {col.type}")
+
+
+class BruteScoreStage:
+    """Partial top-k per corpus batch against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column(self.id_col).to_numpy()
+        mat = _normalize(_batch_vecs(batch, self.vec_col))
+        sims = self.qmat @ mat.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        if k:
+            # per-query partial top-k (argpartition), ties resolved at merge
+            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            for qi, qid in enumerate(self.qids):
+                sel = idx[qi]
+                out_q.extend([qid] * k)
+                out_v.extend(vids[sel].tolist())
+                out_s.extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return merge
+
+
+def brute_topk(emb_ds, query_ids: list[int], query_vecs: np.ndarray, k: int,
+               *, id_col: str = "vec_id", vec_col: str = "embedding",
+               concurrency=4, batch_size: int = 4096):
+    """Exact cosine top-k -> Dataset (query_id, vec_id, sim, rank)."""
+    import ray
+
+    ref = ray.put({"qids": list(query_ids), "vecs": np.asarray(query_vecs)})
+    partial = emb_ds.map_batches(
+        BruteScoreStage,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10,
+               seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a (normalized) sample — driver-side
+    on a bounded sample only; the full dataset is never materialized."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    init = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    cent = x[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    return cent
+
+
+def ivf_build(emb_ds, *, n_centroids: int = 16, sample_n: int = 2048,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 11):
+    """Train centroids on a sample, assign every vector -> (Dataset + cents).
+
+    Returns ``(assigned_ds, centroids)`` where ``assigned_ds`` adds a
+    ``centroid`` column — at scale this would be written as
+    partition_cols=["centroid"] parquet so probes read only their lists.
+    """
+    sample = emb_ds.limit(sample_n).to_pandas()
+    cents = kmeans_fit(
+        np.array(sample[vec_col].tolist(), dtype=np.float64), n_centroids,
+        seed=seed,
+    )
+
+    # centroids are tiny -> stateless task closure (no actor reservation);
+    # a big centroid table would go through ray.put + actor __init__
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(a, pa.int32()))
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow"), cents
+
+
+def ivf_topk(assigned_ds, cents: np.ndarray, query_ids: list[int],
+             query_vecs: np.ndarray, k: int, *, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=4):
+    """Probe the ``nprobe`` nearest centroid partitions per query."""
+    import pyarrow.compute as pc
+
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    # queries grouped by probed centroid -> prune the scan per centroid set
+    probe_set = sorted({int(c) for row in probes for c in row})
+    pruned = assigned_ds.map_batches(
+        lambda t, cs=probe_set: t.filter(pc.is_in(t.column("centroid"),
+                                                  pa.array(cs, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    # per-query candidate filter happens at merge: a vec counts for query q
+    # only if its centroid is among q's probes
+    allowed = {int(q): {int(c) for c in probes[i]}
+               for i, q in enumerate(query_ids)}
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cents_b = batch.column("centroid").to_numpy()
+        vids = batch.column(id_col).to_numpy()
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        sims = qmat @ mat.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.fromiter(
+                (int(c) in allowed[int(qid)] for c in cents_b),
+                dtype=bool, count=len(cents_b),
+            )
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            v = vids[mask]
+            kk = min(k, s.size)
+            sel = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(v[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = pruned.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )

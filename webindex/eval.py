@@ -1,0 +1,108 @@
+"""IR evaluation: runs x qrels -> NDCG/MAP/Recall/P/MRR @ k.
+
+Reference: ``EvaluateRetrieval.evaluate(qrels, results, k_values)`` via
+pytrec_eval (/root/reference/biencoder/beir/beir_dense_retriever.py:446,
+/root/reference/crossencoder/beir/crossencoder_beir_bm25.ipynb cells 12/14)
+and the standalone metric code in the vendored fork
+(/root/reference/biencoder/nli_msmarco/sentence-transformers/
+sentence_transformers/evaluation/InformationRetrievalEvaluator.py:189-295).
+
+Pinned metric definitions (trec_eval-compatible):
+- DCG@k   = sum_{i<=k} rel_i / log2(i + 1)   (linear gain, ranks 1-based)
+- NDCG@k  = DCG@k / IDCG@k (ideal = qrels sorted by rel desc)
+- MAP@k   = mean over relevant docs of P@rank, denominator
+            min(k, #relevant); rel > 0 counts as relevant
+- P@k, Recall@k, MRR@k: standard.
+Queries with no qrels are skipped (reference behavior:
+InformationRetrievalEvaluator.py:42-45).
+
+Distributed shape: runs and qrels are joined per-query inside
+``groupby("qid").map_groups`` (qrels broadcast — they are tiny next to
+runs), then metrics average with a global Mean aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _per_query_metrics(ranked_dids: list[str], rels: dict[str, int],
+                       k_values: list[int]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    relevant = {d for d, r in rels.items() if r > 0}
+    n_rel = len(relevant)
+    gains = [rels.get(d, 0) for d in ranked_dids]
+    ideal = sorted(rels.values(), reverse=True)
+    for k in k_values:
+        dcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains[:k]))
+        idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal[:k]))
+        out[f"ndcg@{k}"] = dcg / idcg if idcg > 0 else 0.0
+        topk = ranked_dids[:k]
+        hits = sum(1 for d in topk if d in relevant)
+        out[f"p@{k}"] = hits / k
+        out[f"recall@{k}"] = hits / n_rel if n_rel else 0.0
+        # MRR@k
+        rr = 0.0
+        for i, d in enumerate(topk):
+            if d in relevant:
+                rr = 1.0 / (i + 1)
+                break
+        out[f"mrr@{k}"] = rr
+        # MAP@k
+        num, ap = 0, 0.0
+        for i, d in enumerate(topk):
+            if d in relevant:
+                num += 1
+                ap += num / (i + 1)
+        denom = min(k, n_rel) if n_rel else 0
+        out[f"map@{k}"] = ap / denom if denom else 0.0
+    return out
+
+
+def evaluate_runs_pd(runs: pd.DataFrame, qrels: pd.DataFrame,
+                     k_values=(1, 3, 5, 10, 100, 1000)) -> pd.DataFrame:
+    """Single-process evaluation; returns one row per qid + metric columns."""
+    qrel_map: dict[str, dict[str, int]] = {}
+    for q, d, r in zip(qrels["qid"], qrels["did"], qrels["rel"]):
+        qrel_map.setdefault(q, {})[d] = int(r)
+    rows = []
+    for qid, grp in runs.groupby("qid"):
+        rels = qrel_map.get(qid)
+        if not rels:
+            continue  # reference skips queries without qrels
+        ranked = grp.sort_values("rank")["did"].tolist()
+        rows.append({"qid": qid, **_per_query_metrics(ranked, rels, list(k_values))})
+    return pd.DataFrame(rows)
+
+
+def evaluate_runs(runs_ds, qrels_pd: pd.DataFrame,
+                  k_values=(1, 3, 5, 10, 100, 1000)):
+    """Ray pipeline: per-qid map_groups with broadcast qrels -> macro means.
+
+    Returns (per_query Dataset, macro-average dict).
+    """
+    qrel_map: dict[str, dict[str, int]] = {}
+    for q, d, r in zip(qrels_pd["qid"], qrels_pd["did"], qrels_pd["rel"]):
+        qrel_map.setdefault(q, {})[d] = int(r)
+    kv = list(k_values)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["qid"].iloc[0]
+        rels = qrel_map.get(qid)
+        if not rels:
+            return pd.DataFrame()
+        ranked = g.sort_values("rank")["did"].tolist()
+        return pd.DataFrame([{"qid": qid, **_per_query_metrics(ranked, rels, kv)}])
+
+    per_q = runs_ds.groupby("qid").map_groups(per_group, batch_format="pandas")
+    pdf = per_q.to_pandas()
+    macro = {
+        c: float(np.mean(pdf[c])) if len(pdf) else 0.0
+        for c in pdf.columns
+        if c != "qid"
+    }
+    macro["n_queries"] = len(pdf)
+    return per_q, macro
