@@ -3,14 +3,12 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Implementation lives in ``webindex`` (see SURVEY.md; registry:
+webindex/pipelines/driver_queries.py). No ``ray.init``/``ray.shutdown``
+here — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +18,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents corpus ->
+    checkpointed BM25 index build (english analyzer: Porter stem +
+    stopwords) -> block-max WAND top-100 for the reference query set ->
+    runs table (qid, did, doc_id, score, rank)."""
+    from webindex.pipelines.driver_queries import (
+        _queries_ds,
+        ensure_index,
+    )
+    from webindex.search import search_queries
+
+    idx = ensure_index("/root/testdata/sf0.001", "stemmed")
+    return search_queries(
+        _queries_ds(), idx, top_k=100, mode="wand", concurrency=2, batch_size=8
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from webindex.pipelines.driver_queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webindex.pipelines.driver_queries import REGISTRY
+
+    return {
+        name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
+    }

@@ -221,6 +221,13 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     from ray.data.aggregate import Count, Max, Sum
 
     cfg = cfg or IndexConfig()
+    if tokenize_concurrency is None:
+        import ray
+
+        # leave headroom for the read/write stages alongside the actor pool
+        tokenize_concurrency = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) - 2
+        )
     runner = StageRunner(out_dir)
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")

@@ -1,0 +1,647 @@
+"""Driver-contract query registry: name -> (ray_callable, oracle_sql|None).
+
+Each entry is an operator/pipeline from SURVEY.md §2 (mapping noted per
+entry) over the driver's parquet tables. The Ray result and the DuckDB SQL
+must agree in row count, schema (column NAMES match aliases) and values.
+
+SQL-checkable BM25 uses the ``SQL_SAFE_ANALYZER`` (lowercase, ASCII
+``[a-z0-9]+`` tokens, no stopwords/stemming) so DuckDB can reproduce
+tokenization with ``regexp_extract_all``; the SQL scores sum per-term
+contributions with ``list_sum(list(contrib ORDER BY term))`` — the same
+fixed ascending-term float64 summation order the engine pins (SURVEY.md
+§7.3). The stemmed engine path is covered by the pure-Python oracle in
+pytest (tests/test_build_search.py) and appears here as rows-only entries.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webindex.analyze import Analyzer
+from webindex.config import SQL_SAFE_ANALYZER, IndexConfig
+
+K1, B = 0.9, 0.4
+TOPK = 10
+
+# Fixed reference query set over the driver's documents vocabulary.
+DOC_QUERIES: list[tuple[str, str]] = [
+    ("q1", "merge join sort"),
+    ("q2", "spark window stream"),
+    ("q3", "filter hash table scan"),
+    ("q4", "vector column batch data"),
+    ("q5", "customer order line"),
+    ("q6", "slow query big"),
+    ("q7", "the fast key"),
+    ("q8", "group agg row"),
+]
+
+_sql_an = Analyzer(SQL_SAFE_ANALYZER)
+# unique (qid, term) pairs, tokenized once with the shared analyzer
+QUERY_TERMS: list[tuple[str, str]] = [
+    (qid, t) for qid, text in DOC_QUERIES for t in sorted(set(_sql_an.tokens(text)))
+]
+
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _query_values_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_TERMS)
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+_INDEX_CACHE_ROOT = "/tmp/webindex-cache"
+
+
+def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
+    """Build (once, resumably) the documents-table index for ``sf_dir``."""
+    from webindex.build import build_index
+    from webindex.pipelines.corpus import corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-{variant}")
+    if variant == "nostem":
+        cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    else:
+        cfg = IndexConfig(num_buckets=16)
+    build_index(corpus_from_documents(_docs(sf_dir)), out, cfg)
+    return out
+
+
+def _queries_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([q for q, _ in DOC_QUERIES]),
+                "text": pa.array([t for _, t in DOC_QUERIES]),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. corpus stats  (SURVEY.md §2.5 A4/A8: global aggregates N, avgdl)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    an = Analyzer(SQL_SAFE_ANALYZER)
+
+    def doclen(batch: pa.Table) -> pa.Table:
+        dls = [len(an.tokens(t or "")) for t in batch.column("text").to_pylist()]
+        return pa.table({"dl": pa.array(dls, pa.int64())})
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("text"), "")),
+        batch_format="pyarrow",
+    ).map_batches(doclen, batch_format="pyarrow")
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_tokens"))
+    n, tot = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pd.DataFrame(
+        [{"n_docs": n, "total_tokens": tot, "avgdl": float(tot) / max(1, n)}]
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH dl AS (
+  SELECT len({_TOK_SQL})::BIGINT AS dl FROM documents WHERE text <> ''
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(dl)::BIGINT AS total_tokens,
+       sum(dl)::DOUBLE / count(*) AS avgdl
+FROM dl
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. doclens  (per-doc token length — M5 analog)
+# ---------------------------------------------------------------------------
+
+
+def q_doclens(sf_dir: str):
+    an = Analyzer(SQL_SAFE_ANALYZER)
+
+    def doclen(batch: pa.Table) -> pa.Table:
+        dls = [len(an.tokens(t or "")) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "dl": pa.array(dls, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("text"), "")),
+        batch_format="pyarrow",
+    ).map_batches(doclen, batch_format="pyarrow")
+
+
+SQL_DOCLENS = f"""
+SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl
+FROM documents WHERE text <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. term df/cf  (SURVEY.md §2.5 A8 — the dictionary aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_term_df(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from webindex.build import TokenizeStage, _partial_df
+
+    tok = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("text"), "")),
+        batch_format="pyarrow",
+    ).map_batches(
+        TokenizeStage, fn_constructor_args=(SQL_SAFE_ANALYZER,),
+        batch_format="pyarrow", concurrency=2,
+    )
+    postings = tok.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)), batch_format="pyarrow"
+    )
+    partial = postings.map_batches(_partial_df, batch_format="pyarrow")
+    return partial.groupby("term").aggregate(
+        Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+    )
+
+
+SQL_TERM_DF = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_TOK_SQL}) AS t(tok)
+  WHERE text <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. BM25 top-k, SQL-safe analyzer  (the full engine path vs SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_top10(sf_dir: str):
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, mode="wand", concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _sql_bm25_scores() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, q.term,
+    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))) AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY qid, doc_id
+)
+"""
+
+
+SQL_BM25_TOP10 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_scores(sf_dir: str):
+    """All matching (qid, doc) BM25 scores rounded to 6dp — no top-k
+    boundary, so the comparison is robust to last-ulp float noise."""
+    from webindex.search import SearcherActor
+
+    idx = ensure_index(sf_dir, "nostem")
+    s = SearcherActor(idx, top_k=10**9, mode="exhaustive")
+    rows = []
+    for qid, text in DOC_QUERIES:
+        ids, scores = s.search_one(qid, text)
+        for d, sc in zip(ids.tolist(), scores.tolist()):
+            rows.append((qid, d, round(sc, 6)))
+    return pd.DataFrame(rows, columns=["qid", "doc_id", "score_r"])
+
+
+SQL_BM25_SCORES = _sql_bm25_scores() + """
+SELECT qid, doc_id, round(score, 6) AS score_r FROM scores
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. rerank join  (SURVEY.md §2.4 J2: top-k gather join + pair scoring)
+# ---------------------------------------------------------------------------
+
+
+def q_rerank_overlap(sf_dir: str):
+    """Rerank the BM25 top-10 by exact query-term overlap count (a
+    deterministic stand-in for the reference's GPT pair scorer,
+    /root/reference/crossencoder/beir/sgptce.py:314-333)."""
+    import ray
+
+    runs = q_bm25_top10(sf_dir).to_pandas()
+    need = set(runs["doc_id"].tolist())
+    docs = _docs(sf_dir).to_pandas()
+    texts = {
+        int(i): t for i, t in zip(docs["doc_id"], docs["text"]) if int(i) in need
+    }
+    an = Analyzer(SQL_SAFE_ANALYZER)
+    qterms = {qid: set(an.tokens(text)) for qid, text in DOC_QUERIES}
+    rows = []
+    for qid, did in zip(runs["qid"], runs["doc_id"]):
+        toks = set(an.tokens(texts[int(did)]))
+        rows.append((qid, int(did), len(qterms[qid] & toks)))
+    return pd.DataFrame(rows, columns=["qid", "doc_id", "overlap"])
+
+
+SQL_RERANK_OVERLAP = _sql_bm25_scores() + f"""
+, top AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= {TOPK}
+)
+SELECT top.qid, top.doc_id,
+       count(DISTINCT toks.term)::BIGINT AS overlap
+FROM top
+JOIN toks ON toks.doc_id = top.doc_id
+JOIN qterms ON qterms.qid = top.qid AND qterms.term = toks.term
+GROUP BY top.qid, top.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. relational operators over documents / events / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_docs_by_lang(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+SQL_DOCS_BY_LANG = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_top_longest(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    # K3 analog: length-descending sort + limit
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return out
+
+
+SQL_TOP_LONGEST = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup summary (SURVEY.md §2.7 D1/D5): representative (min
+    doc_id) + duplicate count per distinct text."""
+    from webindex.dedup import add_text_hash
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"doc_id": int(g["doc_id"].min()), "n_dups": np.int64(len(g))}]
+        )
+
+    hashed = _docs(sf_dir).map_batches(add_text_hash, batch_format="pyarrow")
+    return hashed.groupby("text_hash").map_groups(summarize, batch_format="pandas")
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped tumbling window (SURVEY.md §2.9 note): per
+    (user_id, hour) event count + min/max value. Partial per-batch
+    aggregation -> small groupby shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    return (
+        ds.map_batches(add_hour, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_token_stats(sf_dir: str):
+    """Quality-signal ints (SQL-checkable slice of textstats)."""
+    an = Analyzer(SQL_SAFE_ANALYZER)
+    from webindex.analyze import LUCENE_STOPWORDS
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_tok, n_stop = [], []
+        for t in batch.column("text").to_pylist():
+            toks = an.tokens(t or "")
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in LUCENE_STOPWORDS))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def _stopword_sql_list() -> str:
+    from webindex.analyze import LUCENE_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(LUCENE_STOPWORDS))
+
+
+SQL_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_TOK_SQL}) AS t(tok)
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_stopwords, 0)::BIGINT AS n_stopwords
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (term IN ({_stopword_sql_list()}))::BIGINT AS n_stopwords
+  FROM toks GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    from webindex.textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).map_batches(lambda t: t.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
+
+
+SQL_FINGERPRINTS = r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def q_ann_top5(sf_dir: str):
+    """Brute-force cosine top-5 (SURVEY.md §2.6 K1/K2) for 3 query vectors
+    (the embeddings of vec_id 0/1/2), sims rounded to 6dp."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import brute_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    out = brute_topk(
+        rd.read_parquet(path), [0, 1, 2], qvecs, 5, concurrency=2
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+SQL_ANN_TOP5 = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)::INTEGER AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL equivalent; correctness gated in pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_stemmed_top10(sf_dir: str):
+    """Full english-analyzer BM25 (Porter stem + stopwords) — rank identity
+    vs the pure-Python oracle is asserted in tests/test_build_search.py."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "stemmed")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, mode="wand", concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    from webindex.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), threshold=0.8, concurrency=2)
+
+
+def q_simhash_clusters(sf_dir: str):
+    from webindex.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=3, concurrency=2)
+
+
+def q_embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.dedup import embedding_dedup
+
+    return embedding_dedup(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=0.98,
+    )
+
+
+def q_ivf_top5(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import ivf_build, ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    assigned, cents = ivf_build(rd.read_parquet(path), n_centroids=16)
+    out = ivf_topk(assigned, cents, [0, 1, 2], qvecs, 5, nprobe=4).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+def q_langid(sf_dir: str):
+    from webindex.textstats import LangIdStage
+
+    return _docs(sf_dir).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_quality(sf_dir: str):
+    from webindex.textstats import quality_batch
+
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_eval_metrics(sf_dir: str):
+    """Runs x qrels -> per-query metrics (SURVEY.md §2.5 A7). Qrels are
+    derived deterministically (docs containing every query term)."""
+    from webindex.eval import evaluate_runs_pd
+
+    runs = q_bm25_top10(sf_dir).to_pandas()
+    runs["did"] = runs["doc_id"].astype(str)
+    an = Analyzer(SQL_SAFE_ANALYZER)
+    docs = _docs(sf_dir).to_pandas()
+    qrels_rows = []
+    for qid, text in DOC_QUERIES:
+        terms = set(an.tokens(text))
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            toks = set(an.tokens(t or ""))
+            if terms <= toks:
+                qrels_rows.append((qid, str(int(did)), 1))
+    qrels = pd.DataFrame(qrels_rows, columns=["qid", "did", "rel"])
+    out = evaluate_runs_pd(runs, qrels, k_values=[10])
+    for c in out.columns:
+        if c != "qid":
+            out[c] = out[c].round(6)
+    return out
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing demo over the deterministic fake-media table."""
+    import ray.data as rd
+
+    from webindex.multimodal import media_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(120))
+    out = media_features(ds, concurrency=2, batch_size=32).to_pandas()
+    out["mean_value"] = out["mean_value"].round(6)
+    out["std_value"] = out["std_value"].round(6)
+    return out
+
+
+REGISTRY: dict[str, tuple] = {
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "doclens": (q_doclens, SQL_DOCLENS),
+    "term_df": (q_term_df, SQL_TERM_DF),
+    "bm25_top10": (q_bm25_top10, SQL_BM25_TOP10),
+    "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
+    "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
+    "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
+    "top_longest": (q_top_longest, SQL_TOP_LONGEST),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
+    # rows-only (non-SQL-expressible; gated by pytest oracles)
+    "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
+    "minhash_clusters": (q_minhash_clusters, None),
+    "simhash_clusters": (q_simhash_clusters, None),
+    "embedding_dedup": (q_embedding_dedup, None),
+    "ivf_top5": (q_ivf_top5, None),
+    "langid": (q_langid, None),
+    "quality": (q_quality, None),
+    "eval_metrics": (q_eval_metrics, None),
+    "media_features": (q_media_features, None),
+}
