@@ -1,0 +1,245 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "num_cpus": N, "extra": {...}}
+
+Pipelines benchmarked over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32):
+
+- build_pages : synth CC-style pages (BASELINE.json input_hint schema,
+                cached parquet; rows scale with sf) -> dedup/docIDs ->
+                HTML extract -> full checkpointed BM25 index build
+- query_wand  : block-max WAND top-1000 for the query set through the
+                searcher actor pool (batch throughput), plus warm
+                per-query p95 latency measured on one searcher
+- dedup_minhash / ann_brute / events_hourly: curation pipeline benches
+
+--scaling: runs this same benchmark in fresh subprocesses at num_cpus=8
+and num_cpus=32 and reports throughput at both + scaling efficiency
+(the sandbox stand-in for the N vs 4N cluster criterion in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 400_000  # sf0.1 -> 40k synthetic pages
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(os.path.normpath(d))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+
+    from webindex.build import build_index
+    from webindex.config import IndexConfig
+    from webindex.pipelines import prepare_corpus_from_pages
+    from webindex.search import SearcherActor, search_queries
+    from webindex.synth import synth_dir, synth_queries_table
+    from webindex.util import read_json
+
+    # warm the worker pool (process spawn + module import) untimed, so
+    # timings measure compute + shuffle, not cluster cold-start
+    @ray.remote
+    def _warm():
+        import webindex.build  # noqa: F401
+        import webindex.search  # noqa: F401
+        return 0
+
+    ray.get([_warm.remote() for _ in range(NUM_CPUS)])
+
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = int(os.environ.get(
+        "GRAFT_BENCH_PAGES", max(2000, int(PAGES_PER_SF * sf))
+    ))
+    timings: dict[str, float] = {}
+    extra: dict = {"n_pages": n_pages}
+
+    # ---- corpus (cached; warm page cache with one untimed read) ----------
+    pages_dir = synth_dir(n_pages)
+    pages_path = os.path.join(pages_dir, "pages.parquet")
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    idx_dir = f"/tmp/webindex-bench/idx-{n_pages}-{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(num_buckets=64, df_salt_threshold=100_000, salt_shards=32)
+
+    t0 = time.time()
+    pages = rd.read_parquet(
+        pages_path, override_num_blocks=max(8, NUM_CPUS * 2)
+    ).drop_columns(["text"])
+    corpus = prepare_corpus_from_pages(pages, num_shards=max(16, NUM_CPUS))
+    stats = build_index(corpus, idx_dir, cfg)
+    timings["build_pages"] = time.time() - t0
+    extra["n_docs_indexed"] = stats["N"]
+    extra["build_docs_per_sec"] = round(stats["N"] / timings["build_pages"], 1)
+
+    # ---- batched query throughput (actor pool) ---------------------------
+    qtab = synth_queries_table(n=50)
+    queries = rd.from_arrow(qtab).union(*([rd.from_arrow(qtab)] * 3))  # 200 q
+    t0 = time.time()
+    runs = search_queries(
+        queries.repartition(max(8, NUM_CPUS // 2)),
+        idx_dir,
+        top_k=1000,
+        mode="auto",
+        concurrency=min(8, max(2, NUM_CPUS - 2)),
+        batch_size=16,
+    )
+    runs_pdf = runs.to_pandas()
+    n_run_rows = len(runs_pdf)
+    timings["query_wand"] = time.time() - t0
+    # parallelism-invariance evidence: the ranked results must be identical
+    # at any num_cpus (compared across the --scaling pair)
+    import hashlib
+
+    runs_pdf["score_r"] = runs_pdf["score"].round(9)
+    key = runs_pdf[["qid", "doc_id", "rank", "score_r"]].sort_values(
+        ["qid", "rank", "doc_id"]
+    ).to_csv(index=False).encode()
+    extra["runs_hash"] = hashlib.sha256(key).hexdigest()[:16]
+    extra["n_queries"] = 200
+    extra["query_qps"] = round(200 / timings["query_wand"], 2)
+    extra["run_rows"] = n_run_rows
+
+    # ---- warm per-query latency p50/p95 (single searcher) ----------------
+    s = SearcherActor(idx_dir, top_k=1000, mode="auto")
+    texts = qtab.column("text").to_pylist()
+    for t in texts[:5]:
+        s.search_one("warm", t)
+    lats = []
+    for t in texts:
+        t1 = time.time()
+        s.search_one("q", t)
+        lats.append(time.time() - t1)
+    extra["query_p50_ms"] = round(float(np.percentile(lats, 50)) * 1000, 2)
+    extra["query_p95_ms"] = round(float(np.percentile(lats, 95)) * 1000, 2)
+
+    # ---- curation pipelines over the sf tables ---------------------------
+    from webindex.dedup import minhash_dedup
+
+    docs = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text"],
+        override_num_blocks=max(8, NUM_CPUS),
+    )
+    t0 = time.time()
+    cc = minhash_dedup(docs, threshold=0.8, concurrency=max(2, NUM_CPUS - 2))
+    timings["dedup_minhash"] = time.time() - t0
+    extra["minhash_clustered"] = len(cc)
+
+    from webindex.ann import brute_topk
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(emb_path)
+    vecs = np.array(tab.column("embedding").to_pylist()[:16], dtype=np.float64)
+    t0 = time.time()
+    ann = brute_topk(
+        rd.read_parquet(emb_path, override_num_blocks=max(8, NUM_CPUS)),
+        list(range(16)), vecs, 100,
+        concurrency=max(2, NUM_CPUS // 2),
+    )
+    ann.count()
+    timings["ann_brute"] = time.time() - t0
+
+    from webindex.pipelines.driver_queries import q_events_hourly
+
+    t0 = time.time()
+    q_events_hourly(SF_DIR).count()
+    timings["events_hourly"] = time.time() - t0
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "webindex_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "extra": extra,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # a larger fixed corpus for the scaling pair, so compute (not per-stage
+    # fixed overhead) dominates at both parallelism levels
+    os.environ.setdefault("GRAFT_BENCH_PAGES", "200000")
+    run(hi) if os.environ.get("GRAFT_SCALING_WARM") else None  # optional warm
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling on the headline build stage (docs/sec), plus total
+    b_lo = r_lo["queries"]["build_pages"]
+    b_hi = r_hi["queries"]["build_pages"]
+    eff_build = (b_lo / b_hi) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "build_sec_lo": b_lo,
+        "build_sec_hi": b_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "build_docs_per_sec_lo": r_lo["extra"]["build_docs_per_sec"],
+        "build_docs_per_sec_hi": r_hi["extra"]["build_docs_per_sec"],
+        "runs_identical_across_cpus":
+            r_lo["extra"]["runs_hash"] == r_hi["extra"]["runs_hash"],
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_total": round(eff_total, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

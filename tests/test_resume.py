@@ -76,9 +76,11 @@ def test_resume_identical(tmp_path):
 def test_lineage_records(tmp_path):
     idx = str(tmp_path / "idx")
     build_index(_corpus(), idx, CFG, tokenize_concurrency=2)
-    for stage in ("postings_raw", "doclens", "dict", "segments"):
+    for stage in ("postings_raw", "dict", "segments"):
         rec = json.load(open(os.path.join(idx, "lineage", f"{stage}.json")))
         assert rec["rows_out"] > 0
         assert rec["wall_sec"] > 0
         assert rec["n_files"] >= 1
         assert all("path" in f and "bytes" in f for f in rec["files"])
+    stats_rec = json.load(open(os.path.join(idx, "lineage", "stats.json")))
+    assert stats_rec["stats"]["N"] > 0

@@ -54,19 +54,37 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
-class TokenizeStage:
-    """Actor-pool ``map_batches`` stage: documents -> per-doc term counts.
+_ANALYZER_CACHE: dict[str, Analyzer] = {}
 
-    Analyzer state (compiled regexes, stem memo) is built once per actor
-    (reference analog: CustomEmbedder ctor,
-    /root/reference/biencoder/beir/beir_dense_retriever.py:106-156).
-    Emits postings pre-aggregated per document — the combiner that keeps the
-    groupby(term) shuffle small — plus one ``kind=1`` row per doc carrying
-    its length.
+
+def analyzer_for(cfg) -> Analyzer:
+    """Process-global analyzer (compiled regexes + stem memo). Ray reuses
+    worker processes across tasks, so stateless-task stages get actor-style
+    state amortization without paying actor-pool startup (reference analog
+    of once-per-worker setup: CustomEmbedder ctor,
+    /root/reference/biencoder/beir/beir_dense_retriever.py:106-156)."""
+    key = cfg.cache_key()
+    an = _ANALYZER_CACHE.get(key)
+    if an is None:
+        an = _ANALYZER_CACHE[key] = Analyzer(cfg)
+    return an
+
+
+def tokenize_batch(batch: pa.Table, analyzer_cfg) -> pa.Table:
+    """Stateless-task tokenize stage: documents -> per-doc term counts.
+
+    Emits postings pre-aggregated per document — the combiner that keeps
+    the groupby(term) shuffle small — plus one ``kind=1`` row per doc
+    carrying its length.
     """
+    return TokenizeStage(analyzer_cfg, _cached=True)(batch)
 
-    def __init__(self, analyzer_cfg):
-        self.an = Analyzer(analyzer_cfg)
+
+class TokenizeStage:
+    """Callable form of the tokenize stage (usable as an actor class too)."""
+
+    def __init__(self, analyzer_cfg, _cached: bool = False):
+        self.an = analyzer_for(analyzer_cfg) if _cached else Analyzer(analyzer_cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -220,14 +238,11 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
+    # tokenize_concurrency is accepted for API stability but unused: the
+    # tokenize stage runs as stateless tasks (process-global analyzer
+    # cache), which scale elastically and skip actor-pool startup.
+    del tokenize_concurrency
     cfg = cfg or IndexConfig()
-    if tokenize_concurrency is None:
-        import ray
-
-        # leave headroom for the read/write stages alongside the actor pool
-        tokenize_concurrency = max(
-            2, int(ray.cluster_resources().get("CPU", 8)) - 2
-        )
     runner = StageRunner(out_dir)
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")
@@ -235,11 +250,10 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     # ---- stage 1: tokenize -> postings_raw ------------------------------
     def stage_postings(tmp):
         ds = corpus_ds.map_batches(
-            TokenizeStage,
-            fn_constructor_args=(cfg.analyzer,),
+            tokenize_batch,
+            fn_kwargs=dict(analyzer_cfg=cfg.analyzer),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
-            concurrency=tokenize_concurrency,
         )
         ds.write_parquet(tmp)
         return {}
@@ -247,13 +261,14 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     runner.run("postings_raw", stage_postings)
     praw = runner.out_dir("postings_raw")
 
-    # ---- stage 2: doclens + global stats --------------------------------
-    def stage_doclens(tmp):
+    # ---- stage 2: global stats ------------------------------------------
+    # doclens live inside postings_raw as kind=1 rows — the reader pulls
+    # them with parquet predicate pushdown, so no separate copy is written.
+    def stage_stats(_tmp):
         dl_ds = rd.read_parquet(
             praw, columns=["doc_id", "dl"], filter=pc.field("kind") == 1
         )
-        dl_ds.write_parquet(tmp)
-        agg = rd.read_parquet(tmp).aggregate(
+        agg = dl_ds.aggregate(
             Count(alias_name="N"), Sum("dl", alias_name="total_tokens"),
             Max("doc_id", alias_name="max_doc_id"),
         )
@@ -264,9 +279,9 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             "avgdl": float(agg["total_tokens"]) / max(1, int(agg["N"])),
         }
         atomic_write_json(stats_path, stats)
-        return {}
+        return {"stats": stats}
 
-    runner.run("doclens", stage_doclens)
+    runner.run("stats", stage_stats, has_output_dir=False)
     stats = read_json(stats_path)
 
     # ---- stage 3: dictionary (df/cf per term) ---------------------------

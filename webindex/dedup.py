@@ -165,39 +165,78 @@ def exact_dedup(ds, text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
-def pairs_from_buckets(bucket_ds, key_cols: list[str], max_bucket: int = 2000):
+def pairs_from_buckets(bucket_ds, key_cols: list[str], max_bucket: int = 2000,
+                       n_parts: int = 64):
     """(key, doc_id) rows -> unique candidate (a, b) pairs, a < b.
 
-    Buckets larger than ``max_bucket`` are truncated (logged via the
+    Shuffle shape: buckets are hash-assigned to ``n_parts`` partitions
+    (every (key) group lands wholly in one partition), then each partition
+    emits its pairs with ONE vectorized self-merge — not a Python call per
+    bucket, which collapses when band keys are near-unique (millions of
+    1-2 row groups). Pair dedup across bands uses the same partition trick.
+
+    Buckets larger than ``max_bucket`` are truncated (flagged via the
     ``truncated`` column) — a giant bucket means a degenerate key (e.g. the
     empty-document signature), not a real near-dup cluster.
     """
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch.column("band_hash").to_numpy()
+        bid = batch.column("band_id").to_numpy()
+        part = ((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + bid.astype(np.uint64)) >> np.uint64(40)) % n_parts
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        trunc = ids.size > max_bucket
-        if trunc:
-            ids = ids[:max_bucket]
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "truncated": []}).astype(
-                {"a": np.int64, "b": np.int64, "truncated": bool}
+        g = g[list(key_cols) + ["doc_id"]]
+        # drop degenerate buckets, truncate giant ones
+        sizes = g.groupby(key_cols)["doc_id"].transform("size")
+        trunc_keys = sizes > max_bucket
+        g = g.assign(_trunc=trunc_keys)
+        g = (
+            g.sort_values("doc_id")
+            .groupby(key_cols, sort=False)
+            .head(max_bucket)
+        )
+        g = g[g.groupby(key_cols)["doc_id"].transform("size") > 1]
+        if g.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64),
+                 "b": pd.Series(dtype=np.int64),
+                 "truncated": pd.Series(dtype=bool)}
             )
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame(
-            {"a": ids[ai], "b": ids[bi], "truncated": trunc}
+        m = g.merge(g, on=list(key_cols), suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = pd.DataFrame(
+            {
+                "a": m["doc_id_a"].to_numpy(np.int64),
+                "b": m["doc_id_b"].to_numpy(np.int64),
+                "truncated": (m["_trunc_a"] | m["_trunc_b"]).to_numpy(bool),
+            }
+        )
+        return out.drop_duplicates(["a", "b"])
+
+    parts = bucket_ds.map_batches(add_part, batch_format="pyarrow")
+    pairs = parts.groupby("part").map_groups(emit_pairs, batch_format="pandas")
+    return exact_pair_dedup(pairs, n_parts=n_parts)
+
+
+def exact_pair_dedup(pairs_ds, n_parts: int = 64):
+    """Distinct (a, b) pairs via the same partitioned-dedup shape."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % n_parts
+        return batch.append_column(
+            "part2", pa.array(part.astype(np.int32))
         )
 
-    pairs = bucket_ds.groupby(key_cols).map_groups(
-        emit_pairs, batch_format="pandas"
-    )
-    return exact_pair_dedup(pairs)
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["part2"])
 
-
-def exact_pair_dedup(pairs_ds):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs_ds.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    parts = pairs_ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("part2").map_groups(dedup, batch_format="pandas")
 
 
 def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:

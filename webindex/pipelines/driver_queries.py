@@ -358,15 +358,17 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
 def q_exact_dedup_docs(sf_dir: str):
     """Exact dedup summary (SURVEY.md §2.7 D1/D5): representative (min
     doc_id) + duplicate count per distinct text."""
+    from ray.data.aggregate import Count, Min
+
     from webindex.dedup import add_text_hash
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            [{"doc_id": int(g["doc_id"].min()), "n_dups": np.int64(len(g))}]
-        )
-
     hashed = _docs(sf_dir).map_batches(add_text_hash, batch_format="pyarrow")
-    return hashed.groupby("text_hash").map_groups(summarize, batch_format="pandas")
+    agg = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.map_batches(
+        lambda t: t.select(["doc_id", "n_dups"]), batch_format="pyarrow"
+    )
 
 
 SQL_EXACT_DEDUP = """
@@ -377,27 +379,42 @@ FROM documents GROUP BY text
 
 def q_events_hourly(sf_dir: str):
     """Streaming-shaped tumbling window (SURVEY.md §2.9 note): per
-    (user_id, hour) event count + min/max value. Partial per-batch
-    aggregation -> small groupby shuffle."""
+    (user_id, hour) event count + min/max value.
+
+    High key cardinality (~#rows at this data shape), so this uses the
+    hash-partitioned combiner/final pattern (webindex.relational) instead
+    of Ray's per-key aggregate."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from webindex.relational import hash_partitioned_groupby
 
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+        override_num_blocks=16,
     )
 
-    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["hour"] = df["ts"].dt.floor("h")
-        return df.drop(columns=["ts"])
-
-    return (
-        ds.map_batches(add_hour, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
+        return (
+            df.groupby(["user_id", "hour"], sort=False)
+            .agg(n_p=("value", "size"), mn=("value", "min"), mx=("value", "max"))
+            .reset_index()
         )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["user_id", "hour"], sort=False)
+            .agg(
+                n_events=("n_p", "sum"),
+                min_value=("mn", "min"),
+                max_value=("mx", "max"),
+            )
+            .reset_index()
+        )
+
+    return hash_partitioned_groupby(
+        ds, ["user_id", "hour"], partial, final, n_parts=64
     )
 
 

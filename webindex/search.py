@@ -24,8 +24,23 @@ from webindex.wand import block_max_wand, exhaustive_topk
 
 
 class SearcherActor:
+    """``mode``:
+    - ``"wand"``       — block-max WAND (document-at-a-time with skipping);
+    - ``"exhaustive"`` — vectorized scatter-add over full posting lists;
+    - ``"auto"``       — WAND only when the heap can actually prune:
+      estimated candidate count (sum of query-term dfs) must exceed
+      ``top_k`` by a wide margin, otherwise the vectorized exhaustive path
+      is strictly faster (WAND visits nearly every candidate anyway, at
+      Python-loop cost). Both paths are rank- and score-identical
+      (tests/test_build_search.py), so the switch is purely physical.
+    """
+
+    # WAND must be able to skip ~98% of candidates to beat vectorized
+    # scoring; below this candidates/k ratio, score everything.
+    AUTO_WAND_RATIO = 10_000
+
     def __init__(self, index_dir: str, top_k: int = 1000,
-                 mode: str = "wand", self_hit_filter: bool = False):
+                 mode: str = "auto", self_hit_filter: bool = False):
         self.reader = SegmentReader(index_dir)
         self.an = Analyzer(self.reader.cfg.analyzer)
         self.top_k = top_k
@@ -36,7 +51,11 @@ class SearcherActor:
         terms = self.an.tokens(text or "")
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
-        fn = block_max_wand if self.mode == "wand" else exhaustive_topk
+        mode = self.mode
+        if mode == "auto":
+            est = sum(self.reader.df(t) for t in set(terms))
+            mode = "wand" if est > k * self.AUTO_WAND_RATIO else "exhaustive"
+        fn = block_max_wand if mode == "wand" else exhaustive_topk
         ids, scores = fn(self.reader, terms, k)
         if self.self_hit and ids.size:
             keep = np.array([str(d) != qid for d in ids])
@@ -77,7 +96,7 @@ class SearcherActor:
 
 
 def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
-                   mode: str = "wand", self_hit_filter: bool = False,
+                   mode: str = "auto", self_hit_filter: bool = False,
                    concurrency=None, batch_size: int = 128):
     """queries(qid, text) Dataset -> runs Dataset via the actor pool."""
     if concurrency is None:

@@ -44,8 +44,11 @@ class SegmentReader:
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
         self.N = self.stats["N"]
         self.avgdl = self.stats["avgdl"]
-        # doclens: parallel sorted arrays for searchsorted lookup
-        dl_tab = pads.dataset(os.path.join(index_dir, "doclens")).to_table()
+        # doclens: kind=1 rows of postings_raw (predicate pushdown at the
+        # read); parallel sorted arrays for searchsorted lookup
+        dl_tab = pads.dataset(os.path.join(index_dir, "postings_raw")).to_table(
+            columns=["doc_id", "dl"], filter=pads.field("kind") == 1
+        )
         order = np.argsort(dl_tab.column("doc_id").to_numpy(), kind="stable")
         self._dl_ids = dl_tab.column("doc_id").to_numpy()[order]
         self._dl = dl_tab.column("dl").to_numpy().astype(np.int64)[order]
