@@ -525,6 +525,143 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_distinct_langs(sf_dir: str):
+    """Order-preserving unique (SURVEY.md §2.7 D2,
+    /root/reference/biencoder/beir/io_utils/plugin_io_utils.py:31-42):
+    first-occurrence position per distinct value, encoded as a column so
+    the order survives the driver's row-order-insensitive compare."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return ds.groupby("lang").aggregate(Min("doc_id", alias_name="first_doc_id"))
+
+
+SQL_DISTINCT_LANGS = """
+SELECT lang, min(doc_id)::BIGINT AS first_doc_id
+FROM documents GROUP BY lang
+"""
+
+
+def q_simulate_rerank(sf_dir: str):
+    """J3 semi-join (/root/reference/crossencoder/beir/crossencoder_beir_sgpt.ipynb
+    cell 19, ``simulate_rerank``): re-derive a shallower rerank (top-5) from
+    cached deeper results — top-5 dids by BM25 per qid, scores looked up in
+    the cached overlap-rerank table rather than recomputed."""
+    base = q_bm25_top10(sf_dir).to_pandas()
+    cached = q_rerank_overlap(sf_dir)  # the "max_rerank=10" cached scores
+    top5 = base[base["rank"] <= 5][["qid", "doc_id"]]
+    out = top5.merge(cached, on=["qid", "doc_id"], how="inner")
+    return out[["qid", "doc_id", "overlap"]]
+
+
+SQL_SIMULATE_RERANK = _sql_bm25_scores() + f"""
+, top AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= {TOPK}
+)
+SELECT top.qid, top.doc_id,
+       count(DISTINCT toks.term)::BIGINT AS overlap
+FROM top
+JOIN toks ON toks.doc_id = top.doc_id
+JOIN qterms ON qterms.qid = top.qid AND qterms.term = toks.term
+WHERE top.rank <= 5
+GROUP BY top.qid, top.doc_id
+"""
+
+
+def q_chars_histogram(sf_dir: str):
+    """Fixed-width histogram of document lengths: per-batch partial counts
+    (combiner) -> tiny groupby(bin) sum — the pre-aggregation shape that
+    keeps the shuffle at #bins x #batches rows at any corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.divide(batch.column("n_chars"), 256)
+        vc = pc.value_counts(pc.cast(bins, pa.int64()))
+        return pa.table(
+            {"bin": vc.field("values"), "n_p": vc.field("counts")}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "bin"
+    ).aggregate(Sum("n_p", alias_name="n_docs"))
+
+
+SQL_CHARS_HISTOGRAM = """
+SELECT (n_chars // 256)::BIGINT AS bin, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join (SURVEY.md §2.4 J2 physical plan): the small
+    dimension side (customer x nation, ~N_cust rows) is put in the object
+    store ONCE with ray.put and read zero-copy by every map task; only the
+    tiny per-batch partials of the big fact side (orders) cross the
+    shuffle. Revenue summed in exact integer cents so the result is
+    bit-stable under any partitioning."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust_to_nation = {
+        int(c): nmap[int(n)]
+        for c, n in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    def join_batch(batch: pa.Table, lookup=lookup_ref) -> pa.Table:
+        m = ray.get(lookup) if isinstance(lookup, ray.ObjectRef) else lookup
+        names = [m[int(c)] for c in batch.column("o_custkey").to_pylist()]
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table({"n_name": pa.array(names), "cents": cents})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    return ds.map_batches(join_batch, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents")
+    )
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL equivalent; correctness gated in pytest)
 # ---------------------------------------------------------------------------
@@ -651,6 +788,10 @@ REGISTRY: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
+    "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
+    "simulate_rerank": (q_simulate_rerank, SQL_SIMULATE_RERANK),
+    "chars_histogram": (q_chars_histogram, SQL_CHARS_HISTOGRAM),
+    "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
