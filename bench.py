@@ -92,10 +92,11 @@ def run_bench() -> dict:
 
     # ---- corpus (cached; warm page cache with one untimed read) ----------
     pages_dir = synth_dir(n_pages)
-    pages_path = os.path.join(pages_dir, "pages.parquet")
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    pages_path = os.path.join(pages_dir, "pages.parquet")  # directory of parts
+    for name in sorted(os.listdir(pages_path)):
+        with open(os.path.join(pages_path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     idx_dir = f"/tmp/webindex-bench/idx-{n_pages}-{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -105,7 +106,10 @@ def run_bench() -> dict:
     pages = rd.read_parquet(
         pages_path, override_num_blocks=max(8, NUM_CPUS * 2)
     ).drop_columns(["text"])
-    corpus = prepare_corpus_from_pages(pages, num_shards=max(16, NUM_CPUS))
+    # num_shards is LOGICAL partitioning (it feeds docID assignment) and must
+    # be pinned independent of parallelism, or docIDs — and the runs hash —
+    # change with cluster size. Parallelism only affects physical scheduling.
+    corpus = prepare_corpus_from_pages(pages, num_shards=64)
     stats = build_index(corpus, idx_dir, cfg)
     timings["build_pages"] = time.time() - t0
     extra["n_docs_indexed"] = stats["N"]

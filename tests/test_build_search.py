@@ -71,7 +71,20 @@ def test_stats_match_oracle(pages_index, oracle):
     stats = read_json(os.path.join(pages_index, "stats.json"))
     assert stats["N"] == oracle.N
     assert abs(stats["avgdl"] - oracle.avgdl) < 1e-12
-    assert stats["n_heavy_terms"] > 0, "salting path not exercised"
+    assert stats["n_heavy_terms"] > 0, "no stopword-scale terms in fixture"
+    # universal range salting: shard-packed docIDs must produce multi-salt
+    # posting runs (the skew-splitting path), which the reader re-merges
+    import pyarrow.dataset as pads
+
+    seg = pads.dataset(os.path.join(pages_index, "segments")).to_table(
+        columns=["term", "salt"]
+    )
+    import collections
+
+    salts_per_term = collections.defaultdict(set)
+    for t, s in zip(seg.column("term").to_pylist(), seg.column("salt").to_pylist()):
+        salts_per_term[t].add(s)
+    assert max(len(v) for v in salts_per_term.values()) > 1
 
 
 def test_df_matches_oracle(pages_index, oracle):

@@ -1,0 +1,156 @@
+"""Dense-path embedding stage (A1 poolings, M5/M6/M9) and rerank pipeline
+(J2 + Reorderer K3) — determinism, pooling math vs numpy oracle, and
+batch-size/parallelism invariance (reference test pattern:
+sentence-transformers tests/test_compute_embeddings.py:26-47 batch-size
+invariance)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webindex.embed import EmbedStage, dense_retrieve, pool, token_vector
+from webindex.rerank import (
+    OverlapScorer,
+    Reorderer,
+    perfect_rerank,
+    rerank_runs,
+)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+    "quick gray fox and the dog",
+    "",
+]
+
+
+def _corpus_table():
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array(DOCS),
+        }
+    )
+
+
+def test_token_vector_deterministic_unit():
+    v1, v2 = token_vector("fox", 64), token_vector("fox", 64)
+    assert np.array_equal(v1, v2)
+    assert np.isclose(np.linalg.norm(v1), 1.0)
+    assert not np.allclose(v1, token_vector("dog", 64))
+
+
+def test_pooling_math_vs_numpy():
+    mat = np.arange(12, dtype=np.float64).reshape(4, 3)
+    assert np.allclose(pool(mat, "mean"), mat.mean(axis=0))
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    assert np.allclose(
+        pool(mat, "weightedmean"), (mat * w[:, None]).sum(0) / w.sum()
+    )
+    assert np.allclose(pool(mat, "lasttoken"), mat[3])
+
+
+def test_embed_stage_semantics():
+    out = EmbedStage(dim=32, max_tokens=5)( _corpus_table())
+    assert out.column("n_tokens").to_pylist()[0] == 5  # truncated to max
+    assert out.column("truncated").to_pylist()[0] is True
+    assert out.column("n_tokens").to_pylist()[4] == 0  # empty doc
+    # empty doc -> zero vector
+    assert not any(out.column("embedding").to_pylist()[4])
+
+    # specb wrapping changes the embedding and the roles differ (M6)
+    d = EmbedStage(dim=32, role="doc")(_corpus_table())
+    q = EmbedStage(dim=32, role="query")(_corpus_table())
+    plain = EmbedStage(dim=32)(_corpus_table())
+    e_d = np.array(d.column("embedding").to_pylist()[0])
+    e_q = np.array(q.column("embedding").to_pylist()[0])
+    e_p = np.array(plain.column("embedding").to_pylist()[0])
+    assert not np.allclose(e_d, e_q)
+    assert not np.allclose(e_d, e_p)
+
+    # left truncation keeps the TAIL (M9)
+    left = EmbedStage(dim=32, max_tokens=3, truncate_side="left",
+                      pooling="lasttoken")(_corpus_table())
+    right = EmbedStage(dim=32, max_tokens=3, pooling="lasttoken")(
+        _corpus_table()
+    )
+    lv = np.array(left.column("embedding").to_pylist()[0])
+    rv = np.array(right.column("embedding").to_pylist()[0])
+    assert not np.allclose(lv, rv)
+    assert np.allclose(lv, token_vector("dog", 32))
+
+
+def test_dense_retrieve_matches_single_threaded(ray_session):
+    import ray.data as rd
+
+    corpus = rd.from_arrow(_corpus_table())
+    queries = ["quick fox", "liquor jugs"]
+    runs = dense_retrieve(
+        corpus, [0, 1], queries, k=3, dim=32, concurrency=2, batch_size=2
+    ).to_pandas()
+
+    # single-threaded oracle: embed everything in one process, full matmul
+    stage = EmbedStage(dim=32)
+    demb = np.array(
+        stage(_corpus_table()).column("embedding").to_pylist(), dtype=np.float64
+    )
+    from webindex.embed import embed_texts
+
+    qemb = embed_texts(queries, dim=32)
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return m / n
+
+    sims = norm(qemb) @ norm(demb).T
+    for qi in range(2):
+        want = np.argsort(-sims[qi], kind="stable")[:3]
+        got = runs[runs["query_id"] == qi].sort_values("rank")["vec_id"]
+        assert got.tolist() == want.tolist()
+
+
+def test_reorderer_restores_order():
+    items = ["aaaa", "b", "cc", "dddddd"]
+    r = Reorderer(items)
+    assert r.items == ["dddddd", "aaaa", "cc", "b"]
+    assert r.restore([len(x) for x in r.items]) == [4, 1, 2, 6]
+
+
+def test_rerank_runs_pipeline(ray_session):
+    runs = pd.DataFrame(
+        [
+            ("q1", "0", 5.0, 1),
+            ("q1", "3", 4.0, 2),
+            ("q1", "1", 3.0, 3),
+        ],
+        columns=["qid", "did", "score", "rank"],
+    )
+    queries = {"q1": "quick fox dog"}
+    lookup = {str(i): DOCS[i] for i in range(4)}
+    out = rerank_runs(runs, queries, lookup, depth=3, concurrency=2)
+    assert set(out["did"]) == {"0", "3", "1"}
+    # doc 3 shares 3 terms with the query, doc 0 shares 3 too but doc 1 none;
+    # overlap scorer must rank 1 last
+    assert out[out["rank"] == 3]["did"].iloc[0] == "1"
+    sc = OverlapScorer()
+    want = sc.predict([(queries["q1"], lookup[d]) for d in out["did"]])
+    assert np.allclose(out["score"].to_numpy(), want)
+
+
+def test_perfect_rerank_upper_bound():
+    runs = pd.DataFrame(
+        [("q1", "a", 3.0, 1), ("q1", "b", 2.0, 2), ("q1", "c", 1.0, 3)],
+        columns=["qid", "did", "score", "rank"],
+    )
+    qrels = pd.DataFrame([("q1", "c", 1)], columns=["qid", "did", "rel"])
+    out = perfect_rerank(runs, qrels, depth=3)
+    assert out[out["rank"] == 1]["did"].iloc[0] == "c"
+
+    from webindex.eval import evaluate_runs_pd
+
+    runs2 = out.copy()
+    m = evaluate_runs_pd(runs2, qrels, k_values=[3]).iloc[0]
+    assert m["ndcg@3"] == pytest.approx(1.0)

@@ -33,7 +33,7 @@ def _segments_content(idx_dir: str) -> pd.DataFrame:
         df.sort_values(["term", "salt", "block_id"])
         .reset_index(drop=True)[
             ["term", "salt", "block_id", "n", "last_doc_id", "doc_ids", "tfs",
-             "max_score"]
+             "max_tf_norm"]
         ]
     )
 

@@ -6,21 +6,32 @@ Replaces the reference's opaque Elasticsearch index build (beir==0.2.3
 SURVEY.md §2.1 S8) with explicit Ray Data stages over Arrow batches:
 
   corpus(doc_id, text)
-    -> [postings]  map_batches(TokenizeStage)     (term, doc_id, tf, dl, kind)
-    -> [doclens]   filter kind=1 -> parquet; global aggregates -> stats.json
-    -> [dict]      per-batch partial df/cf -> groupby(term).sum -> parquet
-    -> [segments]  salt heavy terms by docID range -> groupby(term, salt)
-                   .map_groups(encode: sort, delta+varbyte, block-max)
-                   -> parquet partitioned by term-hash bucket
+    -> [postings_raw] map_batches(tokenize) -> parquet, rows carrying
+                      pkey = hash(term, salt) % n_parts, each file sorted
+                      by pkey  (term, doc_id, tf, dl, salt, kind, pkey)
+    -> [stats]        global aggregates N/avgdl/max_doc_id -> stats.json
+    -> [dict]         per-batch partial df/cf -> groupby(term).sum -> parquet
+    -> [segments]     one task per pkey value reads its slice (pkey filter
+                      with row-group pruning): local sort + per-(term,
+                      salt) delta+varbyte encode + block-max metadata
+                      -> parquet partitioned by term-hash bucket
 
 Scale properties:
-- the only all-to-all shuffles are the two groupbys, both over rows already
-  pre-aggregated per document (tf per (term, doc)) or per batch (partial
-  df/cf) — raw tokens never cross the wire;
-- stopword-scale term skew (df ~ N) is split by docID *range* salt before
-  the shuffle, so no single group exceeds ~(doc-space / salt_shards)
-  postings, and the per-salt encoded runs concatenate into a globally
-  docID-sorted posting list with no secondary merge (SURVEY.md §7.3);
+- the posting "shuffle" is checkpoint-relay through parquet: stage 1 writes
+  pkey-sorted files, and each encode task reads only its pkey's rows — no
+  Ray-level sort/groupby ever touches the posting rows (the only Dataset
+  groupby is over tiny per-batch df/cf partials). pkey-sorted files keep
+  row-group min/max statistics tight so the filtered reads prune; a
+  hive-partitioned variant (one dir per pkey) was measured strictly worse
+  on one node (write tasks x n_parts files -> per-file metadata overhead
+  dominated every later scan);
+- term skew is handled structurally: every posting carries a docID-range
+  salt (the docID's shard prefix), so a stopword's ~N postings spread
+  across partitions *by construction*, each encoded as an independent run;
+  runs concatenate in docID order at read time (range salting);
+- block-max metadata stores idf-free tf-normalization maxima
+  (``max_tf_norm``); the reader multiplies by idf(df) at load. Encoding
+  therefore needs no global df — one pass, no df broadcast;
 - every stage is checkpointed to parquet with an atomic rename + manifest
   + lineage record, so a restarted build skips completed stages
   (north rule: "resumable from checkpoint with per-partition lineage").
@@ -28,7 +39,6 @@ Scale properties:
 
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np
@@ -39,9 +49,7 @@ import pyarrow.compute as pc
 from webindex.analyze import Analyzer
 from webindex.compress import varbyte_encode
 from webindex.config import IndexConfig
-from webindex.scoring import idf as _idf
-from webindex.scoring import term_contrib
-from webindex.util import StageRunner, atomic_write_json, read_json, term_bucket
+from webindex.util import StageRunner, atomic_write_json, read_json, stable_hash64, term_bucket
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -49,12 +57,17 @@ POSTINGS_SCHEMA = pa.schema(
         ("doc_id", pa.int64()),
         ("tf", pa.int32()),
         ("dl", pa.int32()),
+        ("salt", pa.int32()),
         ("kind", pa.int8()),  # 0 = posting, 1 = doclen marker row
+        ("pkey", pa.int32()),
     ]
 )
 
+_MIX = 0x9E3779B97F4A7C15
+
 
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
+_TERM_HASH_CACHE: dict[str, int] = {}
 
 
 def analyzer_for(cfg) -> Analyzer:
@@ -70,55 +83,87 @@ def analyzer_for(cfg) -> Analyzer:
     return an
 
 
-def tokenize_batch(batch: pa.Table, analyzer_cfg) -> pa.Table:
+def _term_hash(t: str) -> int:
+    h = _TERM_HASH_CACHE.get(t)
+    if h is None:
+        h = _TERM_HASH_CACHE[t] = stable_hash64(t)
+    return h
+
+
+def tokenize_batch(batch: pa.Table, analyzer_cfg, n_parts: int = 64,
+                   salt_doc_shift: int = 40,
+                   shards_per_salt: int = 2) -> pa.Table:
     """Stateless-task tokenize stage: documents -> per-doc term counts.
 
     Emits postings pre-aggregated per document — the combiner that keeps
-    the groupby(term) shuffle small — plus one ``kind=1`` row per doc
-    carrying its length.
+    downstream work proportional to (term, doc) pairs, not raw tokens —
+    plus one ``kind=1`` row per doc carrying its length. Every posting
+    carries its docID-range ``salt`` and encode partition ``pkey``.
     """
-    return TokenizeStage(analyzer_cfg, _cached=True)(batch)
+    return TokenizeStage(
+        analyzer_cfg, n_parts=n_parts, salt_doc_shift=salt_doc_shift,
+        shards_per_salt=shards_per_salt, _cached=True,
+    )(batch)
 
 
 class TokenizeStage:
     """Callable form of the tokenize stage (usable as an actor class too)."""
 
-    def __init__(self, analyzer_cfg, _cached: bool = False):
+    def __init__(self, analyzer_cfg, n_parts: int = 64,
+                 salt_doc_shift: int = 40, shards_per_salt: int = 2,
+                 _cached: bool = False):
         self.an = analyzer_for(analyzer_cfg) if _cached else Analyzer(analyzer_cfg)
+        self.n_parts = n_parts
+        self.salt_doc_shift = salt_doc_shift
+        self.shards_per_salt = shards_per_salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        np_, shift, sps = self.n_parts, self.salt_doc_shift, self.shards_per_salt
         terms: list[str] = []
         dids: list[int] = []
         tfs: list[int] = []
         dls: list[int] = []
+        salts: list[int] = []
         kinds: list[int] = []
+        pkeys: list[int] = []
         for did, txt in zip(doc_ids, texts):
             cnt = self.an.term_freqs(txt or "")
             dl = sum(cnt.values())
+            salt = (did >> shift) // sps
             for t, f in cnt.items():
                 terms.append(t)
                 dids.append(did)
                 tfs.append(f)
                 dls.append(dl)
+                salts.append(salt)
                 kinds.append(0)
+                pkeys.append(((_term_hash(t) ^ (salt * _MIX)) & ((1 << 64) - 1)) % np_)
             # doclen marker row — every doc, even all-stopword ones (dl may
-            # be 0); keeps N and avgdl exact.
+            # be 0); keeps N and avgdl exact. Spread across partitions by doc.
             terms.append("")
             dids.append(did)
             tfs.append(0)
             dls.append(dl)
+            salts.append(salt)
             kinds.append(1)
+            # doclen rows live in the disjoint pkey range [n_parts, 2n_parts)
+            # so posting reads (pkey == p < n_parts) never touch them
+            pkeys.append(np_ + did % np_)
+        # sorted by pkey so parquet row-group min/max statistics cluster by
+        # partition — the pkey-filtered encode reads can prune row groups
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
                 "doc_id": pa.array(dids, pa.int64()),
                 "tf": pa.array(tfs, pa.int32()),
                 "dl": pa.array(dls, pa.int32()),
+                "salt": pa.array(salts, pa.int32()),
                 "kind": pa.array(kinds, pa.int8()),
+                "pkey": pa.array(pkeys, pa.int32()),
             }
-        )
+        ).sort_by("pkey")
 
 
 def _partial_df(batch: pa.Table) -> pa.Table:
@@ -127,95 +172,9 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["term", "cf_p", "df_p"])
 
 
-class AddSaltStage:
-    """Adds the shuffle key columns: ``salt`` (docID-range split for heavy
-    terms, 0 otherwise) and nothing else; closure state is the small set of
-    heavy terms (df >= df_salt_threshold) broadcast via the task closure."""
-
-    def __init__(self, heavy_terms: set[str], salt_shift: int):
-        self.heavy = heavy_terms
-        self.shift = salt_shift
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()
-        if self.heavy:
-            doc_ids = batch.column("doc_id").to_numpy()
-            heavy_mask = np.fromiter(
-                (t in self.heavy for t in terms), dtype=bool, count=len(terms)
-            )
-            salt = np.where(heavy_mask, doc_ids >> self.shift, 0)
-        else:
-            salt = np.zeros(len(terms), dtype=np.int64)
-        return batch.append_column("salt", pa.array(salt, pa.int64()))
-
-
-class EncodeGroupFn:
-    """``groupby(term, salt).map_groups`` body: one (term, salt) posting run
-    -> delta+varbyte blocks with block-max metadata.
-
-    Whole-run encode is a single vectorized varbyte call; block boundaries
-    are recovered by byte-offset slicing (no per-posting Python loop).
-    """
-
-    def __init__(self, cfg: IndexConfig, N: int, avgdl: float,
-                 heavy_df: dict[str, int]):
-        self.cfg = cfg
-        self.N = N
-        self.avgdl = avgdl
-        self.heavy_df = heavy_df
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        cfg = self.cfg
-        term = g["term"].iloc[0]
-        salt = int(g["salt"].iloc[0])
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g["doc_id"].to_numpy(np.int64)
-        tfs = g["tf"].to_numpy(np.int64)
-        dls = g["dl"].to_numpy(np.int64)
-        n = ids.size
-        df_global = self.heavy_df.get(term, n)
-        idf_t = _idf(self.N, df_global)
-        contrib = term_contrib(
-            tfs.astype(np.float64), dls.astype(np.float64),
-            self.avgdl, cfg.k1, cfg.b, idf_t,
-        )
-
-        bs = cfg.block_size
-        starts = np.arange(0, n, bs)
-        # gaps, with absolute docID at every block start
-        gaps = np.empty(n, dtype=np.int64)
-        gaps[0] = ids[0]
-        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-        gaps[starts] = ids[starts]
-        # per-value byte counts -> block byte offsets
-        id_bytes = _varbyte_sizes(gaps)
-        tf_bytes = _varbyte_sizes(tfs)
-        id_buf = varbyte_encode(gaps)
-        tf_buf = varbyte_encode(tfs)
-        id_ends = np.concatenate(([0], np.cumsum(id_bytes)))
-        tf_ends = np.concatenate(([0], np.cumsum(tf_bytes)))
-        block_max = np.maximum.reduceat(contrib, starts)
-        last_ids = ids[np.minimum(starts + bs, n) - 1]
-
-        nblocks = starts.size
-        rows = {
-            "bucket": np.full(nblocks, term_bucket(term, cfg.num_buckets), np.int32),
-            "term": np.full(nblocks, term, dtype=object),
-            "salt": np.full(nblocks, salt, np.int64),
-            "block_id": np.arange(nblocks, dtype=np.int32),
-            "n": np.minimum(starts + bs, n).astype(np.int32) - starts.astype(np.int32),
-            "last_doc_id": last_ids,
-            "doc_ids": [
-                id_buf[id_ends[starts[j]]: id_ends[min(starts[j] + bs, n)]]
-                for j in range(nblocks)
-            ],
-            "tfs": [
-                tf_buf[tf_ends[starts[j]]: tf_ends[min(starts[j] + bs, n)]]
-                for j in range(nblocks)
-            ],
-            "max_score": block_max,
-        }
-        return pd.DataFrame(rows)
+# ---------------------------------------------------------------------------
+# posting-run encoding (pure function, no global state)
+# ---------------------------------------------------------------------------
 
 
 def _varbyte_sizes(v: np.ndarray) -> np.ndarray:
@@ -223,6 +182,122 @@ def _varbyte_sizes(v: np.ndarray) -> np.ndarray:
     for k in range(1, 9):
         nb += v >= (1 << (7 * k))
     return nb
+
+
+def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
+               dls: np.ndarray, cfg: IndexConfig, avgdl: float) -> dict:
+    """One (term, salt) posting run (``ids`` ascending) -> columnar block
+    rows: delta+varbyte buffers with per-block idf-free score bounds
+    (``max_tf_norm = max tf/(tf + k1(1-b+b·dl/avgdl))``).
+
+    Whole-run encode is a single vectorized varbyte call; block boundaries
+    are recovered by byte-offset slicing (no per-posting Python loop).
+    """
+    n = ids.size
+    tf_norm = tfs / (
+        tfs + cfg.k1 * (1.0 - cfg.b + cfg.b * (dls / avgdl))
+    )
+
+    bs = cfg.block_size
+    starts = np.arange(0, n, bs)
+    # gaps, with absolute docID at every block start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[starts] = ids[starts]
+    id_bytes = _varbyte_sizes(gaps)
+    tfs_i = tfs.astype(np.int64)
+    tf_bytes = _varbyte_sizes(tfs_i)
+    id_buf = varbyte_encode(gaps)
+    tf_buf = varbyte_encode(tfs_i)
+    id_ends = np.concatenate(([0], np.cumsum(id_bytes)))
+    tf_ends = np.concatenate(([0], np.cumsum(tf_bytes)))
+    block_max = np.maximum.reduceat(tf_norm, starts)
+    last_ids = ids[np.minimum(starts + bs, n) - 1]
+
+    nblocks = starts.size
+    return {
+        "bucket": np.full(nblocks, term_bucket(term, cfg.num_buckets), np.int32),
+        "term": np.full(nblocks, term, dtype=object),
+        "salt": np.full(nblocks, salt, np.int64),
+        "block_id": np.arange(nblocks, dtype=np.int32),
+        "n": np.minimum(starts + bs, n).astype(np.int32) - starts.astype(np.int32),
+        "last_doc_id": last_ids,
+        "doc_ids": [
+            id_buf[id_ends[starts[j]]: id_ends[min(starts[j] + bs, n)]]
+            for j in range(nblocks)
+        ],
+        "tfs": [
+            tf_buf[tf_ends[starts[j]]: tf_ends[min(starts[j] + bs, n)]]
+            for j in range(nblocks)
+        ],
+        "max_tf_norm": block_max,
+    }
+
+
+_EMPTY_SEG = pd.DataFrame(
+    {
+        "bucket": pd.Series(dtype=np.int32),
+        "term": pd.Series(dtype=object),
+        "salt": pd.Series(dtype=np.int64),
+        "block_id": pd.Series(dtype=np.int32),
+        "n": pd.Series(dtype=np.int32),
+        "last_doc_id": pd.Series(dtype=np.int64),
+        "doc_ids": pd.Series(dtype=object),
+        "tfs": pd.Series(dtype=object),
+        "max_tf_norm": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
+                avgdl: float) -> pd.DataFrame:
+    """Stage-4 task body: encode every (term, salt) run of one pkey
+    partition. Reads the partition's files directly (the shuffle already
+    happened at write time); one numpy lexsort + reduceat-style slicing —
+    Python is invoked per run, vectorized within."""
+    import pyarrow.dataset as pads
+
+    cfg = IndexConfig.from_dict(cfg_dict)
+    frames = []
+    dset = pads.dataset(praw)
+    for p in batch.column("p").to_pylist():
+        tab = dset.to_table(
+            columns=["term", "salt", "doc_id", "tf", "dl"],
+            filter=pads.field("pkey") == p,
+        )
+        if tab.num_rows == 0:
+            continue
+        df = tab.to_pandas()
+        order = np.lexsort(
+            (df["doc_id"].to_numpy(), df["salt"].to_numpy(),
+             df["term"].to_numpy())
+        )
+        terms = df["term"].to_numpy()[order]
+        salts = df["salt"].to_numpy()[order]
+        ids = df["doc_id"].to_numpy()[order]
+        tfs = df["tf"].to_numpy()[order].astype(np.float64)
+        dls = df["dl"].to_numpy()[order].astype(np.float64)
+        # run boundaries: change of (term, salt)
+        change = np.empty(terms.size, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        bounds = np.flatnonzero(change).tolist() + [terms.size]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            frames.append(
+                pd.DataFrame(
+                    encode_run(
+                        terms[s], int(salts[s]), ids[s:e], tfs[s:e],
+                        dls[s:e], cfg, avgdl,
+                    )
+                )
+            )
+    if not frames:
+        return _EMPTY_SEG.copy()
+    out = pd.concat(frames, ignore_index=True)
+    # bucket-sorted so the reader's bucket-filtered loads prune row groups
+    return out.sort_values(["bucket", "term", "salt"], kind="mergesort",
+                           ignore_index=True)
 
 
 def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
@@ -247,11 +322,15 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")
 
-    # ---- stage 1: tokenize -> postings_raw ------------------------------
+    # ---- stage 1: tokenize -> postings_raw (hive-partitioned by pkey) ---
     def stage_postings(tmp):
         ds = corpus_ds.map_batches(
             tokenize_batch,
-            fn_kwargs=dict(analyzer_cfg=cfg.analyzer),
+            fn_kwargs=dict(
+                analyzer_cfg=cfg.analyzer, n_parts=cfg.n_parts,
+                salt_doc_shift=cfg.salt_doc_shift,
+                shards_per_salt=cfg.shards_per_salt,
+            ),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
         )
@@ -290,6 +369,10 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             praw, columns=["term", "tf"], filter=pc.field("kind") == 0
         )
         partial = kind0.map_batches(_partial_df, batch_format="pyarrow")
+        # partials are ~vocab rows per input block: coalesce before the
+        # groupby so the sort shuffle runs over a handful of fat blocks
+        # instead of paying per-task overhead on dozens of tiny ones
+        partial = partial.repartition(8)
         dict_ds = partial.groupby("term").aggregate(
             Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
         )
@@ -302,9 +385,9 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             return t.append_column("bucket", b)
 
         dict_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(tmp)
-        # heavy-term list (stopword-scale df) for the salted shuffle
-        import pyarrow.parquet as pq
+        # heavy-term list (stopword-scale df): skew observability metric
         import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
         dset = pads.dataset(tmp)
         heavy = dset.to_table(
@@ -322,41 +405,28 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
         )
         st = read_json(stats_path)
         st["n_terms"] = n_terms
+        st["n_heavy_terms"] = heavy.num_rows
         atomic_write_json(stats_path, st)
         return {}
 
     runner.run("dict", stage_dict)
-    heavy_df = {k: int(v) for k, v in
-                (read_json(os.path.join(out_dir, "heavy_terms.json"), {})).items()}
     stats = read_json(stats_path)
 
-    # ---- stage 4: encoded segments --------------------------------------
-    max_doc = stats["max_doc_id"]
-    salt_shift = max(
-        0, int(max_doc + 1).bit_length() - int(math.ceil(math.log2(max(2, cfg.salt_shards))))
-    )
-    st = dict(stats)
-    st.update({"salt_shift": salt_shift, "n_heavy_terms": len(heavy_df)})
-    atomic_write_json(stats_path, st)
-
+    # ---- stage 4: encoded segments (one task per pkey partition) --------
     def stage_segments(tmp):
-        kind0 = rd.read_parquet(
-            praw,
-            columns=["term", "doc_id", "tf", "dl"],
-            filter=pc.field("kind") == 0,
+        parts = rd.from_items(
+            [{"p": p} for p in range(cfg.n_parts)],
+            override_num_blocks=cfg.n_parts,
         )
-        salted = kind0.map_batches(
-            AddSaltStage(set(heavy_df), salt_shift), batch_format="pyarrow"
+        enc = parts.map_batches(
+            encode_part,
+            fn_kwargs=dict(
+                praw=praw, cfg_dict=cfg.to_dict(), avgdl=stats["avgdl"]
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
         )
-        enc_fn = EncodeGroupFn(cfg, st["N"], st["avgdl"], heavy_df)
-
-        def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-            return enc_fn(g)
-
-        enc = salted.groupby(["term", "salt"]).map_groups(
-            encode_group, batch_format="pandas"
-        )
-        enc.write_parquet(tmp, partition_cols=["bucket"])
+        enc.write_parquet(tmp)
         return {}
 
     runner.run("segments", stage_segments)

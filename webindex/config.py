@@ -51,12 +51,21 @@ class IndexConfig:
     - ``num_buckets``: term-hash buckets; segments + dictionary are
       partitioned by bucket so query actors can prune reads and a resumed
       build can skip finished buckets.
-    - ``df_salt_threshold`` / ``salt_shards``: terms with df above the
-      threshold have their posting rows salted by docID *range* into up to
-      ``salt_shards`` disjoint sub-groups before the groupby(term) shuffle.
-      Range (not hash) salting means the per-salt encoded runs concatenate
-      into a globally docID-sorted posting list with no secondary re-sort
-      (SURVEY.md §7.3 "Term skew").
+    - ``n_parts``: encode partitions. The posting shuffle is physical files:
+      stage 1 writes postings hive-partitioned by
+      ``pkey = hash(term, salt) % n_parts`` and stage 4 encodes each
+      partition independently — no Ray-level sort of posting rows at all.
+    - ``salt_doc_shift`` / ``shards_per_salt``: EVERY term's posting rows
+      carry ``salt = (doc_id >> salt_doc_shift) // shards_per_salt`` — the
+      docID's shard prefix (webindex.docids packs ``shard << 40 | rank``),
+      so salts are contiguous docID *ranges*. Stopword-scale terms
+      (df ~ N) therefore split across up to num_shards/shards_per_salt
+      partitions with no df pre-pass, and the per-salt encoded runs
+      concatenate into a globally docID-sorted posting list with no
+      secondary re-sort (SURVEY.md §7.3 "Term skew"). Small corpora with
+      plain ids (< 2^40) get salt 0 everywhere — one run per term.
+    - ``df_salt_threshold``: retained as a lineage metric (terms above it
+      are listed in heavy_terms.json for skew observability).
     """
 
     k1: float = 0.9
@@ -65,6 +74,9 @@ class IndexConfig:
     num_buckets: int = 32
     df_salt_threshold: int = 50_000
     salt_shards: int = 32
+    n_parts: int = 64
+    salt_doc_shift: int = 40
+    shards_per_salt: int = 2
     top_k: int = 1000
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 

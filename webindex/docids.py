@@ -71,10 +71,15 @@ class AddShardColumn:
         return batch
 
 
-def _dedup_and_rank(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-shard: latest-wins URL dedup, ascending-URL rank -> doc_id."""
+def _dedup_and_rank_keys(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard over KEY ROWS ONLY: latest-wins URL dedup, ascending-URL
+    rank -> (url, warc_ts, doc_id, n_ties). ``n_ties`` counts rows that
+    carried the winning (url, max warc_ts) — >1 flags exact-duplicate
+    records needing the slow dedup path."""
     g = group.sort_values(["url", "warc_ts"], kind="mergesort")
+    ties = g.groupby(["url", "warc_ts"], sort=False).size().rename("n_ties")
     g = g.drop_duplicates(subset="url", keep="last")
+    g = g.merge(ties.reset_index(), on=["url", "warc_ts"], how="left")
     shard = int(g["shard"].iloc[0])
     g = g.drop(columns=["shard"])
     g.insert(
@@ -85,15 +90,120 @@ def _dedup_and_rank(group: pd.DataFrame) -> pd.DataFrame:
     return g
 
 
-def assign_doc_ids(pages_ds, num_shards: int):
-    """Ray Data pipeline: pages(url, warc_ts, ...) -> adds ``doc_id``.
+_BCAST_CACHE: dict[str, object] = {}
 
-    One shuffle (groupby shard); each group is processed independently so
-    the result is identical at any parallelism level.
+
+def _broadcast_cached(ref):
+    """Worker-process-cached ray.get for broadcast Python objects."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+# Above this many distinct urls the id side-table is joined back with a
+# distributed hash join instead of a ray.put broadcast dict. ~2M entries
+# ≈ 200MB of dict — the upper end of comfortable per-worker broadcast.
+BROADCAST_MAX_URLS = 2_000_000
+
+
+def build_id_table(pages_ds, num_shards: int):
+    """(url, warc_ts) keys -> side table (url, warc_ts, doc_id, n_ties).
+
+    Only the ~30-byte key rows go through the groupby(shard) shuffle; the
+    page payload (html) never moves here. Each shard's output depends only
+    on its own URL set, so ids are identical at any parallelism level.
     """
-    with_shard = pages_ds.map_batches(
+    keys = pages_ds.select_columns(["url", "warc_ts"]).map_batches(
         AddShardColumn(num_shards), batch_format="pandas"
     )
-    return with_shard.groupby("shard").map_groups(
-        _dedup_and_rank, batch_format="pandas"
+    # key rows are ~30 bytes: coalesce to few fat blocks before the sort
+    # shuffle — Ray's sort pays per-task overhead per input block, which
+    # dominates when blocks are tiny
+    keys = keys.repartition(16)
+    return keys.groupby("shard").map_groups(
+        _dedup_and_rank_keys, batch_format="pandas"
     )
+
+
+def assign_doc_ids(pages_ds, num_shards: int, *,
+                   broadcast_max_urls: int = BROADCAST_MAX_URLS):
+    """Ray Data pipeline: pages(url, warc_ts, ...) -> adds ``doc_id``,
+    drops stale duplicates (latest ``warc_ts`` wins).
+
+    Physical plan: the wide step runs over key columns only
+    (``build_id_table``); the payload is then matched to its id by
+    broadcast lookup (small corpora: dict via ``ray.put``, read once per
+    worker) or, above ``broadcast_max_urls``, by a distributed hash join
+    (``Dataset.join``) — the payload crosses the wire once, hash- not
+    sort-partitioned. Exact duplicate (url, warc_ts) records (n_ties > 1)
+    are resolved deterministically by keeping the lexicographically
+    smallest ``html``.
+    """
+    import ray
+
+    id_tab = build_id_table(pages_ds, num_shards).materialize()  # small side
+    n_urls = id_tab.count()
+
+    if n_urls <= broadcast_max_urls:
+        side = id_tab.to_pandas()
+        any_ties = bool((side["n_ties"].to_numpy() > 1).any())
+        cols = ["url", "warc_ts", "doc_id"] + (["n_ties"] if any_ties else [])
+        ref = ray.put(side[cols])
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            # ray.get re-deserializes plain-Python objects on EVERY call
+            # (only buffer types like numpy are zero-copy), so the result is
+            # cached once per worker process; the lookup itself is one
+            # vectorized hash merge, not a Python loop.
+            side_df = _broadcast_cached(ref)
+            out = batch.merge(side_df, on=["url", "warc_ts"], how="inner")
+            if "n_ties" in out.columns:
+                out["_tie"] = out["n_ties"] > 1
+                out = out.drop(columns=["n_ties"])
+            did = out.pop("doc_id")
+            out.insert(0, "doc_id", did)
+            return out
+
+        joined = pages_ds.map_batches(attach, batch_format="pandas")
+        if not any_ties:
+            return joined
+    else:
+        any_ties = True  # resolved post-join in the distributed path
+        joined = pages_ds.join(
+            id_tab,
+            join_type="inner",
+            num_partitions=max(64, num_shards),
+            on=("url", "warc_ts"),
+        ).map_batches(
+            lambda df: df.assign(_tie=df["n_ties"] > 1).drop(columns=["n_ties"]),
+            batch_format="pandas",
+        )
+        if not any_ties:
+            return joined.map_batches(
+                lambda df: df.drop(columns=["_tie"]), batch_format="pandas"
+            )
+
+    # Exact-duplicate (url, warc_ts) records: tiny flagged subset goes
+    # through a per-doc_id deterministic pick (lexicographically smallest
+    # payload); the clean bulk passes straight through.
+    def _split(df: pd.DataFrame, want_tie: bool) -> pd.DataFrame:
+        mask = df["_tie"].to_numpy(bool)
+        out = df.loc[mask if want_tie else ~mask]
+        return out.drop(columns=["_tie"])
+
+    def _pick_one(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in ("html", "url", "warc_ts") if c in g.columns]
+        return g.sort_values(cols, kind="mergesort").head(1)
+
+    clean = joined.map_batches(
+        lambda df: _split(df, False), batch_format="pandas"
+    )
+    resolved = (
+        joined.map_batches(lambda df: _split(df, True), batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(_pick_one, batch_format="pandas")
+    )
+    return clean.union(resolved)

@@ -1,0 +1,169 @@
+"""Dense-retrieval parity path: embedding stage + pooling reductions.
+
+Ray-Data re-expression of the reference's bi-encoder pipeline
+(/root/reference/biencoder/beir/beir_dense_retriever.py — SURVEY.md §3.2)
+with the GPU model swapped for a deterministic hashed-token embedder, so the
+*engine semantics* (tokenize → truncate → per-token vectors → pooling →
+chunked top-k with merge) are real and testable without model weights:
+
+- token vector = unit vector seeded by blake2b(token) — stable across
+  processes, platforms, and parallelism;
+- truncation to ``max_tokens`` with truncation counters
+  (M5/A3, beir_dense_retriever.py:128-137,160-179);
+- optional left-truncation keeping the tail (M9, sgptce.py:199-205);
+- specb role wrapping: queries get ``[`` ``]`` marker tokens, docs ``{`` ``}``
+  (M6, beir_dense_retriever.py:100-104,148-153);
+- pooling: ``mean`` | ``weightedmean`` (position weights 1..L) | ``lasttoken``
+  (A1, beir_dense_retriever.py:237-305, models/Pooling.py:102-164).
+
+``EmbedStage`` is an actor-pool ``map_batches`` class: vocabulary vector
+cache builds up per actor (the CustomEmbedder-ctor analog). ``dense_retrieve``
+composes it with ``ann.brute_topk`` (K1 chunked top-k + merge).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pyarrow as pa
+
+from webindex.analyze import Analyzer
+from webindex.config import SQL_SAFE_ANALYZER
+
+POOLINGS = ("mean", "weightedmean", "lasttoken")
+
+
+def token_vector(token: str, dim: int) -> np.ndarray:
+    """Deterministic unit vector for a token (no RNG state dependence)."""
+    seed = int.from_bytes(
+        blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def pool(mat: np.ndarray, method: str) -> np.ndarray:
+    """Per-document reduction over the (L, d) token matrix (A1)."""
+    if mat.shape[0] == 0:
+        return np.zeros(mat.shape[1], dtype=np.float64)
+    if method == "mean":
+        return mat.mean(axis=0)
+    if method == "weightedmean":
+        w = np.arange(1, mat.shape[0] + 1, dtype=np.float64)
+        return (mat * w[:, None]).sum(axis=0) / w.sum()
+    if method == "lasttoken":
+        return mat[-1]
+    raise ValueError(f"unknown pooling {method!r}")
+
+
+class EmbedStage:
+    """map_batches actor stage: (id, text) -> (id, embedding, n_tokens,
+    truncated).
+
+    ``role``: ``"doc"`` | ``"query"`` — selects specb wrapping markers;
+    ``None`` disables wrapping.
+    """
+
+    def __init__(self, dim: int = 64, pooling: str = "mean",
+                 max_tokens: int = 256, truncate_side: str = "right",
+                 role: str | None = None, analyzer_cfg=None,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert pooling in POOLINGS
+        assert truncate_side in ("right", "left")
+        self.an = Analyzer(analyzer_cfg or SQL_SAFE_ANALYZER)
+        self.dim = dim
+        self.pooling = pooling
+        self.max_tokens = max_tokens
+        self.truncate_side = truncate_side
+        self.id_col = id_col
+        self.text_col = text_col
+        if role == "query":
+            self.wrap = ("[", "]")
+        elif role == "doc":
+            self.wrap = ("{", "}")
+        else:
+            self.wrap = None
+        self._vocab: dict[str, np.ndarray] = {}
+
+    def _vec(self, tok: str) -> np.ndarray:
+        v = self._vocab.get(tok)
+        if v is None:
+            v = self._vocab[tok] = token_vector(tok, self.dim)
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        out, n_toks, truncated = [], [], []
+        for text in batch.column(self.text_col).to_pylist():
+            toks = self.an.tokens(text or "")
+            if self.wrap:
+                toks = [self.wrap[0]] + toks + [self.wrap[1]]
+            trunc = len(toks) > self.max_tokens
+            if trunc:
+                toks = (
+                    toks[: self.max_tokens]
+                    if self.truncate_side == "right"
+                    else toks[-self.max_tokens:]  # M9 keep-the-tail
+                )
+            mat = (
+                np.stack([self._vec(t) for t in toks])
+                if toks
+                else np.zeros((0, self.dim))
+            )
+            out.append(pool(mat, self.pooling).astype(np.float32))
+            n_toks.append(len(toks))
+            truncated.append(trunc)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "embedding": pa.array(
+                    [v.tolist() for v in out], pa.list_(pa.float32())
+                ),
+                "n_tokens": pa.array(n_toks, pa.int32()),
+                "truncated": pa.array(truncated, pa.bool_()),
+            }
+        )
+
+
+def embed_texts(texts: list[str], **kw) -> np.ndarray:
+    """Driver-side helper (small inputs: the query set)."""
+    stage = EmbedStage(**kw)
+    tab = pa.table(
+        {kw.get("id_col", "doc_id"): pa.array(range(len(texts)), pa.int64()),
+         kw.get("text_col", "text"): pa.array(texts)}
+    )
+    out = stage(tab)
+    return np.array(out.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def dense_retrieve(corpus_ds, query_ids: list[int], query_texts: list[str],
+                   k: int = 100, *, dim: int = 64, pooling: str = "mean",
+                   max_tokens: int = 256, specb: bool = False,
+                   concurrency=4, batch_size: int = 1024):
+    """Corpus (doc_id, text) + queries -> runs (query_id, vec_id, sim, rank).
+
+    Corpus embedding is the actor-pool stage; queries are embedded
+    driver-side (tiny) and broadcast into the chunked top-k (K1).
+    """
+    from webindex.ann import brute_topk
+
+    emb = corpus_ds.map_batches(
+        EmbedStage,
+        fn_constructor_kwargs=dict(
+            dim=dim, pooling=pooling, max_tokens=max_tokens,
+            role="doc" if specb else None,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    qvecs = embed_texts(
+        query_texts, dim=dim, pooling=pooling, max_tokens=max_tokens,
+        role="query" if specb else None,
+    )
+    return brute_topk(
+        emb, query_ids, qvecs, k, id_col="doc_id", concurrency=concurrency
+    )

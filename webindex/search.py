@@ -40,8 +40,13 @@ class SearcherActor:
     AUTO_WAND_RATIO = 10_000
 
     def __init__(self, index_dir: str, top_k: int = 1000,
-                 mode: str = "auto", self_hit_filter: bool = False):
+                 mode: str = "auto", self_hit_filter: bool = False,
+                 preload: bool = True):
         self.reader = SegmentReader(index_dir)
+        if preload:
+            # resident segments (T4): per-query latency pays decode + score,
+            # never cold parquet scans
+            self.reader.preload()
         self.an = Analyzer(self.reader.cfg.analyzer)
         self.top_k = top_k
         self.mode = mode

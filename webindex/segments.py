@@ -62,6 +62,7 @@ class SegmentReader:
                 zip(d_tab.column("df").to_pylist(), d_tab.column("cf").to_pylist()))
         )
         self._seg_root = os.path.join(index_dir, "segments")
+        self._seg_dset = None  # lazy pyarrow dataset handle
         self._bucket_cache: dict[int, dict[str, list]] = {}
         self._postings: OrderedDict[str, PostingList] = OrderedDict()
         self._postings_cap = postings_cache
@@ -84,27 +85,52 @@ class SegmentReader:
         return e[1] if e else 0
 
     # -- postings ----------------------------------------------------------
+    def preload(self) -> None:
+        """Load every bucket's block metadata into memory (the reference's
+        always-resident ES index, SURVEY.md §2.3 T4). One full scan of the
+        segments dataset instead of a filtered scan per cold bucket; at
+        cluster scale each searcher actor preloads only the bucket subset
+        it owns."""
+        if not os.path.isdir(self._seg_root):
+            return
+        if self._seg_dset is None:
+            self._seg_dset = pads.dataset(self._seg_root)
+        tab = self._seg_dset.to_table()
+        buckets = tab.column("bucket").to_numpy()
+        for b in np.unique(buckets):
+            self._bucket_cache.setdefault(int(b), {})
+        self._fill_bucket_cache(tab, self._bucket_cache, by_bucket=True)
+
+    def _fill_bucket_cache(self, tab, caches, by_bucket: bool) -> None:
+        terms = tab.column("term").to_pylist()
+        salts = tab.column("salt").to_numpy()
+        bids = tab.column("block_id").to_numpy()
+        ns = tab.column("n").to_numpy()
+        lasts = tab.column("last_doc_id").to_numpy()
+        idbufs = tab.column("doc_ids").to_pylist()
+        tfbufs = tab.column("tfs").to_pylist()
+        # idf-free per-block bounds; idf(df) is applied at load
+        maxes = tab.column("max_tf_norm").to_numpy()
+        buckets = tab.column("bucket").to_numpy() if by_bucket else None
+        for i, t in enumerate(terms):
+            rows = caches[int(buckets[i])] if by_bucket else caches
+            rows.setdefault(t, []).append(
+                (int(salts[i]), int(bids[i]), int(ns[i]), int(lasts[i]),
+                 idbufs[i], tfbufs[i], float(maxes[i]))
+            )
+
     def _load_bucket(self, bucket: int) -> dict[str, list]:
         cached = self._bucket_cache.get(bucket)
         if cached is not None:
             return cached
-        path = os.path.join(self._seg_root, f"bucket={bucket}")
         rows: dict[str, list] = {}
-        if os.path.isdir(path):
-            tab = pads.dataset(path).to_table()
-            terms = tab.column("term").to_pylist()
-            salts = tab.column("salt").to_numpy()
-            bids = tab.column("block_id").to_numpy()
-            ns = tab.column("n").to_numpy()
-            lasts = tab.column("last_doc_id").to_numpy()
-            idbufs = tab.column("doc_ids").to_pylist()
-            tfbufs = tab.column("tfs").to_pylist()
-            maxes = tab.column("max_score").to_numpy()
-            for i, t in enumerate(terms):
-                rows.setdefault(t, []).append(
-                    (int(salts[i]), int(bids[i]), int(ns[i]), int(lasts[i]),
-                     idbufs[i], tfbufs[i], float(maxes[i]))
-                )
+        if os.path.isdir(self._seg_root):
+            if self._seg_dset is None:
+                self._seg_dset = pads.dataset(self._seg_root)
+            tab = self._seg_dset.to_table(
+                filter=pads.field("bucket") == bucket
+            )
+            self._fill_bucket_cache(tab, rows, by_bucket=False)
         self._bucket_cache[bucket] = rows
         return rows
 
@@ -125,16 +151,18 @@ class SegmentReader:
         tfs = np.concatenate([varbyte_decode(b[5]) for b in blocks])
         ns = np.array([b[2] for b in blocks], dtype=np.int64)
         starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+        idf_t = _idf(self.N, dfe[0])
+        block_max = idf_t * np.array([b[6] for b in blocks], dtype=np.float64)
         pl = PostingList(
             term=term,
             df=dfe[0],
-            idf=_idf(self.N, dfe[0]),
+            idf=idf_t,
             ids=ids,
             tfs=tfs,
             block_starts=starts,
             block_last=np.array([b[3] for b in blocks], dtype=np.int64),
-            block_max=np.array([b[6] for b in blocks], dtype=np.float64),
-            max_score=max(b[6] for b in blocks),
+            block_max=block_max,
+            max_score=float(block_max.max()),
         )
         self._postings[term] = pl
         if len(self._postings) > self._postings_cap:
