@@ -217,9 +217,16 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     # a larger fixed corpus for the scaling pair, so compute (not per-stage
     # fixed overhead) dominates at both parallelism levels
-    os.environ.setdefault("GRAFT_BENCH_PAGES", "200000")
+    os.environ.setdefault("GRAFT_BENCH_PAGES", "800000")
     run(hi) if os.environ.get("GRAFT_SCALING_WARM") else None  # optional warm
-    r_lo, r_hi = run(lo), run(hi)
+
+    # best-of-2 per level: single-node /tmp page-cache + writeback state
+    # adds multi-second run-to-run noise; min is the standard estimator
+    def best(ncpu: int) -> dict:
+        a, b = run(ncpu), run(ncpu)
+        return a if a["queries"]["build_pages"] <= b["queries"]["build_pages"] else b
+
+    r_lo, r_hi = best(lo), best(hi)
     # scaling on the headline build stage (docs/sec), plus total
     b_lo = r_lo["queries"]["build_pages"]
     b_hi = r_hi["queries"]["build_pages"]

@@ -172,6 +172,35 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["term", "cf_p", "df_p"])
 
 
+def _write_postings_block(batch: pa.Table, out_dir: str) -> pa.Table:
+    """Write one pkey-sorted block as one parquet file with one row group
+    per pkey run (plus splits at ~256k rows for giant runs). Returns a
+    one-row manifest. Blocks arrive pkey-sorted (tokenize sorts each
+    batch; Ray concatenates sorted batches — re-sort cheaply to restore
+    global order within the block)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return pa.table({"file": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64())})
+    batch = batch.sort_by("pkey")
+    pk = batch.column("pkey").to_numpy()
+    change = np.flatnonzero(np.diff(pk)) + 1
+    bounds = np.concatenate(([0], change, [pk.size]))
+    path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+    with pq.ParquetWriter(path, batch.schema, compression="zstd") as w:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            for off in range(int(s), int(e), 262_144):
+                w.write_table(
+                    batch.slice(off, min(262_144, int(e) - off)),
+                    row_group_size=262_144,
+                )
+    return pa.table({"file": pa.array([path]),
+                     "rows": pa.array([batch.num_rows], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # posting-run encoding (pure function, no global state)
 # ---------------------------------------------------------------------------
@@ -262,10 +291,14 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
     frames = []
     dset = pads.dataset(praw)
     for p in batch.column("p").to_pylist():
-        tab = dset.to_table(
+        # use_threads=False: arrow's scanner pool would otherwise use every
+        # core inside each Ray task, breaking Ray's CPU accounting (and any
+        # measured scaling); Ray parallelizes across the n_parts tasks.
+        tab = dset.scanner(
             columns=["term", "salt", "doc_id", "tf", "dl"],
             filter=pads.field("pkey") == p,
-        )
+            use_threads=False,
+        ).to_table()
         if tab.num_rows == 0:
             continue
         df = tab.to_pandas()
@@ -322,7 +355,7 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")
 
-    # ---- stage 1: tokenize -> postings_raw (hive-partitioned by pkey) ---
+    # ---- stage 1: tokenize -> postings_raw ------------------------------
     def stage_postings(tmp):
         ds = corpus_ds.map_batches(
             tokenize_batch,
@@ -334,7 +367,15 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
         )
-        ds.write_parquet(tmp)
+        # custom writer: one parquet ROW GROUP per pkey run within each
+        # (pkey-sorted) block, so the stage-4 pkey-filtered reads prune to
+        # exactly their rows via row-group statistics. Ray's stock sink
+        # writes ~1M-row groups, which made every encode task re-read ~half
+        # the corpus.
+        ds.map_batches(
+            _write_postings_block, fn_kwargs=dict(out_dir=tmp),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
         return {}
 
     runner.run("postings_raw", stage_postings)

@@ -774,6 +774,112 @@ def q_media_features(sf_dir: str):
     return out
 
 
+def q_rerank_scored(sf_dir: str):
+    """Full rerank pipeline (SURVEY.md §3.3): BM25 top-10 -> broadcast doc
+    gather -> actor-pool pair scoring (OverlapScorer: |q ∩ d| + Jaccard) ->
+    re-ranked runs. Scores rounded to 6dp for the value-hash compare."""
+    from webindex.rerank import rerank_runs
+
+    runs = q_bm25_top10(sf_dir).to_pandas()
+    runs = runs.rename(columns={"doc_id": "did"})
+    runs["score"] = -runs["rank"].astype(float)  # rank order as score proxy
+    need = set(runs["did"].astype(int))
+    docs = _docs(sf_dir).to_pandas()
+    lookup = {
+        str(int(i)): t for i, t in zip(docs["doc_id"], docs["text"])
+        if int(i) in need
+    }
+    runs["did"] = runs["did"].astype(int).astype(str)
+    out = rerank_runs(runs, dict(DOC_QUERIES), lookup, depth=TOPK, concurrency=2)
+    out["doc_id"] = out["did"].astype(int)
+    out["score_r"] = out["score"].round(6)
+    # re-rank on INT doc_id ties (rerank_runs tie-breaks on string dids,
+    # which sorts "10" before "2"; the SQL oracle uses numeric doc_id)
+    out = out.sort_values(
+        ["qid", "score_r", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("qid", sort=False).cumcount() + 1
+    return out[["qid", "doc_id", "score_r", "rank"]]
+
+
+SQL_RERANK_SCORED = _sql_bm25_scores() + f"""
+, top AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= {TOPK}
+),
+qt_stats AS (SELECT qid, count(DISTINCT term) AS nq FROM qterms GROUP BY qid),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks),
+ov AS (
+  SELECT t.qid, t.doc_id,
+         count(DISTINCT CASE WHEN q.term IS NOT NULL THEN dt.term END) AS inter,
+         count(DISTINCT dt.term) AS nd
+  FROM top t
+  JOIN doc_terms dt ON dt.doc_id = t.doc_id
+  LEFT JOIN qterms q ON q.qid = t.qid AND q.term = dt.term
+  GROUP BY t.qid, t.doc_id
+),
+scored AS (
+  SELECT ov.qid, ov.doc_id,
+         round(ov.inter + ov.inter::DOUBLE /
+               (qs.nq + ov.nd - ov.inter), 6) AS score_r
+  FROM ov JOIN qt_stats qs ON qs.qid = ov.qid
+)
+SELECT qid, doc_id, score_r,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, doc_id)::BIGINT AS rank
+FROM scored
+"""
+
+
+def q_dense_top5(sf_dir: str):
+    """Dense-retrieval parity path (SURVEY.md §3.2): deterministic
+    hashed-token embedder (mean pooling) over the documents table, chunked
+    brute-force cosine top-5 for 3 probe queries. Rank-identity vs the
+    single-threaded oracle is asserted in tests/test_embed_rerank.py."""
+    from webindex.embed import dense_retrieve
+
+    probes = ["artificial intelligence", "search index query", "river forest"]
+    out = dense_retrieve(
+        _docs(sf_dir), [0, 1, 2], probes, k=5, dim=32, concurrency=2
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+def q_beir_roundtrip(sf_dir: str):
+    """S1/S5 source-sink round-trip: documents -> corpus.jsonl -> read back
+    with title normalization; returns (doc_id, n_chars) of the round-tripped
+    corpus for the hash compare."""
+    import tempfile
+
+    import ray.data as rd
+
+    from webindex.sources import read_beir_corpus
+
+    docs = _docs(sf_dir).to_pandas()
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".jsonl", delete=False, dir="/tmp"
+    ) as f:
+        import json as _json
+
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            f.write(_json.dumps({"_id": str(int(did)), "text": text}) + "\n")
+        path = f.name
+    back = read_beir_corpus(path).to_pandas()
+    os.unlink(path)
+    back["doc_id"] = back["doc_id"].astype(int)
+    back["n_chars"] = back["text"].str.len().astype("int64")
+    return back[["doc_id", "n_chars"]]
+
+
+SQL_BEIR_ROUNDTRIP = """
+SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -792,6 +898,9 @@ REGISTRY: dict[str, tuple] = {
     "simulate_rerank": (q_simulate_rerank, SQL_SIMULATE_RERANK),
     "chars_histogram": (q_chars_histogram, SQL_CHARS_HISTOGRAM),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
+    "rerank_scored": (q_rerank_scored, SQL_RERANK_SCORED),
+    "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
+    "dense_top5": (q_dense_top5, None),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),

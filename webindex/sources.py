@@ -146,12 +146,19 @@ def nested_to_runs_table(results: dict[str, dict[str, float]]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["qid", "did", "score", "rank"])
 
 
-def write_runs_json(runs_df: pd.DataFrame, path: str) -> None:
+def write_runs_json(runs_df: pd.DataFrame, path: str,
+                    all_qids: list[str] | None = None) -> None:
     """Flat runs table -> reference-shape results JSON (S6 sink;
-    "format of results is identical to qrels")."""
+    "format of results is identical to qrels"). ``all_qids`` pre-seeds
+    empty entries for zero-hit queries — the reference's ``results`` dict
+    always contains every qid (beir ``BM25Search.search`` initializes
+    ``{qid: {} ...}``)."""
+    nested = runs_table_to_nested(runs_df)
+    if all_qids:
+        nested = {str(q): nested.get(str(q), {}) for q in all_qids} | nested
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(runs_table_to_nested(runs_df), f)
+        json.dump(nested, f)
     os.replace(tmp, path)
 
 
