@@ -103,8 +103,10 @@ def run_bench() -> dict:
     cfg = IndexConfig(num_buckets=64, df_salt_threshold=100_000, salt_shards=32)
 
     t0 = time.time()
+    # 4 waves of tasks per CPU: absorbs per-doc extraction-cost skew
+    # (stragglers) without inflating file counts downstream
     pages = rd.read_parquet(
-        pages_path, override_num_blocks=max(8, NUM_CPUS * 2)
+        pages_path, override_num_blocks=max(16, NUM_CPUS * 4)
     ).drop_columns(["text"])
     # num_shards is LOGICAL partitioning (it feeds docID assignment) and must
     # be pinned independent of parallelism, or docIDs — and the runs hash —

@@ -105,6 +105,68 @@ def brute_topk(emb_ds, query_ids: list[int], query_vecs: np.ndarray, k: int,
     )
 
 
+def paraphrase_mining(emb_ds, *, max_pairs: int = 500_000,
+                      query_chunk_top_k: int = 100,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      concurrency=4):
+    """All-pairs near-dup mining with a global pair budget (SURVEY.md §2.7
+    D3): the reference's ``paraphrase_mining_embeddings`` — chunked
+    all-pairs top-k pushed through a bounded ``PriorityQueue(max_pairs)``
+    (/root/reference/biencoder/nli_msmarco/sentence-transformers/
+    sentence_transformers/util.py:129-189).
+
+    Ray shape: the normalized matrix is broadcast once (``ray.put``; for
+    corpora past broadcast size, swap candidate generation for the LSH
+    buckets of webindex.dedup.embedding_dedup); each batch is a "query
+    chunk" emitting its per-row top-k partner pairs (i < j, self-pairs
+    dropped); the bounded queue is ``sort(sim desc).limit(max_pairs)`` —
+    exact, and never materializes more than chunk x top_k pairs per task.
+
+    Returns a Dataset (a, b, sim) sorted by sim desc.
+    """
+    import ray
+
+    pdf = emb_ds.to_pandas()
+    ids_all = pdf[id_col].to_numpy(np.int64)
+    mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    ref = ray.put({"ids": ids_all, "mat": mat})
+
+    def mine(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)  # numpy payload: zero-copy from object store
+        all_ids, all_mat = side["ids"], side["mat"]
+        q_ids = batch.column(id_col).to_numpy()
+        q = _normalize(_batch_vecs(batch, vec_col))
+        sims = q @ all_mat.T  # (chunk, n)
+        k = min(query_chunk_top_k + 1, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        a_out, b_out, s_out = [], [], []
+        for r, qi in enumerate(q_ids):
+            for c in idx[r]:
+                other = int(all_ids[c])
+                if other == int(qi):
+                    continue  # self-pair
+                # both sides may emit (reference: added_pairs set over
+                # sorted (i, j)); exact_pair_dedup collapses duplicates
+                a, b = sorted((int(qi), other))
+                a_out.append(a)
+                b_out.append(b)
+                s_out.append(float(sims[r, c]))
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
+             "sim": pa.array(s_out, pa.float64())}
+        )
+
+    pairs = emb_ds.map_batches(
+        mine, batch_format="pyarrow", concurrency=concurrency
+    )
+    from webindex.dedup import exact_pair_dedup
+
+    uniq = exact_pair_dedup(pairs)
+    return uniq.sort(["sim", "a", "b"], descending=[True, False, False]).limit(
+        max_pairs
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) variant
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ _MIX = 0x9E3779B97F4A7C15
 
 _ANALYZER_CACHE: dict[str, Analyzer] = {}
 _TERM_HASH_CACHE: dict[str, int] = {}
+_DSET_CACHE: dict[str, object] = {}
 
 
 def analyzer_for(cfg) -> Analyzer:
@@ -190,13 +191,49 @@ def _write_postings_block(batch: pa.Table, out_dir: str) -> pa.Table:
     change = np.flatnonzero(np.diff(pk)) + 1
     bounds = np.concatenate(([0], change, [pk.size]))
     path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+    rg_map: dict[int, list[int]] = {}
+    rg = 0
     with pq.ParquetWriter(path, batch.schema, compression="zstd") as w:
         for s, e in zip(bounds[:-1], bounds[1:]):
+            p = int(pk[s])
             for off in range(int(s), int(e), 262_144):
                 w.write_table(
                     batch.slice(off, min(262_144, int(e) - off)),
                     row_group_size=262_144,
                 )
+                rg_map.setdefault(p, []).append(rg)
+                rg += 1
+    # dictionary partials: one tiny parquet per block (term, df_p, cf_p) —
+    # the dict stage aggregates these instead of re-scanning the postings
+    kind0 = batch.filter(pc.equal(batch.column("kind"), 0))
+    partial = _partial_df(kind0.select(["term", "tf"]))
+    pq.write_table(
+        partial,
+        os.path.join(out_dir, "_dictpart-" + os.path.basename(path)),
+    )
+    # sidecar stats partial: the doclen aggregates fall out of the rows
+    # already in hand, so the stats stage never re-scans the postings
+    kind = batch.column("kind").to_numpy()
+    dls = batch.column("dl").to_numpy()
+    dids = batch.column("doc_id").to_numpy()
+    m = kind == 1
+    import json as _json
+
+    # "_"-prefixed: parquet dataset discovery skips it as a metadata file
+    sidecar = os.path.join(
+        out_dir, "_" + os.path.basename(path) + ".stats.json"
+    )
+    with open(sidecar, "w") as f:
+        _json.dump(
+            {
+                "file": os.path.basename(path),
+                "n_docs": int(m.sum()),
+                "dl_sum": int(dls[m].sum()) if m.any() else 0,
+                "max_doc_id": int(dids[m].max()) if m.any() else -1,
+                "row_groups": {str(k): v for k, v in rg_map.items()},
+            },
+            f,
+        )
     return pa.table({"file": pa.array([path]),
                      "rows": pa.array([batch.num_rows], pa.int64())})
 
@@ -247,7 +284,7 @@ def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
     nblocks = starts.size
     return {
         "bucket": np.full(nblocks, term_bucket(term, cfg.num_buckets), np.int32),
-        "term": np.full(nblocks, term, dtype=object),
+        "term": [term] * nblocks,
         "salt": np.full(nblocks, salt, np.int64),
         "block_id": np.arange(nblocks, dtype=np.int32),
         "n": np.minimum(starts + bs, n).astype(np.int32) - starts.astype(np.int32),
@@ -264,73 +301,142 @@ def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
     }
 
 
-_EMPTY_SEG = pd.DataFrame(
+_EMPTY_SEG = pa.table(
     {
-        "bucket": pd.Series(dtype=np.int32),
-        "term": pd.Series(dtype=object),
-        "salt": pd.Series(dtype=np.int64),
-        "block_id": pd.Series(dtype=np.int32),
-        "n": pd.Series(dtype=np.int32),
-        "last_doc_id": pd.Series(dtype=np.int64),
-        "doc_ids": pd.Series(dtype=object),
-        "tfs": pd.Series(dtype=object),
-        "max_tf_norm": pd.Series(dtype=np.float64),
+        "bucket": pa.array([], pa.int32()),
+        "term": pa.array([], pa.string()),
+        "salt": pa.array([], pa.int64()),
+        "block_id": pa.array([], pa.int32()),
+        "n": pa.array([], pa.int32()),
+        "last_doc_id": pa.array([], pa.int64()),
+        "doc_ids": pa.array([], pa.binary()),
+        "tfs": pa.array([], pa.binary()),
+        "max_tf_norm": pa.array([], pa.float64()),
     }
 )
 
 
+def _praw_layout(praw: str):
+    """Worker-cached (pkey -> [(file, row_group)]) map from the writer
+    sidecars, plus per-file ParquetFile handles (footers parsed once per
+    worker, not once per task)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    cached = _DSET_CACHE.get(praw)
+    if cached is not None:
+        return cached
+    by_pkey: dict[int, list[tuple[str, int]]] = {}
+    for root, _, names in os.walk(praw):
+        for name in sorted(names):
+            if not name.endswith(".stats.json"):
+                continue
+            with open(os.path.join(root, name)) as f:
+                rec = _json.load(f)
+            fpath = os.path.join(root, rec["file"])
+            for pk, rgs in rec.get("row_groups", {}).items():
+                lst = by_pkey.setdefault(int(pk), [])
+                for rg in rgs:
+                    lst.append((fpath, rg))
+    handles: dict[str, pq.ParquetFile] = {}
+    out = (by_pkey, handles)
+    _DSET_CACHE[praw] = out
+    return out
+
+
 def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
-                avgdl: float) -> pd.DataFrame:
+                avgdl: float) -> pa.Table:
     """Stage-4 task body: encode every (term, salt) run of one pkey
-    partition. Reads the partition's files directly (the shuffle already
-    happened at write time); one numpy lexsort + reduceat-style slicing —
-    Python is invoked per run, vectorized within."""
-    import pyarrow.dataset as pads
+    partition. Reads exactly its row groups via the writer's sidecar map
+    (no dataset scan, no filter evaluation; arrow threading off — Ray owns
+    parallelism across the n_parts tasks). Terms are dictionary-encoded so
+    the run sort is a pure-int lexsort (an object-dtype string lexsort
+    measured ~10x slower and memory-bandwidth-bound under concurrency);
+    output is assembled as one Arrow table, no pandas."""
+    import pyarrow.parquet as pq
 
     cfg = IndexConfig.from_dict(cfg_dict)
-    frames = []
-    dset = pads.dataset(praw)
+    pieces: list[dict] = []
+    by_pkey, handles = _praw_layout(praw)
+    cols = ["term", "salt", "doc_id", "tf", "dl"]
     for p in batch.column("p").to_pylist():
-        # use_threads=False: arrow's scanner pool would otherwise use every
-        # core inside each Ray task, breaking Ray's CPU accounting (and any
-        # measured scaling); Ray parallelizes across the n_parts tasks.
-        tab = dset.scanner(
-            columns=["term", "salt", "doc_id", "tf", "dl"],
-            filter=pads.field("pkey") == p,
-            use_threads=False,
-        ).to_table()
+        chunks = []
+        for fpath, rg in by_pkey.get(int(p), []):
+            h = handles.get(fpath)
+            if h is None:
+                h = handles[fpath] = pq.ParquetFile(fpath)
+            chunks.append(h.read_row_group(rg, columns=cols, use_threads=False))
+        if not chunks:
+            continue
+        tab = pa.concat_tables(chunks)
         if tab.num_rows == 0:
             continue
-        df = tab.to_pandas()
-        order = np.lexsort(
-            (df["doc_id"].to_numpy(), df["salt"].to_numpy(),
-             df["term"].to_numpy())
-        )
-        terms = df["term"].to_numpy()[order]
-        salts = df["salt"].to_numpy()[order]
-        ids = df["doc_id"].to_numpy()[order]
-        tfs = df["tf"].to_numpy()[order].astype(np.float64)
-        dls = df["dl"].to_numpy()[order].astype(np.float64)
-        # run boundaries: change of (term, salt)
-        change = np.empty(terms.size, dtype=bool)
+        d = pc.dictionary_encode(tab.column("term").combine_chunks())
+        codes = d.indices.to_numpy().astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        salts_c = tab.column("salt").to_numpy().astype(np.int64)
+        ids_c = tab.column("doc_id").to_numpy()
+        order = np.lexsort((ids_c, salts_c, codes))
+        codes = codes[order]
+        salts = salts_c[order]
+        ids = ids_c[order]
+        tfs = tab.column("tf").to_numpy()[order].astype(np.float64)
+        dls = tab.column("dl").to_numpy()[order].astype(np.float64)
+        # run boundaries: change of (term-code, salt)
+        change = np.empty(codes.size, dtype=bool)
         change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        bounds = np.flatnonzero(change).tolist() + [terms.size]
+        change[1:] = (codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1])
+        bounds = np.flatnonzero(change).tolist() + [codes.size]
         for s, e in zip(bounds[:-1], bounds[1:]):
-            frames.append(
-                pd.DataFrame(
-                    encode_run(
-                        terms[s], int(salts[s]), ids[s:e], tfs[s:e],
-                        dls[s:e], cfg, avgdl,
-                    )
+            pieces.append(
+                encode_run(
+                    vocab[codes[s]], int(salts[s]), ids[s:e], tfs[s:e],
+                    dls[s:e], cfg, avgdl,
                 )
             )
-    if not frames:
-        return _EMPTY_SEG.copy()
-    out = pd.concat(frames, ignore_index=True)
-    # bucket-sorted so the reader's bucket-filtered loads prune row groups
-    return out.sort_values(["bucket", "term", "salt"], kind="mergesort",
-                           ignore_index=True)
+    if not pieces:
+        return _EMPTY_SEG
+    buckets = np.concatenate([r["bucket"] for r in pieces])
+    # bucket-ordered output so the reader's bucket-filtered loads prune
+    # row groups; runs within a bucket stay in (term, salt) order
+    run_order = np.argsort(
+        np.repeat(np.array([r["bucket"][0] for r in pieces]),
+                  [len(r["bucket"]) for r in pieces]),
+        kind="stable",
+    )
+    terms_flat = [t for r in pieces for t in r["term"]]
+    ids_flat = [b for r in pieces for b in r["doc_ids"]]
+    tfs_flat = [b for r in pieces for b in r["tfs"]]
+    return pa.table(
+        {
+            "bucket": pa.array(buckets[run_order], pa.int32()),
+            "term": pa.array([terms_flat[i] for i in run_order], pa.string()),
+            "salt": pa.array(
+                np.concatenate([r["salt"] for r in pieces])[run_order],
+                pa.int64(),
+            ),
+            "block_id": pa.array(
+                np.concatenate([r["block_id"] for r in pieces])[run_order],
+                pa.int32(),
+            ),
+            "n": pa.array(
+                np.concatenate([r["n"] for r in pieces])[run_order], pa.int32()
+            ),
+            "last_doc_id": pa.array(
+                np.concatenate([r["last_doc_id"] for r in pieces])[run_order],
+                pa.int64(),
+            ),
+            "doc_ids": pa.array(
+                [ids_flat[i] for i in run_order], pa.binary()
+            ),
+            "tfs": pa.array([tfs_flat[i] for i in run_order], pa.binary()),
+            "max_tf_norm": pa.array(
+                np.concatenate([r["max_tf_norm"] for r in pieces])[run_order],
+                pa.float64(),
+            ),
+        }
+    )
 
 
 def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
@@ -344,7 +450,7 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     skipped via the manifest (atomic rename checkpoints).
     """
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Sum
 
     # tokenize_concurrency is accepted for API stability but unused: the
     # tokenize stage runs as stateless tasks (process-global analyzer
@@ -367,11 +473,11 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
         )
-        # custom writer: one parquet ROW GROUP per pkey run within each
-        # (pkey-sorted) block, so the stage-4 pkey-filtered reads prune to
-        # exactly their rows via row-group statistics. Ray's stock sink
-        # writes ~1M-row groups, which made every encode task re-read ~half
-        # the corpus.
+        # custom writer, fused into the tokenize tasks (no object-store
+        # hop for the fat posting rows): one parquet ROW GROUP per pkey run
+        # within each pkey-sorted block, and a sidecar mapping
+        # pkey -> row-group ids so encode tasks read exactly their row
+        # groups through cached file handles.
         ds.map_batches(
             _write_postings_block, fn_kwargs=dict(out_dir=tmp),
             batch_format="pyarrow", batch_size=None,
@@ -382,21 +488,27 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     praw = runner.out_dir("postings_raw")
 
     # ---- stage 2: global stats ------------------------------------------
-    # doclens live inside postings_raw as kind=1 rows — the reader pulls
-    # them with parquet predicate pushdown, so no separate copy is written.
+    # folded into stage 1: each postings file carries a .stats.json sidecar
+    # with its doclen partials; this stage just sums the (n_files) sidecars
     def stage_stats(_tmp):
-        dl_ds = rd.read_parquet(
-            praw, columns=["doc_id", "dl"], filter=pc.field("kind") == 1
-        )
-        agg = dl_ds.aggregate(
-            Count(alias_name="N"), Sum("dl", alias_name="total_tokens"),
-            Max("doc_id", alias_name="max_doc_id"),
-        )
+        import json as _json
+
+        n = tot = 0
+        max_doc = -1
+        for root, _, names in os.walk(praw):
+            for name in names:
+                if not name.endswith(".stats.json"):
+                    continue
+                with open(os.path.join(root, name)) as f:
+                    rec = _json.load(f)
+                n += rec["n_docs"]
+                tot += rec["dl_sum"]
+                max_doc = max(max_doc, rec["max_doc_id"])
         stats = {
-            "N": int(agg["N"]),
-            "total_tokens": int(agg["total_tokens"]),
-            "max_doc_id": int(agg["max_doc_id"]),
-            "avgdl": float(agg["total_tokens"]) / max(1, int(agg["N"])),
+            "N": n,
+            "total_tokens": tot,
+            "max_doc_id": max_doc,
+            "avgdl": float(tot) / max(1, n),
         }
         atomic_write_json(stats_path, stats)
         return {"stats": stats}
@@ -406,14 +518,13 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
 
     # ---- stage 3: dictionary (df/cf per term) ---------------------------
     def stage_dict(tmp):
-        kind0 = rd.read_parquet(
-            praw, columns=["term", "tf"], filter=pc.field("kind") == 0
-        )
-        partial = kind0.map_batches(_partial_df, batch_format="pyarrow")
-        # partials are ~vocab rows per input block: coalesce before the
-        # groupby so the sort shuffle runs over a handful of fat blocks
-        # instead of paying per-task overhead on dozens of tiny ones
-        partial = partial.repartition(8)
+        import glob as _glob
+
+        # per-block partials were written by stage 1 (_dictpart-*.parquet:
+        # term, cf_p, df_p); only these ~vocab-sized rows shuffle
+        partial = rd.read_parquet(
+            sorted(_glob.glob(os.path.join(praw, "_dictpart-*.parquet")))
+        ).repartition(8)
         dict_ds = partial.groupby("term").aggregate(
             Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
         )

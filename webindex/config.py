@@ -74,7 +74,8 @@ class IndexConfig:
     num_buckets: int = 32
     df_salt_threshold: int = 50_000
     salt_shards: int = 32
-    n_parts: int = 64
+    n_parts: int = 32
+    n_write_blocks: int = 32
     salt_doc_shift: int = 40
     shards_per_salt: int = 2
     top_k: int = 1000

@@ -144,7 +144,9 @@ def assign_doc_ids(pages_ds, num_shards: int, *,
     """
     import ray
 
-    id_tab = build_id_table(pages_ds, num_shards).materialize()  # small side
+    # one distributed execution; count on the materialized table is a
+    # metadata read, and only the broadcast branch pulls rows to the driver
+    id_tab = build_id_table(pages_ds, num_shards).materialize()
     n_urls = id_tab.count()
 
     if n_urls <= broadcast_max_urls:

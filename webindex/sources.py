@@ -121,6 +121,45 @@ def write_beir_corpus(ds, path: str) -> None:
                 f.write(json.dumps(rec) + "\n")
 
 
+def extract_json_fields(line: str, markers: dict[str, tuple[str, str]]) -> dict:
+    """Marker-based field extraction from one giant-JSON line (S3 analog:
+    the reference streams a 19 GB JSON line-by-line and pulls
+    ``abstractText``/``pmid``/``title`` with ``str.find`` on literal
+    markers instead of parsing,
+    /root/reference/crossencoder/beir/crossencoder_bioasq_bm25.ipynb
+    cell 4). ``markers`` maps field -> (start_literal, end_literal)."""
+    out = {}
+    for field, (start, end) in markers.items():
+        i = line.find(start)
+        if i < 0:
+            out[field] = None
+            continue
+        i += len(start)
+        j = line.find(end, i)
+        out[field] = line[i:j] if j >= 0 else None
+    return out
+
+
+def read_giant_json(path: str, markers: dict[str, tuple[str, str]]):
+    """Streaming scan of a one-record-per-line JSON-ish file -> Dataset of
+    extracted fields. ``read_text`` streams blocks of lines; extraction is
+    a pure per-line function — the Ray shape of the reference's
+    explicitly-avoids-loading-into-memory loop."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    def extract(batch: pa.Table) -> pa.Table:
+        fields: dict[str, list] = {f: [] for f in markers}
+        for line in batch.column("text").to_pylist():
+            rec = extract_json_fields(line, markers)
+            for f in markers:
+                fields[f].append(rec[f])
+        return _pa.table({f: _pa.array(v, _pa.string())
+                          for f, v in fields.items()})
+
+    return rd.read_text(path).map_batches(extract, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # run files: nested {qid: {did: score}} <-> flat (qid, did, score, rank)
 # ---------------------------------------------------------------------------
