@@ -127,7 +127,7 @@ def run_bench() -> dict:
         idx_dir,
         top_k=1000,
         mode="auto",
-        concurrency=min(8, max(2, NUM_CPUS - 2)),
+        concurrency=max(2, min(NUM_CPUS - 2, 12)),
         batch_size=16,
     )
     runs_pdf = runs.to_pandas()

@@ -213,25 +213,24 @@ class Analyzer:
             if cfg.ascii_only
             else _WORD_RE.findall(text)
         )
-        out: list[str] = []
-        stop = LUCENE_STOPWORDS if cfg.remove_stopwords else None
-        cache = self._stem_cache
+        # list comprehensions keep the per-token work in C loops; semantics
+        # identical to the one-pass reference loop (len gate -> stopword
+        # gate -> memoized Porter stem)
         lo, hi = cfg.min_token_len, cfg.max_token_len
-        for tok in raw:
-            if len(tok) < lo or len(tok) > hi:
-                continue
-            if stop is not None and tok in stop:
-                continue
-            if cfg.stem:
-                st = cache.get(tok)
-                if st is None:
-                    # Porter is specified for English letters only; other
-                    # tokens (digits, non-ASCII) pass through unchanged.
-                    st = porter_stem(tok) if _ASCII_ALPHA_RE.match(tok) else tok
-                    cache[tok] = st
-                tok = st
-            out.append(tok)
-        return out
+        if lo > 1 or any(len(t) > hi for t in raw):
+            raw = [t for t in raw if lo <= len(t) <= hi]
+        if cfg.remove_stopwords:
+            stop = LUCENE_STOPWORDS
+            raw = [t for t in raw if t not in stop]
+        if cfg.stem:
+            cache = self._stem_cache
+            miss = {t for t in raw if t not in cache}
+            for t in miss:
+                # Porter is specified for English letters only; other
+                # tokens (digits, non-ASCII) pass through unchanged.
+                cache[t] = porter_stem(t) if _ASCII_ALPHA_RE.match(t) else t
+            raw = [cache[t] for t in raw]
+        return raw
 
     def term_freqs(self, text: str) -> Counter:
         return Counter(self.tokens(text))

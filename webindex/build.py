@@ -119,50 +119,66 @@ class TokenizeStage:
         self.shards_per_salt = shards_per_salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
         np_, shift, sps = self.n_parts, self.salt_doc_shift, self.shards_per_salt
+        ndocs = len(texts)
         terms: list[str] = []
-        dids: list[int] = []
         tfs: list[int] = []
-        dls: list[int] = []
-        salts: list[int] = []
-        kinds: list[int] = []
-        pkeys: list[int] = []
-        for did, txt in zip(doc_ids, texts):
-            cnt = self.an.term_freqs(txt or "")
-            dl = sum(cnt.values())
-            salt = (did >> shift) // sps
-            for t, f in cnt.items():
-                terms.append(t)
-                dids.append(did)
-                tfs.append(f)
-                dls.append(dl)
-                salts.append(salt)
-                kinds.append(0)
-                pkeys.append(((_term_hash(t) ^ (salt * _MIX)) & ((1 << 64) - 1)) % np_)
-            # doclen marker row — every doc, even all-stopword ones (dl may
-            # be 0); keeps N and avgdl exact. Spread across partitions by doc.
-            terms.append("")
-            dids.append(did)
-            tfs.append(0)
-            dls.append(dl)
-            salts.append(salt)
-            kinds.append(1)
-            # doclen rows live in the disjoint pkey range [n_parts, 2n_parts)
-            # so posting reads (pkey == p < n_parts) never touch them
-            pkeys.append(np_ + did % np_)
-        # sorted by pkey so parquet row-group min/max statistics cluster by
-        # partition — the pkey-filtered encode reads can prune row groups
+        n_terms_doc = np.empty(ndocs, np.int64)
+        dl_doc = np.empty(ndocs, np.int64)
+        tf = self.an.term_freqs
+        for i, txt in enumerate(texts):
+            cnt = tf(txt or "")
+            dl_doc[i] = sum(cnt.values())
+            n_terms_doc[i] = len(cnt)
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+        # posting columns via np.repeat over per-doc run lengths (the
+        # per-(term, doc) Python append loop was ~40% of tokenize time)
+        salt_doc = (doc_ids >> shift) // sps
+        dids_p = np.repeat(doc_ids, n_terms_doc)
+        dls_p = np.repeat(dl_doc, n_terms_doc)
+        salts_p = np.repeat(salt_doc, n_terms_doc)
+        th = _term_hash
+        hashes = np.fromiter(
+            (th(t) for t in terms), np.uint64, count=len(terms)
+        )
+        pkeys_p = (
+            (hashes ^ (salts_p.astype(np.uint64) * np.uint64(_MIX))) % np_
+        ).astype(np.int32)
+        # doclen marker rows -- every doc, even all-stopword ones (dl may
+        # be 0); keeps N and avgdl exact. They live in the disjoint pkey
+        # range [n_parts, 2n_parts) so posting reads never touch them.
+        # Output sorted by pkey so row-group stats cluster by partition.
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "doc_id": pa.array(dids, pa.int64()),
-                "tf": pa.array(tfs, pa.int32()),
-                "dl": pa.array(dls, pa.int32()),
-                "salt": pa.array(salts, pa.int32()),
-                "kind": pa.array(kinds, pa.int8()),
-                "pkey": pa.array(pkeys, pa.int32()),
+                "term": pa.array(terms + [""] * ndocs, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate([dids_p, doc_ids]), pa.int64()
+                ),
+                "tf": pa.array(
+                    np.concatenate(
+                        [np.asarray(tfs, np.int64), np.zeros(ndocs, np.int64)]
+                    ),
+                    pa.int32(),
+                ),
+                "dl": pa.array(np.concatenate([dls_p, dl_doc]), pa.int32()),
+                "salt": pa.array(
+                    np.concatenate([salts_p, salt_doc]), pa.int32()
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(terms), np.int8), np.ones(ndocs, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "pkey": pa.array(
+                    np.concatenate(
+                        [pkeys_p, (np_ + doc_ids % np_).astype(np.int32)]
+                    ),
+                    pa.int32(),
+                ),
             }
         ).sort_by("pkey")
 
