@@ -1,0 +1,145 @@
+"""Command-line entry points: ``python -m webindex <cmd>``.
+
+Commands:
+  build   --pages DIR --out DIR [--stemmed/--no-stem] [--num-shards N]
+  search  --index DIR --query "text" [--top-k K] [--mode auto|wand|exhaustive]
+  msearch --index DIR --queries FILE.jsonl --out runs.parquet [--top-k K]
+  eval    --runs runs.parquet --qrels qrels.tsv [--k 10 ...]
+  merge   --inputs IDX1 IDX2 ... --out DIR
+
+Owns its Ray session (the only scripts allowed to: CLAUDE.md invariants);
+the driver contract in __ray_entry__.py never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from webindex.build import build_index
+    from webindex.config import SQL_SAFE_ANALYZER, AnalyzerConfig, IndexConfig
+    from webindex.pipelines import prepare_corpus_from_pages
+
+    cfg = IndexConfig(
+        analyzer=AnalyzerConfig() if args.stemmed else SQL_SAFE_ANALYZER
+    )
+    pages = rd.read_parquet(args.pages, override_num_blocks=64)
+    if "text" in pages.schema().names:
+        pages = pages.drop_columns(["text"])
+    corpus = prepare_corpus_from_pages(pages, num_shards=args.num_shards)
+    stats = build_index(corpus, args.out, cfg)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from webindex.search import SearcherActor
+
+    s = SearcherActor(args.index, top_k=args.top_k, mode=args.mode)
+    ids, scores = s.search_one("cli", args.query)
+    for rank, (d, sc) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+        print(f"{rank}\t{d}\t{sc:.6f}")
+    return 0
+
+
+def cmd_msearch(args) -> int:
+    _init_ray()
+
+    from webindex.search import search_queries
+    from webindex.sources import read_beir_queries
+
+    queries = read_beir_queries(args.queries)
+    runs = search_queries(queries, args.index, top_k=args.top_k, mode=args.mode)
+    runs.write_parquet(args.out)
+    print(json.dumps({"rows": runs.count(), "out": args.out}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    _init_ray()
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from webindex.eval import evaluate_runs
+    from webindex.sources import read_qrels_tsv
+
+    runs = pads.dataset(args.runs).to_table().to_pandas()
+    if "did" not in runs.columns:
+        runs["did"] = runs["doc_id"].astype(str)
+    qrels = read_qrels_tsv(args.qrels).to_pandas()
+    _, macro = evaluate_runs(rd.from_pandas(runs), qrels, k_values=args.k)
+    print(json.dumps(macro))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _init_ray()
+
+    from webindex.merge import merge_indexes
+
+    stats = merge_indexes(args.inputs, args.out)
+    print(json.dumps(stats))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="webindex")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--stemmed", action=argparse.BooleanOptionalAction,
+                   default=True)
+    b.add_argument("--num-shards", type=int, default=64)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--mode", default="auto")
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("msearch")
+    m.add_argument("--index", required=True)
+    m.add_argument("--queries", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--top-k", type=int, default=1000)
+    m.add_argument("--mode", default="auto")
+    m.set_defaults(fn=cmd_msearch)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--runs", required=True)
+    e.add_argument("--qrels", required=True)
+    e.add_argument("--k", type=int, nargs="+", default=[10])
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("merge")
+    g.add_argument("--inputs", nargs="+", required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,11 +71,26 @@ class AddShardColumn:
         return batch
 
 
+def _key128(url: str, ts: int) -> tuple[int, int]:
+    """128-bit digest of (url, warc_ts) — the broadcast-join key. Split
+    into two uint64 halves; ts is mixed into the low half. Collision odds
+    for matching BOTH halves are ~2^-128 — content-addressing grade."""
+    d = blake2b(url.encode("utf-8"), digest_size=16).digest()
+    hi = int.from_bytes(d[:8], "big")
+    lo = int.from_bytes(d[8:], "big") ^ ((ts * 0x9E3779B97F4A7C15) & _U64)
+    return hi, lo
+
+
+_U64 = (1 << 64) - 1
+
+
 def _dedup_and_rank_keys(group: pd.DataFrame) -> pd.DataFrame:
     """Per-shard over KEY ROWS ONLY: latest-wins URL dedup, ascending-URL
-    rank -> (url, warc_ts, doc_id, n_ties). ``n_ties`` counts rows that
-    carried the winning (url, max warc_ts) — >1 flags exact-duplicate
-    records needing the slow dedup path."""
+    rank -> (url, warc_ts, doc_id, n_ties, k_hi, k_lo). ``n_ties`` counts
+    rows that carried the winning (url, max warc_ts) — >1 flags
+    exact-duplicate records needing the slow dedup path. k_hi/k_lo is the
+    128-bit (url, ts) digest the broadcast lookup matches on (computed
+    here, distributed — the driver never hashes urls)."""
     g = group.sort_values(["url", "warc_ts"], kind="mergesort")
     ties = g.groupby(["url", "warc_ts"], sort=False).size().rename("n_ties")
     g = g.drop_duplicates(subset="url", keep="last")
@@ -87,6 +102,12 @@ def _dedup_and_rank_keys(group: pd.DataFrame) -> pd.DataFrame:
         "doc_id",
         (shard << SHARD_BITS) | np.arange(len(g), dtype=np.int64),
     )
+    ks = [
+        _key128(u, int(t))
+        for u, t in zip(g["url"], g["warc_ts"].astype("int64"))
+    ]
+    g["k_hi"] = np.array([k[0] for k in ks], dtype=np.uint64)
+    g["k_lo"] = np.array([k[1] for k in ks], dtype=np.uint64)
     return g
 
 
@@ -104,9 +125,14 @@ def _broadcast_cached(ref):
 
 
 # Above this many distinct urls the id side-table is joined back with a
-# distributed hash join instead of a ray.put broadcast dict. ~2M entries
-# ≈ 200MB of dict — the upper end of comfortable per-worker broadcast.
-BROADCAST_MAX_URLS = 2_000_000
+# distributed hash join instead of a broadcast lookup. The broadcast side
+# is four numpy arrays (~32 bytes/url), shared zero-copy from the object
+# store — ~50M urls fits a 128GB node comfortably. (A pandas/dict
+# broadcast was catastrophically worse: 400MB pickled frame re-unpickled
+# per fresh worker + a GB-scale Python dict per worker. Ray 2.49's
+# Dataset.join also measured far slower than broadcast at every size that
+# fits; prefer broadcast whenever memory allows.)
+BROADCAST_MAX_URLS = 50_000_000
 
 
 def build_id_table(pages_ds, num_shards: int):
@@ -150,26 +176,67 @@ def assign_doc_ids(pages_ds, num_shards: int, *,
     n_urls = id_tab.count()
 
     if n_urls <= broadcast_max_urls:
-        side = id_tab.to_pandas()
+        # side = four numpy arrays sorted by (k_hi, k_lo): zero-copy
+        # ray.get in every task, vectorized searchsorted lookup — no
+        # pandas frame, no per-worker dict, no unpickle cost
+        import pyarrow as pa
+
+        side = id_tab.select_columns(
+            ["k_hi", "k_lo", "doc_id", "n_ties"]
+        ).to_pandas()
+        k_hi = side["k_hi"].to_numpy().astype(np.uint64)
+        k_lo = side["k_lo"].to_numpy().astype(np.uint64)
+        order = np.lexsort((k_lo, k_hi))
         any_ties = bool((side["n_ties"].to_numpy() > 1).any())
-        cols = ["url", "warc_ts", "doc_id"] + (["n_ties"] if any_ties else [])
-        ref = ray.put(side[cols])
+        payload = {
+            "k_hi": np.ascontiguousarray(k_hi[order]),
+            "k_lo": np.ascontiguousarray(k_lo[order]),
+            "doc_id": np.ascontiguousarray(
+                side["doc_id"].to_numpy()[order]
+            ),
+        }
+        if any_ties:
+            payload["n_ties"] = np.ascontiguousarray(
+                side["n_ties"].to_numpy()[order].astype(np.int32)
+            )
+        ref = ray.put(payload)
 
-        def attach(batch: pd.DataFrame) -> pd.DataFrame:
-            # ray.get re-deserializes plain-Python objects on EVERY call
-            # (only buffer types like numpy are zero-copy), so the result is
-            # cached once per worker process; the lookup itself is one
-            # vectorized hash merge, not a Python loop.
-            side_df = _broadcast_cached(ref)
-            out = batch.merge(side_df, on=["url", "warc_ts"], how="inner")
-            if "n_ties" in out.columns:
-                out["_tie"] = out["n_ties"] > 1
-                out = out.drop(columns=["n_ties"])
-            did = out.pop("doc_id")
-            out.insert(0, "doc_id", did)
-            return out
+        def attach(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)  # numpy arrays: zero-copy from object store
+            if s["k_hi"].size == 0:
+                empty = batch.slice(0, 0)
+                return empty.add_column(
+                    0, "doc_id", pa.array([], pa.int64())
+                )
+            urls = batch.column("url").to_pylist()
+            tss = batch.column("warc_ts").cast("int64").to_pylist()
+            ks = [_key128(u, t) for u, t in zip(urls, tss)]
+            bh = np.array([k[0] for k in ks], dtype=np.uint64)
+            bl = np.array([k[1] for k in ks], dtype=np.uint64)
+            pos = np.searchsorted(s["k_hi"], bh)
+            pos = np.minimum(pos, s["k_hi"].size - 1)
+            # verify both 128-bit halves; equal-k_hi spans are
+            # single-element at these densities, handle with one probe step
+            hit = (s["k_hi"][pos] == bh) & (s["k_lo"][pos] == bl)
+            nxt = np.minimum(pos + 1, s["k_hi"].size - 1)
+            probe = (~hit) & (s["k_hi"][nxt] == bh) & (s["k_lo"][nxt] == bl)
+            pos = np.where(probe, nxt, pos)
+            hit |= probe
+            out = batch.filter(pa.array(hit))
+            sel = pos[hit]
+            arrays = [pa.array(s["doc_id"][sel], pa.int64())]
+            names = ["doc_id"]
+            for i, name in enumerate(out.column_names):
+                arrays.append(out.column(i))
+                names.append(name)
+            res = pa.table(dict(zip(names, arrays)))
+            if "n_ties" in s:
+                res = res.append_column(
+                    "_tie", pa.array(s["n_ties"][sel] > 1)
+                )
+            return res
 
-        joined = pages_ds.map_batches(attach, batch_format="pandas")
+        joined = pages_ds.map_batches(attach, batch_format="pyarrow")
         if not any_ties:
             return joined
     else:
