@@ -50,23 +50,36 @@ def _rank_topk(ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
-    """Score every doc containing any query term; exact top-k."""
+    """Score every doc containing any query term; exact top-k.
+
+    Accumulates into a dense array indexed by the doc's position in the
+    (sorted) doclen table — one searchsorted per term, no concat/unique of
+    the candidate union (which dominated at millions of candidates).
+    Summation stays ascending-term per doc (bit-identical to the oracle);
+    positions within one posting list are unique, so the fancy-indexed
+    ``+=`` is safe.
+    """
     pls = query_postings(reader, terms)
     if not pls:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cfg = reader.cfg
-    all_ids = np.concatenate([pl.ids for pl in pls])
-    uids = np.unique(all_ids)
-    scores = np.zeros(uids.size, dtype=np.float64)
-    # fixed summation order: ascending term
-    for pl in pls:
-        dl = reader.doclen(pl.ids).astype(np.float64)
-        contrib = term_contrib(
-            pl.tfs.astype(np.float64), dl, reader.avgdl, cfg.k1, cfg.b, pl.idf
-        )
-        idx = np.searchsorted(uids, pl.ids)
-        scores[idx] += contrib
-    return _rank_topk(uids, scores, k)
+    dl_ids = reader._dl_ids
+    dls = reader._dl
+    scores = np.zeros(dl_ids.size, dtype=np.float64)
+    for pl in pls:  # ascending term order (query_postings sorts)
+        if pl.dense_pos is None:
+            # per-term, query-INDEPENDENT: BM25 contribution and doclen
+            # position depend only on (term, doc); computed once per
+            # posting-list load, reused by every query
+            pl.dense_pos = np.searchsorted(dl_ids, pl.ids)
+            pl.dense_contrib = term_contrib(
+                pl.tfs.astype(np.float64),
+                dls[pl.dense_pos].astype(np.float64),
+                reader.avgdl, cfg.k1, cfg.b, pl.idf,
+            )
+        scores[pl.dense_pos] += pl.dense_contrib
+    nz = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero == match
+    return _rank_topk(dl_ids[nz], scores[nz], k)
 
 
 def block_max_wand(reader: SegmentReader, terms: list[str], k: int):
