@@ -33,6 +33,7 @@ _WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
 _MERSENNE = (1 << 61) - 1
 _MAX_HASH = np.uint64((1 << 61) - 1)
+_STAGE_CACHE: dict = {}  # process-global stage state (worker reuse)
 
 
 def _hash64(s: str) -> int:
@@ -319,12 +320,21 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     scale; at CC scale the verify stage is a hash-join of the pair list
     against the corpus, then a map_batches).
     """
-    sig = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    # stateless tasks with a process-global stage cache: actor pools pay
+    # startup per actor, which dominates on small inputs (measured ~2s of
+    # a 6.8s sf0.1 run); tasks scale elastically with the data
+    del concurrency
+
+    def sig_batch(batch: pa.Table, num_perm=num_perm, shingle_k=shingle_k):
+        key = ("minhash", num_perm, shingle_k)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = MinHashStage(
+                num_perm=num_perm, shingle_k=shingle_k
+            )
+        return st(batch)
+
+    sig = ds.map_batches(sig_batch, batch_format="pyarrow")
     bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
     pairs = pairs_from_buckets(bands_ds, ["band_id", "band_hash"]).to_pandas()
     if pairs.empty:
@@ -387,8 +397,15 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
     """SimHash near-dup: 4 x 16-bit band buckets (any doc pair within
     hamming distance 3 shares at least one exact band), verified by full
     hamming distance."""
-    sig = ds.map_batches(SimHashStage, batch_format="pyarrow",
-                         concurrency=concurrency)
+    del concurrency
+
+    def sig_batch(batch: pa.Table):
+        st = _STAGE_CACHE.get("simhash")
+        if st is None:
+            st = _STAGE_CACHE["simhash"] = SimHashStage()
+        return st(batch)
+
+    sig = ds.map_batches(sig_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy().astype(np.int64)
