@@ -65,8 +65,8 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     cfg = reader.cfg
     dl_ids = reader._dl_ids
     dls = reader._dl
-    scores = np.zeros(dl_ids.size, dtype=np.float64)
-    for pl in pls:  # ascending term order (query_postings sorts)
+
+    def _dense(pl):
         if pl.dense_pos is None:
             # per-term, query-INDEPENDENT: BM25 contribution and doclen
             # position depend only on (term, doc); computed once per
@@ -77,7 +77,45 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
                 dls[pl.dense_pos].astype(np.float64),
                 reader.avgdl, cfg.k1, cfg.b, pl.idf,
             )
-        scores[pl.dense_pos] += pl.dense_contrib
+        return pl
+
+    # MAXSCORE candidate pruning (term-level upper bounds): a doc appearing
+    # ONLY in non-essential terms — those whose summed max_score stays
+    # below a top-k lower bound θ — can never reach the top k. θ comes
+    # from the k-th best contribution of the highest-impact term (a valid
+    # lower bound of the final k-th score). Candidates are then scored
+    # EXACTLY in ascending-term order — bit-identical to unpruned.
+    mask = None
+    if len(pls) > 1 and k < dl_ids.size:
+        by_max = sorted(pls, key=lambda p: -p.max_score)
+        top = _dense(by_max[0])
+        if top.dense_contrib.size > k:
+            theta = float(
+                np.partition(top.dense_contrib, top.dense_contrib.size - k)[
+                    top.dense_contrib.size - k
+                ]
+            )
+            suffix = np.cumsum(
+                [p.max_score for p in by_max][::-1]
+            )[::-1]
+            # the prunable set is the maximal suffix J with Σ_J max < θ —
+            # i.e. all j with suffix[j] < θ; a doc appearing only in J
+            # cannot reach θ. Essential terms are the rest. (j=0 is always
+            # essential: θ ≤ max_score_0 ≤ suffix[0].)
+            ess = [p for j, p in enumerate(by_max) if suffix[j] >= theta]
+            if len(ess) < len(pls):
+                mask = np.zeros(dl_ids.size, dtype=bool)
+                for p in ess:
+                    mask[_dense(p).dense_pos] = True
+
+    scores = np.zeros(dl_ids.size, dtype=np.float64)
+    for pl in pls:  # ascending term order (query_postings sorts)
+        _dense(pl)
+        if mask is None:
+            scores[pl.dense_pos] += pl.dense_contrib
+        else:
+            sel = mask[pl.dense_pos]
+            scores[pl.dense_pos[sel]] += pl.dense_contrib[sel]
     nz = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero == match
     return _rank_topk(dl_ids[nz], scores[nz], k)
 
