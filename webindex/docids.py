@@ -135,16 +135,35 @@ def _broadcast_cached(ref):
 BROADCAST_MAX_URLS = 50_000_000
 
 
-def build_id_table(pages_ds, num_shards: int):
-    """(url, warc_ts) keys -> side table (url, warc_ts, doc_id, n_ties).
+# Key tables at or below this row count are processed in ONE driver-side
+# pass (a few MB) instead of a distributed groupby — Ray's sort shuffle
+# carries ~2s of fixed cost that dwarfs small inputs. Both paths run the
+# SAME per-shard function, so ids are identical.
+DRIVER_KEYS_MAX = 500_000
+
+
+def build_id_table(pages_ds, num_shards: int, *,
+                   driver_keys_max: int = DRIVER_KEYS_MAX):
+    """(url, warc_ts) keys -> side table (url, warc_ts, doc_id, n_ties,
+    k_hi, k_lo).
 
     Only the ~30-byte key rows go through the groupby(shard) shuffle; the
     page payload (html) never moves here. Each shard's output depends only
     on its own URL set, so ids are identical at any parallelism level.
     """
-    keys = pages_ds.select_columns(["url", "warc_ts"]).map_batches(
-        AddShardColumn(num_shards), batch_format="pandas"
-    )
+    import ray.data as rd
+
+    keys = pages_ds.select_columns(["url", "warc_ts"])
+    rows = keys.count()
+    if rows <= driver_keys_max:
+        kdf = keys.to_pandas()
+        kdf["shard"] = _shard_column(kdf["url"].tolist(), num_shards)
+        parts = [
+            _dedup_and_rank_keys(g)
+            for _, g in kdf.groupby("shard", sort=True)
+        ]
+        return rd.from_pandas(pd.concat(parts, ignore_index=True))
+    keys = keys.map_batches(AddShardColumn(num_shards), batch_format="pandas")
     # key rows are ~30 bytes: coalesce to few fat blocks before the sort
     # shuffle — Ray's sort pays per-task overhead per input block, which
     # dominates when blocks are tiny
