@@ -41,12 +41,20 @@ class SearcherActor:
 
     def __init__(self, index_dir: str, top_k: int = 1000,
                  mode: str = "auto", self_hit_filter: bool = False,
-                 preload: bool = True):
+                 preload: bool = True, segments_ref=None):
         self.reader = SegmentReader(index_dir)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
-            # never cold parquet scans
-            self.reader.preload()
+            # never cold parquet scans. When the pool driver put the
+            # segments table in the object store, every actor preloads from
+            # the SAME zero-copy Arrow buffers — the parquet files are read
+            # once per node, not once per actor.
+            tab = None
+            if segments_ref is not None:
+                import ray
+
+                tab = ray.get(segments_ref)
+            self.reader.preload(table=tab)
         self.an = Analyzer(self.reader.cfg.analyzer)
         self.top_k = top_k
         self.mode = mode
@@ -104,15 +112,26 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    mode: str = "auto", self_hit_filter: bool = False,
                    concurrency=None, batch_size: int = 128):
     """queries(qid, text) Dataset -> runs Dataset via the actor pool."""
-    if concurrency is None:
-        import ray
+    import os
 
+    import pyarrow.dataset as pads
+    import ray
+
+    if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    # one read of the segments dataset, shared with every pool actor
+    # through the object store (zero-copy Arrow buffers)
+    seg_root = os.path.join(index_dir, "segments")
+    segments_ref = (
+        ray.put(pads.dataset(seg_root).to_table())
+        if os.path.isdir(seg_root)
+        else None
+    )
     return queries_ds.map_batches(
         SearcherActor,
         fn_constructor_kwargs=dict(
             index_dir=index_dir, top_k=top_k, mode=mode,
-            self_hit_filter=self_hit_filter,
+            self_hit_filter=self_hit_filter, segments_ref=segments_ref,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

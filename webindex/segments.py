@@ -89,17 +89,21 @@ class SegmentReader:
         return e[1] if e else 0
 
     # -- postings ----------------------------------------------------------
-    def preload(self) -> None:
+    def preload(self, table=None) -> None:
         """Load every bucket's block metadata into memory (the reference's
         always-resident ES index, SURVEY.md §2.3 T4). One full scan of the
-        segments dataset instead of a filtered scan per cold bucket; at
-        cluster scale each searcher actor preloads only the bucket subset
-        it owns."""
-        if not os.path.isdir(self._seg_root):
-            return
-        if self._seg_dset is None:
-            self._seg_dset = pads.dataset(self._seg_root)
-        tab = self._seg_dset.to_table()
+        segments dataset instead of a filtered scan per cold bucket; pass
+        ``table`` (e.g. an object-store-shared Arrow table) to skip the
+        disk read entirely. At cluster scale each searcher actor preloads
+        only the bucket subset it owns."""
+        if table is None:
+            if not os.path.isdir(self._seg_root):
+                return
+            if self._seg_dset is None:
+                self._seg_dset = pads.dataset(self._seg_root)
+            tab = self._seg_dset.to_table()
+        else:
+            tab = table
         buckets = tab.column("bucket").to_numpy()
         for b in np.unique(buckets):
             self._bucket_cache.setdefault(int(b), {})
