@@ -662,6 +662,80 @@ GROUP BY n.n_name
 """
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem: per (returnflag,
+    linestatus) row counts and exact integer-cent revenue sums — the
+    per-batch partial-aggregation (combiner) shape, bit-stable under any
+    partitioning."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(pc.multiply(batch.column("l_quantity"), 100.0)),
+                      pa.int64())
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc_price = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(batch.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0),
+                                            batch.column("l_discount"))),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": qty,
+                "price_c": price,
+                "disc_c": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+             ("qty_c", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_price_c",
+             "sum_disc_c", "n_p"]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_cents"),
+        Sum("sum_price_c", alias_name="sum_price_cents"),
+        Sum("sum_disc_c", alias_name="sum_disc_price_cents"),
+        Sum("n_p", alias_name="n_rows"),
+    )
+    return agg
+
+
+SQL_LINEITEM_PRICING = """
+-- round_even matches Arrow's HALF_TO_EVEN (plain round() is half-away and
+-- diverges on exact half-cent products)
+SELECT l_returnflag, l_linestatus,
+       sum(round_even(l_quantity * 100, 0)::BIGINT)::BIGINT AS sum_qty_cents,
+       sum(round_even(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_price_cents,
+       sum(round_even(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT)::BIGINT
+           AS sum_disc_price_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL equivalent; correctness gated in pytest)
 # ---------------------------------------------------------------------------
@@ -899,6 +973,7 @@ REGISTRY: dict[str, tuple] = {
     "chars_histogram": (q_chars_histogram, SQL_CHARS_HISTOGRAM),
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "rerank_scored": (q_rerank_scored, SQL_RERANK_SCORED),
+    "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
