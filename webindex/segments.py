@@ -104,9 +104,12 @@ class SegmentReader:
             tab = self._seg_dset.to_table()
         else:
             tab = table
-        buckets = tab.column("bucket").to_numpy()
-        for b in np.unique(buckets):
-            self._bucket_cache.setdefault(int(b), {})
+        # mark EVERY bucket resident (possibly empty) so no later lookup
+        # falls back to an unfiltered disk scan — critical when ``table``
+        # was salt-filtered by a shard searcher (webindex.serve): a
+        # fallback would silently serve documents outside the shard
+        for b in range(self.cfg.num_buckets):
+            self._bucket_cache.setdefault(b, {})
         self._fill_bucket_cache(tab, self._bucket_cache, by_bucket=True)
 
     def _fill_bucket_cache(self, tab, caches, by_bucket: bool) -> None:
