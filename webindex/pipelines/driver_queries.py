@@ -525,6 +525,18 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_sharded_bm25_top10(sf_dir: str):
+    """Doc-partitioned sharded serving (webindex.serve): scatter-gather
+    top-k over shard actors, checked against the SAME SQL oracle as the
+    single-searcher path — the merge must be exact."""
+    from webindex.serve import ShardedSearchService
+
+    idx = ensure_index(sf_dir, "nostem")
+    svc = ShardedSearchService(idx, n_shards=2, top_k=TOPK, mode="wand")
+    runs = svc.search(DOC_QUERIES)
+    return runs[["qid", "doc_id", "rank"]].copy()
+
+
 def q_distinct_langs(sf_dir: str):
     """Order-preserving unique (SURVEY.md §2.7 D2,
     /root/reference/biencoder/beir/io_utils/plugin_io_utils.py:31-42):
@@ -974,6 +986,7 @@ REGISTRY: dict[str, tuple] = {
     "orders_by_nation": (q_orders_by_nation, SQL_ORDERS_BY_NATION),
     "rerank_scored": (q_rerank_scored, SQL_RERANK_SCORED),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
+    "sharded_bm25_top10": (q_sharded_bm25_top10, SQL_BM25_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
