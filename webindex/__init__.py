@@ -13,12 +13,24 @@ Layers
 - extract     : HTML -> text extraction (byte-identical per url)
 - synth       : deterministic synthetic web-page corpus (FIXTURES.md F1-F3)
 - compress    : delta + varbyte posting-list codec (numpy-vectorized)
+- docids      : URL dedup + deterministic partition-independent docIDs
 - build       : checkpointed index-build pipeline (tokenize -> stats ->
-                df -> salted groupby(term) -> encoded segments)
-- search      : SegmentSearcher actor pool; block-max WAND top-k
+                dict -> per-partition encoded block-max segments; the
+                posting shuffle is checkpoint-relay through pkey-sorted
+                parquet, salted by docID range for term skew)
+- merge       : combine indexes over disjoint docID spaces (incremental)
+- search      : SegmentSearcher actor pool; WAND / MAXSCORE-pruned dense
+                scoring, auto-selected per query
+- serve       : doc-partitioned shard actors + exact scatter-gather merge
 - eval        : IR metrics (NDCG/MAP/Recall/P/MRR) over runs x qrels
+- sources     : BEIR jsonl/tsv/results-JSON readers and writers
+- embed/rerank: dense-retrieval and cross-encoder parity paths
 - oracle      : single-threaded pure-Python BM25 oracle for tests
-- dedup/ann/textstats/multimodal : training-data pipeline operators
+- parallel    : UDF harness with log/fail error channels + retries
+- pipelines   : end-to-end compositions (run_bm25, corpus prep, driver
+                contract registry); CLI via ``python -m webindex``
+- dedup/ann/textstats/textutil/relational/multimodal :
+                training-data pipeline operators
 """
 
 from webindex.config import AnalyzerConfig, IndexConfig
