@@ -41,8 +41,9 @@ class SearcherActor:
 
     def __init__(self, index_dir: str, top_k: int = 1000,
                  mode: str = "auto", self_hit_filter: bool = False,
-                 preload: bool = True, segments_ref=None):
-        self.reader = SegmentReader(index_dir)
+                 preload: bool = True, segments_ref=None,
+                 doc_id_range=None):
+        self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
             # never cold parquet scans. When the pool driver put the

@@ -42,7 +42,13 @@ class PostingList:
 
 
 class SegmentReader:
-    def __init__(self, index_dir: str, postings_cache: int = 4096):
+    def __init__(self, index_dir: str, postings_cache: int = 4096,
+                 doc_id_range: tuple[int, int] | None = None):
+        """``doc_id_range=(lo, hi)`` restricts the resident doclen table
+        (and thus dense-scoring array sizes) to that inclusive docID range
+        — the shard-searcher memory bound (webindex.serve): per-actor
+        memory scales with its shard, not the corpus. N/avgdl/df stay
+        global (scoring is corpus-global BM25 regardless of sharding)."""
         self.dir = index_dir
         self.cfg = IndexConfig.from_dict(read_json(os.path.join(index_dir, "config.json")))
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
@@ -50,8 +56,16 @@ class SegmentReader:
         self.avgdl = self.stats["avgdl"]
         # doclens: kind=1 rows of postings_raw (predicate pushdown at the
         # read); parallel sorted arrays for searchsorted lookup
+        dl_filter = pads.field("kind") == 1
+        if doc_id_range is not None:
+            lo, hi = doc_id_range
+            dl_filter = (
+                dl_filter
+                & (pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") <= hi)
+            )
         dl_tab = pads.dataset(os.path.join(index_dir, "postings_raw")).to_table(
-            columns=["doc_id", "dl"], filter=pads.field("kind") == 1
+            columns=["doc_id", "dl"], filter=dl_filter
         )
         order = np.argsort(dl_tab.column("doc_id").to_numpy(), kind="stable")
         self._dl_ids = dl_tab.column("doc_id").to_numpy()[order]

@@ -34,10 +34,22 @@ class _ShardSearcherImpl:
                  top_k: int = 1000, mode: str = "auto"):
         import pyarrow.dataset as pads
 
+        from webindex.config import IndexConfig
         from webindex.search import SearcherActor
+        from webindex.util import read_json
 
+        cfg = IndexConfig.from_dict(
+            read_json(f"{index_dir}/config.json")
+        )
+        # inclusive docID range covered by [salt_lo, salt_hi]: per-actor
+        # doclen residency (and dense-score arrays) bounded by the shard
+        doc_lo = salt_lo * cfg.shards_per_salt << cfg.salt_doc_shift
+        doc_hi = (
+            ((salt_hi + 1) * cfg.shards_per_salt) << cfg.salt_doc_shift
+        ) - 1
         self.inner = SearcherActor(
-            index_dir, top_k=top_k, mode=mode, preload=False
+            index_dir, top_k=top_k, mode=mode, preload=False,
+            doc_id_range=(doc_lo, doc_hi),
         )
         reader = self.inner.reader
         seg_root = reader._seg_root
