@@ -43,11 +43,8 @@ def test_sharded_service_matches_single_searcher(tmp_path):
         assert got["doc_id"].tolist() == ids.tolist(), qid
         assert np.allclose(got["score"].to_numpy(), scores, atol=1e-12), qid
 
-    # shard coverage sanity: every shard served at least one posting run
-    assert all(
-        any(len(v) for v in s.inner.reader._bucket_cache.values())
-        for s in shards
-    )
+    # shard coverage sanity: every shard holds at least one resident term
+    assert all(len(s.inner.reader._term_span) > 0 for s in shards)
 
     # the ray-actor service end to end
     svc = ShardedSearchService(idx, n_shards=3, top_k=20, mode="exhaustive")

@@ -81,6 +81,7 @@ class SegmentReader:
         )
         self._seg_root = os.path.join(index_dir, "segments")
         self._seg_dset = None  # lazy pyarrow dataset handle
+        self._term_span = None  # preload(): term -> (row_start, row_end)
         self._bucket_cache: dict[int, dict[str, list]] = {}
         self._postings: OrderedDict[str, PostingList] = OrderedDict()
         self._postings_cap = postings_cache
@@ -104,12 +105,16 @@ class SegmentReader:
 
     # -- postings ----------------------------------------------------------
     def preload(self, table=None) -> None:
-        """Load every bucket's block metadata into memory (the reference's
-        always-resident ES index, SURVEY.md §2.3 T4). One full scan of the
-        segments dataset instead of a filtered scan per cold bucket; pass
-        ``table`` (e.g. an object-store-shared Arrow table) to skip the
-        disk read entirely. At cluster scale each searcher actor preloads
-        only the bucket subset it owns."""
+        """Make the segment metadata resident (the reference's
+        always-resident ES index, SURVEY.md §2.3 T4). One C++ sort +
+        dictionary-encode builds a term -> row-span index over the whole
+        table; per-term block data converts lazily at first access (no
+        Python pass over every block row). Pass ``table`` (e.g. an
+        object-store-shared Arrow table, possibly salt-filtered by a shard
+        searcher) to skip the disk read entirely — lookups never fall back
+        to disk afterwards."""
+        import pyarrow.compute as pc
+
         if table is None:
             if not os.path.isdir(self._seg_root):
                 return
@@ -118,15 +123,35 @@ class SegmentReader:
             tab = self._seg_dset.to_table()
         else:
             tab = table
-        # mark EVERY bucket resident (possibly empty) so no later lookup
-        # falls back to an unfiltered disk scan — critical when ``table``
-        # was salt-filtered by a shard searcher (webindex.serve): a
-        # fallback would silently serve documents outside the shard
-        for b in range(self.cfg.num_buckets):
-            self._bucket_cache.setdefault(b, {})
-        self._fill_bucket_cache(tab, self._bucket_cache, by_bucket=True)
+        order = pc.sort_indices(
+            tab,
+            sort_keys=[("term", "ascending"), ("salt", "ascending"),
+                       ("block_id", "ascending")],
+        )
+        tab = tab.take(order).combine_chunks()
+        codes = pc.dictionary_encode(
+            tab.column("term").combine_chunks()
+        ).indices.to_numpy()
+        if codes.size:
+            change = np.empty(codes.size, dtype=bool)
+            change[0] = True
+            change[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], codes.size)
+            term_col = tab.column("term")
+            self._term_span = {
+                term_col[int(s)].as_py(): (int(s), int(e))
+                for s, e in zip(starts, ends)
+            }
+        else:
+            self._term_span = {}
+        self._seg_ns = tab.column("n").to_numpy()
+        self._seg_lasts = tab.column("last_doc_id").to_numpy()
+        self._seg_maxes = tab.column("max_tf_norm").to_numpy()
+        self._seg_idbufs = tab.column("doc_ids").combine_chunks()
+        self._seg_tfbufs = tab.column("tfs").combine_chunks()
 
-    def _fill_bucket_cache(self, tab, caches, by_bucket: bool) -> None:
+    def _fill_bucket_cache(self, tab, rows) -> None:
         terms = tab.column("term").to_pylist()
         salts = tab.column("salt").to_numpy()
         bids = tab.column("block_id").to_numpy()
@@ -136,9 +161,7 @@ class SegmentReader:
         tfbufs = tab.column("tfs").to_pylist()
         # idf-free per-block bounds; idf(df) is applied at load
         maxes = tab.column("max_tf_norm").to_numpy()
-        buckets = tab.column("bucket").to_numpy() if by_bucket else None
         for i, t in enumerate(terms):
-            rows = caches[int(buckets[i])] if by_bucket else caches
             rows.setdefault(t, []).append(
                 (int(salts[i]), int(bids[i]), int(ns[i]), int(lasts[i]),
                  idbufs[i], tfbufs[i], float(maxes[i]))
@@ -155,7 +178,7 @@ class SegmentReader:
             tab = self._seg_dset.to_table(
                 filter=pads.field("bucket") == bucket
             )
-            self._fill_bucket_cache(tab, rows, by_bucket=False)
+            self._fill_bucket_cache(tab, rows)
         self._bucket_cache[bucket] = rows
         return rows
 
@@ -167,26 +190,44 @@ class SegmentReader:
         dfe = self._df.get(term)
         if dfe is None:
             return None
-        blocks = self._load_bucket(term_bucket(term, self.cfg.num_buckets)).get(term)
-        if not blocks:
-            return None
-        # (salt, block_id) order == ascending docID ranges (range salting)
-        blocks.sort(key=lambda r: (r[0], r[1]))
+        if self._term_span is not None:
+            span = self._term_span.get(term)
+            if span is None:
+                return None
+            s, e = span
+            ns = self._seg_ns[s:e].astype(np.int64)
+            lasts = self._seg_lasts[s:e].astype(np.int64)
+            maxes = self._seg_maxes[s:e].astype(np.float64)
+            idbufs = self._seg_idbufs.slice(s, e - s).to_pylist()
+            tfbufs = self._seg_tfbufs.slice(s, e - s).to_pylist()
+        else:
+            blocks = self._load_bucket(
+                term_bucket(term, self.cfg.num_buckets)
+            ).get(term)
+            if not blocks:
+                return None
+            # (salt, block_id) order == ascending docID ranges (range
+            # salting)
+            blocks.sort(key=lambda r: (r[0], r[1]))
+            ns = np.array([b[2] for b in blocks], dtype=np.int64)
+            lasts = np.array([b[3] for b in blocks], dtype=np.int64)
+            maxes = np.array([b[6] for b in blocks], dtype=np.float64)
+            idbufs = [b[4] for b in blocks]
+            tfbufs = [b[5] for b in blocks]
         # joint decode: ONE varbyte pass over the concatenated buffers
         # (a per-block decode loop cost ~50us x thousands of 128-posting
         # blocks on stopword-scale lists), then a segmented cumsum turns
         # block-local gaps into absolute docIDs (each block's first value
         # is stored absolute)
-        ns = np.array([b[2] for b in blocks], dtype=np.int64)
         starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
-        gaps = varbyte_decode(b"".join(b[4] for b in blocks))
+        gaps = varbyte_decode(b"".join(idbufs))
         csum = np.cumsum(gaps)
         shift = np.zeros(ns.size, dtype=np.int64)
         shift[1:] = csum[starts[1:] - 1]
         ids = csum - np.repeat(shift, ns)
-        tfs = varbyte_decode(b"".join(b[5] for b in blocks))
+        tfs = varbyte_decode(b"".join(tfbufs))
         idf_t = _idf(self.N, dfe[0])
-        block_max = idf_t * np.array([b[6] for b in blocks], dtype=np.float64)
+        block_max = idf_t * maxes
         pl = PostingList(
             term=term,
             df=dfe[0],
@@ -194,7 +235,7 @@ class SegmentReader:
             ids=ids,
             tfs=tfs,
             block_starts=starts,
-            block_last=np.array([b[3] for b in blocks], dtype=np.int64),
+            block_last=lasts,
             block_max=block_max,
             max_score=float(block_max.max()),
         )
