@@ -15,9 +15,11 @@ with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32):
                 per-query p95 latency measured on one searcher
 - dedup_minhash / ann_brute / events_hourly: curation pipeline benches
 
---scaling: runs this same benchmark in fresh subprocesses at num_cpus=8
-and num_cpus=32 and reports throughput at both + scaling efficiency
-(the sandbox stand-in for the N vs 4N cluster criterion in BASELINE.md).
+--scaling: runs this same benchmark in fresh subprocesses at two CPU
+levels (default 4 and 16 = N vs 4N; override with GRAFT_SCALING_LO/HI)
+over a large fixed corpus, best-of-2 per level, and reports throughput at
+both + scaling efficiency + cross-level runs-hash identity (the sandbox
+stand-in for the N vs 4N cluster criterion in BASELINE.md).
 """
 
 from __future__ import annotations
