@@ -340,7 +340,13 @@ def _praw_layout(praw: str):
 
     import pyarrow.parquet as pq
 
-    cached = _DSET_CACHE.get(praw)
+    # Cache key includes the directory's identity (inode + mtime): the
+    # postings_raw dir is freshly os.replace()d by every build, so a
+    # rebuild at the same path invalidates stale layouts/handles held by
+    # persistent Ray workers.
+    st = os.stat(praw)
+    key = (praw, st.st_ino, st.st_mtime_ns)
+    cached = _DSET_CACHE.get(key)
     if cached is not None:
         return cached
     by_pkey: dict[int, list[tuple[str, int]]] = {}
@@ -357,7 +363,9 @@ def _praw_layout(praw: str):
                     lst.append((fpath, rg))
     handles: dict[str, pq.ParquetFile] = {}
     out = (by_pkey, handles)
-    _DSET_CACHE[praw] = out
+    for k in [k for k in _DSET_CACHE if k[0] == praw]:  # stale prior builds
+        del _DSET_CACHE[k]
+    _DSET_CACHE[key] = out
     return out
 
 

@@ -232,15 +232,21 @@ def assign_doc_ids(pages_ds, num_shards: int, *,
             ks = [_key128(u, t) for u, t in zip(urls, tss)]
             bh = np.array([k[0] for k in ks], dtype=np.uint64)
             bl = np.array([k[1] for k in ks], dtype=np.uint64)
-            pos = np.searchsorted(s["k_hi"], bh)
-            pos = np.minimum(pos, s["k_hi"].size - 1)
+            lo = np.searchsorted(s["k_hi"], bh, side="left")
+            hi_b = np.searchsorted(s["k_hi"], bh, side="right")
+            pos = np.minimum(lo, s["k_hi"].size - 1)
             # verify both 128-bit halves; equal-k_hi spans are
-            # single-element at these densities, handle with one probe step
-            hit = (s["k_hi"][pos] == bh) & (s["k_lo"][pos] == bl)
-            nxt = np.minimum(pos + 1, s["k_hi"].size - 1)
-            probe = (~hit) & (s["k_hi"][nxt] == bh) & (s["k_lo"][nxt] == bl)
-            pos = np.where(probe, nxt, pos)
-            hit |= probe
+            # single-element at these densities (fast path), but scan the
+            # full span when longer so a k_hi collision can't drop a page
+            hit = (hi_b > lo) & (s["k_lo"][pos] == bl)
+            multi = (hi_b - lo > 1) & ~hit
+            for i in np.flatnonzero(multi):
+                j = lo[i] + np.searchsorted(
+                    s["k_lo"][lo[i]:hi_b[i]], bl[i]
+                )
+                if j < hi_b[i] and s["k_lo"][j] == bl[i]:
+                    pos[i] = j
+                    hit[i] = True
             out = batch.filter(pa.array(hit))
             sel = pos[hit]
             arrays = [pa.array(s["doc_id"][sel], pa.int64())]

@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .util import stable_hash64
+
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -28,8 +30,10 @@ def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
         if str(col.dtype).startswith("datetime"):
             v = col.astype("int64").to_numpy().astype(np.uint64)
         elif col.dtype == object:
+            # Python's hash() is per-process randomized (PYTHONHASHSEED);
+            # partition assignment must agree across Ray workers.
             v = np.fromiter(
-                (hash(x) & 0xFFFFFFFFFFFFFFFF for x in col),
+                (stable_hash64(str(x)) for x in col),
                 dtype=np.uint64, count=len(col),
             )
         else:

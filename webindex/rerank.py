@@ -99,8 +99,14 @@ def rerank_runs(runs_df: pd.DataFrame, queries: dict[str, str],
     import ray.data as rd
 
     did_col = "did" if "did" in runs_df.columns else "doc_id"
+    # stable sort + did tie-break so the candidate cut at the depth
+    # boundary is deterministic across runs/partitionings
     top = (
-        runs_df.sort_values(["qid", "score"], ascending=[True, False])
+        runs_df.sort_values(
+            ["qid", "score", did_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
         .groupby("qid", sort=False)
         .head(depth)
     )

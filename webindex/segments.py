@@ -88,7 +88,25 @@ class SegmentReader:
 
     # -- doclens -----------------------------------------------------------
     def doclen(self, doc_ids: np.ndarray) -> np.ndarray:
+        if doc_ids.size == 0:
+            return np.empty(0, dtype=self._dl.dtype)
         pos = np.searchsorted(self._dl_ids, doc_ids)
+        pos = np.minimum(pos, max(self._dl_ids.size - 1, 0))
+        # a doc_id outside the resident doclen table means postings and
+        # doclens were loaded with mismatched filters — fail loudly rather
+        # than silently scoring with a neighbor's length
+        if self._dl_ids.size == 0 or not np.array_equal(
+            self._dl_ids[pos], doc_ids
+        ):
+            missing = doc_ids[
+                (self._dl_ids[pos] != doc_ids)
+                if self._dl_ids.size
+                else slice(None)
+            ]
+            raise KeyError(
+                f"doclen lookup miss for {missing[:5].tolist()} "
+                "(postings/doclen load filters disagree)"
+            )
         return self._dl[pos]
 
     def doc_count(self) -> int:
