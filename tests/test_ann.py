@@ -73,3 +73,46 @@ def test_ivf_recall(emb_ds):
     for qi in range(5):
         top1 = out[(out.query_id == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
         assert int(top1) == expect[qi][0][0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_store_scans_only_probed_partitions(emb_ds, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from webindex.ann import ivf_topk_store, ivf_write
+
+    tab = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    qvecs = vecs[10:13]
+
+    assigned, cents = ivf_build(emb_ds, n_centroids=8)
+    store = str(tmp_path / "ivf")
+    ivf_write(assigned, cents, store)
+
+    from webindex.ann import _probe_plan
+
+    _, probe_set, _ = _probe_plan(cents, [0, 1, 2], qvecs, 2)
+    mem = ivf_topk(
+        assigned, cents, [0, 1, 2], qvecs, 10, nprobe=2, concurrency=2
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # corrupt every UNPROBED partition: if the store path touched them,
+    # the read would fail — surviving proves partition pruning at the read
+    for name in os.listdir(store):
+        if name.startswith("centroid="):
+            c = int(name.split("=")[1])
+            if c not in probe_set:
+                for f in os.listdir(os.path.join(store, name)):
+                    with open(os.path.join(store, name, f), "wb") as fh:
+                        fh.write(b"not a parquet file")
+
+    got = ivf_topk_store(
+        store, [0, 1, 2], qvecs, 10, nprobe=2
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(probe_set) < 8  # sanity: pruning actually happened
+    assert got[["query_id", "vec_id", "rank"]].equals(
+        mem[["query_id", "vec_id", "rank"]]
+    )
+    np.testing.assert_allclose(got["sim"], mem["sim"], rtol=1e-12)

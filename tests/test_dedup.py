@@ -136,3 +136,81 @@ def test_embedding_dedup():
     m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
     assert m.get(1) == m.get(2) == 1
     assert 3 not in m and 4 not in m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_ds_matches_union_find():
+    import ray.data as rd
+
+    from webindex.dedup import connected_components_ds
+
+    rng = np.random.default_rng(11)
+    # random graph + a long chain (multi-round convergence) + isolated pair
+    a = rng.integers(0, 400, size=600)
+    b = rng.integers(0, 400, size=600)
+    mask = a != b
+    chain = np.arange(1000, 1300)
+    pairs = pd.DataFrame(
+        {
+            "a": np.concatenate([a[mask], chain[:-1], [5000]]),
+            "b": np.concatenate([b[mask], chain[1:], [5001]]),
+        }
+    )
+    want = connected_components(pairs)
+    got = (
+        connected_components_ds(rd.from_pandas(pairs), n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(np.int64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_distributed_cc_matches_driver():
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("careful", "cautious")),
+        (3, "unrelated short document about gardens and flowers " * 6),
+        (4, BASE.replace("ray", "beam")),
+        (5, "another unrelated text on medieval history of europe " * 6),
+        (6, BASE.replace("pipeline", "dataflow")),
+    ]
+    drv = minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="driver")
+    dist = minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="distributed")
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True).astype(np.int64),
+        dist.reset_index(drop=True).astype(np.int64),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dedup_matches_brute_oracle_on_testdata():
+    """All-pairs brute hamming oracle (4x16-bit banding is COMPLETE for
+    hamming<=3 by pigeonhole, so LSH candidates lose nothing). Regression:
+    a pandas float64 coercion once rounded 64-bit signatures past 2^53
+    during the verify join, producing phantom near-dup pairs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.dedup import _popcount64
+
+    tab = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    sig = SimHashStage()(tab)
+    ids = np.asarray(sig.column("doc_id").to_pylist(), dtype=np.int64)
+    sh = np.asarray(sig.column("simhash").to_pylist(), dtype=np.int64).view(
+        np.uint64
+    )
+    dist = _popcount64(sh[:, None] ^ sh[None, :])
+    ii, jj = np.where(np.triu(dist <= 3, k=1))
+    a = np.minimum(ids[ii], ids[jj])
+    b = np.maximum(ids[ii], ids[jj])
+    want = connected_components(pd.DataFrame({"a": a, "b": b}))
+    got = simhash_dedup(rd.from_arrow(tab), max_hamming=3)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype(np.int64),
+        want.reset_index(drop=True).astype(np.int64),
+    )

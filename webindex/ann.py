@@ -32,11 +32,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Embedding column -> (n, d) float64 matrix without Python-row hops.
+
+    FixedSizeList and rectangular variable lists reshape the flat Arrow
+    values buffer directly (one vectorized dtype cast, no ``to_pylist``);
+    ragged lists fall back to the row-wise path.
+    """
     col = batch.column(vec_col)
-    if isinstance(col.type, pa.FixedSizeListType) or pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+    t = col.type
+    n = len(col)
+    if isinstance(t, pa.FixedSizeListType):
+        if n == 0:
+            return np.empty((0, t.list_size), dtype=np.float64)
+        vals = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        return vals.reshape(n, t.list_size).astype(np.float64, copy=False)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if n == 0:
+            return np.empty((0, 0), dtype=np.float64)
         flat = col.combine_chunks()
-        arr = np.array(col.to_pylist(), dtype=np.float64)
-        return arr
+        widths = np.diff(flat.offsets.to_numpy())
+        if (widths == widths[0]).all():
+            vals = flat.flatten().to_numpy(zero_copy_only=False)
+            return vals.reshape(n, int(widths[0])).astype(
+                np.float64, copy=False
+            )
+        return np.array(col.to_pylist(), dtype=np.float64)
     raise TypeError(f"unsupported embedding column type {col.type}")
 
 
@@ -108,23 +128,40 @@ def brute_topk(emb_ds, query_ids: list[int], query_vecs: np.ndarray, k: int,
 def paraphrase_mining(emb_ds, *, max_pairs: int = 500_000,
                       query_chunk_top_k: int = 100,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      concurrency=4):
+                      concurrency=4, mode: str = "auto",
+                      broadcast_limit: int = 200_000,
+                      n_planes: int = 10, n_bands: int = 4, seed: int = 7):
     """All-pairs near-dup mining with a global pair budget (SURVEY.md §2.7
     D3): the reference's ``paraphrase_mining_embeddings`` — chunked
     all-pairs top-k pushed through a bounded ``PriorityQueue(max_pairs)``
     (/root/reference/biencoder/nli_msmarco/sentence-transformers/
     sentence_transformers/util.py:129-189).
 
-    Ray shape: the normalized matrix is broadcast once (``ray.put``; for
-    corpora past broadcast size, swap candidate generation for the LSH
-    buckets of webindex.dedup.embedding_dedup); each batch is a "query
-    chunk" emitting its per-row top-k partner pairs (i < j, self-pairs
-    dropped); the bounded queue is ``sort(sim desc).limit(max_pairs)`` —
-    exact, and never materializes more than chunk x top_k pairs per task.
+    Two Ray shapes, routed by ``mode`` ("auto" switches on row count vs
+    ``broadcast_limit``):
+
+    - **broadcast** (exact): the normalized matrix is broadcast once
+      (``ray.put``); each batch is a "query chunk" emitting its per-row
+      top-k partner pairs; the bounded queue is ``sort(sim desc)
+      .limit(max_pairs)`` — never materializes more than chunk x top_k
+      pairs per task.
+    - **lsh** (scale path, approximate): candidate pairs from ``n_bands``
+      independent random-hyperplane sign buckets (multi-band probing for
+      recall), exact cosine re-scored via a hash-join of the pair list
+      against the vectors — nothing corpus-sized ever reaches the driver
+      or the object store whole.
 
     Returns a Dataset (a, b, sim) sorted by sim desc.
     """
     import ray
+
+    if mode == "auto":
+        mode = "broadcast" if emb_ds.count() <= broadcast_limit else "lsh"
+    if mode == "lsh":
+        return _paraphrase_mining_lsh(
+            emb_ds, max_pairs=max_pairs, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_bands=n_bands, seed=seed,
+        )
 
     pdf = emb_ds.to_pandas()
     ids_all = pdf[id_col].to_numpy(np.int64)
@@ -165,6 +202,76 @@ def paraphrase_mining(emb_ds, *, max_pairs: int = 500_000,
     return uniq.sort(["sim", "a", "b"], descending=[True, False, False]).limit(
         max_pairs
     )
+
+
+def _paraphrase_mining_lsh(emb_ds, *, max_pairs: int, id_col: str,
+                           vec_col: str, n_planes: int, n_bands: int,
+                           seed: int):
+    """LSH-bucketed candidate generation + joined exact re-score (the
+    above-broadcast-size path of :func:`paraphrase_mining`)."""
+    from webindex.dedup import attach_pair_payloads, pairs_from_buckets
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_vecs(batch, vec_col))
+        ids = batch.column(id_col)
+        bids, keys, dids = [], [], []
+        for band in range(n_bands):
+            rng = np.random.default_rng(seed + band)
+            planes = rng.standard_normal((vecs.shape[1], n_planes))
+            signs = (vecs @ planes) > 0
+            k = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            bids.append(np.full(len(k), band, np.int32))
+            keys.append(k.astype(np.int64))
+            dids.append(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bids), pa.int32()),
+                "band_hash": pa.array(np.concatenate(keys), pa.int64()),
+                "doc_id": pa.concat_arrays(
+                    [d.combine_chunks() for d in dids]
+                ),
+            }
+        )
+
+    buckets = emb_ds.map_batches(bucket, batch_format="pyarrow")
+    pairs_ds = pairs_from_buckets(buckets, ["band_id", "band_hash"])
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        mat = _batch_vecs(batch, vec_col)
+        blobs = [mat[i].tobytes() for i in range(mat.shape[0])]
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "vecblob": pa.array(blobs, pa.binary())}
+        )
+
+    blob_ds = emb_ds.map_batches(to_blob, batch_format="pyarrow")
+    withpay = attach_pair_payloads(pairs_ds, blob_ds, ["vecblob"],
+                                   id_col=id_col)
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        va = _normalize(np.stack(
+            [np.frombuffer(x, np.float64)
+             for x in batch.column("vecblob_a").to_pylist()]
+        ))
+        vb = _normalize(np.stack(
+            [np.frombuffer(x, np.float64)
+             for x in batch.column("vecblob_b").to_pylist()]
+        ))
+        sim = np.einsum("ij,ij->i", va, vb)
+        return pa.table(
+            {"a": batch.column("a"), "b": batch.column("b"),
+             "sim": pa.array(sim, pa.float64())}
+        )
+
+    scored = withpay.map_batches(rescore, batch_format="pyarrow")
+    return scored.sort(
+        ["sim", "a", "b"], descending=[True, False, False]
+    ).limit(max_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +324,15 @@ def ivf_build(emb_ds, *, n_centroids: int = 16, sample_n: int = 2048,
     return emb_ds.map_batches(assign, batch_format="pyarrow"), cents
 
 
+def _probe_plan(cents: np.ndarray, query_ids, query_vecs, nprobe: int):
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probes for c in row})
+    allowed = {int(q): {int(c) for c in probes[i]}
+               for i, q in enumerate(query_ids)}
+    return qmat, probe_set, allowed
+
+
 def ivf_topk(assigned_ds, cents: np.ndarray, query_ids: list[int],
              query_vecs: np.ndarray, k: int, *, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -224,10 +340,10 @@ def ivf_topk(assigned_ds, cents: np.ndarray, query_ids: list[int],
     """Probe the ``nprobe`` nearest centroid partitions per query."""
     import pyarrow.compute as pc
 
-    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    qmat, probe_set, allowed = _probe_plan(
+        cents, query_ids, query_vecs, nprobe
+    )
     # queries grouped by probed centroid -> prune the scan per centroid set
-    probe_set = sorted({int(c) for row in probes for c in row})
     pruned = assigned_ds.map_batches(
         lambda t, cs=probe_set: t.filter(pc.is_in(t.column("centroid"),
                                                   pa.array(cs, pa.int32()))),
@@ -235,10 +351,15 @@ def ivf_topk(assigned_ds, cents: np.ndarray, query_ids: list[int],
     )
     # per-query candidate filter happens at merge: a vec counts for query q
     # only if its centroid is among q's probes
-    allowed = {int(q): {int(c) for c in probes[i]}
-               for i, q in enumerate(query_ids)}
     qids = list(query_ids)
+    score = _ivf_score_factory(qmat, qids, allowed, k, id_col, vec_col)
+    partial = pruned.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )
 
+
+def _ivf_score_factory(qmat, qids, allowed, k, id_col, vec_col):
     def score(batch: pa.Table) -> pa.Table:
         cents_b = batch.column("centroid").to_numpy()
         vids = batch.column(id_col).to_numpy()
@@ -267,7 +388,71 @@ def ivf_topk(assigned_ds, cents: np.ndarray, query_ids: list[int],
             }
         )
 
-    partial = pruned.map_batches(score, batch_format="pyarrow")
+    return score
+
+
+def ivf_write(assigned_ds, cents: np.ndarray, out_dir: str) -> None:
+    """Persist an IVF index as centroid-partitioned parquet.
+
+    One directory per coarse centroid (``centroid=<c>/``) so queries read
+    ONLY their probed partitions from storage — the pruning happens at the
+    read, not as a post-read filter. Centroids go to a small sidecar.
+    """
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    assigned_ds.write_parquet(out_dir, partition_cols=["centroid"])
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+
+
+def ivf_topk_store(index_dir: str, query_ids: list[int],
+                   query_vecs: np.ndarray, k: int, *, nprobe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Query a written IVF store, scanning only the probed partitions.
+
+    Reads ``centroid=<c>/`` directories for the union of the queries'
+    probes — unprobed partitions are never opened (see
+    tests/test_ann.py::test_ivf_store_scans_only_probed_partitions).
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    qmat, probe_set, allowed = _probe_plan(
+        cents, query_ids, query_vecs, nprobe
+    )
+    parts = []
+    for c in probe_set:
+        pdir = os.path.join(index_dir, f"centroid={c}")
+        if not os.path.isdir(pdir):
+            continue
+        # hive partition inference restores the centroid column (string);
+        # normalize it to int32 for the shared score stage
+        part = rd.read_parquet(pdir).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("centroid"),
+                "centroid",
+                t.column("centroid").cast(pa.string()).cast(pa.int32()),
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(part)
+    if not parts:
+        return rd.from_arrow(
+            pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+        )
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    score = _ivf_score_factory(
+        qmat, list(query_ids), allowed, k, id_col, vec_col
+    )
+    partial = ds.map_batches(score, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )

@@ -240,12 +240,126 @@ def exact_pair_dedup(pairs_ds, n_parts: int = 64):
     return parts.groupby("part2").map_groups(dedup, batch_format="pandas")
 
 
-def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Min-label propagation over the (a, b) edge list -> (doc_id, cluster).
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
 
-    Driver-side loop over a *candidate pair* frame (already tiny relative to
-    the corpus); at larger candidate volumes the same propagation runs as
-    repeated Ray groupbys — the iteration structure is identical.
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as pyarrow (pandas-block datasets report numpy dtypes)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        elif np.dtype(t) == np.dtype(object):
+            fields.append(pa.field(n, pa.string()))
+        else:
+            fields.append(pa.field(n, pa.from_numpy_dtype(np.dtype(t))))
+    return pa.schema(fields)
+
+
+def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
+                         id_col: str = "doc_id", num_partitions: int = 32):
+    """Hash-join payload columns onto BOTH sides of a candidate pair list.
+
+    (a, b, ...) x (doc_id, c1, c2, ...) -> (a, b, ..., c1_a, c1_b, ...).
+    Implemented as union + hash-partitioned groupby + per-partition pandas
+    merge (the repo's standard co-location shape) rather than
+    ``Dataset.join``: the join operator's aggregator actors deadlock small
+    CPU budgets and emit schema-less empty blocks that break chained
+    joins. The corpus never materializes on the driver; only the (small,
+    LSH-pruned) pair list and the matched payload rows flow. This is the
+    CC-scale verify shape the dedup operators use. ``num_partitions`` is
+    pinned logical partitioning; results are partition-independent.
+    """
+    pay_schema = _arrow_schema(payload_ds)
+    ptypes = {c: pay_schema.field(c).type for c in payload_cols}
+
+    out = pairs_ds
+    for side in ("a", "b"):
+        out = _attach_side(
+            out, payload_ds, payload_cols, ptypes, id_col, side,
+            num_partitions,
+        )
+    return out
+
+
+def _attach_side(pairs_ds, payload_ds, payload_cols, ptypes, id_col,
+                 side, n_parts):
+    pair_schema = _arrow_schema(pairs_ds)
+    pair_cols = list(pair_schema.names)
+    new_cols = [f"{c}_{side}" for c in payload_cols]
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        key = batch.column(side).to_numpy().astype(np.uint64)
+        part = ((key * _MIX64) >> np.uint64(33)) % np.uint64(n_parts)
+        cols = {
+            "_part": pa.array(part.astype(np.int32)),
+            "_kind": pa.array(np.ones(batch.num_rows, np.int8)),
+        }
+        for c in pair_cols:
+            cols[c] = batch.column(c)
+        for c, nc in zip(payload_cols, new_cols):
+            cols[nc] = pa.nulls(batch.num_rows, ptypes[c])
+        return pa.table(cols)
+
+    def tag_pay(batch: pa.Table) -> pa.Table:
+        key = batch.column(id_col).to_numpy().astype(np.uint64)
+        part = ((key * _MIX64) >> np.uint64(33)) % np.uint64(n_parts)
+        cols = {
+            "_part": pa.array(part.astype(np.int32)),
+            "_kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+        }
+        for c in pair_cols:
+            if c == side:
+                cols[c] = batch.column(id_col).cast(pa.int64())
+            else:
+                cols[c] = pa.nulls(batch.num_rows, pair_schema.field(c).type)
+        for c, nc in zip(payload_cols, new_cols):
+            cols[nc] = batch.column(c)
+        return pa.table(cols)
+
+    # the per-partition merge runs on ARROW (not pandas): pandas coerces
+    # nullable int64 to float64, which silently rounds values past 2^53
+    # (e.g. 64-bit simhash signatures) — arrow keeps exact types
+    def join_group(g: pa.Table) -> pa.Table:
+        kind = g.column("_kind").to_numpy()
+        pay = g.filter(pa.array(kind == 0))
+        prs = g.filter(pa.array(kind == 1))
+        prs = prs.drop_columns(["_part", "_kind"])
+        if prs.num_rows == 0 or pay.num_rows == 0:
+            return prs.slice(0, 0)
+        pay_keys = pay.column(side).to_numpy()
+        order = np.argsort(pay_keys, kind="stable")
+        pk_sorted = pay_keys[order]
+        pr_keys = prs.column(side).to_numpy()
+        pos = np.searchsorted(pk_sorted, pr_keys)
+        pos = np.minimum(pos, pk_sorted.size - 1)
+        hit = pk_sorted[pos] == pr_keys
+        prs_f = prs.filter(pa.array(hit))
+        pay_taken = pay.take(pa.array(order[pos[hit]], pa.int64()))
+        cols = {c: prs_f.column(c) for c in pair_cols}
+        for nc in new_cols:
+            cols[nc] = pay_taken.column(nc)
+        return pa.table(cols)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        payload_ds.map_batches(tag_pay, batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("_part")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Min-label union-find over the (a, b) edge list -> (doc_id, cluster).
+
+    Driver-side fast path for small candidate-pair frames; above
+    ``driver_threshold`` the dedup operators route to the distributed
+    :func:`connected_components_ds` (identical labels).
     """
     label: dict[int, int] = {}
     for a, b in zip(pairs["a"], pairs["b"]):
@@ -269,6 +383,127 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
                 label[ra] = rb
     items = sorted((d, find(d)) for d in label)
     return pd.DataFrame(items, columns=["doc_id", "cluster"])
+
+
+def connected_components_ds(pairs_ds, *, n_parts: int = 64,
+                            max_rounds: int = 64):
+    """Distributed connected components over an (a, b) edge Dataset.
+
+    Hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds", ICDE 2013): each node
+    keeps a member set C(v); per round every set sends its min to all
+    members and its members to the min. Converges in O(log n) rounds; at
+    the fixed point every node's min is its component's global min docID.
+
+    Each round is ONE hash-partitioned groupby over the message rows (the
+    edge list never leaves the cluster, nothing touches the driver except
+    a per-round fingerprint scalar used for convergence detection).
+    Returns a Dataset of (doc_id, cluster) — labels are identical to the
+    driver-side :func:`connected_components` union-find.
+    """
+    _MIXC = np.uint64(0x9E3779B97F4A7C15)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b, a, b]), pa.int64()),
+                "member": pa.array(np.concatenate([b, a, a, b]), pa.int64()),
+                "lab": pa.array(np.zeros(4 * len(a), dtype=bool)),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy().astype(np.uint64)
+        part = ((node * _MIXC) >> np.uint64(33)) % np.uint64(n_parts)
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int32))
+        )
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["node", "member"]].drop_duplicates()
+        mn = g.groupby("node")["member"].transform("min").to_numpy(np.int64)
+        node = g["node"].to_numpy(np.int64)
+        member = g["member"].to_numpy(np.int64)
+        # label rows (node -> its current min); also valid messages, so
+        # they flow into the next round, which keeps mins monotone
+        labs = (
+            pd.DataFrame({"node": node, "member": mn, "lab": True})
+            .drop_duplicates(["node", "member"])
+        )
+        msgs = (
+            pd.DataFrame(
+                {
+                    "node": np.concatenate([member, mn]),
+                    "member": np.concatenate([mn, member]),
+                    "lab": False,
+                }
+            ).drop_duplicates(["node", "member"])
+        )
+        # a (node, member) row that is a label keeps lab=True
+        msgs = msgs.merge(
+            labs[["node", "member"]].assign(_l=True),
+            on=["node", "member"], how="left",
+        )
+        msgs = msgs[msgs["_l"].isna()].drop(columns=["_l"])
+        return pd.concat([labs, msgs], ignore_index=True)
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        # commutative, partition-independent hash of the message multiset:
+        # equal across rounds <=> fixed point reached
+        node = batch.column("node").to_numpy().astype(np.uint64)
+        member = batch.column("member").to_numpy().astype(np.uint64)
+        h = (node * _MIXC) ^ (member + _MIXC)
+        h = h * _MIXC
+        return pa.table(
+            {"fp": pa.array([int(np.sum(h, dtype=np.uint64))], pa.uint64()),
+             "n": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    cur = pairs_ds.map_batches(seed, batch_format="pyarrow").materialize()
+    prev_fp = None
+    for _ in range(max_rounds):
+        cur = (
+            cur.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(step, batch_format="pandas")
+            .materialize()
+        )
+        fps = cur.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
+        fp = (int(np.sum(fps["fp"].to_numpy(np.uint64), dtype=np.uint64)),
+              int(fps["n"].sum()))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    def emit_labels(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(batch.column("lab"))
+        return pa.table(
+            {"doc_id": keep.column("node"), "cluster": keep.column("member")}
+        )
+
+    return cur.map_batches(emit_labels, batch_format="pyarrow")
+
+
+def cluster_pairs(pairs_ds, *, mode: str = "auto",
+                  driver_threshold: int = 100_000,
+                  n_parts: int = 64) -> pd.DataFrame:
+    """Verified pair Dataset -> (doc_id, cluster) frame, routing between the
+    driver union-find (small inputs) and distributed hash-to-min rounds."""
+    pairs_ds = pairs_ds.materialize()
+    n = pairs_ds.count()
+    if n == 0:
+        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+    if mode == "driver" or (mode == "auto" and n <= driver_threshold):
+        return connected_components(pairs_ds.to_pandas())
+    labels = connected_components_ds(pairs_ds, n_parts=n_parts)
+    return (
+        labels.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -312,13 +547,15 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.8,
-                  concurrency: int | tuple = 4) -> pd.DataFrame:
+                  concurrency: int | tuple = 4, cc_mode: str = "auto",
+                  driver_threshold: int = 100_000) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (doc_id, cluster) pandas frame.
 
-    ``ds`` needs (doc_id, text). Verification recomputes exact shingle
-    Jaccard for candidate pairs (texts fetched via a broadcast dict at this
-    scale; at CC scale the verify stage is a hash-join of the pair list
-    against the corpus, then a map_batches).
+    ``ds`` needs (doc_id, text). Verification hash-joins the LSH candidate
+    pair list against the corpus (both sides) and recomputes exact shingle
+    Jaccard inside ``map_batches`` — the corpus itself never materializes
+    on the driver; only the pruned pair list does (and above
+    ``driver_threshold`` pairs, clustering too runs distributed).
     """
     # stateless tasks with a process-global stage cache: actor pools pay
     # startup per actor, which dominates on small inputs (measured ~2s of
@@ -336,21 +573,28 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
 
     sig = ds.map_batches(sig_batch, batch_format="pyarrow")
     bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
-    pairs = pairs_from_buckets(bands_ds, ["band_id", "band_hash"]).to_pandas()
-    if pairs.empty:
+    pairs_ds = pairs_from_buckets(
+        bands_ds, ["band_id", "band_hash"]
+    ).materialize()
+    if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
-    texts = dict(
-        zip(
-            ds.to_pandas()["doc_id"],
-            ds.to_pandas()["text"],
-        )
+    withpay = attach_pair_payloads(
+        pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
     )
-    keep = [
-        jaccard(texts[int(a)], texts[int(b)], shingle_k) >= threshold
-        for a, b in zip(pairs["a"], pairs["b"])
-    ]
-    verified = pairs[np.array(keep, dtype=bool)] if len(keep) else pairs
-    return connected_components(verified)
+
+    def verify(batch: pa.Table, k=shingle_k, thr=threshold) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        keep = pa.array(
+            [jaccard(x or "", y or "", k) >= thr for x, y in zip(ta, tb)]
+        )
+        out = batch.filter(keep)
+        return out.select(["a", "b"])
+
+    verified = withpay.map_batches(verify, batch_format="pyarrow")
+    return cluster_pairs(
+        verified, mode=cc_mode, driver_threshold=driver_threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -392,11 +636,25 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
 def simhash_dedup(ds, *, max_hamming: int = 3,
-                  concurrency: int | tuple = 4) -> pd.DataFrame:
+                  concurrency: int | tuple = 4, cc_mode: str = "auto",
+                  driver_threshold: int = 100_000) -> pd.DataFrame:
     """SimHash near-dup: 4 x 16-bit band buckets (any doc pair within
     hamming distance 3 shares at least one exact band), verified by full
-    hamming distance."""
+    hamming distance computed in ``map_batches`` after hash-joining the
+    signatures onto both pair sides (no driver materialization)."""
     del concurrency
 
     def sig_batch(batch: pa.Table):
@@ -405,7 +663,9 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
             st = _STAGE_CACHE["simhash"] = SimHashStage()
         return st(batch)
 
-    sig = ds.map_batches(sig_batch, batch_format="pyarrow")
+    # signatures are 16 bytes/doc: materializing keeps them in the object
+    # store for both the band explode and the verify join (one compute)
+    sig = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy().astype(np.int64)
@@ -424,16 +684,24 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
         )
 
     bands_ds = sig.map_batches(explode, batch_format="pyarrow")
-    pairs = pairs_from_buckets(bands_ds, ["band_id", "band_hash"]).to_pandas()
-    if pairs.empty:
+    pairs_ds = pairs_from_buckets(
+        bands_ds, ["band_id", "band_hash"]
+    ).materialize()
+    if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
-    sh_map = dict(zip(sig.to_pandas()["doc_id"], sig.to_pandas()["simhash"]))
-    keep = [
-        hamming64(int(sh_map[int(a)]), int(sh_map[int(b)])) <= max_hamming
-        for a, b in zip(pairs["a"], pairs["b"])
-    ]
-    verified = pairs[np.array(keep, dtype=bool)]
-    return connected_components(verified)
+    withpay = attach_pair_payloads(pairs_ds, sig, ["simhash"])
+
+    def verify(batch: pa.Table, maxh=max_hamming) -> pa.Table:
+        xa = batch.column("simhash_a").to_numpy().astype(np.int64).view(np.uint64)
+        xb = batch.column("simhash_b").to_numpy().astype(np.int64).view(np.uint64)
+        dist = _popcount64(xa ^ xb)
+        out = batch.filter(pa.array(dist <= maxh))
+        return out.select(["a", "b"])
+
+    verified = withpay.map_batches(verify, batch_format="pyarrow")
+    return cluster_pairs(
+        verified, mode=cc_mode, driver_threshold=driver_threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -443,12 +711,14 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
 
 def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
                     seed: int = 5, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> pd.DataFrame:
+                    vec_col: str = "embedding", cc_mode: str = "auto",
+                    driver_threshold: int = 100_000) -> pd.DataFrame:
     """Near-dup by cosine >= threshold, bucketed by random-hyperplane LSH.
 
     Candidate generation: sign pattern of ``n_planes`` random projections
     (near-identical vectors almost surely share the exact pattern);
-    verification: exact cosine on the candidate pairs.
+    verification: exact cosine inside ``map_batches`` after hash-joining
+    the embedding column onto both pair sides (no driver materialization).
     """
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -464,20 +734,48 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
         )
 
     buckets = emb_ds.map_batches(bucket, batch_format="pyarrow")
-    pairs = pairs_from_buckets(buckets, ["band_id", "band_hash"]).to_pandas()
-    if pairs.empty:
+    pairs_ds = pairs_from_buckets(
+        buckets, ["band_id", "band_hash"]
+    ).materialize()
+    if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
-    pdf = emb_ds.to_pandas()
-    vecs = {int(i): np.asarray(v, dtype=np.float64)
-            for i, v in zip(pdf[id_col], pdf[vec_col])}
 
-    def cos(a, b):
-        va, vb = vecs[int(a)], vecs[int(b)]
-        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
-        if na == 0 or nb == 0:
-            return 1.0 if na == nb else 0.0
-        return float(va @ vb / (na * nb))
+    # Arrow's hash join rejects list<float> payload columns — carry the
+    # vectors through the join as float64 byte blobs instead
+    def to_blob(batch: pa.Table) -> pa.Table:
+        vecs = batch.column(vec_col).to_pylist()
+        blobs = [np.asarray(v, np.float64).tobytes() for v in vecs]
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "vecblob": pa.array(blobs, pa.binary())}
+        )
 
-    keep = [cos(a, b) >= threshold for a, b in zip(pairs["a"], pairs["b"])]
-    verified = pairs[np.array(keep, dtype=bool)]
-    return connected_components(verified)
+    blob_ds = emb_ds.map_batches(to_blob, batch_format="pyarrow")
+    withpay = attach_pair_payloads(
+        pairs_ds, blob_ds, ["vecblob"], id_col=id_col
+    )
+
+    def verify(batch: pa.Table, thr=threshold) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["a", "b"])
+        va = np.stack(
+            [np.frombuffer(x, np.float64)
+             for x in batch.column("vecblob_a").to_pylist()]
+        )
+        vb = np.stack(
+            [np.frombuffer(x, np.float64)
+             for x in batch.column("vecblob_b").to_pylist()]
+        )
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        dot = np.einsum("ij,ij->i", va, vb)
+        denom = na * nb
+        cos = np.where(denom > 0, dot / np.where(denom > 0, denom, 1.0), 0.0)
+        cos = np.where((na == 0) & (nb == 0), 1.0, cos)
+        out = batch.filter(pa.array(cos >= thr))
+        return out.select(["a", "b"])
+
+    verified = withpay.map_batches(verify, batch_format="pyarrow")
+    return cluster_pairs(
+        verified, mode=cc_mode, driver_threshold=driver_threshold
+    )

@@ -823,6 +823,180 @@ def q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
 
 
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text)::BIGINT AS n_chars,
+         {_TOK_SQL} AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, n_chars,
+         len(toks)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+             AS sum_len,
+         coalesce(len(list_filter(
+             toks, x -> list_contains([{{stoplist}}], x))), 0)::DOUBLE AS n_stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS n_upper
+  FROM base
+),
+derived AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN sum_len / n_tokens ELSE 0.0 END
+             AS mean_token_len,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END
+             AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END
+             AS digit_ratio,
+         CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END
+             AS upper_ratio
+  FROM stats
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio,
+       digit_ratio, upper_ratio,
+       -- same multiply order as webindex.textstats.quality_batch:
+       -- (((1*a)*b)*c)*d, 1*a == a in IEEE double
+       ((least(1.0, n_tokens / 50.0)
+         * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.5 END))
+        * (1.0 - least(1.0, abs(stopword_ratio - 0.3))))
+       * (1.0 - least(1.0, digit_ratio * 3)) AS quality
+FROM derived
+""".replace("{stoplist}", _stopword_sql_list())
+
+
+def _langid_sql() -> str:
+    from webindex.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)  # alphabetical = the Python tie-break
+    cnt_cols = ",\n         ".join(
+        "coalesce(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], x))), 0)::DOUBLE AS c_{lang}"
+        for lang in langs
+    )
+    ratio_cols = ",\n    ".join(
+        f"CASE WHEN n > 0 THEN c_{lang} / n ELSE 0.0 END AS s_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + g + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+counts AS (
+  SELECT doc_id, len(toks)::BIGINT AS n,
+         {cnt_cols}
+  FROM base
+),
+ratios AS (
+  SELECT doc_id,
+    {ratio_cols}
+  FROM counts
+)
+SELECT doc_id, {pred} AS lang_pred, {g} AS lang_conf FROM ratios
+"""
+
+
+SQL_LANGID = _langid_sql()
+
+
+def q_cc_chain_clusters(sf_dir: str):
+    """Distributed connected components (hash-to-min groupby rounds) over a
+    deterministic chain graph: consecutive doc_ids within each (lang,
+    source) group are linked, so each group's docs must all converge to the
+    group's min doc_id through O(log chain-length) propagation rounds —
+    nothing but the per-round convergence fingerprint touches the driver."""
+    import ray.data as rd
+
+    from webindex.dedup import connected_components_ds
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    )
+
+    # stable group key (no PYTHONHASHSEED dependence)
+    from webindex.util import stable_hash64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_pylist()
+        src = batch.column("source").to_pylist()
+        key = pa.array(
+            [stable_hash64(f"{l}\x00{s}") % (1 << 62)
+             for l, s in zip(lang, src)],
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "gk": key})
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if ids.size < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
+
+    edges = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(chain, batch_format="pandas")
+    )
+    labels = connected_components_ds(edges, n_parts=16)
+    return (
+        labels.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+SQL_CC_CHAIN = """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY lang, source) AS cluster,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
+SELECT doc_id, cluster FROM g WHERE n > 1
+"""
+
+
+def q_paraphrase_top(sf_dir: str):
+    """Paraphrase mining (§2.7 D3) exact broadcast path: global top-50
+    cosine pairs over the embeddings table, sims rounded to 6dp."""
+    import ray.data as rd
+
+    from webindex.ann import paraphrase_mining
+
+    out = paraphrase_mining(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        max_pairs=50, query_chunk_top_k=100_000, mode="broadcast",
+        concurrency=2,
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["a", "b", "sim_r"]]
+
+
+SQL_PARAPHRASE_TOP = """
+WITH pairs AS (
+  SELECT e1.vec_id AS a, e2.vec_id AS b,
+         list_cosine_similarity(e1.embedding::DOUBLE[],
+                                e2.embedding::DOUBLE[]) AS sim
+  FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+)
+SELECT a, b, round(sim, 6) AS sim_r
+FROM (
+  SELECT a, b, sim,
+         row_number() OVER (ORDER BY sim DESC, a, b) AS rn
+  FROM pairs
+) WHERE rn <= 50
+"""
+
+
 def q_eval_metrics(sf_dir: str):
     """Runs x qrels -> per-query metrics (SURVEY.md §2.5 A7). Qrels are
     derived deterministically (docs containing every query term)."""
@@ -845,6 +1019,65 @@ def q_eval_metrics(sf_dir: str):
         if c != "qid":
             out[c] = out[c].round(6)
     return out
+
+
+SQL_EVAL_METRICS = _sql_bm25_scores() + f"""
+, top AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id)::BIGINT AS rank
+    FROM scores
+  ) WHERE rank <= {TOPK}
+),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks),
+qn AS (SELECT qid, count(*)::BIGINT AS nq FROM qterms GROUP BY qid),
+-- qrels: docs whose token set contains EVERY query term (rel = 1)
+qrels AS (
+  SELECT q.qid, dt.doc_id
+  FROM qterms q JOIN doc_terms dt USING (term) JOIN qn USING (qid)
+  GROUP BY q.qid, dt.doc_id, qn.nq
+  HAVING count(DISTINCT dt.term) = qn.nq
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+hits AS (
+  SELECT t.qid, t.rank,
+         CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM top t
+  LEFT JOIN qrels qr ON qr.qid = t.qid AND qr.doc_id = t.doc_id
+),
+cum AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM hits
+),
+perq AS (
+  SELECT qid,
+         -- rank-ascending summation order pinned (list_sum over ORDER BY),
+         -- matching the Python enumerate order
+         coalesce(list_sum(list(rel / log2(rank + 1) ORDER BY rank)), 0.0)
+             AS dcg,
+         sum(rel)::BIGINT AS hit_cnt,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         coalesce(list_sum(
+             list(cum_rel::DOUBLE / rank ORDER BY rank)
+                 FILTER (WHERE rel = 1)), 0.0) AS ap_sum
+  FROM cum GROUP BY qid
+),
+ideal AS (
+  SELECT n.qid, list_sum(list(1.0 / log2(g.i + 1) ORDER BY g.i)) AS idcg
+  FROM nrel n, generate_series(1, {TOPK}) AS g(i)
+  WHERE g.i <= least({TOPK}, n.n_rel)
+  GROUP BY n.qid
+)
+SELECT p.qid,
+       round_even(p.dcg / i.idcg, 6) AS "ndcg@10",
+       round_even(p.hit_cnt / {TOPK}.0, 6) AS "p@10",
+       round_even(p.hit_cnt::DOUBLE / n.n_rel, 6) AS "recall@10",
+       round_even(coalesce(1.0 / p.first_hit, 0.0), 6) AS "mrr@10",
+       round_even(p.ap_sum / least({TOPK}, n.n_rel), 6) AS "map@10"
+FROM perq p JOIN nrel n USING (qid) JOIN ideal i USING (qid)
+"""
 
 
 def q_media_features(sf_dir: str):
@@ -989,14 +1222,16 @@ REGISTRY: dict[str, tuple] = {
     "sharded_bm25_top10": (q_sharded_bm25_top10, SQL_BM25_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
+    "langid": (q_langid, SQL_LANGID),
+    "quality": (q_quality, SQL_QUALITY),
+    "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
+    "cc_chain_clusters": (q_cc_chain_clusters, SQL_CC_CHAIN),
+    "paraphrase_top": (q_paraphrase_top, SQL_PARAPHRASE_TOP),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_clusters": (q_simhash_clusters, None),
     "embedding_dedup": (q_embedding_dedup, None),
     "ivf_top5": (q_ivf_top5, None),
-    "langid": (q_langid, None),
-    "quality": (q_quality, None),
-    "eval_metrics": (q_eval_metrics, None),
     "media_features": (q_media_features, None),
 }
