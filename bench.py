@@ -120,9 +120,26 @@ def run_bench() -> dict:
     extra["n_docs_indexed"] = stats["N"]
     extra["build_docs_per_sec"] = round(stats["N"] / timings["build_pages"], 1)
 
-    # ---- batched query throughput (actor pool) ---------------------------
+    # ---- batched query throughput (sharded batch path) -------------------
     qtab = synth_queries_table(n=50)
-    queries = rd.from_arrow(qtab).union(*([rd.from_arrow(qtab)] * 3))  # 200 q
+
+    # 200 distinct queries: 4 replicas with unique qids (the batch query
+    # path merges per qid, so replicated load needs distinct identifiers)
+    def _rep(tab, r):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "qid": pa.array(
+                    [f"{q}#{r}" for q in tab.column("qid").to_pylist()]
+                ),
+                "text": tab.column("text"),
+            }
+        )
+
+    queries = rd.from_arrow(_rep(qtab, 0)).union(
+        *[rd.from_arrow(_rep(qtab, r)) for r in range(1, 4)]
+    )
     t0 = time.time()
     runs = search_queries(
         queries.repartition(max(8, NUM_CPUS // 2)),

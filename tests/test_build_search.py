@@ -183,3 +183,36 @@ def test_salting_invariance(ray_session, pages_index, tmp_path_factory):
         ib, sb = b.search_one("q", text)
         assert ia.tolist() == ib.tolist()
         assert sa.tolist() == sb.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_batch_path_identical_to_pool(pages_index):
+    """Default sharded batch query path (per-shard salt-subset load +
+    exact merge) must be bit-identical to the whole-index actor pool."""
+    import ray.data as rd
+
+    qs = rd.from_arrow(synth_queries_table()).repartition(4)
+    key = ["qid", "rank", "doc_id"]
+    pool = (
+        search_queries(
+            qs, pages_index, top_k=10, mode="auto", impl="pool",
+            concurrency=2, batch_size=8,
+        )
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    shard = (
+        search_queries(
+            qs, pages_index, top_k=10, mode="auto", impl="sharded",
+            n_shards=4,
+        )
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pdtest = pool[["qid", "did", "doc_id", "score", "rank"]]
+    sdtest = shard[["qid", "did", "doc_id", "score", "rank"]]
+    assert pdtest.equals(sdtest)
+    # shard-count independence
+    shard1 = (
+        search_queries(qs, pages_index, top_k=10, mode="auto", n_shards=1)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert sdtest.equals(shard1[["qid", "did", "doc_id", "score", "rank"]])

@@ -154,3 +154,65 @@ def test_perfect_rerank_upper_bound():
     runs2 = out.copy()
     m = evaluate_runs_pd(runs2, qrels, k_values=[3]).iloc[0]
     assert m["ndcg@3"] == pytest.approx(1.0)
+
+
+def test_extended_poolings_analytic():
+    """A1 variants vs hand-computed numpy oracles
+    (beir_dense_retriever.py:237-305, models/WeightedMeanPooling.py)."""
+    rng = np.random.default_rng(7)
+    L, d, n_layers = 5, 8, 3
+    layer_mats = rng.standard_normal((n_layers, L, d))
+    mat = layer_mats[-1]
+
+    np.testing.assert_allclose(
+        pool(mat, "meanmean", layer_mats=layer_mats),
+        layer_mats.reshape(-1, d).mean(axis=0), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        pool(mat, "lasttokenmean", layer_mats=layer_mats),
+        layer_mats[:, -1, :].mean(axis=0), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        pool(mat, "poolout"), np.tanh(mat[0]), rtol=1e-12
+    )
+    w = np.array([0.5, 2.0, 1.0, 0.0, 3.0])
+    np.testing.assert_allclose(
+        pool(mat, "weightedmean_learnt", position_weights=w),
+        (mat * w[:, None]).sum(axis=0) / w.sum(), rtol=1e-12,
+    )
+    # all-zero learnt weights hit the reference's 1e-9 clamp, not a div0
+    z = pool(mat, "weightedmean_learnt", position_weights=np.zeros(L))
+    assert np.isfinite(z).all()
+    # empty doc -> zero vector for every pooling
+    for m in ("meanmean", "lasttokenmean", "poolout", "weightedmean_learnt"):
+        out = pool(np.zeros((0, d)), m, position_weights=np.ones(4))
+        assert (out == 0).all()
+
+
+def test_embed_stage_extended_poolings_deterministic():
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "delta"], pa.string()),
+        }
+    )
+    for m in ("meanmean", "lasttokenmean", "poolout", "weightedmean_learnt"):
+        a = EmbedStage(dim=16, pooling=m)(tab)
+        b = EmbedStage(dim=16, pooling=m)(tab)
+        assert a.equals(b), m
+        v = np.array(a.column("embedding").to_pylist())
+        assert v.shape == (2, 16)
+        assert np.isfinite(v).all()
+    # layered poolings differ from plain mean (distinct layer vectors)
+    mm = EmbedStage(dim=16, pooling="meanmean")(tab)
+    mn = EmbedStage(dim=16, pooling="mean")(tab)
+    assert not np.allclose(
+        np.array(mm.column("embedding").to_pylist()),
+        np.array(mn.column("embedding").to_pylist()),
+    )
+    # untrained learnt weights (all ones) == unweighted mean
+    wl = EmbedStage(dim=16, pooling="weightedmean_learnt")(tab)
+    np.testing.assert_allclose(
+        np.array(wl.column("embedding").to_pylist()),
+        np.array(mn.column("embedding").to_pylist()), rtol=1e-6,
+    )

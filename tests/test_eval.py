@@ -71,3 +71,31 @@ def test_ray_eval_matches_pd():
     )
     assert macro["n_queries"] == 2
     assert macro["ndcg@2"] == pytest.approx(float(expect["ndcg@2"].mean()))
+
+
+def test_k5_model_ranking_helpers():
+    """K5 (beir_dense_retriever.py:543-604): checkpoint selection + model
+    ranking over a metrics table."""
+    import pandas as pd
+
+    from webindex.eval import model_averages, rank_models, select_best_ckpt
+
+    metrics = pd.DataFrame(
+        {
+            "model": ["sgpt125m_100", "sgpt125m_100", "sgpt125m_200",
+                      "sgpt125m_200", "sgpt6b_100", "sgpt6b_100"],
+            "dataset": ["scifact", "nfcorpus"] * 3,
+            "ndcg@10": [0.5, 0.3, 0.6, 0.4, 0.7, 0.5],
+        }
+    )
+    avg = model_averages(metrics)
+    assert dict(zip(avg["model"], avg["avg_ndcg@10"])) == {
+        "sgpt125m_100": 0.4, "sgpt125m_200": 0.5, "sgpt6b_100": 0.6,
+    }
+    best = select_best_ckpt(metrics)
+    assert dict(zip(best["family"], best["model"])) == {
+        "sgpt125m": "sgpt125m_200", "sgpt6b": "sgpt6b_100",
+    }
+    ranked = rank_models(metrics, top_n=2)
+    assert ranked["model"].tolist() == ["sgpt6b_100", "sgpt125m_200"]
+    assert ranked["rank"].tolist() == [1, 2]

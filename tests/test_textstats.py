@@ -71,19 +71,91 @@ def test_fingerprint_deterministic_and_ws_invariant():
     assert out.column("fp_md5").to_pylist()[0] == out.column("fp_md5").to_pylist()[1]
 
 
+def test_png_roundtrip_and_filters():
+    import zlib
+
+    from webindex.multimodal import _PNG_SIG, png_decode, png_encode
+
+    rng = np.random.default_rng(4)
+    for shape in [(7, 5, 3), (4, 4, 4), (9, 3, 1)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = png_decode(png_encode(arr))
+        assert np.array_equal(back, arr), shape
+    # decoder must invert ALL five scanline filters: forward-filter a known
+    # image per the PNG spec and hand-assemble the IDAT stream
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8).astype(int)
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else cc)
+
+    raw = b""
+    filters = [0, 1, 2, 3, 4]
+    prev = np.zeros(stride, dtype=int)
+    for y, f in enumerate(filters):
+        line = flat[y]
+        enc = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                enc[x] = line[x]
+            elif f == 1:
+                enc[x] = (line[x] - a) & 0xFF
+            elif f == 2:
+                enc[x] = (line[x] - b) & 0xFF
+            elif f == 3:
+                enc[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                enc[x] = (line[x] - paeth(a, b, cc)) & 0xFF
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = line
+    import struct as _s
+
+    from webindex.multimodal import _png_chunk
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(png_decode(png), arr.astype(np.uint8))
+
+
+def test_wav_roundtrip():
+    from webindex.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(5)
+    sams = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+    back, rate = wav_decode(wav_encode(sams, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(back, sams)
+
+
 def test_media_decode_and_resize():
+    from webindex.multimodal import png_decode
+
     tab = synth_media_table(10)
-    feats = DecodeStage(fake=True)(tab)
+    feats = DecodeStage()(tab)  # real codecs by default
     assert feats.num_rows == 10
     assert all(w >= 4 for w in feats.column("width").to_pylist())
-    rz = ResizeStage(out_w=4, out_h=4)(tab)
-    arr = _decode_fake(rz.column("payload").to_pylist()[0])
+    # image rows decode real PNG bytes
+    img_rows = [i for i, k in enumerate(tab.column("kind").to_pylist())
+                if k == "image"]
+    payload = tab.column("payload").to_pylist()[img_rows[0]]
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    rz = ResizeStage(out_w=4, out_h=4)(tab.take(img_rows))
+    arr = png_decode(rz.column("payload").to_pylist()[0])
     assert arr.shape == (4, 4, 3)
 
 
-def test_media_real_codec_is_stubbed():
+def test_media_video_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)
+        DecodeStage(video_real=True)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -93,6 +165,6 @@ def test_media_actor_pipeline():
     ds = rd.from_arrow(synth_media_table(30)).repartition(3)
     out = media_features(ds, concurrency=2, batch_size=8).to_pandas()
     assert len(out) == 30
-    expect = DecodeStage(fake=True)(synth_media_table(30)).to_pandas()
+    expect = DecodeStage()(synth_media_table(30)).to_pandas()
     got = out.sort_values("media_id").reset_index(drop=True)
     assert np.allclose(got["mean_value"], expect["mean_value"])

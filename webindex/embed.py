@@ -31,7 +31,12 @@ import pyarrow as pa
 from webindex.analyze import Analyzer
 from webindex.config import SQL_SAFE_ANALYZER
 
-POOLINGS = ("mean", "weightedmean", "lasttoken")
+POOLINGS = (
+    "mean", "weightedmean", "lasttoken",
+    "meanmean", "lasttokenmean", "poolout", "weightedmean_learnt",
+)
+# poolings that reduce over all hidden layers, not just the last
+_LAYERED = {"meanmean", "lasttokenmean"}
 
 
 def token_vector(token: str, dim: int) -> np.ndarray:
@@ -45,8 +50,23 @@ def token_vector(token: str, dim: int) -> np.ndarray:
     return v / n if n else v
 
 
-def pool(mat: np.ndarray, method: str) -> np.ndarray:
-    """Per-document reduction over the (L, d) token matrix (A1)."""
+def pool(mat: np.ndarray, method: str, *, layer_mats: np.ndarray = None,
+         position_weights: np.ndarray = None) -> np.ndarray:
+    """Per-document reduction over the (L, d) token matrix (A1,
+    beir_dense_retriever.py:237-305):
+
+    - ``mean`` / ``weightedmean`` (position weights 1..L) / ``lasttoken``
+      reduce the last hidden layer;
+    - ``meanmean`` averages over ALL layers and tokens, ``lasttokenmean``
+      averages the last token's vector across layers (``layer_mats``:
+      (n_layers, L, d), layer -1 == ``mat``);
+    - ``poolout`` is the pooler-head analog: tanh of the first token's
+      vector (BERT pooler = dense+tanh over CLS; the dense projection is
+      identity in this model-free stand-in);
+    - ``weightedmean_learnt`` uses externally supplied per-position
+      weights with the reference's 1e-9 clamp
+      (models/WeightedMeanPooling.py:21-38).
+    """
     if mat.shape[0] == 0:
         return np.zeros(mat.shape[1], dtype=np.float64)
     if method == "mean":
@@ -56,6 +76,15 @@ def pool(mat: np.ndarray, method: str) -> np.ndarray:
         return (mat * w[:, None]).sum(axis=0) / w.sum()
     if method == "lasttoken":
         return mat[-1]
+    if method == "meanmean":
+        return layer_mats.mean(axis=(0, 1))
+    if method == "lasttokenmean":
+        return layer_mats[:, -1, :].mean(axis=0)
+    if method == "poolout":
+        return np.tanh(mat[0])
+    if method == "weightedmean_learnt":
+        w = np.asarray(position_weights, dtype=np.float64)[: mat.shape[0]]
+        return (mat * w[:, None]).sum(axis=0) / max(float(w.sum()), 1e-9)
     raise ValueError(f"unknown pooling {method!r}")
 
 
@@ -70,7 +99,8 @@ class EmbedStage:
     def __init__(self, dim: int = 64, pooling: str = "mean",
                  max_tokens: int = 256, truncate_side: str = "right",
                  role: str | None = None, analyzer_cfg=None,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_layers: int = 3, position_weights=None):
         assert pooling in POOLINGS
         assert truncate_side in ("right", "left")
         self.an = Analyzer(analyzer_cfg or SQL_SAFE_ANALYZER)
@@ -80,18 +110,29 @@ class EmbedStage:
         self.truncate_side = truncate_side
         self.id_col = id_col
         self.text_col = text_col
+        # layered poolings reduce over n_layers "hidden states"; layer
+        # n_layers-1 is the base token vector (the last hidden layer)
+        self.n_layers = n_layers if pooling in _LAYERED else 1
+        if position_weights is None and pooling == "weightedmean_learnt":
+            # untrained default = all-ones (WeightedMeanPooling.py:19)
+            position_weights = np.ones(max_tokens + 2, dtype=np.float64)
+        self.position_weights = position_weights
         if role == "query":
             self.wrap = ("[", "]")
         elif role == "doc":
             self.wrap = ("{", "}")
         else:
             self.wrap = None
-        self._vocab: dict[str, np.ndarray] = {}
+        self._vocab: dict[tuple[int, str], np.ndarray] = {}
 
-    def _vec(self, tok: str) -> np.ndarray:
-        v = self._vocab.get(tok)
+    def _vec(self, tok: str, layer: int = -1) -> np.ndarray:
+        if layer < 0:
+            layer = self.n_layers - 1
+        key = (layer, tok)
+        v = self._vocab.get(key)
         if v is None:
-            v = self._vocab[tok] = token_vector(tok, self.dim)
+            name = tok if layer == self.n_layers - 1 else f"L{layer}\x00{tok}"
+            v = self._vocab[key] = token_vector(name, self.dim)
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -113,7 +154,20 @@ class EmbedStage:
                 if toks
                 else np.zeros((0, self.dim))
             )
-            out.append(pool(mat, self.pooling).astype(np.float32))
+            layer_mats = None
+            if self.pooling in _LAYERED and toks:
+                layer_mats = np.stack(
+                    [
+                        np.stack([self._vec(t, layer) for t in toks])
+                        for layer in range(self.n_layers)
+                    ]
+                )
+            out.append(
+                pool(
+                    mat, self.pooling, layer_mats=layer_mats,
+                    position_weights=self.position_weights,
+                ).astype(np.float32)
+            )
             n_toks.append(len(toks))
             truncated.append(trunc)
         return pa.table(

@@ -106,3 +106,63 @@ def evaluate_runs(runs_ds, qrels_pd: pd.DataFrame,
     }
     macro["n_queries"] = len(pdf)
     return per_q, macro
+
+
+# ---------------------------------------------------------------------------
+# K5: model ranking / checkpoint selection over a metrics table
+# ---------------------------------------------------------------------------
+
+
+def model_averages(metrics: pd.DataFrame, *, model_col: str = "model",
+                   metric_col: str = "ndcg@10") -> pd.DataFrame:
+    """Per-model macro average of ``metric_col`` over datasets (A6,
+    beir_dense_retriever.py:520-541: the "average" entry written per
+    model)."""
+    out = (
+        metrics.groupby(model_col, sort=True)[metric_col]
+        .mean()
+        .reset_index()
+        .rename(columns={metric_col: f"avg_{metric_col}"})
+    )
+    return out
+
+
+def select_best_ckpt(metrics: pd.DataFrame, *, model_col: str = "model",
+                     metric_col: str = "ndcg@10") -> pd.DataFrame:
+    """Best checkpoint per model family by average metric (K5,
+    beir_dense_retriever.py:543-592). Model names are ``<base>_<ckpt>``;
+    the family is the name with its final ``_<ckpt>`` segment removed.
+    Ties keep the first family member in sorted-name order (the
+    reference's strict ``>`` comparison)."""
+    avg = model_averages(metrics, model_col=model_col, metric_col=metric_col)
+    acol = f"avg_{metric_col}"
+    fam = avg[model_col].str.rsplit("_", n=1).str[0]
+    avg = avg.assign(family=fam).sort_values(model_col)
+    rows = []
+    for family, grp in avg.groupby("family", sort=True):
+        best = None
+        best_score = 0.0
+        for _, r in grp.iterrows():
+            if r[acol] > best_score:
+                best_score = r[acol]
+                best = r
+        if best is not None:
+            rows.append(best)
+    return (
+        pd.DataFrame(rows)[["family", model_col, acol]]
+        .reset_index(drop=True)
+    )
+
+
+def rank_models(metrics: pd.DataFrame, *, model_col: str = "model",
+                metric_col: str = "ndcg@10", top_n: int = 5) -> pd.DataFrame:
+    """Models sorted by average metric desc, top ``top_n`` (K5,
+    beir_dense_retriever.py:594-604 ``rank_model_avg``). Ties break by
+    ascending model name for determinism."""
+    avg = model_averages(metrics, model_col=model_col, metric_col=metric_col)
+    acol = f"avg_{metric_col}"
+    out = avg.sort_values(
+        [acol, model_col], ascending=[False, True], kind="mergesort"
+    ).head(top_n).reset_index(drop=True)
+    out["rank"] = out.index + 1
+    return out

@@ -109,10 +109,135 @@ class SearcherActor:
         )
 
 
+# Pinned LOGICAL shard count for the batch query path (results are
+# shard-count-independent — the merge is exact — but the count is never
+# derived from CPU count, per the repo's partitioning invariant).
+SEARCH_SHARDS = 16
+
+# process-global shard-searcher cache: Ray reuses worker processes, so a
+# shard's segment subset is loaded once per worker, not once per task
+_SHARD_SEARCHERS: dict = {}
+
+
+def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
+                    top_k: int, mode: str, self_hit: bool):
+    import os
+
+    from webindex.serve import _ShardSearcherImpl
+
+    cfg_m = os.stat(os.path.join(index_dir, "config.json")).st_mtime_ns
+    key = (index_dir, cfg_m, salt_lo, salt_hi, top_k, mode, self_hit)
+    s = _SHARD_SEARCHERS.get(key)
+    if s is None:
+        for k in [k for k in _SHARD_SEARCHERS if k[0] == index_dir
+                  and k[1] != cfg_m]:
+            del _SHARD_SEARCHERS[k]  # stale rebuilds at the same path
+        s = _SHARD_SEARCHERS[key] = _ShardSearcherImpl(
+            index_dir, salt_lo, salt_hi, top_k=top_k, mode=mode,
+            self_hit_filter=self_hit,
+        )
+    return s
+
+
 def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    mode: str = "auto", self_hit_filter: bool = False,
-                   concurrency=None, batch_size: int = 128):
-    """queries(qid, text) Dataset -> runs Dataset via the actor pool."""
+                   concurrency=None, batch_size: int = 128,
+                   impl: str = "sharded", n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) Dataset -> runs Dataset.
+
+    Default ``impl="sharded"``: each query fans out to pinned salt-range
+    shards (``groupby(shard).map_groups``); a shard task loads ONLY its
+    segment subset (cached per worker process), scores its partial top-k,
+    and an exact per-qid merge (score desc, docID asc — the serve.py
+    proof) reassembles global runs. Total index-load work is one full
+    read split across shards, independent of cluster size — the
+    whole-index-per-actor preload of ``impl="pool"`` made added actors
+    pay full preload and capped batch scaling.
+
+    ``impl="pool"`` keeps the resident actor-pool path (steady-state
+    latency serving of many small batches over one warm pool).
+
+    qids must identify a unique query text: the sharded merge groups by
+    qid, so duplicate qid rows collapse to one result set.
+    """
+    if impl == "pool":
+        return _search_queries_pool(
+            queries_ds, index_dir, top_k=top_k, mode=mode,
+            self_hit_filter=self_hit_filter, concurrency=concurrency,
+            batch_size=batch_size,
+        )
+
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        qids = batch.column("qid")
+        texts = batch.column("text")
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [qids.combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [texts.combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def score_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(
+            index_dir, lo, hi, top_k, mode, self_hit_filter
+        )
+        qid_out, id_out, sc_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            ids, scores = searcher.inner.search_one(qid, text)
+            qid_out.extend([qid] * ids.size)
+            id_out.append(ids)
+            sc_out.append(scores)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["did"] = g["doc_id"].astype(str)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "did", "doc_id", "score", "rank"]]
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(score_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
+                         mode: str = "auto", self_hit_filter: bool = False,
+                         concurrency=None, batch_size: int = 128):
+    """Resident actor-pool path: every actor holds the whole index
+    (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
 
     import pyarrow.dataset as pads

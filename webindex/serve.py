@@ -31,7 +31,8 @@ class _ShardSearcherImpl:
     [salt_lo, salt_hi]."""
 
     def __init__(self, index_dir: str, salt_lo: int, salt_hi: int,
-                 top_k: int = 1000, mode: str = "auto"):
+                 top_k: int = 1000, mode: str = "auto",
+                 self_hit_filter: bool = False):
         import pyarrow.dataset as pads
 
         from webindex.config import IndexConfig
@@ -49,6 +50,7 @@ class _ShardSearcherImpl:
         ) - 1
         self.inner = SearcherActor(
             index_dir, top_k=top_k, mode=mode, preload=False,
+            self_hit_filter=self_hit_filter,
             doc_id_range=(doc_lo, doc_hi),
         )
         reader = self.inner.reader
@@ -70,6 +72,25 @@ class _ShardSearcherImpl:
             ids, scores = self.inner.search_one(qid, text)
             out.extend(zip([qid] * ids.size, ids.tolist(), scores.tolist()))
         return out
+
+
+def shard_salt_bounds(index_dir: str, n_shards: int) -> list[tuple[int, int]]:
+    """Split the index's salt space into <= n_shards contiguous inclusive
+    (salt_lo, salt_hi) ranges (shared by the serving tier and the batch
+    query path)."""
+    from webindex.config import IndexConfig
+    from webindex.util import read_json
+
+    stats = read_json(f"{index_dir}/stats.json")
+    cfg = IndexConfig.from_dict(read_json(f"{index_dir}/config.json"))
+    max_salt = (stats["max_doc_id"] >> cfg.salt_doc_shift) // cfg.shards_per_salt
+    n_shards = max(1, min(n_shards, max_salt + 1))
+    bounds = np.linspace(0, max_salt + 1, n_shards + 1).astype(int)
+    return [
+        (int(lo), int(hi - 1))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
 
 
 def merge_partials(rows: list[tuple[str, int, float]], k: int) -> pd.DataFrame:
@@ -100,23 +121,11 @@ class ShardedSearchService:
                  top_k: int = 1000, mode: str = "auto"):
         import ray
 
-        from webindex.config import IndexConfig
-        from webindex.util import read_json
-
-        stats = read_json(f"{index_dir}/stats.json")
-        cfg = IndexConfig.from_dict(read_json(f"{index_dir}/config.json"))
-        max_salt = (
-            stats["max_doc_id"] >> cfg.salt_doc_shift
-        ) // cfg.shards_per_salt
-        n_shards = max(1, min(n_shards, max_salt + 1))
-        bounds = np.linspace(0, max_salt + 1, n_shards + 1).astype(int)
         Actor = ray.remote(_ShardSearcherImpl)
         self.top_k = top_k
         self.actors = [
-            Actor.remote(index_dir, int(lo), int(hi - 1), top_k=top_k,
-                         mode=mode)
-            for lo, hi in zip(bounds[:-1], bounds[1:])
-            if hi > lo
+            Actor.remote(index_dir, lo, hi, top_k=top_k, mode=mode)
+            for lo, hi in shard_salt_bounds(index_dir, n_shards)
         ]
 
     def search(self, pairs: list[tuple[str, str]]) -> pd.DataFrame:

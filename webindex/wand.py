@@ -36,7 +36,7 @@ def query_postings(reader: SegmentReader, terms: list[str]) -> list[PostingList]
 
 def _rank_topk(ids: np.ndarray, scores: np.ndarray, k: int):
     """(score desc, docID asc) top-k."""
-    if ids.size > k:
+    if ids.size > 4 * k:
         # partial select then exact sort of the k candidates (with ties kept
         # via threshold re-scan to preserve docID tie-breaks)
         part = np.argpartition(-scores, k - 1)[:k]
@@ -83,18 +83,25 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     # ONLY in non-essential terms — those whose summed max_score stays
     # below a top-k lower bound θ — can never reach the top k. θ comes
     # from the k-th best contribution of the highest-impact term (a valid
-    # lower bound of the final k-th score). Candidates are then scored
-    # EXACTLY in ascending-term order — bit-identical to unpruned.
-    mask = None
+    # lower bound of the final k-th score: that term alone gives k docs
+    # whose final scores are >= their own contribution >= θ).
+    theta = None
+    ess = non_ess = None
     if len(pls) > 1 and k < dl_ids.size:
         by_max = sorted(pls, key=lambda p: -p.max_score)
         top = _dense(by_max[0])
         if top.dense_contrib.size > k:
-            theta = float(
-                np.partition(top.dense_contrib, top.dense_contrib.size - k)[
-                    top.dense_contrib.size - k
-                ]
-            )
+            # query-independent per (term, k): cache the kth-best contrib
+            cache = getattr(top, "kth_cache", None)
+            if cache is None:
+                cache = top.kth_cache = {}
+            theta = cache.get(k)
+            if theta is None:
+                theta = cache[k] = float(
+                    np.partition(
+                        top.dense_contrib, top.dense_contrib.size - k
+                    )[top.dense_contrib.size - k]
+                )
             suffix = np.cumsum(
                 [p.max_score for p in by_max][::-1]
             )[::-1]
@@ -103,20 +110,52 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             # cannot reach θ. Essential terms are the rest. (j=0 is always
             # essential: θ ≤ max_score_0 ≤ suffix[0].)
             ess = [p for j, p in enumerate(by_max) if suffix[j] >= theta]
-            if len(ess) < len(pls):
-                mask = np.zeros(dl_ids.size, dtype=bool)
-                for p in ess:
-                    mask[_dense(p).dense_pos] = True
+            non_ess = [p for j, p in enumerate(by_max) if suffix[j] < theta]
+
+    total_postings = sum(p.ids.size for p in pls)
+    if non_ess and sum(p.ids.size for p in ess) * len(pls) < total_postings:
+        # two-phase MAXSCORE: (A) scatter-add ONLY the essential lists
+        # (typically the rare, high-idf terms — the stopword-scale lists
+        # are never scatter-added) into a bound array; a candidate must
+        # satisfy ess_score + Σ non-ess max >= θ. (B) rescore candidates
+        # EXACTLY, per-term in ascending unicode order via searchsorted
+        # into each (sorted) posting list — the same additions in the
+        # same order as the unpruned path, so scores are bit-identical.
+        # Routing guard: candidates ⊆ essential postings, so phase-B cost
+        # is bounded by |ess postings| x n_terms lookups — only take this
+        # path when that beats the full scatter. (Checked again on the
+        # true candidate count below.)
+        bound = np.zeros(dl_ids.size, dtype=np.float64)
+        for p in ess:
+            _dense(p)
+            bound[p.dense_pos] += p.dense_contrib
+        ub_non = float(np.sum([p.max_score for p in non_ess]))
+        # a candidate must be in >=1 essential list (bound > 0) AND able
+        # to reach θ with every non-essential upper bound granted
+        if theta - ub_non > 0:
+            cand_pos = np.flatnonzero(bound >= theta - ub_non)
+        else:
+            cand_pos = np.flatnonzero(bound)
+        if cand_pos.size * len(pls) < total_postings:
+            scores = np.zeros(cand_pos.size, dtype=np.float64)
+            for pl in pls:  # ascending term order (query_postings sorts)
+                _dense(pl)
+                idx = np.searchsorted(pl.dense_pos, cand_pos)
+                idx = np.minimum(idx, pl.dense_pos.size - 1)
+                match = pl.dense_pos[idx] == cand_pos
+                scores[match] += pl.dense_contrib[idx[match]]
+            keep = scores >= theta
+            return _rank_topk(dl_ids[cand_pos[keep]], scores[keep], k)
+        # candidates not sparse enough: the full scatter-add is cheaper
 
     scores = np.zeros(dl_ids.size, dtype=np.float64)
     for pl in pls:  # ascending term order (query_postings sorts)
         _dense(pl)
-        if mask is None:
-            scores[pl.dense_pos] += pl.dense_contrib
-        else:
-            sel = mask[pl.dense_pos]
-            scores[pl.dense_pos[sel]] += pl.dense_contrib[sel]
-    nz = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero == match
+        scores[pl.dense_pos] += pl.dense_contrib
+    if theta is not None:
+        nz = np.flatnonzero(scores >= theta)  # top-k all score >= θ
+    else:
+        nz = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
     return _rank_topk(dl_ids[nz], scores[nz], k)
 
 
