@@ -214,3 +214,32 @@ def test_simhash_dedup_matches_brute_oracle_on_testdata():
         got.reset_index(drop=True).astype(np.int64),
         want.reset_index(drop=True).astype(np.int64),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_dedup_matches_brute_oracle():
+    """All-pairs exact-Jaccard oracle: shared-shingle candidate generation
+    is complete for threshold > 0, so the engine must find exactly the
+    brute-force cluster set."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.dedup import ngram_jaccard_dedup
+
+    tab = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    txts = tab.column("text").to_pylist()
+    pairs = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(txts[i] or "", txts[j] or "", 3) >= 0.5:
+                a, b = sorted((ids[i], ids[j]))
+                pairs.append((a, b))
+    want = connected_components(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = ngram_jaccard_dedup(rd.from_arrow(tab), threshold=0.5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype(np.int64),
+        want.reset_index(drop=True).astype(np.int64),
+    )

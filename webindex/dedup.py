@@ -597,6 +597,59 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     )
 
 
+def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
+                        max_bucket: int = 2000, cc_mode: str = "auto",
+                        driver_threshold: int = 100_000) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup -> (doc_id, cluster).
+
+    Candidate generation is COMPLETE for threshold > 0: any pair with
+    nonzero Jaccard shares at least one word-k-gram, so bucketing docs by
+    distinct shingle hash finds every qualifying pair (buckets larger
+    than ``max_bucket`` — ultra-common shingles whose pairs have low
+    Jaccard anyway — are truncated and flagged). Verification recomputes
+    exact shingle-set Jaccard inside ``map_batches`` after the payload
+    join; clustering routes like the other dedup flavors.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_pylist()
+        out_h, out_d = [], []
+        for did, t in zip(dids, batch.column("text").to_pylist()):
+            hs = _shingle_hashes(t or "", shingle_k)
+            out_h.extend((hs.astype(np.int64)).tolist())
+            out_d.extend([did] * hs.size)
+        return pa.table(
+            {
+                "band_id": pa.array(np.zeros(len(out_h), np.int32)),
+                "band_hash": pa.array(out_h, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    buckets = ds.map_batches(explode, batch_format="pyarrow")
+    pairs_ds = pairs_from_buckets(
+        buckets, ["band_id", "band_hash"], max_bucket=max_bucket
+    ).materialize()
+    if pairs_ds.count() == 0:
+        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+    withpay = attach_pair_payloads(
+        pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
+    )
+
+    def verify(batch: pa.Table, k=shingle_k, thr=threshold) -> pa.Table:
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        keep = pa.array(
+            [jaccard(x or "", y or "", k) >= thr for x, y in zip(ta, tb)]
+        )
+        return batch.filter(keep).select(["a", "b"])
+
+    verified = withpay.map_batches(verify, batch_format="pyarrow")
+    return cluster_pairs(
+        verified, mode=cc_mode, driver_threshold=driver_threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

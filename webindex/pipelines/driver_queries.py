@@ -965,6 +965,53 @@ SELECT doc_id, cluster FROM g WHERE n > 1
 """
 
 
+def q_ngram_jaccard_clusters(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup clusters (§2.7 D3 family):
+    complete shared-shingle candidate generation, joined exact verify,
+    distributed-capable clustering — hash-checked against a DuckDB
+    all-pairs Jaccard + recursive-CTE connected components oracle."""
+    from webindex.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir), shingle_k=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOK_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE [] END AS gs
+  FROM toks
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs))::DOUBLE AS inter,
+         (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)))::DOUBLE
+             AS uni
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE len(x.gs) > 0 AND len(y.gs) > 0
+),
+good AS (SELECT a, b FROM pairs WHERE inter / uni >= 0.5),
+edges AS (
+  SELECT a AS u, b AS v FROM good
+  UNION SELECT b, a FROM good
+),
+walk(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.m FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(m)::BIGINT AS cluster
+FROM walk GROUP BY node
+"""
+
+
 def q_paraphrase_top(sf_dir: str):
     """Paraphrase mining (§2.7 D3) exact broadcast path: global top-50
     cosine pairs over the embeddings table, sims rounded to 6dp."""
@@ -1227,6 +1274,7 @@ REGISTRY: dict[str, tuple] = {
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
     "cc_chain_clusters": (q_cc_chain_clusters, SQL_CC_CHAIN),
     "paraphrase_top": (q_paraphrase_top, SQL_PARAPHRASE_TOP),
+    "ngram_jaccard_clusters": (q_ngram_jaccard_clusters, SQL_NGRAM_JACCARD),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
