@@ -780,14 +780,50 @@ def q_simhash_clusters(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup over the embeddings table augmented with
+    deterministic exact-duplicate rows (vec_id < 20 copied to
+    vec_id + 100000) — the raw table's max pair cosine is 0.51, so the
+    un-augmented pipeline would be vacuously empty. The same augmentation
+    is expressed in the SQL oracle, which clusters via recursive-CTE
+    reachability over the >= 0.98 cosine graph."""
     import ray.data as rd
 
     from webindex.dedup import embedding_dedup
 
-    return embedding_dedup(
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=0.98,
-    )
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def dup(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch.column("vec_id"), 20))
+        return keep.set_column(
+            keep.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(keep.column("vec_id"), 100_000),
+        )
+
+    aug = emb.union(emb.map_batches(dup, batch_format="pyarrow"))
+    return embedding_dedup(aug, threshold=0.98)
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]) >= 0.98
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.m FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node
+"""
 
 
 def q_ivf_top5(sf_dir: str):
@@ -1279,7 +1315,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_clusters": (q_simhash_clusters, None),
-    "embedding_dedup": (q_embedding_dedup, None),
+    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
     "media_features": (q_media_features, None),
 }
