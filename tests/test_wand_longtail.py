@@ -69,17 +69,9 @@ def test_wand_identical_and_pruning_on_longtail(tmp_path):
         set(np.concatenate([pl.ids for pl in pls]).tolist())
     )
     assert n_candidates > 500  # the head term makes the OR-set large
-    # crude visit counter: wrap doclen (called once per fully-scored doc)
-    calls = {"n": 0}
-    orig = s.reader.doclen
-
-    def counting(arr):
-        calls["n"] += 1
-        return orig(arr)
-
-    s.reader.doclen = counting
-    block_max_wand(s.reader, terms, 10)
-    s.reader.doclen = orig
-    assert calls["n"] < n_candidates * 0.5, (
-        f"WAND fully scored {calls['n']}/{n_candidates} candidates - no pruning"
+    stats: dict = {}
+    block_max_wand(s.reader, terms, 10, stats=stats)
+    assert stats["n_scored"] < n_candidates * 0.5, (
+        f"WAND fully scored {stats['n_scored']}/{n_candidates} candidates"
+        " - no pruning"
     )

@@ -38,6 +38,11 @@ class SearcherActor:
     # WAND must be able to skip ~98% of candidates to beat vectorized
     # scoring; below this candidates/k ratio, score everything.
     AUTO_WAND_RATIO = 10_000
+    # ...OR the query must contain a sparse (rare) term: the block-max
+    # interval engine adds per-posting boundaries for terms whose posting
+    # count is within 4x the query's total block count, which is exactly
+    # when interval pruning collapses the scored set (webindex/wand.py).
+    SPARSE_FACTOR = 4
 
     def __init__(self, index_dir: str, top_k: int = 1000,
                  mode: str = "auto", self_hit_filter: bool = False,
@@ -67,8 +72,19 @@ class SearcherActor:
         k = self.top_k + 1 if self.self_hit else self.top_k
         mode = self.mode
         if mode == "auto":
-            est = sum(self.reader.df(t) for t in set(terms))
-            mode = "wand" if est > k * self.AUTO_WAND_RATIO else "exhaustive"
+            dfs = [self.reader.df(t) for t in set(terms)]
+            dfs = [d for d in dfs if d > 0]
+            est = sum(dfs)
+            bs = max(1, self.reader.cfg.block_size)
+            n_blocks = sum(-(-d // bs) for d in dfs)
+            has_sparse = len(dfs) > 1 and any(
+                d <= self.SPARSE_FACTOR * n_blocks for d in dfs
+            )
+            mode = (
+                "wand"
+                if has_sparse or est > k * self.AUTO_WAND_RATIO
+                else "exhaustive"
+            )
         fn = block_max_wand if mode == "wand" else exhaustive_topk
         ids, scores = fn(self.reader, terms, k)
         if self.self_hit and ids.size:

@@ -16,8 +16,6 @@ pure-Python oracle (webindex/oracle.py).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 from webindex.scoring import term_contrib
@@ -49,6 +47,21 @@ def _rank_topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[sel], scores[sel]
 
 
+def _dense(pl: PostingList, reader: SegmentReader):
+    """Per-term, query-INDEPENDENT dense arrays: doclen-table positions and
+    BM25 contributions (computed once per posting-list load, reused by
+    every query and by both the exhaustive and block-max paths)."""
+    if pl.dense_pos is None:
+        cfg = reader.cfg
+        pl.dense_pos = np.searchsorted(reader._dl_ids, pl.ids)
+        pl.dense_contrib = term_contrib(
+            pl.tfs.astype(np.float64),
+            reader._dl[pl.dense_pos].astype(np.float64),
+            reader.avgdl, cfg.k1, cfg.b, pl.idf,
+        )
+    return pl
+
+
 def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     """Score every doc containing any query term; exact top-k.
 
@@ -62,22 +75,7 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     pls = query_postings(reader, terms)
     if not pls:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cfg = reader.cfg
     dl_ids = reader._dl_ids
-    dls = reader._dl
-
-    def _dense(pl):
-        if pl.dense_pos is None:
-            # per-term, query-INDEPENDENT: BM25 contribution and doclen
-            # position depend only on (term, doc); computed once per
-            # posting-list load, reused by every query
-            pl.dense_pos = np.searchsorted(dl_ids, pl.ids)
-            pl.dense_contrib = term_contrib(
-                pl.tfs.astype(np.float64),
-                dls[pl.dense_pos].astype(np.float64),
-                reader.avgdl, cfg.k1, cfg.b, pl.idf,
-            )
-        return pl
 
     # MAXSCORE candidate pruning (term-level upper bounds): a doc appearing
     # ONLY in non-essential terms — those whose summed max_score stays
@@ -89,7 +87,7 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     ess = non_ess = None
     if len(pls) > 1 and k < dl_ids.size:
         by_max = sorted(pls, key=lambda p: -p.max_score)
-        top = _dense(by_max[0])
+        top = _dense(by_max[0], reader)
         if top.dense_contrib.size > k:
             # query-independent per (term, k): cache the kth-best contrib
             cache = getattr(top, "kth_cache", None)
@@ -127,7 +125,7 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         # true candidate count below.)
         bound = np.zeros(dl_ids.size, dtype=np.float64)
         for p in ess:
-            _dense(p)
+            _dense(p, reader)
             bound[p.dense_pos] += p.dense_contrib
         ub_non = float(np.sum([p.max_score for p in non_ess]))
         # a candidate must be in >=1 essential list (bound > 0) AND able
@@ -139,7 +137,7 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         if cand_pos.size * len(pls) < total_postings:
             scores = np.zeros(cand_pos.size, dtype=np.float64)
             for pl in pls:  # ascending term order (query_postings sorts)
-                _dense(pl)
+                _dense(pl, reader)
                 idx = np.searchsorted(pl.dense_pos, cand_pos)
                 idx = np.minimum(idx, pl.dense_pos.size - 1)
                 match = pl.dense_pos[idx] == cand_pos
@@ -150,7 +148,7 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
 
     scores = np.zeros(dl_ids.size, dtype=np.float64)
     for pl in pls:  # ascending term order (query_postings sorts)
-        _dense(pl)
+        _dense(pl, reader)
         scores[pl.dense_pos] += pl.dense_contrib
     if theta is not None:
         nz = np.flatnonzero(scores >= theta)  # top-k all score >= θ
@@ -159,106 +157,166 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     return _rank_topk(dl_ids[nz], scores[nz], k)
 
 
-def block_max_wand(reader: SegmentReader, terms: list[str], k: int):
-    """Block-Max WAND top-k (exact)."""
+def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
+                   stats: dict | None = None):
+    """Block-Max top-k (exact), fully vectorized — no per-document and no
+    per-interval Python loop.
+
+    The docID space is cut at the union of every term's block boundaries;
+    sparse terms additionally contribute per-posting boundaries (d-1, d),
+    so the gaps BETWEEN rare-term postings form their own intervals — the
+    vectorized analog of WAND's doc-at-a-time pivoting on rare terms.
+    Within one interval each term's postings share one covering block, so
+    the interval's score upper bound is the sum of the covering block
+    maxima of terms that actually have a posting there.
+
+    θ = the k-th best contribution of the highest-impact term (cached,
+    query-independent): a valid lower bound of the final k-th score.
+    Every interval with UB < θ is pruned wholesale; the surviving
+    intervals' postings are gathered per term and scored EXACTLY with
+    per-doc sums in ascending-term order — bit-identical to the
+    exhaustive path and the pure-Python oracle. All stages are numpy
+    kernels whose cost is proportional to posting counts, never to the
+    corpus size.
+
+    ``stats`` (optional) receives {"n_scored": docs fully scored,
+    "n_candidates": OR-set size bound, "n_intervals": intervals kept}.
+    """
     pls = query_postings(reader, terms)
     if not pls:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cfg = reader.cfg
-    k1, b, avgdl = cfg.k1, cfg.b, reader.avgdl
-    nt = len(pls)
+    dl_ids = reader._dl_ids
+    for pl in pls:
+        _dense(pl, reader)
 
-    pos = [0] * nt                      # cursor: index into pl.ids
-    blk = [0] * nt                      # cursor: current block index
-    ub = [pl.max_score for pl in pls]   # global term upper bounds
-    exhausted = [False] * nt
-
-    # heap of (score, -doc_id); worst kept at heap[0]
-    heap: list[tuple[float, int]] = []
-
-    def threshold() -> float:
-        return heap[0][0] if len(heap) >= k else -1.0
-
-    def cur_doc(i: int) -> int:
-        return pls[i].ids[pos[i]]
-
-    def seek(i: int, target: int):
-        """Advance cursor i to first doc >= target."""
-        pl = pls[i]
-        p = int(np.searchsorted(pl.ids, target, side="left"))
-        if p >= pl.ids.size:
-            exhausted[i] = True
-            pos[i] = pl.ids.size
-        else:
-            pos[i] = p
-            blk[i] = int(
-                np.searchsorted(pl.block_starts, p, side="right") - 1
+    # θ from the top term's k-th best contribution (same bound the
+    # exhaustive MAXSCORE path uses; cached per (term, k))
+    by_max = sorted(pls, key=lambda p: -p.max_score)
+    top = by_max[0]
+    theta = None
+    if len(pls) > 1 and top.dense_contrib.size > k:
+        cache = getattr(top, "kth_cache", None)
+        if cache is None:
+            cache = top.kth_cache = {}
+        theta = cache.get(k)
+        if theta is None:
+            theta = cache[k] = float(
+                np.partition(top.dense_contrib, top.dense_contrib.size - k)[
+                    top.dense_contrib.size - k
+                ]
             )
+    if len(pls) == 1:
+        # single term: no cross-term bound to prune with — the dense
+        # exhaustive scorer is the right kernel
+        ids, scores = exhaustive_topk(reader, terms, k)
+        if stats is not None:
+            stats["n_scored"] = int(sum(pl.ids.size for pl in pls))
+            stats["n_intervals"] = 0
+            stats["n_candidates"] = stats["n_scored"]
+        return ids, scores
+    if theta is None:
+        theta = -np.inf  # seeded from exact scores of the top-UB prefix
 
-    def score_doc(d: int) -> float:
-        """Full score of doc d, summing in ascending-term order."""
-        s = 0.0
-        dl = float(reader.doclen(np.array([d], dtype=np.int64))[0])
-        for i in range(nt):
-            if not exhausted[i] and cur_doc(i) == d:
-                tf = float(pls[i].tfs[pos[i]])
-                s += term_contrib(tf, dl, avgdl, k1, b, pls[i].idf)
-        return s
+    # interval ends = union of block-last docIDs + per-posting boundaries
+    # of sparse terms ("sparse" = posting count comparable to the total
+    # block count, so the added boundaries cost no more than the block
+    # boundaries already do)
+    n_blocks_total = sum(p.block_last.size for p in pls)
+    pieces = [pl.block_last for pl in pls]
+    for pl in pls:
+        if pl.ids.size <= 4 * n_blocks_total:
+            pieces.append(pl.ids)
+            pieces.append(pl.ids - 1)
+    ends = np.union1d(np.concatenate(pieces), np.empty(0, np.int64))
+    ends = ends[ends >= 0]
+    n_int = ends.size
+    starts_doc = np.concatenate(([0], ends[:-1] + 1))  # interval start docID
 
-    while True:
-        # order live terms by current doc
-        live = [i for i in range(nt) if not exhausted[i]]
-        if not live:
-            break
-        live.sort(key=cur_doc)
-        # find pivot: smallest prefix whose UB sum reaches the threshold
-        theta = threshold()
-        acc = 0.0
-        pivot = -1
-        for j, i in enumerate(live):
-            acc += ub[i]
-            if acc >= theta:
-                pivot = j
-                break
-        if pivot < 0:
-            break  # even the full UB sum cannot reach the heap threshold
-        d_pivot = cur_doc(live[pivot])
+    # Per-term, at INTERVAL granularity (O(n_int log postings), never
+    # O(postings)): posting-count per interval via two searchsorted cuts,
+    # and the covering block's max charged ONLY to intervals that contain
+    # a posting (a sparse term's block can span a huge docID range;
+    # charging its max everywhere would destroy pruning). Intervals never
+    # straddle a term's block boundary, so the covering block is unique.
+    ub = np.zeros(n_int, dtype=np.float64)
+    cnt_int = np.zeros(n_int, dtype=np.int64)
+    cuts_all = []
+    for pl in pls:
+        cuts = np.searchsorted(pl.ids, np.append(starts_doc, ends[-1] + 1))
+        cuts_all.append(cuts)
+        cnt_t = np.diff(cuts)
+        bidx = np.minimum(
+            np.searchsorted(pl.block_last, starts_doc, side="left"),
+            pl.block_last.size - 1,
+        )
+        ub += np.where(cnt_t > 0, pl.block_max[bidx], 0.0)
+        cnt_int += cnt_t
 
-        if cur_doc(live[0]) == d_pivot:
-            # all preceding cursors aligned on the pivot doc: block-max check
-            bub = 0.0
-            for i in live[: pivot + 1]:
-                pl = pls[i]
-                # ensure block cursor covers d_pivot
-                while pl.block_last[blk[i]] < d_pivot:
-                    blk[i] += 1
-                bub += pl.block_max[blk[i]]
-            j = pivot + 1
-            while j < len(live) and cur_doc(live[j]) == d_pivot:
-                i = live[j]
-                pl = pls[i]
-                while pl.block_last[blk[i]] < d_pivot:
-                    blk[i] += 1
-                bub += pl.block_max[blk[i]]
-                j += 1
-            if bub >= theta:
-                s = score_doc(d_pivot)
-                if len(heap) < k:
-                    heapq.heappush(heap, (s, -d_pivot))
-                elif (s, -d_pivot) > heap[0]:
-                    heapq.heapreplace(heap, (s, -d_pivot))
-            # advance every cursor sitting on the pivot doc
-            for i in live:
-                if not exhausted[i] and cur_doc(i) == d_pivot:
-                    seek(i, d_pivot + 1)
-        else:
-            # advance the preceding term with the largest UB among those
-            # strictly before the pivot doc (guarantees progress)
-            behind = [i for i in live[:pivot] if cur_doc(i) < d_pivot]
-            pick = max(behind, key=lambda i: ub[i])
-            seek(pick, d_pivot)
+    def _score_intervals(keep_int: np.ndarray):
+        """Exactly score every doc lying in a kept interval.
 
-    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    ids = np.array([-d for _, d in out], dtype=np.int64)
-    scores = np.array([s for s, _ in out], dtype=np.float64)
-    return ids, scores
+        Every posting of a doc shares the doc's interval, so kept docs
+        are scored on ALL their terms, per-doc in ascending-term order —
+        bit-identical to the exhaustive path. The per-term gather is a
+        vectorized multi-slice (no Python loop over intervals).
+        """
+        kept = np.flatnonzero(keep_int)
+        sel = []
+        for pl, cuts in zip(pls, cuts_all):
+            s_ = cuts[kept]
+            e_ = cuts[kept + 1]
+            lens = e_ - s_
+            tot = int(lens.sum())
+            if tot == 0:
+                sel.append(np.empty(0, np.int64))
+                continue
+            nz = lens > 0
+            s_nz, lens_nz = s_[nz], lens[nz]
+            off = np.concatenate(([0], np.cumsum(lens_nz)[:-1]))
+            idx = np.arange(tot) + np.repeat(s_nz - off, lens_nz)
+            sel.append(idx)
+        if not any(x.size for x in sel):
+            return (np.empty(0, np.int64), np.empty(0, np.float64))
+        cand_pos = np.unique(
+            np.concatenate([pl.dense_pos[x] for pl, x in zip(pls, sel)
+                            if x.size])
+        )
+        sc = np.zeros(cand_pos.size, dtype=np.float64)
+        for pl, x in zip(pls, sel):
+            if x.size == 0:
+                continue  # ascending term order preserved (zip keeps order)
+            at = np.searchsorted(cand_pos, pl.dense_pos[x])
+            sc[at] += pl.dense_contrib[x]
+        return cand_pos, sc
+
+    # Round 1: exactly score the highest-UB interval prefix (enough
+    # postings to surely cover >= k docs) and tighten θ to the k-th best
+    # EXACT score found — this seeds pruning even when no single term is
+    # long enough to provide an a-priori bound.
+    kept0 = ub >= theta
+    cand_ints = np.flatnonzero(kept0)
+    order = cand_ints[
+        np.lexsort((cand_ints, -ub[cand_ints]))
+    ]  # UB desc, stable
+    cum = np.cumsum(cnt_int[order])
+    seed_n = int(np.searchsorted(cum, max(4 * k, 256))) + 1
+    seed_ints = order[:seed_n]
+    seed_mask = np.zeros(n_int, dtype=bool)
+    seed_mask[seed_ints] = True
+    pos_a, sc_a = _score_intervals(seed_mask)
+    if sc_a.size >= k:
+        kth = float(
+            np.partition(sc_a, sc_a.size - k)[sc_a.size - k]
+        )
+        theta = max(theta, kth)
+
+    # Round 2: remaining intervals must beat the tightened θ
+    rest_mask = kept0 & ~seed_mask & (ub >= theta)
+    pos_b, sc_b = _score_intervals(rest_mask)
+    cand_pos = np.concatenate([pos_a, pos_b])
+    scores = np.concatenate([sc_a, sc_b])
+    if stats is not None:
+        stats["n_scored"] = int(cand_pos.size)
+        stats["n_intervals"] = int(seed_mask.sum() + rest_mask.sum())
+        stats["n_candidates"] = int(sum(pl.ids.size for pl in pls))
+    return _rank_topk(dl_ids[cand_pos], scores, k)
