@@ -62,6 +62,25 @@ def _dense(pl: PostingList, reader: SegmentReader):
     return pl
 
 
+def _theta_seed(top: PostingList, k: int):
+    """Query-independent per (term, k): the k-th best contribution of the
+    term AND the (sorted) doclen positions of its k best docs — the seed
+    set used to tighten θ to an exact k-th-score lower bound. Cached on
+    the posting list."""
+    cache = getattr(top, "kth_cache", None)
+    if cache is None:
+        cache = top.kth_cache = {}
+    ent = cache.get(k)
+    if ent is None:
+        part = np.argpartition(
+            top.dense_contrib, top.dense_contrib.size - k
+        )[top.dense_contrib.size - k:]
+        kth = float(top.dense_contrib[part].min())
+        seed_pos = np.sort(top.dense_pos[part])
+        ent = cache[k] = (kth, seed_pos)
+    return ent
+
+
 def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     """Score every doc containing any query term; exact top-k.
 
@@ -89,17 +108,18 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         by_max = sorted(pls, key=lambda p: -p.max_score)
         top = _dense(by_max[0], reader)
         if top.dense_contrib.size > k:
-            # query-independent per (term, k): cache the kth-best contrib
-            cache = getattr(top, "kth_cache", None)
-            if cache is None:
-                cache = top.kth_cache = {}
-            theta = cache.get(k)
-            if theta is None:
-                theta = cache[k] = float(
-                    np.partition(
-                        top.dense_contrib, top.dense_contrib.size - k
-                    )[top.dense_contrib.size - k]
-                )
+            theta, seed_pos = _theta_seed(top, k)
+            # θ refinement: the seed docs' FULL scores are exact lower
+            # bounds of themselves, so the min of those k exact scores is
+            # a valid (much tighter) lower bound of the final k-th score
+            seed_sc = np.zeros(seed_pos.size, dtype=np.float64)
+            for pl in pls:
+                _dense(pl, reader)
+                idx = np.searchsorted(pl.dense_pos, seed_pos)
+                idx = np.minimum(idx, pl.dense_pos.size - 1)
+                match = pl.dense_pos[idx] == seed_pos
+                seed_sc[match] += pl.dense_contrib[idx[match]]
+            theta = max(theta, float(seed_sc.min()))
             suffix = np.cumsum(
                 [p.max_score for p in by_max][::-1]
             )[::-1]
@@ -195,16 +215,7 @@ def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
     top = by_max[0]
     theta = None
     if len(pls) > 1 and top.dense_contrib.size > k:
-        cache = getattr(top, "kth_cache", None)
-        if cache is None:
-            cache = top.kth_cache = {}
-        theta = cache.get(k)
-        if theta is None:
-            theta = cache[k] = float(
-                np.partition(top.dense_contrib, top.dense_contrib.size - k)[
-                    top.dense_contrib.size - k
-                ]
-            )
+        theta, _seed = _theta_seed(top, k)
     if len(pls) == 1:
         # single term: no cross-term bound to prune with — the dense
         # exhaustive scorer is the right kernel
