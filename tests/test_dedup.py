@@ -243,3 +243,46 @@ def test_ngram_jaccard_dedup_matches_brute_oracle():
         got.reset_index(drop=True).astype(np.int64),
         want.reset_index(drop=True).astype(np.int64),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_attach_pair_payloads_broadcast_matches_shuffle():
+    """The small-pairs broadcast fast path and the union+groupby shuffle
+    path must produce identical joined rows."""
+    import ray.data as rd
+
+    from webindex.dedup import attach_pair_payloads
+
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {"a": [1, 1, 2, 5], "b": [2, 3, 3, 6],
+             "truncated": [False, True, False, False]}
+        )
+    ).materialize()
+    pay = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 5, 6, 7], pa.int64()),
+                "text": pa.array(["t1", "t2", "t3", "t5", "t6", "t7"]),
+                "simhash": pa.array(
+                    [(1 << 62) + i for i in range(6)], pa.int64()
+                ),
+            }
+        )
+    )
+    key = ["a", "b"]
+    fast = (
+        attach_pair_payloads(pairs, pay, ["text", "simhash"])
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    shuf = (
+        attach_pair_payloads(pairs, pay, ["text", "simhash"],
+                             broadcast_limit=0)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert sorted(fast.columns) == sorted(shuf.columns)
+    pd.testing.assert_frame_equal(fast, shuf[fast.columns])
+    # 64-bit payloads survive exactly (the pandas float64 hazard)
+    assert fast["simhash_a"].tolist() == [
+        (1 << 62) + 0, (1 << 62) + 0, (1 << 62) + 1, (1 << 62) + 3
+    ]

@@ -261,7 +261,8 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
-                         id_col: str = "doc_id", num_partitions: int = 32):
+                         id_col: str = "doc_id", num_partitions: int = 32,
+                         broadcast_limit: int = 20_000):
     """Hash-join payload columns onto BOTH sides of a candidate pair list.
 
     (a, b, ...) x (doc_id, c1, c2, ...) -> (a, b, ..., c1_a, c1_b, ...).
@@ -277,6 +278,19 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
     pay_schema = _arrow_schema(payload_ds)
     ptypes = {c: pay_schema.field(c).type for c in payload_cols}
 
+    # Small-pairs fast path: semi-join-filter the payload down to the
+    # pair endpoints (bounded by 2x the pair count, NEVER corpus-sized)
+    # and broadcast it — skips two groupby shuffles. The caller has
+    # already materialized pairs_ds, so count() is free.
+    try:
+        n_pairs = pairs_ds.count()
+    except Exception:
+        n_pairs = None
+    if n_pairs is not None and n_pairs <= broadcast_limit:
+        return _attach_broadcast(
+            pairs_ds, payload_ds, payload_cols, id_col
+        )
+
     out = pairs_ds
     for side in ("a", "b"):
         out = _attach_side(
@@ -284,6 +298,67 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
             num_partitions,
         )
     return out
+
+
+def _attach_broadcast(pairs_ds, payload_ds, payload_cols, id_col):
+    import pyarrow.compute as pc
+    import ray
+
+    pairs_tab = pa.concat_tables(
+        [b for b in pairs_ds.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})]
+    )
+    need = pa.concat_arrays(
+        [pairs_tab.column("a").combine_chunks(),
+         pairs_tab.column("b").combine_chunks()]
+    ).unique()
+
+    def keep(batch: pa.Table, ids=need) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(id_col).cast(pa.int64()), ids)
+        )
+
+    side_tab = pa.concat_tables(
+        list(
+            payload_ds.select_columns([id_col] + payload_cols)
+            .map_batches(keep, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    ref = ray.put(side_tab)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)  # zero-copy from the object store
+        sids = side.column(id_col).to_numpy()
+        order = np.argsort(sids, kind="stable")
+        sorted_ids = sids[order]
+        cols = {c: batch.column(c) for c in batch.column_names}
+        keep_mask = np.ones(batch.num_rows, dtype=bool)
+        sel = {}
+        for s in ("a", "b"):
+            key = batch.column(s).to_numpy()
+            pos = np.searchsorted(sorted_ids, key)
+            pos = np.minimum(pos, max(sorted_ids.size - 1, 0))
+            hit = (
+                sorted_ids[pos] == key
+                if sorted_ids.size
+                else np.zeros(key.size, dtype=bool)
+            )
+            keep_mask &= hit
+            sel[s] = pos
+        out = pa.table(cols).filter(pa.array(keep_mask))
+        for s in ("a", "b"):
+            take = pa.array(
+                order[sel[s][keep_mask]], pa.int64()
+            )
+            for c in payload_cols:
+                out = out.append_column(
+                    f"{c}_{s}", side.column(c).take(take)
+                )
+        return out
+
+    return pairs_ds.map_batches(attach, batch_format="pyarrow")
 
 
 def _attach_side(pairs_ds, payload_ds, payload_cols, ptypes, id_col,
