@@ -285,11 +285,17 @@ def q_rerank_overlap(sf_dir: str):
     import ray
 
     runs = q_bm25_top10(sf_dir).to_pandas()
-    need = set(runs["doc_id"].tolist())
-    docs = _docs(sf_dir).to_pandas()
-    texts = {
-        int(i): t for i, t in zip(docs["doc_id"], docs["text"]) if int(i) in need
-    }
+    # gather ONLY the top-k docs' texts (runs-bounded, never corpus-sized)
+    need_arr = pa.array(sorted(set(runs["doc_id"].tolist())), pa.int64())
+    docs = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), need_arr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    texts = {int(i): t for i, t in zip(docs["doc_id"], docs["text"])}
     an = Analyzer(SQL_SAFE_ANALYZER)
     qterms = {qid: set(an.tokens(text)) for qid, text in DOC_QUERIES}
     rows = []
@@ -941,6 +947,72 @@ SELECT doc_id, {pred} AS lang_pred, {g} AS lang_conf FROM ratios
 SQL_LANGID = _langid_sql()
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Flagship curation composition (the 100-TB training-data shape):
+    language-ID + quality scoring -> filter (lang_pred = 'en', quality
+    >= 0.5) -> exact dedup (min doc_id per text) -> per-source corpus
+    budget (docs + tokens). Every stage is the same operator the
+    standalone entries verify; the composition is hash-checked
+    end-to-end against one SQL expression."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from webindex.dedup import exact_dedup
+    from webindex.textstats import LangIdStage, quality_batch
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        lang = LangIdStage()(batch)
+        keep = pc.and_(
+            pc.greater_equal(q.column("quality"), 0.5),
+            pc.equal(lang.column("lang_pred"), "en"),
+        )
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "source": batch.column("source"),
+                "n_tokens": q.column("n_tokens"),
+            }
+        )
+        return out.filter(keep)
+
+    kept = docs.map_batches(feats, batch_format="pyarrow")
+    deduped = exact_dedup(kept, text_col="text")
+    return deduped.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens")
+    )
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH q AS (SELECT * FROM ({SQL_QUALITY})),
+l AS (SELECT * FROM ({SQL_LANGID})),
+keep AS (
+  SELECT d.doc_id, d.source, d.text, q.n_tokens
+  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM keep
+  ) WHERE rn = 1
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM dedup GROUP BY source
+"""
+
+
+SQL_CURATION = _curation_sql()
+
+
 def q_cc_chain_clusters(sf_dir: str):
     """Distributed connected components (hash-to-min groupby rounds) over a
     deterministic chain graph: consecutive doc_ids within each (lang,
@@ -1087,16 +1159,34 @@ def q_eval_metrics(sf_dir: str):
 
     runs = q_bm25_top10(sf_dir).to_pandas()
     runs["did"] = runs["doc_id"].astype(str)
-    an = Analyzer(SQL_SAFE_ANALYZER)
-    docs = _docs(sf_dir).to_pandas()
-    qrels_rows = []
-    for qid, text in DOC_QUERIES:
-        terms = set(an.tokens(text))
-        for did, t in zip(docs["doc_id"], docs["text"]):
+    # qrels derivation runs as a distributed scan emitting only the small
+    # (qid, did) hit rows — the corpus never reaches the driver whole
+    qspec = [(qid, frozenset(_sql_an.tokens(text)))
+             for qid, text in DOC_QUERIES]
+
+    def qrels_batch(batch: pa.Table) -> pa.Table:
+        an = Analyzer(SQL_SAFE_ANALYZER)
+        out_q, out_d = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
             toks = set(an.tokens(t or ""))
-            if terms <= toks:
-                qrels_rows.append((qid, str(int(did)), 1))
-    qrels = pd.DataFrame(qrels_rows, columns=["qid", "did", "rel"])
+            for qid, terms in qspec:
+                if terms <= toks:
+                    out_q.append(qid)
+                    out_d.append(str(int(did)))
+        return pa.table(
+            {"qid": pa.array(out_q, pa.string()),
+             "did": pa.array(out_d, pa.string())}
+        )
+
+    qrels = (
+        _docs(sf_dir)
+        .map_batches(qrels_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    qrels["rel"] = 1
     out = evaluate_runs_pd(runs, qrels, k_values=[10])
     for c in out.columns:
         if c != "qid":
@@ -1185,12 +1275,17 @@ def q_rerank_scored(sf_dir: str):
     runs = q_bm25_top10(sf_dir).to_pandas()
     runs = runs.rename(columns={"doc_id": "did"})
     runs["score"] = -runs["rank"].astype(float)  # rank order as score proxy
-    need = set(runs["did"].astype(int))
-    docs = _docs(sf_dir).to_pandas()
-    lookup = {
-        str(int(i)): t for i, t in zip(docs["doc_id"], docs["text"])
-        if int(i) in need
-    }
+    # gather ONLY the top-k docs' texts (runs-bounded, never corpus-sized)
+    need_arr = pa.array(sorted(set(runs["did"].astype(int))), pa.int64())
+    docs = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), need_arr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    lookup = {str(int(i)): t for i, t in zip(docs["doc_id"], docs["text"])}
     runs["did"] = runs["did"].astype(int).astype(str)
     out = rerank_runs(runs, dict(DOC_QUERIES), lookup, depth=TOPK, concurrency=2)
     out["doc_id"] = out["did"].astype(int)
@@ -1261,19 +1356,33 @@ def q_beir_roundtrip(sf_dir: str):
 
     from webindex.sources import read_beir_corpus
 
-    docs = _docs(sf_dir).to_pandas()
     with tempfile.NamedTemporaryFile(
         "w", suffix=".jsonl", delete=False, dir="/tmp"
     ) as f:
         import json as _json
 
-        for did, text in zip(docs["doc_id"], docs["text"]):
-            f.write(_json.dumps({"_id": str(int(did)), "text": text}) + "\n")
+        # stream the corpus out batch-by-batch; the driver never holds
+        # the whole table (at scale this would be a write_json sink,
+        # one file per block)
+        for batch in _docs(sf_dir).iter_batches(batch_format="pyarrow"):
+            for did, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                f.write(
+                    _json.dumps({"_id": str(int(did)), "text": text}) + "\n"
+                )
         path = f.name
-    back = read_beir_corpus(path).to_pandas()
+    back = read_beir_corpus(path).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
     os.unlink(path)
-    back["doc_id"] = back["doc_id"].astype(int)
-    back["n_chars"] = back["text"].str.len().astype("int64")
     return back[["doc_id", "n_chars"]]
 
 
@@ -1311,6 +1420,7 @@ REGISTRY: dict[str, tuple] = {
     "cc_chain_clusters": (q_cc_chain_clusters, SQL_CC_CHAIN),
     "paraphrase_top": (q_paraphrase_top, SQL_PARAPHRASE_TOP),
     "ngram_jaccard_clusters": (q_ngram_jaccard_clusters, SQL_NGRAM_JACCARD),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
