@@ -155,14 +155,21 @@ def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
     return s
 
 
+# below this segments-directory size the whole-index actor pool is
+# cheaper than shard fan-out (two groupby shuffles + per-shard loads);
+# data-dependent, never CPU-dependent — both paths are bit-identical
+SHARDED_MIN_SEGMENT_BYTES = 64 << 20
+
+
 def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    mode: str = "auto", self_hit_filter: bool = False,
                    concurrency=None, batch_size: int = 128,
-                   impl: str = "sharded", n_shards: int = SEARCH_SHARDS):
+                   impl: str = "auto", n_shards: int = SEARCH_SHARDS):
     """queries(qid, text) Dataset -> runs Dataset.
 
-    Default ``impl="sharded"``: each query fans out to pinned salt-range
-    shards (``groupby(shard).map_groups``); a shard task loads ONLY its
+    ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
+    of segment data): each query fans out to pinned salt-range shards
+    (``groupby(shard).map_groups``); a shard task loads ONLY its
     segment subset (cached per worker process), scores its partial top-k,
     and an exact per-qid merge (score desc, docID asc — the serve.py
     proof) reassembles global runs. Total index-load work is one full
@@ -171,11 +178,27 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
     pay full preload and capped batch scaling.
 
     ``impl="pool"`` keeps the resident actor-pool path (steady-state
-    latency serving of many small batches over one warm pool).
+    latency serving, and the default for small indexes where fan-out
+    overhead exceeds the preload it saves). Routing is by index SIZE —
+    a data property — so results and runs hashes never depend on
+    cluster shape; the paths are bit-identical
+    (tests/test_build_search.py::test_sharded_batch_path_identical_to_pool).
 
     qids must identify a unique query text: the sharded merge groups by
     qid, so duplicate qid rows collapse to one result set.
     """
+    if impl == "auto":
+        import os
+
+        seg_root = os.path.join(index_dir, "segments")
+        nbytes = 0
+        if os.path.isdir(seg_root):
+            for root, _, names in os.walk(seg_root):
+                for name in names:
+                    nbytes += os.path.getsize(os.path.join(root, name))
+        impl = (
+            "sharded" if nbytes >= SHARDED_MIN_SEGMENT_BYTES else "pool"
+        )
     if impl == "pool":
         return _search_queries_pool(
             queries_ds, index_dir, top_k=top_k, mode=mode,
