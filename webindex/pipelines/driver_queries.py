@@ -1331,6 +1331,37 @@ FROM scored
 """
 
 
+def q_openai_search(sf_dir: str):
+    """M13 search-endpoint scorer (SURVEY.md §2.2): mean query-span echo
+    logprob × 100, empty-doc normalized, over 2 probe queries × the 10
+    lowest-doc_id documents. The completion client is the deterministic
+    offline stand-in (webindex/openai_scorer.py); semantics mirror
+    /root/reference/crossencoder/beir/openai_search_endpoint_functionality.py:16-76.
+    Rows-only: the score is a function of tokenizer offsets + stable
+    hashes, not SQL-expressible."""
+    import ray.data as rd
+
+    from webindex.openai_scorer import score_pairs_ds
+
+    probes = {"q1": "artificial intelligence", "q2": "river forest"}
+    docs = (
+        _docs(sf_dir).sort("doc_id").limit(10).to_pandas()
+    )
+    pairs = pd.DataFrame(
+        [
+            {"qid": qid, "query": qtext, "did": str(did), "text": text}
+            for qid, qtext in probes.items()
+            for did, text in zip(docs["doc_id"], docs["text"])
+        ]
+    )
+    out = score_pairs_ds(rd.from_pandas(pairs), batch_size=8).to_pandas()
+    return (
+        out[["qid", "did", "score"]]
+        .sort_values(["qid", "did"])
+        .reset_index(drop=True)
+    )
+
+
 def q_dense_top5(sf_dir: str):
     """Dense-retrieval parity path (SURVEY.md §3.2): deterministic
     hashed-token embedder (mean pooling) over the documents table, chunked
@@ -1427,5 +1458,6 @@ REGISTRY: dict[str, tuple] = {
     "simhash_clusters": (q_simhash_clusters, None),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
+    "openai_search": (q_openai_search, None),
     "media_features": (q_media_features, None),
 }
