@@ -1,0 +1,85 @@
+"""CLI surface (`python -m webindex <cmd>`): the commands a cluster user
+runs via `ray job submit -- python -m webindex build ...`.
+
+Drives webindex.__main__.main() in-process under the session Ray fixture
+(the CLI's _init_ray guards on ray.is_initialized, so it adopts the test
+session) — covers argparse wiring, the build->search->msearch->eval->merge
+lifecycle, and JSON output shapes, without paying per-command Ray startup.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webindex.docids import url_shard
+from webindex.synth import synth_pages_table, synth_queries_table
+from webindex.__main__ import main
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_lifecycle(tmp_path, capsys):
+    # split one corpus by url-shard parity: merge requires disjoint docID
+    # spaces, and doc_id = shard << 40 | rank, so disjoint SHARD sets
+    # guarantee it (same construction as tests/test_merge.py)
+    tab = synth_pages_table(300, seed=11)
+    parity = pa.array(
+        [url_shard(u, 64) % 2 == 0 for u in tab.column("url").to_pylist()]
+    )
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab.filter(parity), pages_path)
+    pages_b = str(tmp_path / "pages_b.parquet")
+    pq.write_table(
+        tab.filter(pa.compute.invert(parity)), pages_b
+    )
+
+    # build (twice: two disjoint-shard indexes for the merge step)
+    idx_a = str(tmp_path / "idx_a")
+    assert main(["build", "--pages", pages_path, "--out", idx_a]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["N"] > 0
+
+    idx_b = str(tmp_path / "idx_b")
+    assert main(["build", "--pages", pages_b, "--out", idx_b]) == 0
+    stats_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # search: rank \t doc_id \t score lines, scores non-increasing
+    qtext = synth_queries_table(n=3).column("text").to_pylist()[0]
+    assert main(["search", "--index", idx_a, "--query", qtext,
+                 "--top-k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(lines) <= 5
+    scores = [float(l.split("\t")[2]) for l in lines]
+    assert scores == sorted(scores, reverse=True)
+
+    # msearch over a BEIR-style queries.jsonl
+    qfile = str(tmp_path / "queries.jsonl")
+    with open(qfile, "w") as f:
+        for i, t in enumerate(synth_queries_table(n=5).column("text").to_pylist()):
+            f.write(json.dumps({"_id": f"q{i}", "text": t}) + "\n")
+    runs_out = str(tmp_path / "runs.parquet")
+    assert main(["msearch", "--index", idx_a, "--queries", qfile,
+                 "--out", runs_out, "--top-k", "10"]) == 0
+    msg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert msg["rows"] > 0
+
+    # eval against a qrels naming each query's own top-1 doc relevant
+    runs = pq.read_table(runs_out).to_pandas()
+    top1 = runs[runs["rank"] == 1]
+    qrels = str(tmp_path / "qrels.tsv")
+    with open(qrels, "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for r in top1.itertuples(index=False):
+            f.write(f"{r.qid}\t{r.doc_id}\t1\n")
+    assert main(["eval", "--runs", runs_out, "--qrels", qrels,
+                 "--k", "10"]) == 0
+    macro = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # top-1 of each run is by construction the one relevant doc
+    assert macro["ndcg@10"] == pytest.approx(1.0)
+
+    # merge the two disjoint-corpus indexes
+    merged = str(tmp_path / "merged")
+    assert main(["merge", "--inputs", idx_a, idx_b, "--out", merged]) == 0
+    mstats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mstats["N"] == stats["N"] + stats_b["N"]
