@@ -153,9 +153,65 @@ def test_media_decode_and_resize():
     assert arr.shape == (4, 4, 3)
 
 
-def test_media_video_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        DecodeStage(video_real=True)
+def test_y4m_roundtrip_c444():
+    from webindex.multimodal import y4m_decode, y4m_encode
+
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, size=(3, 9, 7, 3), dtype=np.uint8)
+    back, fps = y4m_decode(y4m_encode(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert back.shape == frames.shape
+    # container is lossless; only the RGB<->YCbCr integer rounding moves
+    # values, and the JPEG matrix pair stays within 3 LSB round-trip
+    assert np.abs(back.astype(int) - frames.astype(int)).max() <= 3
+
+
+def test_y4m_mono_exact_and_c420_decode():
+    from webindex.multimodal import y4m_decode, y4m_encode
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(2, 6, 10), dtype=np.uint8)
+    back, _ = y4m_decode(y4m_encode(gray))
+    assert np.array_equal(back[..., 0], gray)  # mono plane is bit-exact
+
+    # hand-built C420jpeg stream (the y4m default colorspace): flat plane
+    # values survive chroma upsampling exactly
+    w, h = 4, 2
+    header = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    y_plane = bytes([100] * (w * h))
+    cb = bytes([90] * ((w // 2) * (h // 2)))
+    cr = bytes([160] * ((w // 2) * (h // 2)))
+    data = header + b"FRAME\n" + y_plane + cb + cr
+    frames, fps = y4m_decode(data)
+    assert frames.shape == (1, 2, 4, 3) and fps == (25, 1)
+    assert (frames == frames[0, 0, 0]).all()  # uniform input -> uniform RGB
+
+
+def test_frame_sampling():
+    from webindex.multimodal import (
+        FrameSampleStage,
+        png_decode,
+        y4m_decode,
+    )
+
+    tab = synth_media_table(12)
+    vid_rows = [i for i, k in enumerate(tab.column("kind").to_pylist())
+                if k == "video"]
+    vids = tab.take(vid_rows)
+    out = FrameSampleStage(step=2)(vids)
+    # every video contributes ceil(n_frames / 2) rows
+    n_expected = 0
+    for payload in vids.column("payload").to_pylist():
+        frames, _ = y4m_decode(payload)
+        n_expected += (frames.shape[0] + 1) // 2
+    assert out.num_rows == n_expected
+    # sampled frames are decodable PNGs matching the source frame pixels
+    # (within the YCbCr round-trip tolerance)
+    first = out.take([0])
+    src = y4m_decode(vids.column("payload").to_pylist()[0])[0][0]
+    got = png_decode(first.column("payload").to_pylist()[0])
+    assert got.shape == src.shape
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 3
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -5,14 +5,19 @@ feature-extract / resize / frame-sample run as actor-pool ``map_batches``
 stages with SMALL batch sizes (payload bytes x batch x concurrency must fit
 worker heaps — SURVEY.md §4 "Memory pressure").
 
-Decode is REAL for images and audio: a pure-stdlib PNG codec (zlib
-inflate + the five PNG scanline filters, from the public PNG spec) and a
-RIFF/WAV 16-bit PCM codec — no PIL/ffmpeg needed. Video decode stays a
-deterministic fake-payload stub (``DecodeStage`` falls back to the FAKE
-format; a real deployment slots ffmpeg into ``_decode_video``), since no
-video codec exists in this container. Everything Ray-side — schema, actor
-signature, batching, output layout — is identical between real and fake
-paths.
+Decode is REAL for all three modalities — pure stdlib, no PIL/ffmpeg:
+
+- images: PNG (zlib inflate + the five scanline filters, public PNG spec);
+- audio: RIFF/WAV 16-bit PCM;
+- video: YUV4MPEG2 (.y4m) — the uncompressed frame-stream container
+  (plain-text header + per-``FRAME`` raw YCbCr planes) that ffmpeg/mjpegtools
+  pipe between each other. Encode writes C444 full-range; decode handles
+  C444, the C420 family (chroma upsampled nearest), and Cmono. RGB↔YCbCr
+  is the JPEG/JFIF full-range matrix.
+
+Compressed codecs (H.264 etc.) are out of scope — a deployment with ffmpeg
+slots it into the same ``DecodeStage``/``FrameSampleStage`` seams; the
+legacy FAKE frame-stack format still decodes for back-compat.
 """
 
 from __future__ import annotations
@@ -177,7 +182,125 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# synthetic media table (REAL PNG / WAV payloads; fake only for video)
+# Y4M (YUV4MPEG2) codec — uncompressed video container, pure stdlib
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """uint8 (..., 3) RGB -> uint8 (..., 3) YCbCr (JPEG/JFIF full-range)."""
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.clip(
+        np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """uint8 (..., 3) YCbCr -> uint8 (..., 3) RGB (inverse JPEG matrix)."""
+    f = ycc.astype(np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def y4m_encode(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w, 3) uint8 RGB or (n, h, w) uint8 gray -> .y4m bytes.
+
+    Color writes C444 planes (no chroma subsampling — lossless at the
+    container level; only the RGB↔YCbCr rounding is lossy), gray writes
+    Cmono. Full-range flagged via the standard XCOLORRANGE extension.
+    """
+    mono = frames.ndim == 3
+    n, h, w = frames.shape[:3]
+    cspace = b"mono" if mono else b"444"
+    header = b"%s W%d H%d F%d:%d Ip A1:1 C%s XCOLORRANGE=FULL\n" % (
+        _Y4M_MAGIC, w, h, fps[0], fps[1], cspace
+    )
+    parts = [header]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        if mono:
+            parts.append(np.ascontiguousarray(frames[i]).tobytes())
+        else:
+            ycc = rgb_to_ycbcr(frames[i])
+            for p in range(3):  # planar: full Y, then Cb, then Cr
+                parts.append(np.ascontiguousarray(ycc[:, :, p]).tobytes())
+    return b"".join(parts)
+
+
+def y4m_decode(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """.y4m bytes -> ((n, h, w, 3) uint8 RGB | (n, h, w, 1) gray, fps).
+
+    Handles C444, the C420 family (jpeg/paldv/mpeg2 share one plane
+    layout; chroma upsampled nearest-neighbor), and Cmono.
+    """
+    end = data.index(b"\n")
+    fields = data[:end].split(b" ")
+    if fields[0] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    cspace = b"420jpeg"  # the spec default when C is absent
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"F":
+            num, den = f[1:].split(b":")
+            fps = (int(num), int(den))
+        elif f[:1] == b"C":
+            cspace = f[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    cw, ch = (w + 1) // 2, (h + 1) // 2  # ceil per spec for odd sizes
+    if cspace.startswith(b"444"):
+        fsz, mode = 3 * w * h, "444"
+    elif cspace.startswith(b"420"):
+        fsz, mode = w * h + 2 * cw * ch, "420"
+    elif cspace == b"mono":
+        fsz, mode = w * h, "mono"
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cspace!r}")
+
+    frames = []
+    pos = end + 1
+    while pos < len(data):
+        nl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m FRAME header")
+        pos = nl + 1
+        raw = np.frombuffer(data[pos:pos + fsz], dtype=np.uint8)
+        if raw.size < fsz:
+            raise ValueError("truncated y4m frame")
+        pos += fsz
+        if mode == "mono":
+            frames.append(raw.reshape(h, w)[..., None].copy())
+            continue
+        y = raw[: w * h].reshape(h, w)
+        if mode == "444":
+            cb = raw[w * h: 2 * w * h].reshape(h, w)
+            cr = raw[2 * w * h:].reshape(h, w)
+        else:  # 420: upsample chroma 2x nearest, crop to (h, w)
+            cb = raw[w * h: w * h + cw * ch].reshape(ch, cw)
+            cr = raw[w * h + cw * ch:].reshape(ch, cw)
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        frames.append(ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1)))
+    return np.stack(frames), fps
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (REAL PNG / WAV / Y4M payloads)
 # ---------------------------------------------------------------------------
 
 
@@ -190,7 +313,7 @@ def _det_bytes(seed: int, i: int, n: int) -> np.ndarray:
 
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:
     """Deterministic media rows: images are real PNGs, audio real 16-bit
-    WAVs, video a FAKE-format frame stack (no container codec exists)."""
+    WAVs, video real YUV4MPEG2 frame streams (2-4 frames each)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     ids, kind_col, payloads, ctypes = [], [], [], []
@@ -208,10 +331,12 @@ def synth_media_table(n: int, seed: int = 9) -> pa.Table:
             payloads.append(wav_encode(sams.reshape(-1, 2)))
             ctypes.append("audio/wav")
         else:
-            payloads.append(
-                _MAGIC + struct.pack("<III", w, h, c) + body.tobytes()
+            nf = 2 + i % 3
+            frames = _det_bytes(seed, i, nf * h * w * c).reshape(
+                nf, h, w, c
             )
-            ctypes.append("video/x-fake")
+            payloads.append(y4m_encode(frames))
+            ctypes.append("video/x-yuv4mpeg2")
         ids.append(i)
         kind_col.append(kind)
     return pa.table(
@@ -235,48 +360,52 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 
 
 class DecodeStage:
-    """Actor stage: payload -> (width, height, channels, mean/std features).
+    """Actor stage: payload -> (width, height, channels, n_frames,
+    mean/std features).
 
-    Real codecs: PNG (zlib) and WAV (PCM) — pure stdlib, loaded per actor.
-    Video payloads use the FAKE frame-stack format; passing
-    ``video_real=True`` raises ``NotImplementedError`` at the exact point
-    an ffmpeg-based decoder would slot in (no video codec in this
-    container). ``fake=True`` forces the legacy all-fake path.
+    Real codecs — PNG (zlib), WAV (PCM), Y4M (raw YCbCr planes) — pure
+    stdlib, constructed once per actor. ``fake=True`` forces the legacy
+    FAKE frame-stack path (back-compat for pre-codec tables).
 
-    Feature semantics: images report pixel stats over uint8 values; audio
-    reports sample stats over int16 values with width=n_samples, height=1,
-    channels=n_channels.
+    Feature semantics: images report pixel stats over uint8 RGB values;
+    audio reports sample stats over int16 values with width=n_samples,
+    height=1, channels=n_channels; video reports pixel stats over all
+    frames' decoded RGB with n_frames > 1.
     """
 
-    def __init__(self, fake: bool = False, video_real: bool = False):
-        if video_real:
-            raise NotImplementedError(
-                "no video codec (ffmpeg) is available in this environment; "
-                "video payloads use the deterministic FAKE frame format"
-            )
+    def __init__(self, fake: bool = False):
         self.fake = fake
 
     def _decode(self, payload: bytes):
-        """payload -> (arr, (width, height, channels)) with arr numeric."""
-        if payload[:8] == _PNG_SIG and not self.fake:
+        """payload -> (arr, (width, height, channels, n_frames))."""
+        if self.fake:
+            arr = _decode_fake(payload)
+            h, w, c = arr.shape
+            return arr, (w, h, c, 1)
+        if payload[:8] == _PNG_SIG:
             arr = png_decode(payload)
             h, w, c = arr.shape
-            return arr, (w, h, c)
-        if payload[:4] == b"RIFF" and not self.fake:
+            return arr, (w, h, c, 1)
+        if payload[:4] == b"RIFF":
             sams, _rate = wav_decode(payload)
             n, ch = sams.shape
-            return sams, (n, 1, ch)
+            return sams, (n, 1, ch, 1)
+        if payload[:9] == _Y4M_MAGIC:
+            frames, _fps = y4m_decode(payload)
+            nf, h, w, c = frames.shape
+            return frames, (w, h, c, nf)
         arr = _decode_fake(payload)
         h, w, c = arr.shape
-        return arr, (w, h, c)
+        return arr, (w, h, c, 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ws, hs, cs, means, stds = [], [], [], [], []
+        ws, hs, cs, nfs, means, stds = [], [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
-            arr, (w, h, c) = self._decode(payload)
+            arr, (w, h, c, nf) = self._decode(payload)
             ws.append(w)
             hs.append(h)
             cs.append(c)
+            nfs.append(nf)
             f = arr.astype(np.float64)
             means.append(float(f.mean()))
             stds.append(float(f.std()))
@@ -287,6 +416,7 @@ class DecodeStage:
                 "width": pa.array(ws, pa.int32()),
                 "height": pa.array(hs, pa.int32()),
                 "channels": pa.array(cs, pa.int32()),
+                "n_frames": pa.array(nfs, pa.int32()),
                 "mean_value": pa.array(means, pa.float64()),
                 "std_value": pa.array(stds, pa.float64()),
             }
@@ -325,6 +455,46 @@ class ResizeStage:
         )
 
 
+class FrameSampleStage:
+    """Actor stage: video payload -> one row per sampled frame, as PNG.
+
+    Emits (media_id, frame_idx, payload, content_type) with every
+    ``step``-th frame re-encoded as an image — the row-expanding
+    (flat_map-shaped) stage a video curation pipeline feeds into the
+    image branch. Non-video payloads pass through unchanged as frame 0.
+    """
+
+    def __init__(self, step: int = 2):
+        self.step = max(1, step)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, payloads, ctypes = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if payload[:9] == _Y4M_MAGIC:
+                frames, _fps = y4m_decode(payload)
+                for fi in range(0, frames.shape[0], self.step):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    payloads.append(png_encode(frames[fi]))
+                    ctypes.append("image/png")
+            else:
+                ids.append(mid)
+                idxs.append(0)
+                payloads.append(payload)
+                ctypes.append("application/octet-stream")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+                "content_type": pa.array(ctypes, pa.string()),
+            }
+        )
+
+
 def media_features(media_ds, *, concurrency=2, batch_size: int = 64,
                    fake: bool = False):
     """The canonical multimodal pipeline: small batches through the decode
@@ -332,6 +502,19 @@ def media_features(media_ds, *, concurrency=2, batch_size: int = 64,
     return media_ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs=dict(fake=fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media_ds, *, step: int = 2, concurrency=2,
+                  batch_size: int = 32):
+    """Video rows -> sampled-frame image rows (payloads stay binary Arrow;
+    small batches — a frame stack is the biggest payload class)."""
+    return media_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(step=step),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1254,7 +1254,8 @@ FROM perq p JOIN nrel n USING (qid) JOIN ideal i USING (qid)
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing demo over the deterministic fake-media table."""
+    """Multimodal decode pipeline over the deterministic media table
+    (real PNG / WAV / Y4M payloads through the DecodeStage actor pool)."""
     import ray.data as rd
 
     from webindex.multimodal import media_features, synth_media_table
