@@ -212,7 +212,10 @@ def test_sharded_batch_path_identical_to_pool(pages_index):
     assert pdtest.equals(sdtest)
     # shard-count independence
     shard1 = (
-        search_queries(qs, pages_index, top_k=10, mode="auto", n_shards=1)
+        # impl= pinned: "auto" would route this tiny index to the pool
+        # path and never exercise 1-shard sharded execution
+        search_queries(qs, pages_index, top_k=10, mode="auto",
+                       impl="sharded", n_shards=1)
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     assert sdtest.equals(shard1[["qid", "did", "doc_id", "score", "rank"]])

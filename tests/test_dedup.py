@@ -246,6 +246,32 @@ def test_ngram_jaccard_dedup_matches_brute_oracle():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ngram_truncation_is_surfaced():
+    """Bucket truncation (shingle shared by > max_bucket docs) must warn —
+    pairs whose only shared shingles sit in truncated buckets are missing,
+    so silence would misrepresent candidate generation as complete."""
+    import warnings
+
+    import ray.data as rd
+
+    from webindex.dedup import ngram_jaccard_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            # all six docs share every shingle -> one giant bucket per
+            # shingle, truncated at max_bucket=3
+            "text": pa.array(["common words here shared by all"] * 6),
+        }
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ngram_jaccard_dedup(rd.from_arrow(docs), threshold=0.5, max_bucket=3)
+        msgs = [str(x.message) for x in w if x.category is UserWarning]
+    assert any("truncated" in m for m in msgs)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_attach_pair_payloads_broadcast_matches_shuffle():
     """The small-pairs broadcast fast path and the union+groupby shuffle
     path must produce identical joined rows."""

@@ -99,3 +99,15 @@ def test_k5_model_ranking_helpers():
     ranked = rank_models(metrics, top_n=2)
     assert ranked["model"].tolist() == ["sgpt6b_100", "sgpt125m_200"]
     assert ranked["rank"].tolist() == [1, 2]
+
+    # all-zero (or negative) averages must still select a checkpoint per
+    # family, and an all-zero table must not crash on the empty frame
+    zero = metrics.assign(**{"ndcg@10": 0.0})
+    bz = select_best_ckpt(zero)
+    assert set(bz["family"]) == {"sgpt125m", "sgpt6b"}
+    # strict > keeps the first member in sorted-name order on ties
+    assert dict(zip(bz["family"], bz["model"]))["sgpt125m"] == "sgpt125m_100"
+    empty = select_best_ckpt(metrics.iloc[0:0])
+    assert len(empty) == 0 and list(empty.columns) == [
+        "family", "model", "avg_ndcg@10"
+    ]

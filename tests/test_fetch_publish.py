@@ -111,3 +111,36 @@ def test_publish_roundtrip_and_versioning(tmp_path):
 def test_init_dataset_validates_id(tmp_path):
     with pytest.raises(ValueError, match="owner/slug"):
         init_dataset(str(tmp_path / "x"), "no-slash-here")
+
+
+def test_sha256_mismatch_keeps_preexisting_zip(tmp_path):
+    """A zip this call did NOT download must survive a sha mismatch —
+    it may be the caller's only copy (stale pin, keep_zip from earlier)."""
+    zip_path = _make_beir_zip(tmp_path, name="kept")
+    out = tmp_path / "ds"
+    os.makedirs(out, exist_ok=True)
+    pre = out / "kept.zip"
+    pre.write_bytes(zip_path.read_bytes())
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        download_and_unzip(f"file://{zip_path}", str(out), sha256="0" * 64)
+    assert pre.exists()
+    # but a zip fetched BY the failing call is discarded
+    out2 = tmp_path / "ds2"
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        download_and_unzip(f"file://{zip_path}", str(out2), sha256="0" * 64)
+    assert not (out2 / "kept.zip").exists()
+
+
+def test_push_version_is_max_plus_one(tmp_path):
+    """Pruning an old version must not make the next push clobber the
+    newest one (version = max existing + 1, not file count + 1)."""
+    store = LocalStoreTransport(str(tmp_path / "store"))
+    blob = tmp_path / "payload.zip"
+    with zipfile.ZipFile(blob, "w") as zf:
+        zf.writestr("a.txt", "one")
+    assert store.push("o/s", str(blob)).endswith("v1.zip")
+    assert store.push("o/s", str(blob)).endswith("v2.zip")
+    os.remove(tmp_path / "store" / "o" / "s" / "v1.zip")
+    dest3 = store.push("o/s", str(blob))
+    assert dest3.endswith("v3.zip")
+    assert os.path.exists(tmp_path / "store" / "o" / "s" / "v2.zip")

@@ -214,6 +214,23 @@ def test_frame_sampling():
     assert np.abs(got.astype(int) - src.astype(int)).max() <= 3
 
 
+def test_frame_sampling_passthrough_keeps_content_type():
+    """Non-video rows pass through FrameSampleStage with their REAL
+    content_type — a downstream image/audio branch routes on it."""
+    from webindex.multimodal import FrameSampleStage
+
+    tab = synth_media_table(12)
+    out = FrameSampleStage(step=2)(tab)
+    in_ct = dict(zip(tab.column("media_id").to_pylist(),
+                     tab.column("content_type").to_pylist()))
+    for mid, ct in zip(out.column("media_id").to_pylist(),
+                       out.column("content_type").to_pylist()):
+        if in_ct[mid] == "video/x-yuv4mpeg2":
+            assert ct == "image/png"
+        else:
+            assert ct == in_ct[mid]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_media_actor_pipeline():
     import ray.data as rd

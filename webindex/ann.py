@@ -246,7 +246,8 @@ def _paraphrase_mining_lsh(emb_ds, *, max_pairs: int, id_col: str,
 
     blob_ds = emb_ds.map_batches(to_blob, batch_format="pyarrow")
     withpay = attach_pair_payloads(pairs_ds, blob_ds, ["vecblob"],
-                                   id_col=id_col)
+                                   id_col=id_col,
+                                   payload_types={"vecblob": pa.binary()})
 
     def rescore(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

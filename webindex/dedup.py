@@ -234,10 +234,46 @@ def exact_pair_dedup(pairs_ds, n_parts: int = 64):
         )
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"]).drop(columns=["part2"])
+        g = g.drop(columns=["part2"])
+        if set(g.columns) == {"a", "b", "truncated"}:
+            # OR the diagnostic flag across duplicate pairs (first-wins
+            # would depend on block arrival order)
+            return g.groupby(["a", "b"], as_index=False, sort=False)[
+                "truncated"
+            ].max()
+        return g.drop_duplicates(["a", "b"])
 
     parts = pairs_ds.map_batches(add_part, batch_format="pyarrow")
     return parts.groupby("part2").map_groups(dedup, batch_format="pandas")
+
+
+def count_truncated_pairs(pairs_ds) -> int:
+    """Candidate pairs that touched a ``> max_bucket`` bucket (streamed
+    sum of the ``truncated`` flag; never materializes the pair list)."""
+    import pyarrow.compute as pc
+
+    n = 0
+    for b in pairs_ds.select_columns(["truncated"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(pc.sum(b.column("truncated")).as_py() or 0)
+    return n
+
+
+def _warn_truncated(pairs_ds, op: str) -> None:
+    """Surface bucket truncation to the caller: pairs whose ONLY shared
+    bucket was truncated are silently absent from the candidate set, so a
+    nonzero count means candidate generation was not complete."""
+    import warnings
+
+    n = count_truncated_pairs(pairs_ds)
+    if n:
+        warnings.warn(
+            f"{op}: {n} candidate pairs touch buckets truncated at "
+            f"max_bucket; pairs sharing ONLY truncated buckets are "
+            f"missing — raise max_bucket for complete candidates",
+            stacklevel=3,
+        )
 
 
 _MIX64 = np.uint64(0x9E3779B97F4A7C15)
@@ -262,7 +298,8 @@ def _arrow_schema(ds) -> pa.Schema:
 
 def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
                          id_col: str = "doc_id", num_partitions: int = 32,
-                         broadcast_limit: int = 20_000):
+                         broadcast_limit: int = 20_000,
+                         payload_types: dict | None = None):
     """Hash-join payload columns onto BOTH sides of a candidate pair list.
 
     (a, b, ...) x (doc_id, c1, c2, ...) -> (a, b, ..., c1_a, c1_b, ...).
@@ -274,14 +311,20 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
     LSH-pruned) pair list and the matched payload rows flow. This is the
     CC-scale verify shape the dedup operators use. ``num_partitions`` is
     pinned logical partitioning; results are partition-independent.
-    """
-    pay_schema = _arrow_schema(payload_ds)
-    ptypes = {c: pay_schema.field(c).type for c in payload_cols}
 
+    ``payload_types`` ({col: pa.DataType}) lets a caller that built the
+    payload itself skip the schema probe: ``Dataset.schema()`` on an
+    unexecuted ``map_batches`` chain executes a one-block prefix to learn
+    the schema, and that extra execute-then-discard has been observed to
+    trip a fatal Ray-core race (``task_manager.cc: Tried to complete task
+    that was not pending``) under contention. Callers passing blobs or
+    signatures they constructed know the types statically.
+    """
     # Small-pairs fast path: semi-join-filter the payload down to the
     # pair endpoints (bounded by 2x the pair count, NEVER corpus-sized)
-    # and broadcast it — skips two groupby shuffles. The caller has
-    # already materialized pairs_ds, so count() is free.
+    # and broadcast it — skips two groupby shuffles (and needs no
+    # payload schema up front). The caller has already materialized
+    # pairs_ds, so count() is free.
     try:
         n_pairs = pairs_ds.count()
     except Exception:
@@ -290,6 +333,12 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
         return _attach_broadcast(
             pairs_ds, payload_ds, payload_cols, id_col
         )
+
+    if payload_types and all(c in payload_types for c in payload_cols):
+        ptypes = {c: payload_types[c] for c in payload_cols}
+    else:
+        pay_schema = _arrow_schema(payload_ds)
+        ptypes = {c: pay_schema.field(c).type for c in payload_cols}
 
     out = pairs_ds
     for side in ("a", "b"):
@@ -326,13 +375,16 @@ def _attach_broadcast(pairs_ds, payload_ds, payload_cols, id_col):
             .iter_batches(batch_format="pyarrow")
         )
     )
+    # sort ONCE by id before the broadcast — every attach batch would
+    # otherwise repeat the O(s log s) argsort of the identical table
+    sids = side_tab.column(id_col).to_numpy()
+    order = np.argsort(sids, kind="stable")
+    side_tab = side_tab.take(pa.array(order, pa.int64()))
     ref = ray.put(side_tab)
 
     def attach(batch: pa.Table) -> pa.Table:
         side = ray.get(ref)  # zero-copy from the object store
-        sids = side.column(id_col).to_numpy()
-        order = np.argsort(sids, kind="stable")
-        sorted_ids = sids[order]
+        sorted_ids = side.column(id_col).to_numpy()
         cols = {c: batch.column(c) for c in batch.column_names}
         keep_mask = np.ones(batch.num_rows, dtype=bool)
         sel = {}
@@ -349,9 +401,7 @@ def _attach_broadcast(pairs_ds, payload_ds, payload_cols, id_col):
             sel[s] = pos
         out = pa.table(cols).filter(pa.array(keep_mask))
         for s in ("a", "b"):
-            take = pa.array(
-                order[sel[s][keep_mask]], pa.int64()
-            )
+            take = pa.array(sel[s][keep_mask], pa.int64())
             for c in payload_cols:
                 out = out.append_column(
                     f"{c}_{s}", side.column(c).take(take)
@@ -653,6 +703,7 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     ).materialize()
     if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+    _warn_truncated(pairs_ds, "minhash_dedup")
     withpay = attach_pair_payloads(
         pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
     )
@@ -677,11 +728,15 @@ def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
                         driver_threshold: int = 100_000) -> pd.DataFrame:
     """Exact n-gram Jaccard near-dup -> (doc_id, cluster).
 
-    Candidate generation is COMPLETE for threshold > 0: any pair with
-    nonzero Jaccard shares at least one word-k-gram, so bucketing docs by
-    distinct shingle hash finds every qualifying pair (buckets larger
-    than ``max_bucket`` — ultra-common shingles whose pairs have low
-    Jaccard anyway — are truncated and flagged). Verification recomputes
+    Candidate generation is COMPLETE for threshold > 0 *as long as no
+    bucket exceeds* ``max_bucket``: any pair with nonzero Jaccard shares
+    at least one word-k-gram, so bucketing docs by distinct shingle hash
+    finds every qualifying pair. Buckets larger than ``max_bucket`` —
+    ultra-common shingles whose pairs usually have low Jaccard — are
+    truncated; a pair whose ONLY shared shingles are truncated is then
+    missing, so truncation is surfaced as a ``UserWarning`` with the
+    affected-pair count (raise ``max_bucket`` to restore completeness).
+    Verification recomputes
     exact shingle-set Jaccard inside ``map_batches`` after the payload
     join; clustering routes like the other dedup flavors.
     """
@@ -707,6 +762,7 @@ def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
     ).materialize()
     if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+    _warn_truncated(pairs_ds, "ngram_jaccard_dedup")
     withpay = attach_pair_payloads(
         pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
     )
@@ -817,7 +873,11 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
     ).materialize()
     if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
-    withpay = attach_pair_payloads(pairs_ds, sig, ["simhash"])
+    _warn_truncated(pairs_ds, "simhash_dedup")
+    withpay = attach_pair_payloads(
+        pairs_ds, sig, ["simhash"],
+        payload_types={"simhash": pa.int64()},
+    )
 
     def verify(batch: pa.Table, maxh=max_hamming) -> pa.Table:
         xa = batch.column("simhash_a").to_numpy().astype(np.int64).view(np.uint64)
@@ -878,9 +938,11 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
              "vecblob": pa.array(blobs, pa.binary())}
         )
 
+    _warn_truncated(pairs_ds, "embedding_dedup")
     blob_ds = emb_ds.map_batches(to_blob, batch_format="pyarrow")
     withpay = attach_pair_payloads(
-        pairs_ds, blob_ds, ["vecblob"], id_col=id_col
+        pairs_ds, blob_ds, ["vecblob"], id_col=id_col,
+        payload_types={"vecblob": pa.binary()},
     )
 
     def verify(batch: pa.Table, thr=threshold) -> pa.Table:

@@ -141,13 +141,15 @@ def select_best_ckpt(metrics: pd.DataFrame, *, model_col: str = "model",
     rows = []
     for family, grp in avg.groupby("family", sort=True):
         best = None
-        best_score = 0.0
+        best_score = -np.inf  # scores of 0.0 (or negative) still select
         for _, r in grp.iterrows():
             if r[acol] > best_score:
                 best_score = r[acol]
                 best = r
         if best is not None:
             rows.append(best)
+    if not rows:
+        return pd.DataFrame(columns=["family", model_col, acol])
     return (
         pd.DataFrame(rows)[["family", model_col, acol]]
         .reset_index(drop=True)

@@ -99,12 +99,17 @@ def download_and_unzip(
         return data_dir
 
     zip_path = os.path.join(out_dir, stem + ".zip")
-    if not os.path.exists(zip_path):
+    downloaded = not os.path.exists(zip_path)
+    if downloaded:
         http_get(url, zip_path)
     if sha256 is not None:
         got = sha256_file(zip_path)
         if got != sha256:
-            os.remove(zip_path)
+            if downloaded:
+                # only discard an archive THIS call fetched — a pre-existing
+                # zip (keep_zip=True earlier, or user-provided) may be the
+                # caller's only copy and the mismatch may be a stale pin
+                os.remove(zip_path)
             raise ValueError(
                 f"sha256 mismatch for {url}: expected {sha256}, got {got}"
             )

@@ -468,10 +468,16 @@ class FrameSampleStage:
         self.step = max(1, step)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        in_ctypes = (
+            batch.column("content_type").to_pylist()
+            if "content_type" in batch.column_names
+            else [None] * batch.num_rows
+        )
         ids, idxs, payloads, ctypes = [], [], [], []
-        for mid, payload in zip(
+        for mid, payload, in_ct in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
+            in_ctypes,
         ):
             if payload[:9] == _Y4M_MAGIC:
                 frames, _fps = y4m_decode(payload)
@@ -481,10 +487,12 @@ class FrameSampleStage:
                     payloads.append(png_encode(frames[fi]))
                     ctypes.append("image/png")
             else:
+                # passthrough keeps the row's REAL content_type so a
+                # downstream image/audio branch still routes on it
                 ids.append(mid)
                 idxs.append(0)
                 payloads.append(payload)
-                ctypes.append("application/octet-stream")
+                ctypes.append(in_ct or "application/octet-stream")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -97,10 +97,14 @@ class LocalStoreTransport:
     def push(self, dataset_id: str, zip_path: str) -> str:
         d = self._slug_dir(dataset_id)
         os.makedirs(d, exist_ok=True)
-        version = 1 + sum(
-            1 for n in os.listdir(d)
+        # max existing + 1 (NOT count + 1: pruning an old version must
+        # never make the next push clobber the current latest)
+        existing = [
+            int(n[1:-4]) for n in os.listdir(d)
             if n.startswith("v") and n.endswith(".zip")
-        )
+            and n[1:-4].isdigit()
+        ]
+        version = 1 + max(existing, default=0)
         dest = os.path.join(d, f"v{version}.zip")
         shutil.copyfile(zip_path, dest)
         return dest

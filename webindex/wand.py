@@ -198,9 +198,16 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             bound[p.dense_pos] += p.dense_contrib
         ub_non = float(np.sum([p.max_score for p in non_ess]))
         # a candidate must be in >=1 essential list (bound > 0) AND able
-        # to reach θ with every non-essential upper bound granted
-        if theta - ub_non > 0:
-            cand_pos = np.flatnonzero(bound >= theta - ub_non)
+        # to reach θ with every non-essential upper bound granted. The
+        # threshold gets a relative float slack: `bound` sums essential
+        # contributions in max-score order while θ comes from exact
+        # ascending-term sums, so a doc tied exactly at θ could sit one
+        # ulp below the unslacked cut — extra candidates are harmless
+        # (phase B rescores exactly and re-filters on θ), missing ones
+        # would break bit-identity with the full-scatter path.
+        thr = theta - ub_non - 1e-9 * abs(theta)
+        if thr > 0:
+            cand_pos = np.flatnonzero(bound >= thr)
         else:
             cand_pos = np.flatnonzero(bound)
         if cand_pos.size * len(pls) < total_postings:
