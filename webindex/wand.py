@@ -32,6 +32,11 @@ def query_postings(reader: SegmentReader, terms: list[str]) -> list[PostingList]
     return out
 
 
+# empirical per-element cost of the two-phase MAXSCORE rescore relative
+# to one dense scatter-add (see routing comment in exhaustive_topk)
+_PHASE_B_COST = 4
+
+
 def _rank_topk(ids: np.ndarray, scores: np.ndarray, k: int):
     """(score desc, docID asc) top-k."""
     if ids.size > 4 * k:
@@ -210,7 +215,13 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             cand_pos = np.flatnonzero(bound >= thr)
         else:
             cand_pos = np.flatnonzero(bound)
-        if cand_pos.size * len(pls) < total_postings:
+        # Routing cost model: one phase-B candidate costs ~4-5x one
+        # scatter-added posting (searchsorted binary probes + compare +
+        # two gathers + masked add, measured 53ns/lookup vs 9ns/posting
+        # on the 3.1M-doc bench index), so a marginal candidate set must
+        # fall through to the full scatter — an all-stopword query with
+        # cand ~= ess postings ran 480ms two-phase vs 76ms scatter.
+        if cand_pos.size * len(pls) * _PHASE_B_COST < total_postings:
             scores = np.zeros(cand_pos.size, dtype=np.float64)
             for pl in pls:  # ascending term order (query_postings sorts)
                 _dense(pl, reader)
