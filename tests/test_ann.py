@@ -116,3 +116,48 @@ def test_ivf_store_scans_only_probed_partitions(emb_ds, tmp_path):
         mem[["query_id", "vec_id", "rank"]]
     )
     np.testing.assert_allclose(got["sim"], mem["sim"], rtol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_seeded_matches_numpy_oracle(emb_ds):
+    """Seed-centroid IVF (the SQL-verifiable variant): the whole path —
+    centroids = k lowest-id vectors, argmax-cosine assignment, stable
+    nprobe probe selection, candidate top-k — against a numpy re-derivation."""
+    import pyarrow.parquet as pq
+
+    from webindex.ann import ivf_assign, ivf_topk, seed_centroids
+
+    tab = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vids = np.array(tab.column("vec_id").to_pylist())
+    order = np.argsort(vids)
+    vecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return m / n
+
+    k_cent, nprobe, k = 6, 2, 8
+    cents_expect = norm(vecs[order[:k_cent]])
+    cents = seed_centroids(emb_ds.repartition(4), k_cent)
+    np.testing.assert_allclose(cents, cents_expect, rtol=0, atol=0)
+
+    qvecs = vecs[order[:3]] + 0.02
+    nvecs = norm(vecs)
+    assign_expect = np.argmax(nvecs @ cents_expect.T, axis=1)
+    probe_expect = np.argsort(
+        -(norm(qvecs) @ cents_expect.T), axis=1, kind="stable"
+    )[:, :nprobe]
+
+    out = ivf_topk(
+        ivf_assign(emb_ds.repartition(4), cents),
+        cents, [0, 1, 2], qvecs, k, nprobe=nprobe, concurrency=2,
+    ).to_pandas()
+    sims_all = norm(qvecs) @ nvecs.T
+    for qi in range(3):
+        allowed = np.isin(assign_expect, probe_expect[qi])
+        s, v = sims_all[qi][allowed], vids[allowed]
+        sel = np.lexsort((v, -s))[:k]
+        grp = out[out.query_id == qi].sort_values("rank")
+        assert list(grp["vec_id"].astype(int)) == [int(x) for x in v[sel]]
+        np.testing.assert_allclose(grp["sim"], s[sel], rtol=1e-12)

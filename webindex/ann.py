@@ -300,6 +300,23 @@ def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return cent
 
 
+def ivf_assign(emb_ds, cents: np.ndarray, *, vec_col: str = "embedding"):
+    """Add a ``centroid`` column: nearest (cosine) coarse centroid per row.
+
+    Ties take the lowest centroid index (``np.argmax`` keeps the first
+    maximum), matching the SQL oracle's ``ORDER BY sim DESC, cid`` rule.
+    Centroids are tiny -> stateless task closure (no actor reservation);
+    a big centroid table would go through ``ray.put`` + actor ``__init__``.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(a, pa.int32()))
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_build(emb_ds, *, n_centroids: int = 16, sample_n: int = 2048,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 11):
@@ -314,20 +331,41 @@ def ivf_build(emb_ds, *, n_centroids: int = 16, sample_n: int = 2048,
         np.array(sample[vec_col].tolist(), dtype=np.float64), n_centroids,
         seed=seed,
     )
+    return ivf_assign(emb_ds, cents, vec_col=vec_col), cents
 
-    # centroids are tiny -> stateless task closure (no actor reservation);
-    # a big centroid table would go through ray.put + actor __init__
-    def assign(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_batch_vecs(batch, vec_col))
-        a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
-        return batch.append_column("centroid", pa.array(a, pa.int32()))
 
-    return emb_ds.map_batches(assign, batch_format="pyarrow"), cents
+def seed_centroids(emb_ds, n_centroids: int, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic, SQL-expressible coarse centroids: the (normalized)
+    vectors of the ``n_centroids`` smallest ids, centroid index = ascending
+    id order. No k-means iterations — this is the variant a DuckDB oracle
+    can reproduce exactly (``ORDER BY vec_id LIMIT k``), trading cluster
+    balance for end-to-end verifiability.
+
+    Scale shape: each batch emits only its ``k`` smallest-id rows, so the
+    final sort+limit sees k x n_blocks rows, never the corpus.
+    """
+
+    def partial_min_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        k = min(n_centroids, len(ids))
+        sel = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(sel))
+
+    small = (
+        emb_ds.map_batches(partial_min_k, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(n_centroids)
+    )
+    pdf = small.to_pandas()
+    return _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
 
 
 def _probe_plan(cents: np.ndarray, query_ids, query_vecs, nprobe: int):
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    # stable sort: equal-similarity centroids probe lowest-index first,
+    # matching the SQL oracle's ORDER BY sim DESC, cid tie-break
+    probes = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :nprobe]
     probe_set = sorted({int(c) for row in probes for c in row})
     allowed = {int(q): {int(c) for c in probes[i]}
                for i, q in enumerate(query_ids)}

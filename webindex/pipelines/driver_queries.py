@@ -851,6 +851,86 @@ def q_ivf_top5(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+def q_ivf_seed_top5(sf_dir: str):
+    """IVF with deterministic seed centroids (the 8 lowest-vec_id vectors),
+    nprobe=3 — the SQL-verifiable IVF variant: centroid choice, assignment
+    (argmax cosine, ties -> lowest centroid), probe selection and the final
+    candidate top-5 are all reproduced by the DuckDB oracle, closing the
+    oracle gap the k-means ``ivf_top5`` entry (rows-only) leaves open."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import ivf_assign, ivf_topk, seed_centroids
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    ds = rd.read_parquet(path)
+    cents = seed_centroids(ds, 8)
+    assigned = ivf_assign(ds, cents)
+    out = ivf_topk(assigned, cents, [0, 1, 2], qvecs, 5, nprobe=3).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+SQL_IVF_SEED_TOP5 = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cid_idx AS (
+  SELECT cid, cvec,
+         row_number() OVER (ORDER BY cid) - 1 AS cidx
+  FROM cent
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                           c.cvec::DOUBLE[]) DESC, c.cidx
+         ) AS rn
+  FROM embeddings e CROSS JOIN cid_idx c
+),
+assigned AS (SELECT vec_id, embedding, cidx FROM assign WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+probes AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.query_id, c.cidx,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv::DOUBLE[],
+                                             c.cvec::DOUBLE[]) DESC, c.cidx
+           ) AS pr
+    FROM q CROSS JOIN cid_idx c
+  ) WHERE pr <= 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], a.embedding::DOUBLE[]) AS sim
+  FROM probes p
+  JOIN assigned a ON a.cidx = p.cidx
+  JOIN q ON q.query_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, vec_id
+         )::INTEGER AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_langid(sf_dir: str):
     from webindex.textstats import LangIdStage
 
@@ -1453,6 +1533,7 @@ REGISTRY: dict[str, tuple] = {
     "paraphrase_top": (q_paraphrase_top, SQL_PARAPHRASE_TOP),
     "ngram_jaccard_clusters": (q_ngram_jaccard_clusters, SQL_NGRAM_JACCARD),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION),
+    "ivf_seed_top5": (q_ivf_seed_top5, SQL_IVF_SEED_TOP5),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
