@@ -432,6 +432,104 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join (temporal operator Ray Data lacks; webindex.temporal):
+    each event matched to the user's latest order at-or-before the event
+    timestamp, inner semantics — DuckDB's ASOF JOIN is the oracle. The
+    right side is deduped to one row per (custkey, orderdate) (max orderkey
+    wins) so the as-of match is unique and deterministic on both sides."""
+    import ray.data as rd
+
+    from webindex.temporal import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderkey", kind="mergesort")
+        return g.groupby("o_orderdate", as_index=False).last()
+
+    od_u = od.groupby("o_custkey").map_groups(dedupe, batch_format="pandas")
+    return asof_join(
+        ev, od_u, key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.ts, e.user_id, e.value, o.o_orderkey, o.o_totalprice
+FROM events e ASOF JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding ROWS-window aggregate (webindex.temporal): hourly event
+    count per event_type, then the trailing 3-row mean — integer counts so
+    the mean is bit-exact against the SQL window oracle (no float-sum
+    reassociation)."""
+    import ray.data as rd
+
+    from webindex.relational import hash_partitioned_groupby
+    from webindex.temporal import sliding_window_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+        override_num_blocks=8,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return (
+            df.groupby(["event_type", "hour"], sort=False)
+            .agg(n_p=("ts", "size"))
+            .reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "hour"], sort=False)
+            .agg(n_events=("n_p", "sum"))
+            .reset_index()
+        )
+
+    hourly = hash_partitioned_groupby(
+        ds, ["event_type", "hour"], partial, final, n_parts=16
+    )
+    return sliding_window_agg(
+        hourly, key="event_type", order_col="hour", value_col="n_events",
+        window=3, agg="mean", out_col="mov3",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events,
+       avg(n_events) OVER (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+FROM h
+"""
+
+
 def q_token_stats(sf_dir: str):
     """Quality-signal ints (SQL-checkable slice of textstats)."""
     an = Analyzer(SQL_SAFE_ANALYZER)
@@ -1534,6 +1632,8 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_clusters": (q_ngram_jaccard_clusters, SQL_NGRAM_JACCARD),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     "ivf_seed_top5": (q_ivf_seed_top5, SQL_IVF_SEED_TOP5),
+    "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),

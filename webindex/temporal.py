@@ -1,0 +1,226 @@
+"""Temporal operators Ray Data lacks natively: as-of join + sliding window.
+
+Two of the "custom operators" the engine needs beyond the reference's own
+inventory (SURVEY.md §2 extension surface; the reference joins runs/qrels
+on exact keys only — e.g. /root/reference/biencoder/beir/beir_dense_retriever.py
+evaluation joins — and has no temporal alignment at all):
+
+- ``asof_join``: each left row matched to the right row with the same key
+  and the greatest timestamp <= the left row's timestamp (inner: unmatched
+  left rows drop). Semantics of DuckDB's ``ASOF JOIN`` / pandas
+  ``merge_asof(direction="backward")``, re-expressed Ray-Data-first.
+- ``sliding_window_agg``: trailing ROWS-window aggregate (mean/sum) over a
+  per-key ordered series — SQL ``AVG(v) OVER (PARTITION BY key ORDER BY t
+  ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+
+Partitioning assumption (documented per the scale contract): both inputs
+are hash-partitioned by the join/group key, so one key's rows land wholly
+in one partition and the per-partition kernel (vectorized
+``pd.merge_asof`` / cumsum) sees every row it needs. A pathologically hot
+key bounds the partition size; salt upstream if one key exceeds a worker's
+heap. One all-to-all shuffle per input — the minimum any as-of join needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from webindex.util import stable_hash64
+
+_PART_COL = "__asof_part"
+_SIDE_COL = "__asof_side"
+
+
+def _attach_part(ds, key: str, n_parts: int):
+    """Stable content-hash partition id (never Python hash(): PYTHONHASHSEED
+    randomization would split a key across Ray worker processes)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key)
+        if pa.types.is_integer(keys.type):
+            ids = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+            # splitmix64-style mix so consecutive int keys spread
+            ids = ids * np.uint64(0x9E3779B97F4A7C15)
+            part = (ids >> np.uint64(40)).astype(np.int64) % n_parts
+        else:
+            part = np.fromiter(
+                (stable_hash64(str(k)) % n_parts for k in keys.to_pylist()),
+                dtype=np.int64, count=len(keys),
+            )
+        return batch.append_column(_PART_COL, pa.array(part, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
+              right_key: str | None = None, right_cols: list[str] | None = None,
+              n_parts: int = 32):
+    """Backward as-of join -> Dataset of left columns + ``right_cols``.
+
+    For each left row: the right row with ``right_key == key`` and the
+    greatest ``right_ts <= left_ts``; left rows with no such right row are
+    dropped (inner semantics, like DuckDB ``ASOF JOIN``). Ties on
+    ``right_ts`` within a key must be resolved upstream (dedupe the right
+    side) — ``pd.merge_asof`` keeps the last row in sort order, which is
+    input-order-dependent; this function asserts uniqueness per group.
+
+    Shape: one hash shuffle per side on the key, then a vectorized
+    ``pd.merge_asof(by=key)`` per partition — many keys per group, no
+    per-key Python loop.
+    """
+    right_key = right_key or key
+    right_cols = right_cols or [
+        c for c in right_ds.schema().names if c not in (right_key, right_ts)
+    ]
+
+    def _arrow_types(ds) -> dict:
+        """name -> pa.DataType for Arrow- OR pandas-block datasets."""
+        sch = ds.schema()
+        out = {}
+        for name, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()  # object dtype
+            out[name] = t
+        return out
+
+    lmap_full = _arrow_types(left_ds)
+    rmap_full = _arrow_types(right_ds)
+    left_names = list(lmap_full)
+    if right_ts in left_names:
+        raise ValueError(
+            "asof_join: right_ts column name collides with a left column; "
+            "rename one side"
+        )
+    clash = set(right_cols) & set(left_names)
+    if clash:
+        raise ValueError(
+            f"asof_join: right payload columns {sorted(clash)} collide with "
+            "left columns; rename one side"
+        )
+
+    # union() needs one schema: each side adds the other side's columns as
+    # typed nulls, selected in one canonical order
+    rmap = {(key if c == right_key else c): rmap_full[c]
+            for c in [right_key, right_ts] + right_cols}
+    lmap = lmap_full
+    all_cols = list(lmap) + [c for c in rmap if c not in lmap]
+    types = {**rmap, **lmap}  # key keeps the left type
+
+    def conform(side: int, rename_from: str | None = None):
+        def add(batch: pa.Table) -> pa.Table:
+            if rename_from and rename_from != key:
+                batch = batch.rename_columns(
+                    [key if c == rename_from else c for c in batch.schema.names]
+                )
+            n = batch.num_rows
+            cols = []
+            for c in all_cols:
+                if c in batch.schema.names:
+                    cols.append(batch.column(c).cast(types[c]))
+                else:
+                    cols.append(pa.nulls(n, types[c]))
+            cols.append(pa.array(np.full(n, side, np.int8)))
+            return pa.table(cols, names=all_cols + [_SIDE_COL])
+
+        return add
+
+    left_t = _attach_part(
+        left_ds.map_batches(conform(0), batch_format="pyarrow"), key, n_parts
+    )
+    right_t = _attach_part(
+        right_ds.map_batches(conform(1, rename_from=right_key),
+                             batch_format="pyarrow"),
+        key, n_parts,
+    )
+
+    out_names = left_names + right_cols
+    # the pandas group block holds each side's missing columns as nulls,
+    # which upcasts int/bool to float/object; restore declared dtypes after
+    # the inner filter removes every null
+    restore = {}
+    for c in out_names:
+        t = types[c]
+        if pa.types.is_integer(t):
+            restore[c] = t.to_pandas_dtype()
+        elif pa.types.is_boolean(t):
+            restore[c] = np.bool_
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g[_SIDE_COL] == 0]
+        rt = g[g[_SIDE_COL] == 1]
+        if lf.empty or rt.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=restore.get(c, g[c].dtype))
+                 for c in out_names}
+            )
+        lf = lf[left_names].sort_values(
+            [left_ts, key], kind="mergesort"
+        ).reset_index(drop=True)
+        rt = rt[[key, right_ts] + right_cols].sort_values(
+            [right_ts, key], kind="mergesort"
+        ).reset_index(drop=True)
+        dup = rt.duplicated([key, right_ts]).any()
+        assert not dup, "asof_join: right side has duplicate (key, ts) rows"
+        # merge_asof requires identical on-key dtypes; parquet reads give
+        # timestamp[us] while pandas-block upstreams give [ns] — align
+        lt, rtt = lf[left_ts].dtype, rt[right_ts].dtype
+        if lt != rtt:
+            if str(lt).startswith("datetime64") and str(rtt).startswith(
+                "datetime64"
+            ):
+                lf[left_ts] = lf[left_ts].astype("datetime64[ns]")
+                rt[right_ts] = rt[right_ts].astype("datetime64[ns]")
+            else:
+                rt[right_ts] = rt[right_ts].astype(lt)
+        out = pd.merge_asof(
+            lf, rt, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward",
+        )
+        out = out[out[right_ts].notna()]  # inner: unmatched left rows drop
+        out = out[out_names].reset_index(drop=True)
+        for c, t in restore.items():
+            out[c] = out[c].astype(t)
+        return out
+
+    both = left_t.union(right_t)
+    return both.groupby(_PART_COL).map_groups(join_part, batch_format="pandas")
+
+
+def sliding_window_agg(ds, *, key: str, order_col: str, value_col: str,
+                       window: int, agg: str = "mean",
+                       out_col: str | None = None):
+    """Trailing ROWS-window aggregate per key (window rows ending at the
+    current row), ordered by ``order_col`` — the streaming-window stage of
+    a metrics pipeline, ROWS semantics so it matches SQL's
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` exactly even over
+    gaps in the time axis.
+
+    One hash shuffle on the key; the per-group kernel is a vectorized
+    cumsum difference (O(n), no Python loop). Ties on ``order_col`` within
+    a key are broken deterministically only if upstream rows are unique
+    per (key, order_col) — asserted.
+    """
+    out_col = out_col or f"{agg}_{value_col}_w{window}"
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        assert not g[order_col].duplicated().any(), (
+            "sliding_window_agg: duplicate order values within a key"
+        )
+        v = g[value_col].to_numpy(np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        lo = np.maximum(0, np.arange(len(v)) - window + 1)
+        s = cs[np.arange(1, len(v) + 1)] - cs[lo]
+        if agg == "mean":
+            s = s / (np.arange(len(v)) - lo + 1)
+        elif agg != "sum":
+            raise ValueError(f"unsupported agg {agg!r}")
+        g[out_col] = s
+        return g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas")
