@@ -149,3 +149,51 @@ def test_sliding_window_matches_pandas_rolling():
             got[["k", "t", "v", "w"]], want[["k", "t", "v", "w"]],
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_bruteforce():
+    """Bin-replicated range join == driver-side brute-force double loop,
+    including pairs that straddle bin boundaries and multi-match rows."""
+    import ray.data as rd
+
+    from webindex.temporal import range_join
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2024-01-01")
+    lf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 80),
+            "t": base + pd.to_timedelta(rng.integers(0, 500, 80), unit="h"),
+            "x": np.arange(80),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 40),
+            "rt": base + pd.to_timedelta(rng.integers(0, 500, 40), unit="h"),
+            "pay": np.arange(40) * 1.5,
+        }
+    )
+    win = pd.Timedelta("48h")
+    got = (
+        range_join(
+            rd.from_pandas(lf).repartition(4), rd.from_pandas(rt),
+            key="k", left_ts="t", right_ts="rt", right_cols=["pay"],
+            window="48h", n_parts=5,
+        )
+        .to_pandas()
+        .sort_values(["x", "pay"])
+        .reset_index(drop=True)
+    )
+    want = lf.merge(rt, on="k")
+    want = want[(want["rt"] <= want["t"]) & (want["t"] < want["rt"] + win)]
+    want = (
+        want[["k", "t", "x", "pay"]]
+        .sort_values(["x", "pay"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "x", "pay"]], want, check_dtype=False
+    )

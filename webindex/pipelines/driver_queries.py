@@ -477,6 +477,52 @@ FROM events e ASOF JOIN od o
 """
 
 
+def q_events_range_pairs(sf_dir: str):
+    """Range join (webindex.temporal): every (event, earlier event) pair of
+    the same user within a 6-hour attribution window — the inequality join
+    DuckDB writes directly and Ray Data has no operator for.
+    Bin-replication keeps the shuffle key time-aware (session-ization /
+    burst-detection shape). Identity pairs are filtered after the join."""
+    import ray.data as rd
+
+    from webindex.temporal import range_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    rt = ev.map_batches(
+        lambda t: t.select(["event_id", "ts", "user_id"]).rename_columns(
+            ["r_event_id", "r_ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join(
+        ev, rt, key="user_id", left_ts="ts", right_ts="r_ts",
+        right_cols=["r_event_id"], window="6h",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.not_equal(t.column("event_id"), t.column("r_event_id"))
+        )
+        return t.select(["event_id", "user_id", "r_event_id"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE = """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts
+ AND l.ts < r.ts + INTERVAL 6 HOUR
+ AND l.event_id <> r.event_id
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding ROWS-window aggregate (webindex.temporal): hourly event
     count per event_type, then the trailing 3-row mean — integer counts so
@@ -1633,6 +1679,7 @@ REGISTRY: dict[str, tuple] = {
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION),
     "ivf_seed_top5": (q_ivf_seed_top5, SQL_IVF_SEED_TOP5),
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF),
+    "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),

@@ -9,6 +9,9 @@ evaluation joins — and has no temporal alignment at all):
   and the greatest timestamp <= the left row's timestamp (inner: unmatched
   left rows drop). Semantics of DuckDB's ``ASOF JOIN`` / pandas
   ``merge_asof(direction="backward")``, re-expressed Ray-Data-first.
+- ``range_join``: all same-key pairs with ``right_ts <= left_ts <
+  right_ts + window`` (attribution-window inequality join), bin-replicated
+  so the shuffle key includes time.
 - ``sliding_window_agg``: trailing ROWS-window aggregate (mean/sum) over a
   per-key ordered series — SQL ``AVG(v) OVER (PARTITION BY key ORDER BY t
   ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
@@ -54,6 +57,33 @@ def _attach_part(ds, key: str, n_parts: int):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _arrow_types(ds) -> dict:
+    """name -> pa.DataType for Arrow- OR pandas-block datasets."""
+    sch = ds.schema()
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()  # object dtype
+        out[name] = t
+    return out
+
+
+def _restore_dtypes(out_names: list[str], types: dict) -> dict:
+    """pandas dtypes to restore after a null-introducing union upcasts
+    int/bool columns to float/object."""
+    restore = {}
+    for c in out_names:
+        t = types[c]
+        if pa.types.is_integer(t):
+            restore[c] = t.to_pandas_dtype()
+        elif pa.types.is_boolean(t):
+            restore[c] = np.bool_
+    return restore
+
+
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
               right_key: str | None = None, right_cols: list[str] | None = None,
               n_parts: int = 32):
@@ -74,20 +104,6 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     right_cols = right_cols or [
         c for c in right_ds.schema().names if c not in (right_key, right_ts)
     ]
-
-    def _arrow_types(ds) -> dict:
-        """name -> pa.DataType for Arrow- OR pandas-block datasets."""
-        sch = ds.schema()
-        out = {}
-        for name, t in zip(sch.names, sch.types):
-            if not isinstance(t, pa.DataType):
-                try:
-                    t = pa.from_numpy_dtype(t)
-                except (pa.ArrowNotImplementedError, TypeError):
-                    t = pa.string()  # object dtype
-            out[name] = t
-        return out
-
     lmap_full = _arrow_types(left_ds)
     rmap_full = _arrow_types(right_ds)
     left_names = list(lmap_full)
@@ -142,13 +158,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     # the pandas group block holds each side's missing columns as nulls,
     # which upcasts int/bool to float/object; restore declared dtypes after
     # the inner filter removes every null
-    restore = {}
-    for c in out_names:
-        t = types[c]
-        if pa.types.is_integer(t):
-            restore[c] = t.to_pandas_dtype()
-        elif pa.types.is_boolean(t):
-            restore[c] = np.bool_
+    restore = _restore_dtypes(out_names, types)
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g[_SIDE_COL] == 0]
@@ -189,6 +199,122 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
 
     both = left_t.union(right_t)
     return both.groupby(_PART_COL).map_groups(join_part, batch_format="pandas")
+
+
+def range_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
+               window, right_key: str | None = None,
+               right_cols: list[str] | None = None, n_parts: int = 32):
+    """Windowed range join: all (left, right) pairs with the same key and
+    ``right_ts <= left_ts < right_ts + window`` (an attribution window) —
+    the inequality-join shape SQL writes as ``ON l.key = r.key AND l.ts >=
+    r.ts AND l.ts < r.ts + INTERVAL window`` and Ray Data has no operator
+    for. Returns left columns + ``right_cols``; a left row matching k right
+    rows emits k output rows.
+
+    Scale shape (bin replication): time is cut into ``window``-width bins;
+    each right row replicates to the two bins its window can overlap, each
+    left row goes to its own bin, and pair generation is an exact
+    vectorized filter inside one ``groupby((key_hash, bin))`` — the
+    shuffle key includes time, so a key whose rows span a long period
+    spreads over many partitions instead of hot-spotting one (the skew
+    failure mode of sharding on key alone). Replication is exactly 2x the
+    right side, independent of window length. Every (left, right) match is
+    produced exactly once: the left row lives in one bin, and each right
+    row reaches that bin via exactly one of its two copies.
+    """
+    right_key = right_key or key
+    right_cols = right_cols or [
+        c for c in right_ds.schema().names if c not in (right_key, right_ts)
+    ]
+    lmap_full = _arrow_types(left_ds)
+    rmap_full = _arrow_types(right_ds)
+    left_names = list(lmap_full)
+    if right_ts in left_names:
+        raise ValueError(
+            "range_join: right_ts column name collides with a left column; "
+            "rename one side"
+        )
+    clash = set(right_cols) & set(left_names)
+    if clash:
+        raise ValueError(
+            f"range_join: right payload columns {sorted(clash)} collide "
+            "with left columns; rename one side"
+        )
+    rmap = {(key if c == right_key else c): rmap_full[c]
+            for c in [right_key, right_ts] + right_cols}
+    all_cols = list(lmap_full) + [c for c in rmap if c not in lmap_full]
+    types = {**rmap, **lmap_full}  # key keeps the left type
+    out_names = left_names + right_cols
+    restore = _restore_dtypes(out_names, types)
+
+    win = pd.Timedelta(window)
+    win_us = np.int64(win.value // 1000)
+
+    def _ts_us(col) -> np.ndarray:
+        return (
+            col.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def conform(side: int, rename_from: str | None, bins: "np.ndarray",
+                batch: pa.Table) -> pa.Table:
+        if rename_from and rename_from != key:
+            batch = batch.rename_columns(
+                [key if c == rename_from else c for c in batch.schema.names]
+            )
+        n = batch.num_rows
+        cols = []
+        for c in all_cols:
+            if c in batch.schema.names:
+                cols.append(batch.column(c).cast(types[c]))
+            else:
+                cols.append(pa.nulls(n, types[c]))
+        cols.append(pa.array(np.full(n, side, np.int8)))
+        cols.append(pa.array(bins, pa.int64()))
+        return pa.table(cols, names=all_cols + [_SIDE_COL, "__bin"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        bins = _ts_us(batch.column(left_ts)) // win_us
+        return conform(0, None, bins, batch)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        # a right window [t, t+win) can only match left bins
+        # floor(t/win) and floor(t/win)+1 — replicate to both
+        b0 = _ts_us(batch.column(right_ts)) // win_us
+        both = pa.concat_tables([batch, batch])
+        bins = np.concatenate([b0, b0 + 1])
+        return conform(1, right_key, bins, both)
+
+    lb = _attach_part(
+        left_ds.map_batches(prep_left, batch_format="pyarrow"), key, n_parts
+    )
+    rb = _attach_part(
+        right_ds.map_batches(prep_right, batch_format="pyarrow"), key, n_parts
+    )
+
+    rcols = [key, right_ts] + right_cols
+
+    def join_bin(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g[_SIDE_COL] == 0][left_names]
+        rt = g[g[_SIDE_COL] == 1][rcols]
+        if lf.empty or rt.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=restore.get(c, g[c].dtype))
+                 for c in out_names}
+            )
+        m = lf.merge(rt, on=key)
+        lt = m[left_ts].astype("datetime64[us]")
+        rt_ts = m[right_ts].astype("datetime64[us]")
+        out = m[(rt_ts <= lt) & (lt < rt_ts + win)]
+        out = out[out_names].reset_index(drop=True)
+        for c, t in restore.items():
+            out[c] = out[c].astype(t)
+        return out
+
+    both = lb.union(rb)
+    return both.groupby([_PART_COL, "__bin"]).map_groups(
+        join_bin, batch_format="pandas"
+    )
 
 
 def sliding_window_agg(ds, *, key: str, order_col: str, value_col: str,
