@@ -19,11 +19,17 @@ import sys
 
 
 def _init_ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # RAY_ADDRESS=local (sandbox default) starts a private instance;
+        # inside a `ray job submit` entrypoint the runtime sets RAY_ADDRESS
+        # to the cluster address and this connects instead of nesting a
+        # local instance
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
