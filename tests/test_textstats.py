@@ -241,3 +241,34 @@ def test_media_actor_pipeline():
     expect = DecodeStage()(synth_media_table(30)).to_pandas()
     got = out.sort_values("media_id").reset_index(drop=True)
     assert np.allclose(got["mean_value"], expect["mean_value"])
+
+
+def test_bpeish_count_re2_equivalent():
+    """The SQL oracle for bpe_token_counts uses an RE2-safe pattern (no
+    lookahead); its match count must equal token_count_batch's filtered
+    GPT-2-ish count on apostrophe/whitespace stress cases."""
+    import re
+
+    import pyarrow as pa
+
+    from webindex.textstats import token_count_batch
+
+    re2 = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    )
+    cases = [
+        "it's a test", "they're 42bit", "  leading", "a''b",
+        "don't  stop", "x\ty\nz", "", "   ", '{"k": 69}',
+        "mixed42words and-hyphens, punct!!", "trailing space ",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(cases)), pa.int64()),
+         "text": pa.array(cases)}
+    )
+    out = token_count_batch(batch)
+    got = out.column("n_bpeish_tokens").to_pylist()
+    want = [len(re2.findall(t)) for t in cases]
+    assert got == want
+    assert out.column("n_ws_tokens").to_pylist() == [
+        len(t.split()) for t in cases
+    ]

@@ -523,6 +523,41 @@ FROM events l JOIN events r
 """
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counting (textstats
+    token_count_batch) over the punctuation-rich events.props JSON column
+    — the model-token-budgeting proxy from the brief, SQL-checked: the
+    GPT-2-ish pattern's whitespace branches never survive the non-space
+    filter, so an RE2-safe equivalent drives the DuckDB oracle (verified
+    identical on apostrophe/whitespace stress cases in pytest)."""
+    import ray.data as rd
+
+    from webindex.textstats import token_count_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "props"],
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "text"])
+        out = token_count_batch(t)
+        return out.rename_columns(["event_id", "n_ws_tokens", "n_bpeish_tokens"])
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNTS = """
+SELECT event_id,
+       len(regexp_extract_all(props, '\\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(
+         props,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'
+       ))::BIGINT AS n_bpeish_tokens
+FROM events
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding ROWS-window aggregate (webindex.temporal): hourly event
     count per event_type, then the trailing 3-row mean — integer counts so
@@ -1680,6 +1715,7 @@ REGISTRY: dict[str, tuple] = {
     "ivf_seed_top5": (q_ivf_seed_top5, SQL_IVF_SEED_TOP5),
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
