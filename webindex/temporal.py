@@ -174,8 +174,11 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         rt = rt[[key, right_ts] + right_cols].sort_values(
             [right_ts, key], kind="mergesort"
         ).reset_index(drop=True)
-        dup = rt.duplicated([key, right_ts]).any()
-        assert not dup, "asof_join: right side has duplicate (key, ts) rows"
+        if rt.duplicated([key, right_ts]).any():
+            raise ValueError(
+                "asof_join: right side has duplicate (key, ts) rows — "
+                "dedupe upstream; the match would be input-order dependent"
+            )
         # merge_asof requires identical on-key dtypes; parquet reads give
         # timestamp[us] while pandas-block upstreams give [ns] — align
         lt, rtt = lf[left_ts].dtype, rt[right_ts].dtype
@@ -335,9 +338,11 @@ def sliding_window_agg(ds, *, key: str, order_col: str, value_col: str,
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        assert not g[order_col].duplicated().any(), (
-            "sliding_window_agg: duplicate order values within a key"
-        )
+        if g[order_col].duplicated().any():
+            raise ValueError(
+                "sliding_window_agg: duplicate order values within a key — "
+                "pre-aggregate so (key, order) is unique"
+            )
         v = g[value_col].to_numpy(np.float64)
         cs = np.concatenate(([0.0], np.cumsum(v)))
         lo = np.maximum(0, np.arange(len(v)) - window + 1)
