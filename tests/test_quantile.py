@@ -1,0 +1,77 @@
+"""Distributed exact median: rank-selection vs numpy, all edge paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df: pd.DataFrame, parts: int):
+    import ray.data as rd
+
+    return (
+        rd.from_pandas(df)
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "value"]),
+            batch_format="pyarrow",
+        )
+        .repartition(parts)
+        .materialize()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_matches_numpy_real_table():
+    import ray.data as rd
+
+    from webindex.quantile import grouped_median
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_type", "value"],
+    ).materialize()
+    # tiny pull threshold forces multi-round binary search
+    out = grouped_median(ds, "event_type", "value", pull_threshold=16)
+    want = (
+        ds.to_pandas().groupby("event_type")["value"].median().sort_index()
+    )
+    got = out.set_index("event_type")["median"]
+    assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_edge_paths():
+    """Duplicate-mass fixpoint (never pulls), even-count split resolution,
+    tiny groups, singleton group."""
+    from webindex.quantile import grouped_median
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 101 + ["b"] * 100 + ["c"] * 5 + ["d"],
+            "v": [7.0] * 101
+            + list(np.arange(100.0))
+            + [1.0, 2.0, 2.0, 2.0, 9.0]
+            + [4.0],
+        }
+    )
+    out = grouped_median(_ds(df, 6), "event_type", "value", pull_threshold=4)
+    got = out.set_index("event_type")["median"]
+    want = df.groupby("k")["v"].median().sort_index()
+    assert np.array_equal(got.to_numpy(), want.to_numpy())
+    assert got["a"] == 7.0 and got["b"] == 49.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_pull_is_bounded():
+    """The final pull never ships more than pull_threshold values per key
+    to the driver: with a huge threshold the very first round pulls, with
+    threshold < n it must keep narrowing — both give the exact answer."""
+    from webindex.quantile import grouped_median
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"k": ["z"] * 5000, "v": rng.normal(size=5000)})
+    want = float(np.median(df["v"]))
+    for thr in (10_000, 100, 8):
+        out = grouped_median(
+            _ds(df, 5), "event_type", "value", pull_threshold=thr
+        )
+        assert float(out["median"].iloc[0]) == want

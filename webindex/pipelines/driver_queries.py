@@ -558,6 +558,29 @@ FROM events
 """
 
 
+def q_events_median(sf_dir: str):
+    """Exact per-group median via distributed rank selection
+    (webindex.quantile): binary search on the value domain with one
+    vectorized counting pass per round and a bounded final pull — the
+    aggregate a naive map_groups(np.median) cannot give a memory bound
+    for. Bit-exact vs DuckDB median()."""
+    import ray.data as rd
+
+    from webindex.quantile import grouped_median
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    ).materialize()  # each selection round re-executes the plan
+    out = grouped_median(ds, "event_type", "value")
+    return out.rename(columns={"median": "med"})
+
+
+SQL_EVENTS_MEDIAN = """
+SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding ROWS-window aggregate (webindex.temporal): hourly event
     count per event_type, then the trailing 3-row mean — integer counts so
@@ -1716,6 +1739,7 @@ REGISTRY: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "events_median": (q_events_median, SQL_EVENTS_MEDIAN),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
