@@ -144,6 +144,22 @@ def main(argv=None) -> int:
     g.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
+    # validate index paths up front: a missing/garbage --index otherwise
+    # surfaces as a raw TypeError from deep inside the segment reader
+    import os
+
+    for attr in ("index", "inputs"):
+        paths = getattr(args, attr, None)
+        if paths is None:
+            continue
+        for d in paths if isinstance(paths, list) else [paths]:
+            if not os.path.isfile(os.path.join(d, "manifest.json")):
+                print(
+                    f"error: {d!r} is not a webindex index directory "
+                    "(no manifest.json)",
+                    file=sys.stderr,
+                )
+                return 2
     return args.fn(args)
 
 
