@@ -75,3 +75,61 @@ def test_grouped_median_pull_is_bounded():
             _ds(df, 5), "event_type", "value", pull_threshold=thr
         )
         assert float(out["median"].iloc[0]) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_int_keys():
+    """Keys keep their native dtype: int64 grouping columns work (the
+    str-coerced v1 state dicts never matched int batch keys)."""
+    import ray.data as rd
+
+    from webindex.quantile import grouped_median
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"event_type": rng.integers(0, 4, 400),
+         "value": rng.normal(size=400)}
+    )
+    out = grouped_median(
+        rd.from_pandas(df).repartition(5).materialize(),
+        "event_type", "value", pull_threshold=8,
+    )
+    want = df.groupby("event_type")["value"].median().sort_index()
+    got = out.set_index("event_type")["median"]
+    assert list(got.index) == list(want.index)
+    assert np.array_equal(got.to_numpy(), want.to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_skips_nan():
+    """NaN values follow the SQL NULL convention: skipped in counts and
+    ranks; an all-NaN group yields NaN."""
+    from webindex.quantile import grouped_median
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "v": [1.0, 2.0, np.nan, np.nan, np.nan, 5.0],
+        }
+    )
+    out = grouped_median(_ds(df, 3), "event_type", "value",
+                         pull_threshold=2)
+    got = out.set_index("event_type")["median"]
+    assert got["a"] == 1.5  # pandas/DuckDB NULL-skipping median
+    assert np.isnan(got["b"])
+    assert got["c"] == 5.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_median_heavy_tail_converges():
+    """Bit-space bisection converges on adversarial value ranges (a 1e300
+    outlier over a dense cluster) where an arithmetic midpoint would
+    exhaust max_rounds and silently return NaN."""
+    from webindex.quantile import grouped_median
+
+    df = pd.DataFrame(
+        {"k": ["z"] * 4, "v": [0.0, 1.0, 2.0, 1e300]}
+    )
+    out = grouped_median(_ds(df, 2), "event_type", "value",
+                         pull_threshold=0)
+    assert float(out["median"].iloc[0]) == 1.5

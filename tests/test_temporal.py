@@ -197,3 +197,26 @@ def test_range_join_matches_bruteforce():
     pd.testing.assert_frame_equal(
         got[["k", "t", "x", "pay"]], want, check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_joins_reject_int64_beyond_float_precision():
+    """Int columns cross a float64 upcast through the null-union; ids
+    beyond ±2^53 would silently round — both joins must fail loudly."""
+    import ray.data as rd
+
+    from webindex.temporal import asof_join
+
+    big = (1 << 60) + 1
+    lf = pd.DataFrame(
+        {"k": [1], "t": pd.to_datetime(["2023-01-02"]), "x": [big]}
+    )
+    rt = pd.DataFrame(
+        {"k": [1], "rt": pd.to_datetime(["2023-01-01"]), "pay": [1.0]}
+    )
+    ds = asof_join(
+        rd.from_pandas(lf), rd.from_pandas(rt), key="k", left_ts="t",
+        right_ts="rt", right_cols=["pay"],
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        ds.to_pandas()

@@ -529,7 +529,12 @@ def q_bpe_token_counts(sf_dir: str):
     — the model-token-budgeting proxy from the brief, SQL-checked: the
     GPT-2-ish pattern's whitespace branches never survive the non-space
     filter, so an RE2-safe equivalent drives the DuckDB oracle (verified
-    identical on apostrophe/whitespace stress cases in pytest)."""
+    identical on apostrophe/whitespace stress cases in pytest).
+
+    Equivalence is ASCII-scoped: Python's \\s/str.split() treat unicode
+    whitespace (NBSP etc.) as separators while RE2's \\s is ASCII-only,
+    so a non-ASCII corpus would need a normalization stage before the SQL
+    check (props is ASCII JSON at every sf)."""
     import ray.data as rd
 
     from webindex.textstats import token_count_batch

@@ -7,26 +7,33 @@ naive ``map_groups(np.median)`` ships EVERY row of a group to one worker
 implements the classic distributed selection instead:
 
 1. one counting pass for per-key (n, min, max);
-2. binary search on the VALUE domain — each round one vectorized
+2. binary search on the value domain — each round one vectorized
    counting pass (#rows touched per round: all, but only counts cross
-   the wire: #keys x #blocks small rows), narrowing a per-key interval
-   that brackets the target rank(s);
+   the wire: #keys x #blocks small rows), narrowing a per-key bracket
+   that holds the target rank(s). The midpoint is taken in IEEE-754
+   ORDERED-BIT space, not value space, so the search is guaranteed to
+   converge in <= 64 rounds regardless of value distribution (a 1e300
+   outlier over a dense cluster would defeat an arithmetic midpoint);
 3. when a key's bracket holds few enough values, a bounded final pull
    selects the exact rank(s) driver-side; a bracket that degenerates to
-   a single float (mass of duplicates) IS the answer and never pulls.
+   adjacent floats IS the answer (duplicate mass) and never pulls.
 
-For an even group the median is the mean of ranks (n-1)//2 and n//2
-(numpy/DuckDB ``median`` semantics). When a round's count splits the two
-middle ranks, one extra pass resolves it exactly as
+NaN values are skipped (pandas/SQL NULL convention); an all-NaN group
+yields NaN. For an even group the median is the mean of ranks (n-1)//2
+and n//2 (numpy/DuckDB ``median`` semantics). When a round's count
+splits the two middle ranks, one extra pass resolves it exactly as
 (max value <= mid + min value > mid) / 2 — no pull needed.
 
-Determinism: counts are integers, the bracket update is pure float64
-arithmetic on (lo+hi)/2, and the final selection is np.partition on
-exact values — independent of partitioning and worker order.
+Determinism: counts are integers, the bracket update is exact integer
+arithmetic on ordered float bits, and the final selection is a sort of
+exact values — independent of partitioning and worker order. Keys keep
+their native dtype end-to-end (int keys stay int).
 
 The input should be pre-projected to (key, value) columns; pass a
 ``materialize()``-d dataset when the upstream is expensive, since each
 round re-executes the plan (the standard iterative-algorithm pattern).
+The per-key state lives on the driver: key cardinality must be driver-
+sized (the usual assumption for a per-group scalar aggregate result).
 """
 
 from __future__ import annotations
@@ -34,6 +41,41 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_M64 = (1 << 64) - 1
+_SIGN = 1 << 63
+
+
+def _f2k(x: float) -> int:
+    """float64 -> orderable uint64 key (monotonic with float ordering)."""
+    u = int(np.float64(x).view(np.uint64))
+    return (u ^ _SIGN) if not (u >> 63) else ((~u) & _M64)
+
+
+def _k2f(k: int) -> float:
+    u = (k ^ _SIGN) if (k >> 63) else ((~k) & _M64)
+    return float(np.uint64(u).view(np.float64))
+
+
+def _bit_mid(lo: float, hi: float) -> float:
+    """Midpoint in ordered-bit space: halves the number of representable
+    floats in the bracket every round -> <= 64 rounds to adjacency."""
+    return _k2f((_f2k(lo) + _f2k(hi)) // 2)
+
+
+def _kv_frame(batch: pa.Table, key: str, value_col: str) -> pd.DataFrame:
+    """(key, value) pandas frame with NaN values dropped (NULL skip)."""
+    df = pd.DataFrame(
+        {
+            "k": batch.column(key).to_pandas(),
+            "v": batch.column(value_col).to_numpy(zero_copy_only=False),
+        }
+    )
+    return df[df["v"].notna()]
+
+
+def _empty_key_array(batch: pa.Table, key: str) -> pa.Array:
+    return batch.column(key).slice(0, 0).combine_chunks()
 
 
 def _count_pass(ds, key: str, value_col: str, state: pd.DataFrame):
@@ -44,31 +86,26 @@ def _count_pass(ds, key: str, value_col: str, state: pd.DataFrame):
     his = state["hi"].to_dict()
 
     def count(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "k": batch.column(key).to_pandas(),
-                "v": batch.column(value_col).to_numpy(zero_copy_only=False),
-            }
-        )
-        df["mid"] = df["k"].map(mids)
-        df["lo"] = df["k"].map(los)
-        df["hi"] = df["k"].map(his)
-        df = df[df["mid"].notna()]
+        df = _kv_frame(batch, key, value_col)
+        df = df[df["k"].isin(mids)]
         if df.empty:
             return pa.table(
-                {key: pa.array([], pa.string()),
+                {key: _empty_key_array(batch, key),
                  "c_mid": pa.array([], pa.int64()),
                  "c_in": pa.array([], pa.int64())}
             )
-        df["le_mid"] = (df["v"] <= df["mid"]).astype(np.int64)
-        df["in_win"] = (
-            (df["v"] > df["lo"]) & (df["v"] <= df["hi"])
-        ).astype(np.int64)
+        mid = df["k"].map(mids)
+        lo = df["k"].map(los)
+        hi = df["k"].map(his)
+        df = df.assign(
+            le_mid=(df["v"] <= mid).astype(np.int64),
+            in_win=((df["v"] > lo) & (df["v"] <= hi)).astype(np.int64),
+        )
         g = df.groupby("k", sort=False).agg(
             c_mid=("le_mid", "sum"), c_in=("in_win", "sum")
         ).reset_index()
         return pa.table(
-            {key: pa.array(g["k"].astype(str)),
+            {key: pa.array(g["k"]),
              "c_mid": pa.array(g["c_mid"], pa.int64()),
              "c_in": pa.array(g["c_in"], pa.int64())}
         )
@@ -87,7 +124,9 @@ def grouped_median(ds, key: str, value_col: str, *,
     to the driver at the end (the memory guarantee the map_groups version
     cannot give).
     """
-    # pass 0: per-key n/min/max (partial per batch, tiny reduce)
+    # pass 0: per-key n/min/max (partial per batch, tiny reduce). Keys are
+    # taken from ALL rows (an all-NaN group must still appear in the
+    # result, like a SQL GROUP BY with a NULL median); n/min/max skip NaN.
     def stats(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
@@ -96,10 +135,10 @@ def grouped_median(ds, key: str, value_col: str, *,
             }
         )
         g = df.groupby("k", sort=False).agg(
-            n=("v", "size"), mn=("v", "min"), mx=("v", "max")
+            n=("v", "count"), mn=("v", "min"), mx=("v", "max")
         ).reset_index()
         return pa.table(
-            {key: pa.array(g["k"].astype(str)),
+            {key: pa.array(g["k"]),
              "n": pa.array(g["n"], pa.int64()),
              "mn": pa.array(g["mn"], pa.float64()),
              "mx": pa.array(g["mx"], pa.float64())}
@@ -119,9 +158,10 @@ def grouped_median(ds, key: str, value_col: str, *,
     st["lo"] = np.nextafter(st["mn"].to_numpy(), -np.inf)
     st["hi"] = st["mx"]
     st["median"] = np.nan
-    st["done"] = st["n"] == 0
-    # single-value groups short-circuit
-    one = st["mn"] == st["mx"]
+    st["pull"] = False
+    st["split_mid"] = np.nan
+    st["done"] = st["n"] == 0  # all-NaN / empty group -> NaN (NULL)
+    one = st["mn"] == st["mx"]  # single-value groups short-circuit
     st.loc[one, "median"] = st.loc[one, "mn"]
     st.loc[one, "done"] = True
 
@@ -129,10 +169,12 @@ def grouped_median(ds, key: str, value_col: str, *,
         live = st[~st["done"]].copy()
         if live.empty:
             break
-        live["mid"] = (live["lo"] + live["hi"]) / 2.0
-        # float fixpoint: the bracket is one representable value -> that
-        # value occupies both middle ranks (duplicate mass), no pull
-        fix = (live["mid"] <= live["lo"]) | (live["mid"] >= live["hi"])
+        live["mid"] = [
+            _bit_mid(lo, hi) for lo, hi in zip(live["lo"], live["hi"])
+        ]
+        # bit fixpoint: lo and hi are adjacent representable floats ->
+        # both middle ranks sit on hi (duplicate mass), no pull
+        fix = live["mid"] <= live["lo"]
         if fix.any():
             idx = live.index[fix]
             st.loc[idx, "median"] = st.loc[idx, "hi"]
@@ -164,11 +206,14 @@ def grouped_median(ds, key: str, value_col: str, *,
                 st.loc[idx, "split_mid"] = row["mid"]
                 st.loc[idx, "done"] = True
 
-    if "pull" not in st.columns:
-        st["pull"] = False
-    if "split_mid" not in st.columns:
-        st["split_mid"] = np.nan
-    st["pull"] = st["pull"].fillna(False)
+    if (~st["done"]).any():
+        # bit bisection reaches adjacency in <= 64 rounds; hitting this
+        # means max_rounds was lowered below that
+        stuck = st.loc[~st["done"], key].tolist()
+        raise RuntimeError(
+            f"grouped_median: selection did not converge for keys {stuck} "
+            f"within max_rounds={max_rounds}"
+        )
 
     # resolve split keys: one extremum pass
     split = st[st["split_mid"].notna()]
@@ -176,25 +221,24 @@ def grouped_median(ds, key: str, value_col: str, *,
         smids = split.set_index(key)["split_mid"].to_dict()
 
         def extrema(batch: pa.Table) -> pa.Table:
-            df = pd.DataFrame(
-                {
-                    "k": batch.column(key).to_pandas(),
-                    "v": batch.column(value_col).to_numpy(
-                        zero_copy_only=False
-                    ),
-                }
-            )
-            df["m"] = df["k"].map(smids)
-            df = df[df["m"].notna()]
-            lo_side = df[df["v"] <= df["m"]].groupby("k", sort=False)[
+            df = _kv_frame(batch, key, value_col)
+            df = df[df["k"].isin(smids)]
+            if df.empty:
+                return pa.table(
+                    {key: _empty_key_array(batch, key),
+                     "below": pa.array([], pa.float64()),
+                     "above": pa.array([], pa.float64())}
+                )
+            m = df["k"].map(smids)
+            lo_side = df[df["v"] <= m].groupby("k", sort=False)[
                 "v"
             ].max().rename("below")
-            hi_side = df[df["v"] > df["m"]].groupby("k", sort=False)[
+            hi_side = df[df["v"] > m].groupby("k", sort=False)[
                 "v"
             ].min().rename("above")
             g = pd.concat([lo_side, hi_side], axis=1).reset_index()
             return pa.table(
-                {key: pa.array(g["k"].astype(str)),
+                {key: pa.array(g["k"]),
                  "below": pa.array(g["below"], pa.float64()),
                  "above": pa.array(g["above"], pa.float64())}
             )
@@ -207,7 +251,9 @@ def grouped_median(ds, key: str, value_col: str, *,
         )
         for idx, row in split.iterrows():
             e = ext.loc[row[key]]
-            st.loc[idx, "median"] = (float(e["below"]) + float(e["above"])) / 2.0
+            st.loc[idx, "median"] = (
+                float(e["below"]) + float(e["above"])
+            ) / 2.0
 
     # final bounded pull for bracketed keys
     pulls = st[st["pull"]]
@@ -216,33 +262,36 @@ def grouped_median(ds, key: str, value_col: str, *,
         lod, hid = bounds["lo"].to_dict(), bounds["hi"].to_dict()
 
         def window(batch: pa.Table) -> pa.Table:
-            df = pd.DataFrame(
-                {
-                    "k": batch.column(key).to_pandas(),
-                    "v": batch.column(value_col).to_numpy(
-                        zero_copy_only=False
-                    ),
-                }
-            )
-            df["lo"] = df["k"].map(lod)
-            df["hi"] = df["k"].map(hid)
-            df = df[df["lo"].notna() & (df["v"] > df["lo"]) & (df["v"] <= df["hi"])]
+            df = _kv_frame(batch, key, value_col)
+            df = df[df["k"].isin(lod)]
+            if df.empty:
+                return pa.table(
+                    {key: _empty_key_array(batch, key),
+                     "v": pa.array([], pa.float64())}
+                )
+            lo = df["k"].map(lod)
+            hi = df["k"].map(hid)
+            df = df[(df["v"] > lo) & (df["v"] <= hi)]
             return pa.table(
-                {key: pa.array(df["k"].astype(str)),
+                {key: pa.array(df["k"]),
                  "v": pa.array(df["v"], pa.float64())}
             )
 
         vals = ds.map_batches(window, batch_format="pyarrow").to_pandas()
-        grouped = dict(tuple(vals.groupby(key, sort=False))) if not vals.empty else {}
-        counts_below = None
+        grouped = (
+            dict(tuple(vals.groupby(key, sort=False)))
+            if not vals.empty else {}
+        )
         # ranks are global; within the bracket the target local ranks are
         # k - cnt(<= lo). cnt(<= lo) needs one more counting pass.
         lo_state = pulls.set_index(key)[["lo"]].copy()
         lo_state["mid"] = lo_state["lo"]
         lo_state["hi"] = lo_state["lo"]
         counts_below = _count_pass(ds, key, value_col, lo_state)
-        cb = counts_below.set_index(key)["c_mid"] if not counts_below.empty \
-            else pd.Series(dtype=np.int64)
+        cb = (
+            counts_below.set_index(key)["c_mid"]
+            if not counts_below.empty else pd.Series(dtype=np.int64)
+        )
         for idx, row in pulls.iterrows():
             kname = row[key]
             g = grouped.get(kname)

@@ -84,6 +84,73 @@ def _restore_dtypes(out_names: list[str], types: dict) -> dict:
     return restore
 
 
+_I53 = 1 << 53
+
+
+def _join_schema(left_ds, right_ds, key: str, right_key: str,
+                 right_ts: str, right_cols, op: str):
+    """Shared temporal-join schema plan: canonical union column order,
+    per-column arrow types (key keeps the left type), output names and
+    the int/bool dtype-restore map. Raises on name collisions that would
+    silently merge the two sides' payloads."""
+    right_cols = right_cols or [
+        c for c in right_ds.schema().names if c not in (right_key, right_ts)
+    ]
+    lmap = _arrow_types(left_ds)
+    rmap_full = _arrow_types(right_ds)
+    left_names = list(lmap)
+    if right_ts in left_names:
+        raise ValueError(
+            f"{op}: right_ts column name collides with a left column; "
+            "rename one side"
+        )
+    clash = set(right_cols) & set(left_names)
+    if clash:
+        raise ValueError(
+            f"{op}: right payload columns {sorted(clash)} collide with "
+            "left columns; rename one side"
+        )
+    rmap = {(key if c == right_key else c): rmap_full[c]
+            for c in [right_key, right_ts] + right_cols}
+    all_cols = list(lmap) + [c for c in rmap if c not in lmap]
+    types = {**rmap, **lmap}  # key keeps the left type
+    out_names = left_names + right_cols
+    # the pandas group block holds each side's missing columns as nulls,
+    # which upcasts int/bool to float/object; declared dtypes are restored
+    # after the join filter removes every null
+    restore = _restore_dtypes(out_names, types)
+    return left_names, right_cols, all_cols, types, out_names, restore
+
+
+def _conform_cols(batch: pa.Table, all_cols, types, op: str):
+    """Select/cast the union schema, padding absent columns with typed
+    nulls. Integer columns are guarded at ±2^53: the null-union upcasts
+    them to float64 in the pandas group block, and a silent lossy
+    round-trip would corrupt large ids (snowflake-style ~1e18) with no
+    error — fail loudly instead."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    cols = []
+    for c in all_cols:
+        if c in batch.schema.names:
+            col = batch.column(c).cast(types[c])
+            if n and pa.types.is_integer(types[c]):
+                mm = pc.min_max(col).as_py()
+                if mm["min"] is not None and (
+                    mm["min"] < -_I53 or mm["max"] > _I53
+                ):
+                    raise ValueError(
+                        f"{op}: integer column {c!r} holds values beyond "
+                        "±2^53; they would lose precision crossing the "
+                        "null-union float upcast — cast to string upstream"
+                    )
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, types[c]))
+    return cols
+
+
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
               right_key: str | None = None, right_cols: list[str] | None = None,
               n_parts: int = 32):
@@ -101,31 +168,10 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     per-key Python loop.
     """
     right_key = right_key or key
-    right_cols = right_cols or [
-        c for c in right_ds.schema().names if c not in (right_key, right_ts)
-    ]
-    lmap_full = _arrow_types(left_ds)
-    rmap_full = _arrow_types(right_ds)
-    left_names = list(lmap_full)
-    if right_ts in left_names:
-        raise ValueError(
-            "asof_join: right_ts column name collides with a left column; "
-            "rename one side"
-        )
-    clash = set(right_cols) & set(left_names)
-    if clash:
-        raise ValueError(
-            f"asof_join: right payload columns {sorted(clash)} collide with "
-            "left columns; rename one side"
-        )
-
-    # union() needs one schema: each side adds the other side's columns as
-    # typed nulls, selected in one canonical order
-    rmap = {(key if c == right_key else c): rmap_full[c]
-            for c in [right_key, right_ts] + right_cols}
-    lmap = lmap_full
-    all_cols = list(lmap) + [c for c in rmap if c not in lmap]
-    types = {**rmap, **lmap}  # key keeps the left type
+    left_names, right_cols, all_cols, types, out_names, restore = (
+        _join_schema(left_ds, right_ds, key, right_key, right_ts,
+                     right_cols, "asof_join")
+    )
 
     def conform(side: int, rename_from: str | None = None):
         def add(batch: pa.Table) -> pa.Table:
@@ -133,14 +179,8 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
                 batch = batch.rename_columns(
                     [key if c == rename_from else c for c in batch.schema.names]
                 )
-            n = batch.num_rows
-            cols = []
-            for c in all_cols:
-                if c in batch.schema.names:
-                    cols.append(batch.column(c).cast(types[c]))
-                else:
-                    cols.append(pa.nulls(n, types[c]))
-            cols.append(pa.array(np.full(n, side, np.int8)))
+            cols = _conform_cols(batch, all_cols, types, "asof_join")
+            cols.append(pa.array(np.full(batch.num_rows, side, np.int8)))
             return pa.table(cols, names=all_cols + [_SIDE_COL])
 
         return add
@@ -153,12 +193,6 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
                              batch_format="pyarrow"),
         key, n_parts,
     )
-
-    out_names = left_names + right_cols
-    # the pandas group block holds each side's missing columns as nulls,
-    # which upcasts int/bool to float/object; restore declared dtypes after
-    # the inner filter removes every null
-    restore = _restore_dtypes(out_names, types)
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g[_SIDE_COL] == 0]
@@ -226,29 +260,10 @@ def range_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     row reaches that bin via exactly one of its two copies.
     """
     right_key = right_key or key
-    right_cols = right_cols or [
-        c for c in right_ds.schema().names if c not in (right_key, right_ts)
-    ]
-    lmap_full = _arrow_types(left_ds)
-    rmap_full = _arrow_types(right_ds)
-    left_names = list(lmap_full)
-    if right_ts in left_names:
-        raise ValueError(
-            "range_join: right_ts column name collides with a left column; "
-            "rename one side"
-        )
-    clash = set(right_cols) & set(left_names)
-    if clash:
-        raise ValueError(
-            f"range_join: right payload columns {sorted(clash)} collide "
-            "with left columns; rename one side"
-        )
-    rmap = {(key if c == right_key else c): rmap_full[c]
-            for c in [right_key, right_ts] + right_cols}
-    all_cols = list(lmap_full) + [c for c in rmap if c not in lmap_full]
-    types = {**rmap, **lmap_full}  # key keeps the left type
-    out_names = left_names + right_cols
-    restore = _restore_dtypes(out_names, types)
+    left_names, right_cols, all_cols, types, out_names, restore = (
+        _join_schema(left_ds, right_ds, key, right_key, right_ts,
+                     right_cols, "range_join")
+    )
 
     win = pd.Timedelta(window)
     win_us = np.int64(win.value // 1000)
@@ -265,14 +280,8 @@ def range_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
             batch = batch.rename_columns(
                 [key if c == rename_from else c for c in batch.schema.names]
             )
-        n = batch.num_rows
-        cols = []
-        for c in all_cols:
-            if c in batch.schema.names:
-                cols.append(batch.column(c).cast(types[c]))
-            else:
-                cols.append(pa.nulls(n, types[c]))
-        cols.append(pa.array(np.full(n, side, np.int8)))
+        cols = _conform_cols(batch, all_cols, types, "range_join")
+        cols.append(pa.array(np.full(batch.num_rows, side, np.int8)))
         cols.append(pa.array(bins, pa.int64()))
         return pa.table(cols, names=all_cols + [_SIDE_COL, "__bin"])
 
