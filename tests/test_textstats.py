@@ -272,3 +272,46 @@ def test_bpeish_count_re2_equivalent():
     assert out.column("n_ws_tokens").to_pylist() == [
         len(t.split()) for t in cases
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_topk_matches_pandas():
+    """Per-batch local top-k is a valid superset: the distributed cut over
+    many partitions equals a single-process sort+head, including ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from webindex.relational import grouped_topk
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 200),
+            "id": np.arange(200),
+            # heavy ties: values in {0..4} so the doc_id tie-break matters
+            "v": rng.integers(0, 5, 200),
+        }
+    )
+    out = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(7), ["g"], "v", 4,
+            descending=True, tie_cols=["id"], n_parts=5,
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True],
+                       kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+        .reset_index(drop=True)
+    )
+    want["rank"] = want.groupby("g", sort=False).cumcount() + 1
+    want = want.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["g", "id", "v", "rank"]], want[["g", "id", "v", "rank"]],
+        check_dtype=False,
+    )

@@ -563,6 +563,46 @@ FROM events
 """
 
 
+def q_top_longest_per_lang(sf_dir: str):
+    """Grouped top-k (relational.grouped_topk): 3 longest docs per lang.
+    Per-batch local top-k per key bounds shuffle traffic at k x #keys rows
+    per batch; ties break by doc_id so the cut is partition-independent."""
+    import ray.data as rd
+
+    from webindex.relational import grouped_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def measure(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return grouped_topk(
+        ds.map_batches(measure, batch_format="pyarrow"),
+        ["lang"], "n_chars", 3, descending=True, tie_cols=["doc_id"],
+        n_parts=8,
+    )
+
+
+SQL_TOP_PER_LANG = """
+SELECT lang, doc_id, length(text)::BIGINT AS n_chars,
+       row_number() OVER (
+         PARTITION BY lang ORDER BY length(text) DESC, doc_id
+       )::INTEGER AS rank
+FROM documents QUALIFY rank <= 3
+"""
+
+
 def q_events_median(sf_dir: str):
     """Exact per-group median via distributed rank selection
     (webindex.quantile): binary search on the value domain with one
@@ -1745,6 +1785,7 @@ REGISTRY: dict[str, tuple] = {
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "events_median": (q_events_median, SQL_EVENTS_MEDIAN),
+    "top_longest_per_lang": (q_top_longest_per_lang, SQL_TOP_PER_LANG),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),

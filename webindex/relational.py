@@ -61,3 +61,37 @@ def hash_partitioned_groupby(ds, keys: list[str], partial_fn, final_fn,
         .groupby("_part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_topk(ds, keys: list[str], order_col: str, k: int, *,
+                 descending: bool = True, tie_cols: list[str] | None = None,
+                 n_parts: int = 64):
+    """Per-group top-k rows (the grouped variant of the chunked-top-k
+    pattern, SURVEY.md §2.6 K1): each batch keeps only its LOCAL top-k per
+    key (a valid superset of the global winners — any global top-k row is
+    in its own batch's top-k), so at most k x #keys rows per batch cross
+    the shuffle; the final per-partition pass re-ranks exactly.
+
+    Deterministic: ties on ``order_col`` break by ``tie_cols`` ascending
+    (required — a top-k cut without a total order is partition-dependent).
+    Output adds an int32 ``rank`` column (1-based).
+    """
+    if not tie_cols:
+        raise ValueError("grouped_topk: tie_cols is required for a "
+                         "partition-independent cut")
+    sort_cols = keys + [order_col] + tie_cols
+    asc = [True] * len(keys) + [not descending] + [True] * len(tie_cols)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return df.groupby(keys, sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        out = df.groupby(keys, sort=False).head(k).reset_index(drop=True)
+        out["rank"] = (
+            out.groupby(keys, sort=False).cumcount() + 1
+        ).astype(np.int32)
+        return out
+
+    return hash_partitioned_groupby(ds, keys, topk, final, n_parts=n_parts)
