@@ -465,10 +465,18 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
 
 def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
                 *, tokenize_batch_size: int = 512,
-                tokenize_concurrency=None) -> dict:
+                tokenize_concurrency=None, docvalues_ds=None) -> dict:
     """Run the full checkpointed build. ``corpus_ds`` is a
     ``ray.data.Dataset`` with columns ``(doc_id:int64, text:string)``,
     already deduped/filtered (see webindex.pipelines.prepare_corpus).
+
+    ``docvalues_ds`` (optional) is a ``(doc_id:int64, attr...)`` Dataset of
+    per-doc attribute columns, written as the ``docvalues/`` sidecar (the
+    Lucene-docvalues analog) that powers filtered search
+    (``search_queries(filter_pred=...)``). It streams straight to parquet
+    — never materialized — and adds a resumable stage, so an existing
+    index gains docvalues on the next ``build_index`` call without
+    re-tokenizing.
 
     Returns the final stats dict. Safe to re-run: completed stages are
     skipped via the manifest (atomic rename checkpoints).
@@ -606,4 +614,13 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
         return {}
 
     runner.run("segments", stage_segments)
+
+    # ---- stage 5 (optional): docvalues sidecar ---------------------------
+    if docvalues_ds is not None:
+        def stage_docvalues(tmp):
+            docvalues_ds.write_parquet(tmp)
+            return {}
+
+        runner.run("docvalues", stage_docvalues)
+
     return read_json(stats_path)

@@ -1,0 +1,220 @@
+"""Phrase queries over the BM25 index (the ES ``match_phrase`` analog —
+the query surface the reference's BM25 runs sit on top of via
+Elasticsearch, SURVEY.md §2.6 K6).
+
+The index stores no term positions (postings are ``(doc_id, tf)``), so
+phrase matching runs as **lazy verification** — the standard trick for
+position-free indexes:
+
+1. conjunctive candidates from the index (``match="and"``; every doc that
+   contains all phrase terms — bounded by the *rarest* term's df, never
+   corpus-sized);
+2. a hash semi-join of the candidate docIDs against the corpus text (the
+   candidate side is the small side: broadcast below
+   ``broadcast_limit`` rows, hash-partitioned co-location join above);
+3. a re-analyze + vectorized adjacency check inside ``map_batches``
+   (per-candidate cost is one tokenizer pass over one doc);
+4. exact per-qid top-k (``relational.grouped_topk``: local top-k superset
+   per batch, exact re-rank per hash partition).
+
+Scoring matches ES ``match_phrase``: the BM25 score of the phrase's
+unique terms (same contributions and ascending-term summation order as
+the plain ``match`` path), filtered to docs where the analyzed phrase
+tokens appear consecutively in order. Partitioning assumption: none
+beyond one hash shuffle of the (bounded) candidate set; the corpus
+streams, nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from webindex.analyze import Analyzer
+from webindex.config import IndexConfig
+from webindex.util import read_json
+
+
+def contains_phrase(tokens: list[str], phrase: tuple[str, ...]) -> bool:
+    """True iff ``phrase`` occurs as a contiguous subsequence of
+    ``tokens`` (vectorized: filter candidate start positions per phrase
+    slot instead of a Python window scan)."""
+    n, m = len(tokens), len(phrase)
+    if m == 0 or n < m:
+        return False
+    t = np.asarray(tokens, dtype=object)
+    starts = np.flatnonzero(t[: n - m + 1] == phrase[0])
+    for j in range(1, m):
+        if starts.size == 0:
+            return False
+        starts = starts[t[starts + j] == phrase[j]]
+    return bool(starts.size)
+
+
+def _attach_text(cand_ds, docs_ds, *, id_col: str, text_col: str,
+                 num_partitions: int, broadcast_limit: int):
+    """Join ``text_col`` from the corpus onto candidate rows by doc id.
+
+    Candidates are pre-materialized (bounded by Σ_q conjunctive matches);
+    below ``broadcast_limit`` they broadcast via the object store and the
+    corpus STREAMS through one ``map_batches`` (no shuffle at all). Above
+    it, falls back to the repo's union + hash-partitioned groupby
+    co-location join (dedup._attach_side shape)."""
+    import ray
+
+    cand = cand_ds.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return None
+    if n_cand <= broadcast_limit:
+        cand_tab = pa.concat_tables(
+            list(cand.iter_batches(batch_format="pyarrow"))
+        )
+        order = np.argsort(cand_tab.column(id_col).to_numpy(), kind="stable")
+        cand_tab = cand_tab.take(pa.array(order, pa.int64()))
+        ref = ray.put(cand_tab)
+
+        def join(batch: pa.Table) -> pa.Table:
+            side = ray.get(ref)  # zero-copy
+            cids = side.column(id_col).to_numpy()
+            dids = batch.column(id_col).to_numpy()
+            lo = np.searchsorted(cids, dids, side="left")
+            hi = np.searchsorted(cids, dids, side="right")
+            counts = hi - lo
+            doc_rows = np.repeat(np.arange(batch.num_rows), counts)
+            # candidate rows: per matched doc, the contiguous [lo, hi) run
+            cand_rows = np.concatenate(
+                [np.arange(lov, hiv) for lov, hiv in
+                 zip(lo[counts > 0], hi[counts > 0])]
+            ) if doc_rows.size else np.empty(0, np.int64)
+            out = side.take(pa.array(cand_rows, pa.int64()))
+            return out.append_column(
+                text_col,
+                batch.column(text_col).take(pa.array(doc_rows, pa.int64())),
+            )
+
+        return docs_ds.select_columns([id_col, text_col]).map_batches(
+            join, batch_format="pyarrow"
+        )
+
+    from webindex.dedup import _attach_side
+
+    joined = _attach_side(
+        cand, docs_ds.select_columns([id_col, text_col]),
+        [text_col], {text_col: pa.string()}, id_col, id_col,
+        num_partitions,
+    )
+    # _attach_side names the joined column f"{col}_{side}"
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [text_col if c == f"{text_col}_{id_col}" else c
+             for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def phrase_search(queries_ds, index_dir: str, docs_ds, *, top_k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int = 32, broadcast_limit: int = 100_000):
+    """queries(qid, text) × index × corpus -> phrase-match runs
+    ``(qid, did, doc_id, score, rank)``; see module docstring."""
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    stats = read_json(os.path.join(index_dir, "stats.json"))
+    an = Analyzer(cfg.analyzer)
+    # queries are the workload's small side (the reference broadcasts its
+    # whole query set per dataset too): analyzed phrase per qid rides to
+    # the verify stage through the object store
+    import ray
+
+    qtab = pa.concat_tables(
+        list(queries_ds.iter_batches(batch_format="pyarrow"))
+    )
+    phrases = {
+        qid: tuple(an.tokens(text or ""))
+        for qid, text in zip(
+            qtab.column("qid").to_pylist(), qtab.column("text").to_pylist()
+        )
+    }
+    phrases_ref = ray.put(phrases)
+
+    # 1. conjunctive candidates — ALL of them (k = N): exactness requires
+    # verifying the phrase on every doc containing all terms
+    from webindex.search import search_queries
+
+    cand = search_queries(
+        queries_ds, index_dir, top_k=max(1, stats["N"]), match="and"
+    ).map_batches(
+        lambda t: t.select(["qid", "doc_id", "score"]),
+        batch_format="pyarrow",
+    )
+
+    # 2. text join (candidate side small -> corpus streams, no shuffle)
+    withtext = _attach_text(
+        cand, docs_ds, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+    )
+    if withtext is None:  # no conjunctive candidates at all
+        import ray.data as rd
+
+        return rd.from_arrow(_empty_runs())
+
+    # 3. verify adjacency (process-global analyzer cache, build.py pattern)
+    def verify(batch: pa.Table) -> pa.Table:
+        from webindex.build import analyzer_for
+
+        ana = analyzer_for(cfg.analyzer)
+        ph = ray.get(phrases_ref)
+        keep = np.fromiter(
+            (
+                contains_phrase(ana.tokens(txt or ""), ph[qid])
+                for qid, txt in zip(
+                    batch.column("qid").to_pylist(),
+                    batch.column(text_col).to_pylist(),
+                )
+            ),
+            dtype=bool, count=batch.num_rows,
+        )
+        return batch.filter(pa.array(keep)).drop_columns([text_col])
+
+    verified = withtext.map_batches(verify, batch_format="pyarrow")
+
+    # 4. exact per-qid top-k (score desc, docID asc), did/rank like runs
+    from webindex.relational import grouped_topk
+
+    runs = grouped_topk(
+        verified, ["qid"], "score", top_k, descending=True,
+        tie_cols=["doc_id"], n_parts=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        did = pa.array(
+            [str(d) for d in batch.column("doc_id").to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "qid": batch.column("qid"),
+                "did": did,
+                "doc_id": batch.column("doc_id"),
+                "score": batch.column("score"),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    return runs.map_batches(finish, batch_format="pyarrow")
+
+
+def _empty_runs() -> pa.Table:
+    return pa.table(
+        {
+            "qid": pa.array([], pa.string()),
+            "did": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int32()),
+        }
+    )

@@ -49,6 +49,21 @@ QUERY_TERMS: list[tuple[str, str]] = [
 
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# Phrase-query workload (ES match_phrase analog, webindex.phrase): mixes
+# common bigrams, a trigram with a stopword-scale term, and repeats.
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p1", "merge join"),
+    ("p2", "the fast key"),
+    ("p3", "batch batch"),
+    ("p4", "customer order line"),
+    ("p5", "window window"),
+]
+PHRASE_TERMS: list[tuple[str, str]] = [
+    (qid, t)
+    for qid, text in PHRASE_QUERIES
+    for t in sorted(set(_sql_an.tokens(text)))
+]
+
 
 def _query_values_sql() -> str:
     rows = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_TERMS)
@@ -82,7 +97,17 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
         cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
     else:
         cfg = IndexConfig(num_buckets=16)
-    build_index(corpus_from_documents(_docs(sf_dir)), out, cfg)
+    # docvalues sidecar (lang/source/n_chars) powers the filtered-search
+    # entries; StageRunner adds the stage to pre-existing cached indexes
+    # without re-tokenizing
+    import ray.data as rd
+
+    dv = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    build_index(corpus_from_documents(_docs(sf_dir)), out, cfg,
+                docvalues_ds=dv)
     return out
 
 
@@ -215,7 +240,7 @@ def q_bm25_top10(sf_dir: str):
     )
 
 
-def _sql_bm25_scores() -> str:
+def _sql_bm25_scores(values_sql: str | None = None) -> str:
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
 toks AS (
@@ -226,7 +251,7 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, te
 dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
-qterms AS (SELECT * FROM {_query_values_sql()}),
+qterms AS (SELECT * FROM {values_sql or _query_values_sql()}),
 contrib AS (
   SELECT q.qid, tf.doc_id, q.term,
     ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -1750,6 +1775,140 @@ SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Query language: filtered search (docvalues predicate), conjunctive AND
+# match, and phrase queries — the ES bool/match_phrase query surface the
+# reference's BM25 stage drives through Elasticsearch
+# (/root/reference/crossencoder/beir/crossencoder_beir_bm25.ipynb cell 10,
+# beir BM25Search; SURVEY.md §2.6 K6). BM25 stats stay corpus-global (ES
+# filter context does not change scoring), so the scores CTE is reused
+# verbatim and only candidate selection changes.
+# ---------------------------------------------------------------------------
+
+
+FILTER_PRED = (("lang", "==", "en"), ("n_chars", ">=", 200))
+
+
+def q_bm25_filtered_top10(sf_dir: str):
+    """BM25 top-10 restricted to docs matching a docvalues predicate
+    (lang = 'en' AND n_chars >= 200) — scores identical to the unfiltered
+    engine, selection masked by the docvalues bitset."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        filter_pred=FILTER_PRED,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_FILTERED_TOP10 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= 200
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_and_top10(sf_dir: str):
+    """BM25 top-10 with AND semantics: every distinct query term must be
+    present in the doc (ES ``operator: and``)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        match="and",
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_AND_TOP10 = _sql_bm25_scores() + f"""
+, nq AS (SELECT qid, count(*)::BIGINT AS nt FROM qterms GROUP BY qid),
+matched AS (
+  SELECT qid, doc_id, count(*)::BIGINT AS mt FROM contrib GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s
+  JOIN matched m ON m.qid = s.qid AND m.doc_id = s.doc_id
+  JOIN nq ON nq.qid = s.qid
+  WHERE m.mt = nq.nt
+) WHERE rank <= {TOPK}
+"""
+
+
+def _phrase_queries_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([q for q, _ in PHRASE_QUERIES]),
+                "text": pa.array([t for _, t in PHRASE_QUERIES]),
+            }
+        )
+    )
+
+
+def q_bm25_phrase_top10(sf_dir: str):
+    """Phrase-query top-10 (webindex.phrase lazy verification: conjunctive
+    index candidates -> corpus text semi-join -> adjacency check ->
+    grouped top-k)."""
+    from webindex.phrase import phrase_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = phrase_search(
+        _phrase_queries_ds(), idx, _docs(sf_dir), top_k=TOPK
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _phrase_values_sql() -> str:
+    rows = ", ".join(
+        f"('{q}', '{' '.join(_sql_an.tokens(t))}')" for q, t in PHRASE_QUERIES
+    )
+    return f"(VALUES {rows}) AS p(qid, phrase)"
+
+
+def _phrase_terms_values_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in PHRASE_TERMS)
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+# phrase containment in SQL: analyzed tokens space-joined with sentinel
+# spaces; tokens cannot contain spaces, so LIKE-free strpos on
+# ' tok1 tok2 ' is an exact consecutive-subsequence test
+SQL_BM25_PHRASE_TOP10 = _sql_bm25_scores(_phrase_terms_values_sql()) + f"""
+, phr AS (SELECT * FROM {_phrase_values_sql()}),
+dt AS (
+  SELECT doc_id, ' ' || array_to_string({_TOK_SQL}, ' ') || ' ' AS ts
+  FROM documents WHERE text <> ''
+),
+pm AS (
+  SELECT p.qid, d.doc_id
+  FROM phr p JOIN dt d ON strpos(d.ts, ' ' || p.phrase || ' ') > 0
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s
+  JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -1771,6 +1930,9 @@ REGISTRY: dict[str, tuple] = {
     "rerank_scored": (q_rerank_scored, SQL_RERANK_SCORED),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "sharded_bm25_top10": (q_sharded_bm25_top10, SQL_BM25_TOP10),
+    "bm25_filtered_top10": (q_bm25_filtered_top10, SQL_BM25_FILTERED_TOP10),
+    "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
+    "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     "langid": (q_langid, SQL_LANGID),

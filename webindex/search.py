@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from webindex.analyze import Analyzer
 from webindex.segments import SegmentReader
-from webindex.wand import block_max_wand, exhaustive_topk
+from webindex.wand import block_max_wand, exhaustive_constrained, exhaustive_topk
 
 
 class SearcherActor:
@@ -47,7 +47,7 @@ class SearcherActor:
     def __init__(self, index_dir: str, top_k: int = 1000,
                  mode: str = "auto", self_hit_filter: bool = False,
                  preload: bool = True, segments_ref=None,
-                 doc_id_range=None):
+                 doc_id_range=None, filter_pred=None, match: str = "or"):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -65,11 +65,41 @@ class SearcherActor:
         self.top_k = top_k
         self.mode = mode
         self.self_hit = self_hit_filter
+        # query constraints (ES bool-query analog): a conjunctive docvalues
+        # predicate — tuple of (col, op, value) clauses — and/or AND match
+        # semantics (every query term required)
+        self.set_constraints(filter_pred, match)
+
+    def set_constraints(self, filter_pred=None, match: str = "or"):
+        """Swap the query constraints on a live (preloaded) searcher —
+        cheap: predicate bitsets are cached per-predicate on the reader,
+        so the cached shard searchers of the batch path serve any mix of
+        constrained and unconstrained workloads without re-preloading."""
+        self.filter_pred = (
+            tuple(tuple(c) for c in filter_pred) if filter_pred else None
+        )
+        if match not in ("or", "and"):
+            raise ValueError(f"match must be 'or' or 'and', got {match!r}")
+        self.match = match
 
     def search_one(self, qid: str, text: str):
         terms = self.an.tokens(text or "")
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
+        if self.filter_pred is not None or self.match == "and":
+            # constrained queries take the dedicated exhaustive kernel
+            # (pruning θ bounds are invalid under filters — see
+            # wand.exhaustive_constrained)
+            mask = (
+                self.reader.filter_mask(self.filter_pred)
+                if self.filter_pred is not None
+                else None
+            )
+            ids, scores = exhaustive_constrained(
+                self.reader, terms, k, mask=mask,
+                require_all=self.match == "and",
+            )
+            return self._post(qid, ids, scores)
         mode = self.mode
         if mode == "auto":
             dfs = [self.reader.df(t) for t in set(terms)]
@@ -87,11 +117,13 @@ class SearcherActor:
             )
         fn = block_max_wand if mode == "wand" else exhaustive_topk
         ids, scores = fn(self.reader, terms, k)
+        return self._post(qid, ids, scores)
+
+    def _post(self, qid: str, ids, scores):
         if self.self_hit and ids.size:
             keep = np.array([str(d) != qid for d in ids])
             ids, scores = ids[keep], scores[keep]
-        ids, scores = ids[: self.top_k], scores[: self.top_k]
-        return ids, scores
+        return ids[: self.top_k], scores[: self.top_k]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids_out, dids_out, docid_out, score_out, rank_out = [], [], [], [], []
@@ -164,7 +196,8 @@ SHARDED_MIN_SEGMENT_BYTES = 64 << 20
 def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    mode: str = "auto", self_hit_filter: bool = False,
                    concurrency=None, batch_size: int = 128,
-                   impl: str = "auto", n_shards: int = SEARCH_SHARDS):
+                   impl: str = "auto", n_shards: int = SEARCH_SHARDS,
+                   filter_pred=None, match: str = "or"):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -186,7 +219,16 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
 
     qids must identify a unique query text: the sharded merge groups by
     qid, so duplicate qid rows collapse to one result set.
+
+    ``filter_pred`` (conjunctive docvalues predicate, tuple of
+    ``(col, op, value)`` clauses) and ``match="and"`` (require every query
+    term) apply the same constraints on both impls — per-shard masks
+    compose exactly with the scatter-gather merge because filtering and
+    conjunction are per-document properties.
     """
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
     if impl == "auto":
         import os
 
@@ -203,7 +245,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         return _search_queries_pool(
             queries_ds, index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, concurrency=concurrency,
-            batch_size=batch_size,
+            batch_size=batch_size, filter_pred=filter_pred, match=match,
         )
 
     import pandas as pd
@@ -235,6 +277,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         searcher = _shard_searcher(
             index_dir, lo, hi, top_k, mode, self_hit_filter
         )
+        searcher.inner.set_constraints(filter_pred, match)
         qid_out, id_out, sc_out = [], [], []
         for qid, text in zip(
             g.column("qid").to_pylist(), g.column("text").to_pylist()
@@ -274,7 +317,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
 
 def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          mode: str = "auto", self_hit_filter: bool = False,
-                         concurrency=None, batch_size: int = 128):
+                         concurrency=None, batch_size: int = 128,
+                         filter_pred=None, match: str = "or"):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -297,6 +341,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
         fn_constructor_kwargs=dict(
             index_dir=index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
+            filter_pred=filter_pred, match=match,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

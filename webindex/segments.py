@@ -80,6 +80,9 @@ class SegmentReader:
                 zip(d_tab.column("df").to_pylist(), d_tab.column("cf").to_pylist()))
         )
         self._seg_root = os.path.join(index_dir, "segments")
+        self._doc_id_range = doc_id_range
+        self._dv: dict[str, tuple] = {}      # docvalues col -> (arr, valid)
+        self._dv_masks: dict[str, np.ndarray] = {}  # pred key -> bitset
         self._seg_dset = None  # lazy pyarrow dataset handle
         self._term_span = None  # preload(): term -> (row_start, row_end)
         self._bucket_cache: dict[int, dict[str, list]] = {}
@@ -111,6 +114,83 @@ class SegmentReader:
 
     def doc_count(self) -> int:
         return self.N
+
+    # -- docvalues (per-doc attribute columns for filtered search) ----------
+    def _load_docvalues(self, cols: list[str]) -> None:
+        """Load docvalues columns aligned positionally to ``_dl_ids`` (the
+        Lucene-docvalues analog: one attribute value per resident doc slot,
+        written by ``build_index(..., docvalues_ds=...)``). Restricted to
+        the reader's docID range, so a shard searcher's docvalues memory is
+        bounded by its shard like everything else resident."""
+        import pyarrow as pa
+
+        missing = [c for c in cols if c not in self._dv]
+        if not missing:
+            return
+        root = os.path.join(self.dir, "docvalues")
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"index {self.dir} has no docvalues sidecar; rebuild with "
+                "build_index(..., docvalues_ds=...) to enable filtered "
+                "search"
+            )
+        filt = None
+        if self._doc_id_range is not None:
+            lo, hi = self._doc_id_range
+            filt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+        tab = pads.dataset(root).to_table(
+            columns=["doc_id"] + missing, filter=filt
+        )
+        ids = tab.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        pos = np.searchsorted(ids_s, self._dl_ids)
+        pos_c = np.minimum(pos, max(ids_s.size - 1, 0))
+        valid = (
+            ids_s[pos_c] == self._dl_ids
+            if ids_s.size
+            else np.zeros(self._dl_ids.size, dtype=bool)
+        )
+        take = pa.array(order[pos_c], pa.int64())
+        for c in missing:
+            # rows without a docvalue are masked out by `valid` at
+            # predicate evaluation (a doc with no attributes never matches)
+            self._dv[c] = (
+                tab.column(c).combine_chunks().take(take), valid
+            )
+
+    def filter_mask(self, pred) -> np.ndarray:
+        """Evaluate a conjunctive docvalues predicate into a bool bitset
+        aligned to the doclen table (one evaluation per distinct predicate,
+        cached — the query path indexes it by dense doc position).
+
+        ``pred`` is a tuple of ``(col, op, value)`` clauses, op in
+        {==, !=, <, <=, >, >=, in} ("in" takes a tuple of values)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key = repr(pred)
+        cached = self._dv_masks.get(key)
+        if cached is not None:
+            return cached
+        self._load_docvalues([c for c, _, _ in pred])
+        mask = np.ones(self._dl_ids.size, dtype=bool)
+        ops = {
+            "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+        }
+        for col, op, val in pred:
+            arr, valid = self._dv[col]
+            if op == "in":
+                r = pc.is_in(arr, value_set=pa.array(list(val), arr.type))
+            elif op in ops:
+                r = ops[op](arr, pa.scalar(val, arr.type))
+            else:
+                raise ValueError(f"filter_mask: unknown op {op!r}")
+            rb = pc.fill_null(r, False).to_numpy(zero_copy_only=False)
+            mask &= rb.astype(bool) & valid
+        self._dv_masks[key] = mask
+        return mask
 
     # -- dictionary --------------------------------------------------------
     def df(self, term: str) -> int:

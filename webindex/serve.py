@@ -32,7 +32,8 @@ class _ShardSearcherImpl:
 
     def __init__(self, index_dir: str, salt_lo: int, salt_hi: int,
                  top_k: int = 1000, mode: str = "auto",
-                 self_hit_filter: bool = False):
+                 self_hit_filter: bool = False, filter_pred=None,
+                 match: str = "or"):
         import pyarrow.dataset as pads
 
         from webindex.config import IndexConfig
@@ -52,6 +53,7 @@ class _ShardSearcherImpl:
             index_dir, top_k=top_k, mode=mode, preload=False,
             self_hit_filter=self_hit_filter,
             doc_id_range=(doc_lo, doc_hi),
+            filter_pred=filter_pred, match=match,
         )
         reader = self.inner.reader
         seg_root = reader._seg_root
@@ -118,13 +120,15 @@ class ShardedSearchService:
     and serves exact top-k via scatter-gather."""
 
     def __init__(self, index_dir: str, n_shards: int = 4,
-                 top_k: int = 1000, mode: str = "auto"):
+                 top_k: int = 1000, mode: str = "auto",
+                 filter_pred=None, match: str = "or"):
         import ray
 
         Actor = ray.remote(_ShardSearcherImpl)
         self.top_k = top_k
         self.actors = [
-            Actor.remote(index_dir, lo, hi, top_k=top_k, mode=mode)
+            Actor.remote(index_dir, lo, hi, top_k=top_k, mode=mode,
+                         filter_pred=filter_pred, match=match)
             for lo, hi in shard_salt_bounds(index_dir, n_shards)
         ]
 

@@ -135,6 +135,54 @@ def _zero_scratch(reader: SegmentReader, n: int) -> np.ndarray:
     return out
 
 
+def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
+                           mask: np.ndarray | None = None,
+                           require_all: bool = False):
+    """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
+    ``match`` + ``filter`` context, and ``operator: and`` — the query
+    surface the reference's BM25 runs sit on top of, SURVEY.md §2.6 K6).
+
+    Identical per-term contributions and ascending-unicode summation order
+    as :func:`exhaustive_topk`; candidate selection additionally requires
+    ``mask`` (a docvalues predicate bitset aligned to the reader's doclen
+    table, see ``SegmentReader.filter_mask``) and/or presence of EVERY
+    distinct query term (``require_all``). MAXSCORE/WAND pruning is
+    deliberately OFF here: θ bounds derive from *unfiltered* top-k scores
+    and are not valid lower bounds for the filtered k-th score — pruning
+    with them could drop qualifying docs. Cost is one scatter-add over the
+    query's postings, the same as the unpruned exhaustive path.
+    """
+    uniq = sorted(set(terms))
+    pls = query_postings(reader, uniq)
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if not pls:
+        return empty
+    if require_all and len(pls) < len(uniq):
+        return empty  # some query term matches no document at all
+    dl_ids = reader._dl_ids
+    scores = _zero_scratch(reader, dl_ids.size)
+    hits = None
+    if require_all and len(pls) > 1:
+        # reader-owned reusable hit counter (same fresh-allocation stall
+        # rationale as _zero_scratch)
+        buf = getattr(reader, "_hits_scratch", None)
+        if buf is None or buf.size < dl_ids.size:
+            buf = reader._hits_scratch = np.empty(dl_ids.size, np.int16)
+        hits = buf[: dl_ids.size]
+        hits.fill(0)
+    for pl in pls:  # ascending term order (query_postings sorts)
+        _dense(pl, reader)
+        scores[pl.dense_pos] += pl.dense_contrib
+        if hits is not None:
+            hits[pl.dense_pos] += 1
+    sel = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
+    if hits is not None:
+        sel = sel[hits[sel] == len(pls)]
+    if mask is not None:
+        sel = sel[mask[sel]]
+    return _rank_topk(dl_ids[sel], scores[sel], k)
+
+
 def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     """Score every doc containing any query term; exact top-k.
 
