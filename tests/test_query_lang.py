@@ -267,6 +267,111 @@ def test_phrase_search_matches_oracle(index_dir, oracle, broadcast_limit):
     assert any(len(w) > 0 for w in want.values())
 
 
+@pytest.fixture(scope="module")
+def pos_index_dir(ray_session, tmp_path_factory):
+    """Same corpus, positional postings (store_positions=True)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("qidx") / "pos_index")
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+            "text": pa.array([d["text"] for d in DOCS]),
+        }
+    )
+    ds = rd.from_arrow(tab)
+    build_index(
+        ds, out, dataclasses.replace(CFG, store_positions=True),
+        docvalues_ds=rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [d["doc_id"] for d in DOCS], pa.int64()
+                    ),
+                    "lang": pa.array([d["lang"] for d in DOCS]),
+                }
+            )
+        ),
+    )
+    return out
+
+
+def test_positional_phrase_matches_oracle(pos_index_dir, oracle):
+    runs = phrase_search(_queries_ds(PHRASES), pos_index_dir, top_k=6)
+    got = _runs_rows(runs)
+    want = {qid: _oracle_phrase(oracle, text, 6) for qid, text in PHRASES}
+    want = {q: w for q, w in want.items() if w}
+    assert "p4" not in got
+    _assert_matches(got, want)
+
+
+def test_positional_phrase_single_term_and_reader(pos_index_dir, oracle):
+    from webindex.positional import phrase_topk
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(pos_index_dir)
+    r.preload()
+    # decoded positions must equal the analyzer's token positions
+    an = oracle.an
+    pos_vals, pos_ends = r.positions("alpha")
+    pl = r.postings("alpha")
+    for i in [0, len(pl.ids) // 2, len(pl.ids) - 1]:
+        did = int(pl.ids[i])
+        toks = an.tokens(DOCS[did]["text"])
+        want = [j for j, t in enumerate(toks) if t == "alpha"]
+        lo = int(pos_ends[i] - pl.tfs[i])
+        assert pos_vals[lo: int(pos_ends[i])].tolist() == want
+    # single-token phrase == single-term match
+    ids, scores = phrase_topk(r, ["rare2"], 5)
+    want_top = _oracle_constrained(oracle, "rare2", 5)
+    assert ids.tolist() == [d for d, _ in want_top]
+    for g, (_, w) in zip(scores.tolist(), want_top):
+        assert abs(g - w) < 1e-12
+
+
+def test_positional_phrase_filtered(pos_index_dir, oracle):
+    """Filtered phrase queries compose: docvalues mask over phrase hits."""
+    allowed = {d["doc_id"] for d in DOCS if d["lang"] == "en"}
+    runs = phrase_search(
+        _queries_ds(PHRASES[:2]), pos_index_dir, top_k=6
+    )
+    # reference: unfiltered indexed phrase results, then filter by lang
+    from webindex.search import search_queries
+
+    filt = search_queries(
+        _queries_ds(PHRASES[:2]), pos_index_dir, top_k=6,
+        query_kind="phrase", filter_pred=(("lang", "==", "en"),),
+        impl="pool", concurrency=2,
+    )
+    got = _runs_rows(filt)
+    base = _runs_rows(runs)
+    for qid, rows in got.items():
+        want = [(d, s) for d, s in
+                [(d, s) for d, s in _oracle_phrase(
+                    oracle, dict(PHRASES)[qid], 10**9)]
+                if d in allowed][:6]
+        assert [d for d, _ in rows] == [d for d, _ in want], qid
+    # and every filtered hit is an unfiltered hit in allowed
+    for qid, rows in got.items():
+        assert all(d in allowed for d, _ in rows)
+        assert set(d for d, _ in rows) <= set(
+            d for d, _ in _oracle_phrase(oracle, dict(PHRASES)[qid], 10**9)
+        )
+    assert base  # fixture sanity
+
+
+def test_phrase_on_positionless_index_raises(index_dir):
+    from webindex.positional import phrase_topk
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(index_dir)
+    r.preload()
+    with pytest.raises(ValueError, match="no positions"):
+        phrase_topk(r, ["alpha", "beta"], 5)
+
+
 def test_phrase_no_candidates_empty(index_dir):
     import ray.data as rd
 

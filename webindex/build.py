@@ -93,17 +93,22 @@ def _term_hash(t: str) -> int:
 
 def tokenize_batch(batch: pa.Table, analyzer_cfg, n_parts: int = 64,
                    salt_doc_shift: int = 40,
-                   shards_per_salt: int = 2) -> pa.Table:
+                   shards_per_salt: int = 2,
+                   store_positions: bool = False) -> pa.Table:
     """Stateless-task tokenize stage: documents -> per-doc term counts.
 
     Emits postings pre-aggregated per document — the combiner that keeps
     downstream work proportional to (term, doc) pairs, not raw tokens —
     plus one ``kind=1`` row per doc carrying its length. Every posting
     carries its docID-range ``salt`` and encode partition ``pkey``.
+    With ``store_positions`` each posting additionally carries a ``pos``
+    blob: the term's token positions in the doc, delta+varbyte encoded
+    (first absolute) — tf values per posting, no extra metadata.
     """
     return TokenizeStage(
         analyzer_cfg, n_parts=n_parts, salt_doc_shift=salt_doc_shift,
-        shards_per_salt=shards_per_salt, _cached=True,
+        shards_per_salt=shards_per_salt, store_positions=store_positions,
+        _cached=True,
     )(batch)
 
 
@@ -112,11 +117,34 @@ class TokenizeStage:
 
     def __init__(self, analyzer_cfg, n_parts: int = 64,
                  salt_doc_shift: int = 40, shards_per_salt: int = 2,
-                 _cached: bool = False):
+                 store_positions: bool = False, _cached: bool = False):
         self.an = analyzer_for(analyzer_cfg) if _cached else Analyzer(analyzer_cfg)
         self.n_parts = n_parts
         self.salt_doc_shift = salt_doc_shift
         self.shards_per_salt = shards_per_salt
+        self.store_positions = store_positions
+
+    def _doc_positions(self, toks: list[str]):
+        """Per-term position blobs for one doc, in first-occurrence term
+        order (Counter insertion order — identical to ``term_freqs``).
+        One vectorized varbyte encode over the doc; per-term blobs are
+        byte-offset slices (the encode_run trick)."""
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+        counts = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        pos_sorted = order.astype(np.int64)  # positions grouped by term
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        gaps = np.empty(pos_sorted.size, dtype=np.int64)
+        gaps[0] = pos_sorted[0]
+        np.subtract(pos_sorted[1:], pos_sorted[:-1], out=gaps[1:])
+        gaps[starts] = pos_sorted[starts]  # first position absolute
+        buf = varbyte_encode(gaps)
+        bends = np.concatenate(([0], np.cumsum(_varbyte_sizes(gaps))))
+        blobs = [bytes(buf[bends[s]:bends[e]]) for s, e in zip(starts, ends)]
+        return list(uniques), counts.tolist(), blobs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
@@ -125,15 +153,30 @@ class TokenizeStage:
         ndocs = len(texts)
         terms: list[str] = []
         tfs: list[int] = []
+        pos_blobs: list[bytes] = []
         n_terms_doc = np.empty(ndocs, np.int64)
         dl_doc = np.empty(ndocs, np.int64)
         tf = self.an.term_freqs
-        for i, txt in enumerate(texts):
-            cnt = tf(txt or "")
-            dl_doc[i] = sum(cnt.values())
-            n_terms_doc[i] = len(cnt)
-            terms.extend(cnt.keys())
-            tfs.extend(cnt.values())
+        if self.store_positions:
+            tok = self.an.tokens
+            for i, txt in enumerate(texts):
+                toks = tok(txt or "")
+                dl_doc[i] = len(toks)
+                if toks:
+                    ts, cs, bs_ = self._doc_positions(toks)
+                else:
+                    ts, cs, bs_ = [], [], []
+                n_terms_doc[i] = len(ts)
+                terms.extend(ts)
+                tfs.extend(cs)
+                pos_blobs.extend(bs_)
+        else:
+            for i, txt in enumerate(texts):
+                cnt = tf(txt or "")
+                dl_doc[i] = sum(cnt.values())
+                n_terms_doc[i] = len(cnt)
+                terms.extend(cnt.keys())
+                tfs.extend(cnt.values())
         # posting columns via np.repeat over per-doc run lengths (the
         # per-(term, doc) Python append loop was ~40% of tokenize time)
         salt_doc = (doc_ids >> shift) // sps
@@ -151,6 +194,11 @@ class TokenizeStage:
         # be 0); keeps N and avgdl exact. They live in the disjoint pkey
         # range [n_parts, 2n_parts) so posting reads never touch them.
         # Output sorted by pkey so row-group stats cluster by partition.
+        cols = {}
+        if self.store_positions:
+            cols["pos"] = pa.array(
+                pos_blobs + [b""] * ndocs, pa.binary()
+            )
         return pa.table(
             {
                 "term": pa.array(terms + [""] * ndocs, pa.string()),
@@ -179,6 +227,7 @@ class TokenizeStage:
                     ),
                     pa.int32(),
                 ),
+                **cols,
             }
         ).sort_by("pkey")
 
@@ -267,7 +316,8 @@ def _varbyte_sizes(v: np.ndarray) -> np.ndarray:
 
 
 def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
-               dls: np.ndarray, cfg: IndexConfig, avgdl: float) -> dict:
+               dls: np.ndarray, cfg: IndexConfig, avgdl: float,
+               pos_blobs: list | None = None) -> dict:
     """One (term, salt) posting run (``ids`` ascending) -> columnar block
     rows: delta+varbyte buffers with per-block idf-free score bounds
     (``max_tf_norm = max tf/(tf + k1(1-b+b·dl/avgdl))``).
@@ -298,7 +348,17 @@ def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
     last_ids = ids[np.minimum(starts + bs, n) - 1]
 
     nblocks = starts.size
+    extra = {}
+    if pos_blobs is not None:
+        # one positions blob per block: per-posting delta+varbyte runs
+        # concatenated — tf values each, so decoding needs no offsets
+        # beyond the tfs already stored
+        extra["positions"] = [
+            b"".join(pos_blobs[starts[j]: min(starts[j] + bs, n)])
+            for j in range(nblocks)
+        ]
     return {
+        **extra,
         "bucket": np.full(nblocks, term_bucket(term, cfg.num_buckets), np.int32),
         "term": [term] * nblocks,
         "salt": np.full(nblocks, salt, np.int64),
@@ -384,6 +444,8 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
     pieces: list[dict] = []
     by_pkey, handles = _praw_layout(praw)
     cols = ["term", "salt", "doc_id", "tf", "dl"]
+    if cfg.store_positions:
+        cols.append("pos")
     for p in batch.column("p").to_pylist():
         chunks = []
         for fpath, rg in by_pkey.get(int(p), []):
@@ -407,6 +469,13 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
         ids = ids_c[order]
         tfs = tab.column("tf").to_numpy()[order].astype(np.float64)
         dls = tab.column("dl").to_numpy()[order].astype(np.float64)
+        pos_sorted = (
+            tab.column("pos").combine_chunks().take(
+                pa.array(order, pa.int64())
+            )
+            if cfg.store_positions
+            else None
+        )
         # run boundaries: change of (term-code, salt)
         change = np.empty(codes.size, dtype=bool)
         change[0] = True
@@ -417,9 +486,18 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
                 encode_run(
                     vocab[codes[s]], int(salts[s]), ids[s:e], tfs[s:e],
                     dls[s:e], cfg, avgdl,
+                    pos_blobs=(
+                        pos_sorted.slice(s, e - s).to_pylist()
+                        if pos_sorted is not None
+                        else None
+                    ),
                 )
             )
     if not pieces:
+        if cfg.store_positions:
+            return _EMPTY_SEG.append_column(
+                "positions", pa.array([], pa.binary())
+            )
         return _EMPTY_SEG
     buckets = np.concatenate([r["bucket"] for r in pieces])
     # bucket-ordered output so the reader's bucket-filtered loads prune
@@ -432,6 +510,12 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
     terms_flat = [t for r in pieces for t in r["term"]]
     ids_flat = [b for r in pieces for b in r["doc_ids"]]
     tfs_flat = [b for r in pieces for b in r["tfs"]]
+    extra_cols = {}
+    if cfg.store_positions:
+        pos_flat = [b for r in pieces for b in r["positions"]]
+        extra_cols["positions"] = pa.array(
+            [pos_flat[i] for i in run_order], pa.binary()
+        )
     return pa.table(
         {
             "bucket": pa.array(buckets[run_order], pa.int32()),
@@ -459,6 +543,7 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
                 np.concatenate([r["max_tf_norm"] for r in pieces])[run_order],
                 pa.float64(),
             ),
+            **extra_cols,
         }
     )
 
@@ -501,6 +586,7 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
                 analyzer_cfg=cfg.analyzer, n_parts=cfg.n_parts,
                 salt_doc_shift=cfg.salt_doc_shift,
                 shards_per_salt=cfg.shards_per_salt,
+                store_positions=cfg.store_positions,
             ),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,

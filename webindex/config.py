@@ -79,6 +79,13 @@ class IndexConfig:
     salt_doc_shift: int = 40
     shards_per_salt: int = 2
     top_k: int = 1000
+    # store term positions in the postings (Lucene
+    # IndexOptions.DOCS_AND_FREQS_AND_POSITIONS analog): enables index-only
+    # phrase queries (webindex.positional) at ~cf/df x the posting bytes.
+    # Off by default — web-scale match/rank workloads rarely need them and
+    # the position-free engine answers phrases by lazy verification
+    # (webindex.phrase).
+    store_positions: bool = False
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
     def to_dict(self) -> dict:

@@ -116,14 +116,35 @@ def _attach_text(cand_ds, docs_ds, *, id_col: str, text_col: str,
     )
 
 
-def phrase_search(queries_ds, index_dir: str, docs_ds, *, top_k: int = 10,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  num_partitions: int = 32, broadcast_limit: int = 100_000):
-    """queries(qid, text) × index × corpus -> phrase-match runs
-    ``(qid, did, doc_id, score, rank)``; see module docstring."""
+def phrase_search(queries_ds, index_dir: str, docs_ds=None, *,
+                  top_k: int = 10, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 32,
+                  broadcast_limit: int = 100_000, strategy: str = "auto"):
+    """queries(qid, text) × index [× corpus] -> phrase-match runs
+    ``(qid, did, doc_id, score, rank)``; see module docstring.
+
+    ``strategy="auto"`` answers from the index alone when it stores
+    positions (``IndexConfig(store_positions=True)`` — the Lucene
+    execution model, webindex.positional; no ``docs_ds`` needed), else
+    falls back to this module's lazy verification against the corpus
+    text. Both strategies are result-identical (tests/test_query_lang.py).
+    """
     cfg = IndexConfig.from_dict(
         read_json(os.path.join(index_dir, "config.json"))
     )
+    if strategy == "auto":
+        strategy = "indexed" if cfg.store_positions else "verify"
+    if strategy == "indexed":
+        from webindex.search import search_queries
+
+        return search_queries(
+            queries_ds, index_dir, top_k=top_k, query_kind="phrase"
+        )
+    if docs_ds is None:
+        raise ValueError(
+            "phrase_search strategy='verify' needs docs_ds (the index "
+            "stores no positions)"
+        )
     stats = read_json(os.path.join(index_dir, "stats.json"))
     an = Analyzer(cfg.analyzer)
     # queries are the workload's small side (the reference broadcasts its

@@ -95,6 +95,11 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
     out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-{variant}")
     if variant == "nostem":
         cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    elif variant == "pos":
+        # positional postings: index-only phrase queries (webindex.positional)
+        cfg = IndexConfig(
+            analyzer=SQL_SAFE_ANALYZER, num_buckets=16, store_positions=True
+        )
     else:
         cfg = IndexConfig(num_buckets=16)
     # docvalues sidecar (lang/source/n_chars) powers the filtered-search
@@ -1875,6 +1880,21 @@ def q_bm25_phrase_top10(sf_dir: str):
     )
 
 
+def q_bm25_phrase_pos_top10(sf_dir: str):
+    """Index-only phrase top-10 over a POSITIONAL index
+    (store_positions=True; webindex.positional vectorized kernel) —
+    checked against the same SQL oracle as the lazy-verify entry, so the
+    two phrase execution models are proven result-identical at the
+    contract surface too."""
+    from webindex.phrase import phrase_search
+
+    idx = ensure_index(sf_dir, "pos")
+    runs = phrase_search(_phrase_queries_ds(), idx, top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
 def _phrase_values_sql() -> str:
     rows = ", ".join(
         f"('{q}', '{' '.join(_sql_an.tokens(t))}')" for q, t in PHRASE_QUERIES
@@ -1933,6 +1953,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_filtered_top10": (q_bm25_filtered_top10, SQL_BM25_FILTERED_TOP10),
     "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
+    "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     "langid": (q_langid, SQL_LANGID),

@@ -1,0 +1,118 @@
+"""Index-only phrase queries over a positional index (the Lucene/ES
+``match_phrase`` execution model: postings store term positions, so a
+phrase is answered from the index alone — no corpus access).
+
+Built on ``IndexConfig(store_positions=True)`` postings
+(webindex/build.py: per-posting delta+varbyte position runs riding the
+same checkpoint-relay shuffle as docIDs/tfs) and decoded by
+``SegmentReader.positions``. The matching kernel is fully vectorized
+across ALL candidate docs at once:
+
+1. conjunctive candidates = sorted intersection of the phrase terms'
+   posting docID arrays (cost bounded by the rarest term's df);
+2. for every (term, phrase-offset) pair, build 64-bit keys
+   ``cand_rank << 32 | (position - offset)`` over the candidates'
+   positions (one multi-slice gather per term, shared across its
+   offsets) — a key names "phrase could start at this position in this
+   doc, as witnessed by this term";
+3. phrase starts = ``np.intersect1d`` across all (term, offset) key
+   sets; matched docs = unique high halves.
+
+Scores are the BM25 sums of the phrase's unique terms in ascending
+unicode order — bit-identical to the ``match``/lazy-verify paths
+(webindex/phrase.py), which tests/test_query_lang.py asserts.
+
+Position values must fit 32 bits (docs shorter than 2^32 tokens — 4
+orders of magnitude above any web page).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from webindex.segments import SegmentReader
+from webindex.wand import _dense, _rank_topk
+
+_EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+
+def _gather_positions(pos_vals: np.ndarray, pos_ends: np.ndarray,
+                      tfs: np.ndarray, rows: np.ndarray):
+    """Multi-slice gather: positions of posting-rows ``rows`` flattened,
+    plus the candidate-rank of each gathered position."""
+    lens = tfs[rows]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = (pos_ends[rows] - lens).astype(np.int64)
+    # flat[i] = starts[row(i)] + (i - first_i_of_row): standard vectorized
+    # ragged gather
+    row_of = np.repeat(np.arange(rows.size), lens)
+    first = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = starts[row_of] + (np.arange(total) - first[row_of])
+    return pos_vals[idx], row_of
+
+
+def phrase_topk(reader: SegmentReader, phrase_tokens: list[str], k: int,
+                mask: np.ndarray | None = None):
+    """Exact top-k docs containing ``phrase_tokens`` consecutively in
+    order, scored by BM25 over the phrase's unique terms. ``mask`` is an
+    optional docvalues bitset (``SegmentReader.filter_mask``) — filtered
+    phrase queries compose for free because matching is per-document."""
+    if not phrase_tokens:
+        return _EMPTY
+    uniq = sorted(set(phrase_tokens))
+    pls = []
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY  # a phrase term matches no document
+        if pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions); "
+                "use webindex.phrase.phrase_search lazy verification"
+            )
+        pls.append(pl)
+    # conjunctive candidate docs (all arrays ascending + unique)
+    cand = pls[0].ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    offsets: dict[str, list[int]] = {}
+    for j, t in enumerate(phrase_tokens):
+        offsets.setdefault(t, []).append(j)
+
+    survivors = None
+    for t, pl in zip(uniq, pls):
+        pos_vals, pos_ends = reader.positions(t)
+        rows = np.searchsorted(pl.ids, cand)  # every cand is present
+        flat_pos, row_of = _gather_positions(
+            pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+        )
+        for off in offsets[t]:
+            ok = flat_pos >= off
+            keys = (row_of[ok].astype(np.int64) << 32) | (
+                flat_pos[ok] - off
+            )
+            survivors = (
+                keys
+                if survivors is None
+                else np.intersect1d(survivors, keys, assume_unique=True)
+            )
+            if survivors.size == 0:
+                return _EMPTY
+    matched = cand[np.unique(survivors >> 32)]
+    if mask is not None:
+        pos_in_dl = np.searchsorted(reader._dl_ids, matched)
+        matched = matched[mask[pos_in_dl]]
+    if matched.size == 0:
+        return _EMPTY
+    # exact scores: ascending-term sums (bit-identical to the match path)
+    scores = np.zeros(matched.size, dtype=np.float64)
+    for pl in pls:  # uniq is ascending
+        _dense(pl, reader)
+        idx = np.searchsorted(pl.ids, matched)
+        scores += pl.dense_contrib[idx]
+    return _rank_topk(matched, scores, k)

@@ -47,7 +47,8 @@ class SearcherActor:
     def __init__(self, index_dir: str, top_k: int = 1000,
                  mode: str = "auto", self_hit_filter: bool = False,
                  preload: bool = True, segments_ref=None,
-                 doc_id_range=None, filter_pred=None, match: str = "or"):
+                 doc_id_range=None, filter_pred=None, match: str = "or",
+                 query_kind: str = "match"):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -66,11 +67,13 @@ class SearcherActor:
         self.mode = mode
         self.self_hit = self_hit_filter
         # query constraints (ES bool-query analog): a conjunctive docvalues
-        # predicate — tuple of (col, op, value) clauses — and/or AND match
-        # semantics (every query term required)
-        self.set_constraints(filter_pred, match)
+        # predicate — tuple of (col, op, value) clauses — AND match
+        # semantics (every query term required), and/or the phrase query
+        # kind (positional index, webindex.positional)
+        self.set_constraints(filter_pred, match, query_kind)
 
-    def set_constraints(self, filter_pred=None, match: str = "or"):
+    def set_constraints(self, filter_pred=None, match: str = "or",
+                        query_kind: str = "match"):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -80,12 +83,27 @@ class SearcherActor:
         )
         if match not in ("or", "and"):
             raise ValueError(f"match must be 'or' or 'and', got {match!r}")
+        if query_kind not in ("match", "phrase"):
+            raise ValueError(
+                f"query_kind must be 'match' or 'phrase', got {query_kind!r}"
+            )
         self.match = match
+        self.query_kind = query_kind
 
     def search_one(self, qid: str, text: str):
         terms = self.an.tokens(text or "")
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
+        if self.query_kind == "phrase":
+            from webindex.positional import phrase_topk
+
+            mask = (
+                self.reader.filter_mask(self.filter_pred)
+                if self.filter_pred is not None
+                else None
+            )
+            ids, scores = phrase_topk(self.reader, terms, k, mask=mask)
+            return self._post(qid, ids, scores)
         if self.filter_pred is not None or self.match == "and":
             # constrained queries take the dedicated exhaustive kernel
             # (pruning θ bounds are invalid under filters — see
@@ -197,7 +215,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    mode: str = "auto", self_hit_filter: bool = False,
                    concurrency=None, batch_size: int = 128,
                    impl: str = "auto", n_shards: int = SEARCH_SHARDS,
-                   filter_pred=None, match: str = "or"):
+                   filter_pred=None, match: str = "or",
+                   query_kind: str = "match"):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -246,6 +265,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             queries_ds, index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, concurrency=concurrency,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
+            query_kind=query_kind,
         )
 
     import pandas as pd
@@ -277,7 +297,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         searcher = _shard_searcher(
             index_dir, lo, hi, top_k, mode, self_hit_filter
         )
-        searcher.inner.set_constraints(filter_pred, match)
+        searcher.inner.set_constraints(filter_pred, match, query_kind)
         qid_out, id_out, sc_out = [], [], []
         for qid, text in zip(
             g.column("qid").to_pylist(), g.column("text").to_pylist()
@@ -318,7 +338,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
 def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          mode: str = "auto", self_hit_filter: bool = False,
                          concurrency=None, batch_size: int = 128,
-                         filter_pred=None, match: str = "or"):
+                         filter_pred=None, match: str = "or",
+                         query_kind: str = "match"):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -341,7 +362,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
         fn_constructor_kwargs=dict(
             index_dir=index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
-            filter_pred=filter_pred, match=match,
+            filter_pred=filter_pred, match=match, query_kind=query_kind,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

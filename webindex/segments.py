@@ -39,6 +39,12 @@ class PostingList:
     # per-posting BM25 contribution), filled lazily by exhaustive_topk
     dense_pos: np.ndarray | None = None
     dense_contrib: np.ndarray | None = None
+    # positional index (store_positions builds): raw per-block blobs at
+    # load; decoded lazily by SegmentReader.positions() into a flat
+    # absolute-position array + per-posting end offsets
+    pos_blocks: list | None = None
+    pos_vals: np.ndarray | None = None
+    pos_ends: np.ndarray | None = None
 
 
 class SegmentReader:
@@ -248,6 +254,11 @@ class SegmentReader:
         self._seg_maxes = tab.column("max_tf_norm").to_numpy()
         self._seg_idbufs = tab.column("doc_ids").combine_chunks()
         self._seg_tfbufs = tab.column("tfs").combine_chunks()
+        self._seg_posbufs = (
+            tab.column("positions").combine_chunks()
+            if "positions" in tab.column_names
+            else None
+        )
 
     def _fill_bucket_cache(self, tab, rows) -> None:
         terms = tab.column("term").to_pylist()
@@ -257,12 +268,17 @@ class SegmentReader:
         lasts = tab.column("last_doc_id").to_numpy()
         idbufs = tab.column("doc_ids").to_pylist()
         tfbufs = tab.column("tfs").to_pylist()
+        posbufs = (
+            tab.column("positions").to_pylist()
+            if "positions" in tab.column_names
+            else [None] * len(terms)
+        )
         # idf-free per-block bounds; idf(df) is applied at load
         maxes = tab.column("max_tf_norm").to_numpy()
         for i, t in enumerate(terms):
             rows.setdefault(t, []).append(
                 (int(salts[i]), int(bids[i]), int(ns[i]), int(lasts[i]),
-                 idbufs[i], tfbufs[i], float(maxes[i]))
+                 idbufs[i], tfbufs[i], float(maxes[i]), posbufs[i])
             )
 
     def _load_bucket(self, bucket: int) -> dict[str, list]:
@@ -298,6 +314,11 @@ class SegmentReader:
             maxes = self._seg_maxes[s:e].astype(np.float64)
             idbufs = self._seg_idbufs.slice(s, e - s).to_pylist()
             tfbufs = self._seg_tfbufs.slice(s, e - s).to_pylist()
+            posbufs = (
+                self._seg_posbufs.slice(s, e - s).to_pylist()
+                if self._seg_posbufs is not None
+                else None
+            )
         else:
             blocks = self._load_bucket(
                 term_bucket(term, self.cfg.num_buckets)
@@ -312,6 +333,9 @@ class SegmentReader:
             maxes = np.array([b[6] for b in blocks], dtype=np.float64)
             idbufs = [b[4] for b in blocks]
             tfbufs = [b[5] for b in blocks]
+            posbufs = (
+                [b[7] for b in blocks] if blocks[0][7] is not None else None
+            )
         # joint decode: ONE varbyte pass over the concatenated buffers
         # (a per-block decode loop cost ~50us x thousands of 128-posting
         # blocks on stopword-scale lists), then a segmented cumsum turns
@@ -336,11 +360,35 @@ class SegmentReader:
             block_last=lasts,
             block_max=block_max,
             max_score=float(block_max.max()),
+            pos_blocks=posbufs,
         )
         self._postings[term] = pl
         if len(self._postings) > self._postings_cap:
             self._postings.popitem(last=False)
         return pl
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decoded term positions: ``(pos_vals, pos_ends)`` where posting
+        ``i``'s positions are ``pos_vals[pos_ends[i]-tfs[i] : pos_ends[i]]``
+        (ascending, absolute). One joint varbyte pass + segmented cumsum
+        over the per-posting delta runs (tf values each — the tfs ARE the
+        offsets, the positional index stores no extra metadata). None when
+        the index was built without ``store_positions``. Decoded once per
+        resident posting list."""
+        pl = self.postings(term)
+        if pl is None or pl.pos_blocks is None:
+            return None
+        if pl.pos_vals is None:
+            gaps = varbyte_decode(b"".join(pl.pos_blocks))
+            tfs = pl.tfs.astype(np.int64)
+            ends = np.cumsum(tfs)
+            starts = ends - tfs
+            csum = np.cumsum(gaps)
+            shift = np.zeros(tfs.size, dtype=np.int64)
+            shift[1:] = csum[starts[1:] - 1]
+            pl.pos_vals = csum - np.repeat(shift, tfs)
+            pl.pos_ends = ends
+        return pl.pos_vals, pl.pos_ends
 
 
 def _decode_ids(buf: bytes, n: int) -> np.ndarray:
