@@ -312,3 +312,42 @@ def test_attach_pair_payloads_broadcast_matches_shuffle():
     assert fast["simhash_a"].tolist() == [
         (1 << 62) + 0, (1 << 62) + 0, (1 << 62) + 1, (1 << 62) + 3
     ]
+
+
+def test_poly_base_hash_variants():
+    """SQL-checkable "poly" base hash: same operator semantics as the
+    default blake2b path (identical text -> identical signature, near-dup
+    -> near signature), values bounded by the Mersenne prime so they are
+    reproducible in DuckDB HUGEINT math (contract entries minhash_sigs /
+    simhash_sigs)."""
+    import pyarrow as pa
+
+    from webindex.dedup import (MinHashStage, SimHashStage, _MERSENNE,
+                                _poly_hash, hamming64)
+
+    # the polynomial definition pinned by the SQL oracle
+    h = 0
+    for ch in "abc def":
+        h = (h * 1000003 + ord(ch)) % (2**61 - 1)
+    assert _poly_hash("abc def") == h
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " tail"
+    c = "completely different words entirely here nothing shared at all"
+    st = MinHashStage(num_perm=64, base_hash="poly")
+    sa, sb, sc = (st.signature(t) for t in (a, b, c))
+    assert np.array_equal(sa, st.signature(a))
+    assert (sa < np.uint64(_MERSENNE)).all()
+    assert (sa == sb).mean() > (sa == sc).mean()
+
+    tab = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([a, b, c])})
+    sh = SimHashStage(base_hash="poly")(tab).column("simhash").to_pylist()
+    assert all(0 <= v < (1 << 61) for v in sh)
+    assert hamming64(sh[0], sh[1]) < hamming64(sh[0], sh[2])
+    # tokenless text -> sentinel 0
+    empty = SimHashStage(base_hash="poly")(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array(["!!!"])})
+    )
+    assert empty.column("simhash").to_pylist() == [0]

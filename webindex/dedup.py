@@ -40,13 +40,44 @@ def _hash64(s: str) -> int:
     return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct word-k-gram 61-bit hashes."""
-    toks = _WORD_RE.findall(text.lower())
+# SQL-expressible base hash (the "poly" variant): polynomial over the
+# string's code points mod the Mersenne prime — bit-identical to DuckDB's
+#   list_reduce(list_prepend(0::HUGEINT,
+#     list_transform(regexp_extract_all(s, '.'), x -> ascii(x)::HUGEINT)),
+#     (acc, x) -> (acc * 1000003 + x) % (2^61-1))
+# so minhash/simhash signatures become DuckDB-oracle-checkable end to end.
+_POLY_B = 1000003
+_ASCII_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * _POLY_B + ord(ch)) % _MERSENNE
+    return h
+
+
+def _grams(toks: list[str], k: int) -> list[str]:
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _shingle_hashes(text: str, k: int,
+                    base_hash: str = "blake2b") -> np.ndarray:
+    """Distinct word-k-gram 61-bit hashes. ``base_hash="poly"`` switches
+    to the SQL-expressible polynomial hash over ASCII tokens (tokens via
+    ``[a-z0-9]+`` on the lowercased text, matching the SQL oracle's
+    regexp)."""
+    if base_hash == "poly":
+        grams = _grams(_ASCII_WORD_RE.findall((text or "").lower()), k)
+        if not grams:
+            return np.empty(0, dtype=np.uint64)
+        return np.fromiter(
+            (_poly_hash(g) for g in set(grams)), dtype=np.uint64
+        )
+    toks = _WORD_RE.findall(text.lower())
+    grams = _grams(toks, k)
     if not grams:
         return np.empty(0, dtype=np.uint64)
     h = np.fromiter((_hash64(g) for g in set(grams)), dtype=np.uint64)
@@ -62,15 +93,17 @@ class MinHashStage:
     any partitioning.
     """
 
-    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 1):
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 1,
+                 base_hash: str = "blake2b"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
+        self.base_hash = base_hash
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        sh = _shingle_hashes(text, self.k, self.base_hash)
         if sh.size == 0:
             return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
         return _mod_p_mul_add(sh, self.a, self.b).min(axis=0)
@@ -787,29 +820,44 @@ def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
 
 
 class SimHashStage:
-    """text -> 64-bit simhash (tf-weighted token hash majority vote)."""
+    """text -> 64-bit simhash (tf-weighted token hash majority vote).
+
+    ``base_hash="poly"``: SQL-expressible variant — ASCII tokens, the
+    polynomial base hash (61 significant bits, so the output fits int64
+    unshifted and a DuckDB oracle reproduces it bit for bit)."""
+
+    def __init__(self, base_hash: str = "blake2b"):
+        self.base_hash = base_hash
+        self.nbits = 61 if base_hash == "poly" else 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        poly = self.base_hash == "poly"
+        nbits = self.nbits
         out = []
         for t in batch.column("text").to_pylist():
-            toks = _WORD_RE.findall((t or "").lower())
+            toks = (
+                _ASCII_WORD_RE.findall((t or "").lower())
+                if poly
+                else _WORD_RE.findall((t or "").lower())
+            )
             if not toks:
                 out.append(0)
                 continue
+            hf = _poly_hash if poly else _hash64
             vals, counts = np.unique(
-                np.fromiter((_hash64(w) for w in toks), dtype=np.uint64),
+                np.fromiter((hf(w) for w in toks), dtype=np.uint64),
                 return_counts=True,
             )
             bits = (
-                (vals[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                (vals[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :])
                 & np.uint64(1)
             ).astype(np.int64)
             acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
             sh = np.uint64(0)
-            for j in range(64):
+            for j in range(nbits):
                 if acc[j] > 0:
                     sh |= np.uint64(1) << np.uint64(j)
-            out.append(int(sh) - (1 << 63))
+            out.append(int(sh) - (1 << 63) if not poly else int(sh))
         return pa.table(
             {"doc_id": batch.column("doc_id"),
              "simhash": pa.array(out, pa.int64())}

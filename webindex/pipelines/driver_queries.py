@@ -1929,6 +1929,132 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-checkable near-dup signature math: minhash and simhash with the
+# "poly" base hash (polynomial over code points mod 2^61-1 — reproducible
+# in DuckDB via list_reduce + HUGEINT). The production pipelines default
+# to blake2b (not SQL-expressible, hence minhash_clusters/simhash_clusters
+# stay rows-only); these entries prove the permutation-min and
+# bit-majority math against an independent oracle.
+# ---------------------------------------------------------------------------
+
+_POLY_HASH_SQL = (
+    "list_reduce(list_prepend(0::HUGEINT, "
+    "list_transform(regexp_extract_all({col}, '.'), "
+    "x -> ascii(x)::HUGEINT)), "
+    "(acc, x) -> (acc * 1000003 + x) % 2305843009213693951)"
+)
+
+_MH_PERMS = 16
+
+
+def _mh_stage():
+    from webindex.dedup import MinHashStage
+
+    return MinHashStage(
+        num_perm=_MH_PERMS, shingle_k=3, seed=1, base_hash="poly"
+    )
+
+
+def q_minhash_sigs(sf_dir: str):
+    """Exploded (doc_id, perm, mh) minhash signatures, poly base hash —
+    docs with no ASCII token are excluded (they have no shingles; the
+    default pipeline assigns them the sentinel all-MAX signature)."""
+    st = _mh_stage()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from webindex.dedup import _mod_p_mul_add, _shingle_hashes
+
+        dids, perms, mhs = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            sh = _shingle_hashes(t or "", st.k, "poly")
+            if sh.size == 0:
+                continue
+            sig = _mod_p_mul_add(sh, st.a, st.b).min(axis=0)
+            dids.extend([did] * st.num_perm)
+            perms.extend(range(st.num_perm))
+            mhs.extend(sig.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "perm": pa.array(perms, pa.int32()),
+                "mh": pa.array(mhs, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def _mh_perms_sql() -> str:
+    st = _mh_stage()
+    rows = ", ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(st.a, st.b))
+    )
+    return f"(VALUES {rows}) AS pm(perm, a, b)"
+
+
+SQL_MINHASH_SIGS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3
+         THEN list_transform(range(len(tk) - 2),
+                             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+         ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks WHERE len(tk) > 0
+),
+sh0 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+hx AS (SELECT doc_id, {_POLY_HASH_SQL.format(col='g')} AS x FROM sh)
+SELECT h.doc_id, pm.perm::INTEGER AS perm,
+       min((pm.a * h.x + pm.b) % 2305843009213693951)::BIGINT AS mh
+FROM hx h CROSS JOIN {_mh_perms_sql()}
+GROUP BY h.doc_id, pm.perm
+"""
+
+
+def q_simhash_sigs(sf_dir: str):
+    """(doc_id, simhash) with the poly base hash (61-bit tf-weighted
+    bit-majority; tokenless docs get 0)."""
+    from webindex.dedup import SimHashStage
+
+    return _docs(sf_dir).map_batches(
+        SimHashStage, fn_constructor_kwargs=dict(base_hash="poly"),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+
+SQL_SIMHASH_SIGS = f"""
+WITH tc AS (
+  SELECT doc_id, t.tok, count(*)::BIGINT AS c
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+hx AS (SELECT doc_id, c, ({_POLY_HASH_SQL.format(col='tok')})::BIGINT AS h FROM tc),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hx CROSS JOIN (SELECT unnest(range(61)) AS j) b
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -1974,6 +2100,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_clusters": (q_simhash_clusters, None),
+    "minhash_sigs": (q_minhash_sigs, SQL_MINHASH_SIGS),
+    "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
     "openai_search": (q_openai_search, None),
