@@ -161,3 +161,63 @@ def test_ivf_seeded_matches_numpy_oracle(emb_ds):
         grp = out[out.query_id == qi].sort_values("rank")
         assert list(grp["vec_id"].astype(int)) == [int(x) for x in v[sel]]
         np.testing.assert_allclose(grp["sim"], s[sel], rtol=1e-12)
+
+
+def test_brute_topk_boundary_ties_keep_lowest_ids(ray_session):
+    """Exactly-tied sims straddling the k boundary (identical duplicate
+    docs) must resolve to the lowest vec_ids: the per-batch partial top-k
+    keeps everything >= the k-th sim, so no tied row is dropped before
+    the merge's (sim desc, vec_id asc) tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.ann import brute_topk
+
+    d = 8
+    v = np.zeros(d); v[0] = 1.0
+    w = np.zeros(d); w[1] = 1.0
+    # ids 0..9 all identical to the query; ids 10..14 orthogonal
+    vecs = [v.tolist()] * 10 + [w.tolist()] * 5
+    tab = pa.table(
+        {
+            "vec_id": pa.array(list(range(15)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    out = brute_topk(
+        rd.from_arrow(tab).repartition(3), [0], np.array([v]), 5,
+        concurrency=2, batch_size=8,
+    ).to_pandas().sort_values("rank")
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]
+    assert np.allclose(out["sim"], 1.0)
+
+
+def test_poly_embedder_sql_parity_shape(ray_session):
+    """vec_source="poly": float64 embeddings, unit token vectors, and the
+    documented component formula (hash/p - 0.5, normalized)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webindex.dedup import _MERSENNE, _poly_hash
+    from webindex.embed import EmbedStage, token_vector_poly
+
+    v = token_vector_poly("spark", 16)
+    raw = np.array(
+        [_poly_hash(f"spark\x1f{j}") for j in range(16)], dtype=np.float64
+    ) / _MERSENNE - 0.5
+    assert np.allclose(v, raw / np.linalg.norm(raw))
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+    st = EmbedStage(dim=16, max_tokens=4, vec_source="poly")
+    out = st(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["spark spark window join merge"])})
+    )
+    assert out.schema.field("embedding").type == pa.list_(pa.float64())
+    emb = np.array(out.column("embedding").to_pylist()[0])
+    # truncation to 4 tokens: mean of [spark, spark, window, join] vectors
+    toks = ["spark", "spark", "window", "join"]
+    want = np.mean([token_vector_poly(t, 16) for t in toks], axis=0)
+    assert np.allclose(emb, want, atol=1e-15)
+    assert out.column("truncated").to_pylist() == [True]

@@ -80,11 +80,15 @@ class BruteScoreStage:
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         if k:
-            # per-query partial top-k (argpartition), ties resolved at merge
-            idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            # per-query partial top-k: keep everything >= the k-th best
+            # sim (not argpartition's arbitrary k rows) so boundary TIES
+            # all survive to the merge — whose (sim desc, vec_id asc)
+            # tie-break is only exact if no tied row was dropped upstream
+            # (identical duplicate docs produce exactly tied sims)
+            kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
             for qi, qid in enumerate(self.qids):
-                sel = idx[qi]
-                out_q.extend([qid] * k)
+                sel = np.flatnonzero(sims[qi] >= kth[qi])
+                out_q.extend([qid] * sel.size)
                 out_v.extend(vids[sel].tolist())
                 out_s.extend(sims[qi, sel].tolist())
         return pa.table(
@@ -106,6 +110,26 @@ def _merge_topk_factory(k: int):
     return merge
 
 
+# process-global scorer cache for the stateless-task form of the brute
+# scorer (worker reuse gives actor-style state amortization; tasks scale
+# elastically and — unlike a second actor pool in the same dataset —
+# cannot deadlock a small cluster by reserving min-actor CPUs while an
+# upstream embed pool holds the rest)
+_BRUTE_CACHE: dict = {}
+
+
+def _brute_score_task(batch: pa.Table, *, queries_ref, k, id_col, vec_col):
+    key = (queries_ref.hex(), k, id_col, vec_col)
+    st = _BRUTE_CACHE.get(key)
+    if st is None:
+        if len(_BRUTE_CACHE) > 8:
+            _BRUTE_CACHE.clear()
+        st = _BRUTE_CACHE[key] = BruteScoreStage(
+            queries_ref, k, id_col, vec_col
+        )
+    return st(batch)
+
+
 def brute_topk(emb_ds, query_ids: list[int], query_vecs: np.ndarray, k: int,
                *, id_col: str = "vec_id", vec_col: str = "embedding",
                concurrency=4, batch_size: int = 4096):
@@ -114,8 +138,8 @@ def brute_topk(emb_ds, query_ids: list[int], query_vecs: np.ndarray, k: int,
 
     ref = ray.put({"qids": list(query_ids), "vecs": np.asarray(query_vecs)})
     partial = emb_ds.map_batches(
-        BruteScoreStage,
-        fn_constructor_args=(ref, k, id_col, vec_col),
+        _brute_score_task,
+        fn_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -50,6 +50,23 @@ def token_vector(token: str, dim: int) -> np.ndarray:
     return v / n if n else v
 
 
+def token_vector_poly(token: str, dim: int) -> np.ndarray:
+    """SQL-expressible unit vector: component j is the polynomial hash of
+    ``token + chr(31) + str(j)`` mapped to [-0.5, 0.5), then normalized —
+    every step reproducible in DuckDB (HUGEINT list_reduce + doubles), so
+    the full dense pipeline gets a SQL oracle (contract entry
+    dense_top5_poly)."""
+    from webindex.dedup import _MERSENNE, _poly_hash
+
+    v = np.fromiter(
+        (_poly_hash(f"{token}\x1f{j}") for j in range(dim)),
+        dtype=np.float64, count=dim,
+    )
+    v = v / _MERSENNE - 0.5
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
 def pool(mat: np.ndarray, method: str, *, layer_mats: np.ndarray = None,
          position_weights: np.ndarray = None) -> np.ndarray:
     """Per-document reduction over the (L, d) token matrix (A1,
@@ -100,9 +117,15 @@ class EmbedStage:
                  max_tokens: int = 256, truncate_side: str = "right",
                  role: str | None = None, analyzer_cfg=None,
                  id_col: str = "doc_id", text_col: str = "text",
-                 n_layers: int = 3, position_weights=None):
+                 n_layers: int = 3, position_weights=None,
+                 vec_source: str = "blake2b"):
         assert pooling in POOLINGS
         assert truncate_side in ("right", "left")
+        assert vec_source in ("blake2b", "poly")
+        # "poly" = SQL-parity variant: poly-hash token vectors AND float64
+        # output embeddings (the default float32 cast would put the values
+        # outside what a float64 SQL oracle can reproduce to 6dp)
+        self.vec_source = vec_source
         self.an = Analyzer(analyzer_cfg or SQL_SAFE_ANALYZER)
         self.dim = dim
         self.pooling = pooling
@@ -132,7 +155,8 @@ class EmbedStage:
         v = self._vocab.get(key)
         if v is None:
             name = tok if layer == self.n_layers - 1 else f"L{layer}\x00{tok}"
-            v = self._vocab[key] = token_vector(name, self.dim)
+            fn = token_vector_poly if self.vec_source == "poly" else token_vector
+            v = self._vocab[key] = fn(name, self.dim)
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -162,19 +186,24 @@ class EmbedStage:
                         for layer in range(self.n_layers)
                     ]
                 )
+            pooled = pool(
+                mat, self.pooling, layer_mats=layer_mats,
+                position_weights=self.position_weights,
+            )
             out.append(
-                pool(
-                    mat, self.pooling, layer_mats=layer_mats,
-                    position_weights=self.position_weights,
-                ).astype(np.float32)
+                pooled if self.vec_source == "poly"
+                else pooled.astype(np.float32)
             )
             n_toks.append(len(toks))
             truncated.append(trunc)
+        emb_type = (
+            pa.float64() if self.vec_source == "poly" else pa.float32()
+        )
         return pa.table(
             {
                 self.id_col: ids,
                 "embedding": pa.array(
-                    [v.tolist() for v in out], pa.list_(pa.float32())
+                    [v.tolist() for v in out], pa.list_(emb_type)
                 ),
                 "n_tokens": pa.array(n_toks, pa.int32()),
                 "truncated": pa.array(truncated, pa.bool_()),
@@ -196,7 +225,8 @@ def embed_texts(texts: list[str], **kw) -> np.ndarray:
 def dense_retrieve(corpus_ds, query_ids: list[int], query_texts: list[str],
                    k: int = 100, *, dim: int = 64, pooling: str = "mean",
                    max_tokens: int = 256, specb: bool = False,
-                   concurrency=4, batch_size: int = 1024):
+                   concurrency=4, batch_size: int = 1024,
+                   vec_source: str = "blake2b"):
     """Corpus (doc_id, text) + queries -> runs (query_id, vec_id, sim, rank).
 
     Corpus embedding is the actor-pool stage; queries are embedded
@@ -208,7 +238,7 @@ def dense_retrieve(corpus_ds, query_ids: list[int], query_texts: list[str],
         EmbedStage,
         fn_constructor_kwargs=dict(
             dim=dim, pooling=pooling, max_tokens=max_tokens,
-            role="doc" if specb else None,
+            role="doc" if specb else None, vec_source=vec_source,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -216,7 +246,7 @@ def dense_retrieve(corpus_ds, query_ids: list[int], query_texts: list[str],
     )
     qvecs = embed_texts(
         query_texts, dim=dim, pooling=pooling, max_tokens=max_tokens,
-        role="query" if specb else None,
+        role="query" if specb else None, vec_source=vec_source,
     )
     return brute_topk(
         emb, query_ids, qvecs, k, id_col="doc_id", concurrency=concurrency

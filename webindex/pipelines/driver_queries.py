@@ -2055,6 +2055,112 @@ FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-proven dense retrieval (poly token vectors): the whole bi-encoder
+# parity path — tokenize → truncate → per-token unit vectors → mean pool →
+# cosine top-k — reproduced by a DuckDB oracle. The default blake2b/
+# Gaussian embedder (dense_top5) stays rows-only (PCG64 normals are not
+# SQL-expressible); this variant swaps only the vector source.
+# ---------------------------------------------------------------------------
+
+_DENSE_PROBES = [
+    (0, "merge join sort"), (1, "spark window stream"), (2, "vector column"),
+]
+_DENSE_DIM, _DENSE_MAXTOK = 16, 64
+
+
+def q_dense_top5_poly(sf_dir: str):
+    from webindex.embed import dense_retrieve
+
+    docs = _docs(sf_dir).map_batches(
+        # drop token-less docs (zero embedding; the SQL side filters the
+        # same way with len(tokens) > 0 — cosine is undefined for them)
+        lambda t: t.filter(
+            pc.match_substring_regex(
+                pc.utf8_lower(t.column("text")), "[a-z0-9]"
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    out = dense_retrieve(
+        docs, [q for q, _ in _DENSE_PROBES], [t for _, t in _DENSE_PROBES],
+        k=5, dim=_DENSE_DIM, max_tokens=_DENSE_MAXTOK, concurrency=2,
+        vec_source="poly",
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+def _dense_probe_values_sql() -> str:
+    rows = ", ".join(f"({q}, '{t}')" for q, t in _DENSE_PROBES)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+SQL_DENSE_TOP5_POLY = f"""
+WITH dims AS (SELECT unnest(range({_DENSE_DIM}))::INTEGER AS j),
+dt AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    1, {_DENSE_MAXTOK}) AS tk
+  FROM documents WHERE trim(text) <> ''
+),
+dnn AS (SELECT doc_id, tk, len(tk)::DOUBLE AS L FROM dt WHERE len(tk) > 0),
+tf AS (
+  SELECT doc_id, t.tok, count(*)::DOUBLE AS c
+  FROM dnn, unnest(tk) AS t(tok) GROUP BY doc_id, t.tok
+),
+qv AS (SELECT * FROM {_dense_probe_values_sql()}),
+qt AS (
+  SELECT query_id,
+         list_slice(regexp_extract_all(lower(qtext), '[a-z0-9]+'),
+                    1, {_DENSE_MAXTOK}) AS tk
+  FROM qv
+),
+qnn AS (SELECT query_id, tk, len(tk)::DOUBLE AS L FROM qt WHERE len(tk) > 0),
+qtf AS (
+  SELECT query_id, t.tok, count(*)::DOUBLE AS c
+  FROM qnn, unnest(tk) AS t(tok) GROUP BY query_id, t.tok
+),
+vocab AS (SELECT DISTINCT tok FROM tf UNION SELECT DISTINCT tok FROM qtf),
+raw AS (
+  SELECT tok, j,
+    (({_POLY_HASH_SQL.format(col="tok || chr(31) || j::VARCHAR")})::DOUBLE
+      / 2305843009213693951.0) - 0.5 AS r
+  FROM vocab CROSS JOIN dims
+),
+tnorm AS (SELECT tok, sqrt(sum(r * r)) AS nrm FROM raw GROUP BY tok),
+tv AS (SELECT raw.tok, raw.j, raw.r / tnorm.nrm AS v
+       FROM raw JOIN tnorm USING (tok)),
+demb AS (
+  SELECT tf.doc_id, tv.j, sum(tf.c * tv.v) / any_value(d.L) AS e
+  FROM tf JOIN tv ON tv.tok = tf.tok JOIN dnn d ON d.doc_id = tf.doc_id
+  GROUP BY tf.doc_id, tv.j
+),
+qemb AS (
+  SELECT qtf.query_id, tv.j, sum(qtf.c * tv.v) / any_value(q.L) AS e
+  FROM qtf JOIN tv ON tv.tok = qtf.tok
+  JOIN qnn q ON q.query_id = qtf.query_id
+  GROUP BY qtf.query_id, tv.j
+),
+dn AS (SELECT doc_id, sqrt(sum(e * e)) AS n FROM demb GROUP BY doc_id),
+qn AS (SELECT query_id, sqrt(sum(e * e)) AS n FROM qemb GROUP BY query_id),
+cos AS (
+  SELECT q.query_id, d.doc_id, sum(q.e * d.e) / (dn.n * qn.n) AS sim
+  FROM qemb q JOIN demb d ON d.j = q.j
+  JOIN dn ON dn.doc_id = d.doc_id
+  JOIN qn ON qn.query_id = q.query_id
+  GROUP BY q.query_id, d.doc_id, dn.n, qn.n
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank FROM (
+  SELECT query_id, doc_id AS vec_id, sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, doc_id
+         )::INTEGER AS rank
+  FROM cos
+) WHERE rank <= 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2082,6 +2188,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
+    "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
     "langid": (q_langid, SQL_LANGID),
     "quality": (q_quality, SQL_QUALITY),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
