@@ -388,3 +388,49 @@ def test_phrase_no_candidates_empty(index_dir):
         docs_ds, top_k=5,
     )
     assert runs.count() == 0
+
+
+def test_facet_counts_matches_brute(index_dir, oracle):
+    """ES terms-aggregation analog: value counts over the full match set,
+    composing with AND match and the docvalues filter."""
+    import collections
+
+    from webindex.search import facet_counts
+
+    an = oracle.an
+    doc_tokens = {d["doc_id"]: set(an.tokens(d["text"])) for d in DOCS}
+
+    def brute(query, *, require_all=False, pred=None):
+        terms = sorted(set(an.tokens(query)))
+        terms = [t for t in terms]
+        out = collections.Counter()
+        for d in DOCS:
+            toks = doc_tokens[d["doc_id"]]
+            present = [t for t in terms if t in toks]
+            if require_all:
+                if len(present) != len(terms) or not terms:
+                    continue
+            elif not present:
+                continue
+            if pred and not pred(d):
+                continue
+            out[d["lang"]] += 1
+        return dict(out)
+
+    got = facet_counts(
+        _queries_ds(QUERIES), index_dir, ["lang"]
+    ).to_pandas()
+    for qid, text in QUERIES:
+        g = got[got["qid"] == qid]
+        want = brute(text)
+        assert dict(zip(g["value"], g["cnt"])) == want, qid
+
+    got2 = facet_counts(
+        _queries_ds(QUERIES[:2]), index_dir, ["lang"], match="and",
+        filter_pred=(("n_chars", ">=", 60),),
+    ).to_pandas()
+    for qid, text in QUERIES[:2]:
+        g = got2[got2["qid"] == qid]
+        want = brute(text, require_all=True,
+                     pred=lambda d: d["n_chars"] >= 60)
+        assert dict(zip(g["value"], g["cnt"])) == want, qid

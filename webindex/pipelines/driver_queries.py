@@ -2161,6 +2161,71 @@ SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Faceted search (ES terms-aggregation): per query, docvalues value
+# counts over the FULL match set — the aggregation surface a search UI
+# drives next to top-k ranking.
+# ---------------------------------------------------------------------------
+
+
+def q_facet_counts(sf_dir: str):
+    from webindex.search import facet_counts
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_counts(_queries_ds(), idx, ["lang", "source"])
+
+
+SQL_FACET_COUNTS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term)
+SELECT qid, 'lang' AS facet, d.lang::VARCHAR AS value, count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY qid, d.lang
+UNION ALL
+SELECT qid, 'source' AS facet, d.source::VARCHAR AS value, count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY qid, d.source
+"""
+
+
+def q_facet_counts_filtered(sf_dir: str):
+    """Facets compose with the bool-query constraints: AND match +
+    docvalues predicate, counted over the constrained match set."""
+    from webindex.search import facet_counts
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_counts(
+        _queries_ds(), idx, ["lang"], match="and",
+        filter_pred=(("n_chars", ">=", 200),),
+    )
+
+
+SQL_FACET_COUNTS_FILTERED = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+nq AS (SELECT qid, count(*)::BIGINT AS nt FROM qterms GROUP BY qid),
+m AS (
+  SELECT q.qid, tf.doc_id
+  FROM qterms q JOIN tf ON tf.term = q.term JOIN nq ON nq.qid = q.qid
+  GROUP BY q.qid, tf.doc_id, nq.nt
+  HAVING count(*) = nt
+)
+SELECT m.qid, 'lang' AS facet, d.lang::VARCHAR AS value, count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars >= 200
+GROUP BY m.qid, d.lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2186,6 +2251,9 @@ REGISTRY: dict[str, tuple] = {
     "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "facet_counts_filtered": (q_facet_counts_filtered,
+                              SQL_FACET_COUNTS_FILTERED),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),

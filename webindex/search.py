@@ -137,6 +137,39 @@ class SearcherActor:
         ids, scores = fn(self.reader, terms, k)
         return self._post(qid, ids, scores)
 
+    def facet_one(self, text: str, facet_cols: list[str]):
+        """ES terms-aggregation analog: per docvalues column, value counts
+        over ALL docs matching the query (not just top-k), under the
+        searcher's match semantics and filter predicate. Returns parallel
+        lists (facet, value:str, count)."""
+        import pyarrow.compute as pc
+
+        terms = self.an.tokens(text or "")
+        mask = (
+            self.reader.filter_mask(self.filter_pred)
+            if self.filter_pred is not None
+            else None
+        )
+        from webindex.wand import match_positions
+
+        sel = match_positions(
+            self.reader, terms, mask=mask, require_all=self.match == "and"
+        )
+        self.reader._load_docvalues(facet_cols)
+        facets, values, counts = [], [], []
+        for col in facet_cols:
+            arr, valid = self.reader._dv[col]
+            take = sel[valid[sel]]  # docs lacking this docvalue don't count
+            vals = pc.cast(
+                arr.take(pa.array(take, pa.int64())), pa.string()
+            )
+            vc = pc.value_counts(vals)
+            for ent in vc:
+                facets.append(col)
+                values.append(ent["values"].as_py())
+                counts.append(ent["counts"].as_py())
+        return facets, values, counts
+
     def _post(self, qid: str, ids, scores):
         if self.self_hit and ids.size:
             keep = np.array([str(d) != qid for d in ids])
@@ -367,4 +400,76 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
+                 match: str = "or", filter_pred=None,
+                 n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, facet, value, cnt): value counts of the
+    given docvalues columns over each query's FULL match set (the ES
+    terms-aggregation surface).
+
+    Same shard fan-out as ``search_queries(impl="sharded")`` — each
+    salt-range shard counts its own matches over its shard-bounded
+    docvalues (cached per worker), and an exact Sum-merge by
+    (qid, facet, value) reassembles global counts. Counting is per-doc, so
+    per-shard partial counts compose exactly; nothing corpus-sized moves.
+    """
+    import numpy as np  # noqa: F401  (kept: closure uses pa only)
+
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        qid_out, f_out, v_out, c_out = [], [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            fs, vs, cs = searcher.inner.facet_one(text, facet_cols)
+            qid_out.extend([qid] * len(fs))
+            f_out.extend(fs)
+            v_out.extend(vs)
+            c_out.extend(cs)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "facet": pa.array(f_out, pa.string()),
+                "value": pa.array(v_out, pa.string()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(count_shard, batch_format="pyarrow")
+    )
+    return partial.groupby(["qid", "facet", "value"]).aggregate(
+        Sum("cnt_p", alias_name="cnt")
     )

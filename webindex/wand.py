@@ -183,6 +183,29 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
     return _rank_topk(dl_ids[sel], scores[sel], k)
 
 
+def match_positions(reader: SegmentReader, terms: list[str],
+                    mask: np.ndarray | None = None,
+                    require_all: bool = False) -> np.ndarray:
+    """Dense doclen-table positions of ALL docs matching the query (OR or
+    AND semantics), respecting an optional docvalues mask — the candidate
+    set behind faceted aggregations (no scoring). One int16 scatter-add
+    over the query's postings."""
+    uniq = sorted(set(terms))
+    pls = query_postings(reader, uniq)
+    if not pls or (require_all and len(pls) < len(uniq)):
+        return np.empty(0, np.int64)
+    n = reader._dl_ids.size
+    hits = np.zeros(n, dtype=np.int16)
+    for pl in pls:
+        _dense(pl, reader)
+        hits[pl.dense_pos] += 1
+    need = len(pls) if require_all else 1
+    sel = np.flatnonzero(hits >= need)
+    if mask is not None:
+        sel = sel[mask[sel]]
+    return sel
+
+
 def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     """Score every doc containing any query term; exact top-k.
 
