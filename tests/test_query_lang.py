@@ -434,3 +434,53 @@ def test_facet_counts_matches_brute(index_dir, oracle):
         want = brute(text, require_all=True,
                      pred=lambda d: d["n_chars"] >= 60)
         assert dict(zip(g["value"], g["cnt"])) == want, qid
+
+
+def test_best_window_unit():
+    from webindex.snippet import best_window
+
+    toks = "x x alpha x beta x x gamma alpha x".split()
+    # width 3: [alpha x beta] covers 2 distinct terms at start 2;
+    # [gamma alpha x] also covers 2 at start 7 -> earliest wins
+    s, win = best_window(toks, {"alpha", "beta", "gamma"}, 3)
+    assert (s, win) == (2, ["alpha", "x", "beta"])
+    # doc shorter than window -> whole doc
+    assert best_window(["a", "b"], {"b"}, 8) == (0, ["a", "b"])
+    assert best_window([], {"a"}, 4) == (0, [])
+    # no query terms present -> earliest window (all-zero coverage)
+    s, win = best_window(toks, {"nosuch"}, 4)
+    assert s == 0 and win == toks[:4]
+
+
+def test_snippet_runs_brute(index_dir, oracle):
+    import ray.data as rd
+
+    from webindex.search import search_queries
+    from webindex.snippet import best_window, snippet_runs
+
+    docs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+                "text": pa.array([d["text"] for d in DOCS]),
+            }
+        )
+    )
+    runs = search_queries(
+        _queries_ds(QUERIES[:3]), index_dir, top_k=5, impl="pool",
+        concurrency=2,
+    )
+    out = snippet_runs(
+        runs, docs_ds, _queries_ds(QUERIES[:3]), window=6,
+        index_dir=index_dir,
+    ).to_pandas()
+    an = oracle.an
+    texts = {d["doc_id"]: d["text"] for d in DOCS}
+    qmap = dict(QUERIES[:3])
+    assert len(out) == runs.count()
+    for qid, did, snip in zip(out["qid"], out["doc_id"], out["snippet"]):
+        toks = an.tokens(texts[int(did)])
+        want = " ".join(
+            best_window(toks, set(an.tokens(qmap[qid])), 6)[1]
+        )
+        assert snip == want, (qid, did)

@@ -2226,6 +2226,59 @@ GROUP BY m.qid, d.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Snippets (Lucene highlighter analog): best query-term-coverage token
+# window per top-k hit — deterministic, so SQL-checkable end to end.
+# ---------------------------------------------------------------------------
+
+_SNIPPET_W = 8
+
+
+def q_snippets_top10(sf_dir: str):
+    from webindex.search import search_queries
+    from webindex.snippet import snippet_runs
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    return snippet_runs(
+        runs, _docs(sf_dir), _queries_ds(), window=_SNIPPET_W, index_dir=idx
+    )
+
+
+SQL_SNIPPETS_TOP10 = _sql_bm25_scores() + f"""
+, top AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+             AS rank
+    FROM scores
+  ) WHERE rank <= {TOPK}
+),
+dtk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents WHERE text <> ''),
+qtl AS (SELECT qid, list(DISTINCT term) AS qts FROM qterms GROUP BY qid),
+wins AS (
+  SELECT t.qid, t.doc_id, s.i,
+         list_slice(d.tk, s.i + 1, s.i + {_SNIPPET_W}) AS win
+  FROM top t JOIN dtk d USING (doc_id),
+       unnest(range(greatest(len(d.tk) - {_SNIPPET_W} + 1, 1))) AS s(i)
+),
+cov AS (
+  SELECT w.qid, w.doc_id, w.i, w.win,
+         len(list_intersect(w.win, q.qts)) AS c
+  FROM wins w JOIN qtl q ON q.qid = w.qid
+)
+SELECT qid, doc_id, array_to_string(win, ' ') AS snippet FROM (
+  SELECT qid, doc_id, win,
+         row_number() OVER (
+           PARTITION BY qid, doc_id ORDER BY c DESC, i
+         ) AS rn
+  FROM cov
+) WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2254,6 +2307,7 @@ REGISTRY: dict[str, tuple] = {
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_counts_filtered": (q_facet_counts_filtered,
                               SQL_FACET_COUNTS_FILTERED),
+    "snippets_top10": (q_snippets_top10, SQL_SNIPPETS_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
