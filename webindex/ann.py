@@ -273,20 +273,30 @@ def _paraphrase_mining_lsh(emb_ds, *, max_pairs: int, id_col: str,
                                    id_col=id_col,
                                    payload_types={"vecblob": pa.binary()})
 
+    def _blob_matrix(col: "pa.ChunkedArray") -> np.ndarray:
+        # zero-copy: uniform-width binary values are one flat buffer —
+        # reshape instead of a per-row frombuffer loop
+        arr = col.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all() and widths[0] % 8 == 0:
+            flat = np.frombuffer(arr.buffers()[2], np.uint8)
+            flat = flat[offs[0]: offs[-1]]
+            return flat.view(np.float64).reshape(len(arr), widths[0] // 8)
+        return np.stack(
+            [np.frombuffer(x, np.float64) for x in arr.to_pylist()]
+        )
+
     def rescore(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "sim": pa.array([], pa.float64())}
             )
-        va = _normalize(np.stack(
-            [np.frombuffer(x, np.float64)
-             for x in batch.column("vecblob_a").to_pylist()]
-        ))
-        vb = _normalize(np.stack(
-            [np.frombuffer(x, np.float64)
-             for x in batch.column("vecblob_b").to_pylist()]
-        ))
+        va = _normalize(_blob_matrix(batch.column("vecblob_a")))
+        vb = _normalize(_blob_matrix(batch.column("vecblob_b")))
         sim = np.einsum("ij,ij->i", va, vb)
         return pa.table(
             {"a": batch.column("a"), "b": batch.column("b"),
