@@ -83,3 +83,45 @@ def test_cli_lifecycle(tmp_path, capsys):
     assert main(["merge", "--inputs", idx_a, idx_b, "--out", merged]) == 0
     mstats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert mstats["N"] == stats["N"] + stats_b["N"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_query_language(tmp_path, capsys):
+    """--positions build + --phrase / --match and / --filter search."""
+    tab = synth_pages_table(200, seed=13)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, pages_path)
+    idx = str(tmp_path / "idx_pos")
+    assert main(["build", "--pages", pages_path, "--out", idx,
+                 "--positions", "--no-stemmed"]) == 0
+    capsys.readouterr()
+
+    # AND match: every returned doc would also match plain OR
+    qtext = synth_queries_table(n=3).column("text").to_pylist()[1]
+    assert main(["search", "--index", idx, "--query", qtext,
+                 "--match", "and", "--top-k", "5"]) == 0
+    and_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+
+    # phrase over the positional index: a bigram from a real doc
+    from webindex.analyze import Analyzer
+    from webindex.config import SQL_SAFE_ANALYZER
+    from webindex.extract import extract_text
+
+    toks = Analyzer(SQL_SAFE_ANALYZER).tokens(
+        extract_text(tab.column("html")[0].as_py())
+    )
+    phrase = f"{toks[0]} {toks[1]}"
+    assert main(["search", "--index", idx, "--query", phrase,
+                 "--phrase", "--top-k", "5"]) == 0
+    ph_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(ph_lines) >= 1  # the source doc itself must match
+
+    # filter without a docvalues sidecar fails loudly
+    with pytest.raises(FileNotFoundError, match="docvalues"):
+        main(["search", "--index", idx, "--query", qtext,
+              "--filter", "lang==en"])
+    # bad clause is a usage error
+    with pytest.raises(SystemExit):
+        main(["search", "--index", idx, "--query", qtext,
+              "--filter", "lang~en"])
+    assert and_lines is not None

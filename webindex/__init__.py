@@ -20,7 +20,11 @@ Layers
                 parquet, salted by docID range for term skew)
 - merge       : combine indexes over disjoint docID spaces (incremental)
 - search      : SegmentSearcher actor pool; WAND / MAXSCORE-pruned dense
-                scoring, auto-selected per query
+                scoring, auto-selected per query; filtered search over the
+                docvalues sidecar, AND match, faceted aggregations
+- phrase      : phrase queries by lazy verification (position-free index)
+- positional  : index-only phrase queries over opt-in positional postings
+- snippet     : best query-coverage token window per hit (highlighter)
 - serve       : doc-partitioned shard actors + exact scatter-gather merge
 - eval        : IR metrics (NDCG/MAP/Recall/P/MRR) over runs x qrels
 - sources     : BEIR jsonl/tsv/results-JSON readers and writers

@@ -2,10 +2,19 @@
 
 Commands:
   build   --pages DIR --out DIR [--stemmed/--no-stem] [--num-shards N]
+          [--positions]
   search  --index DIR --query "text" [--top-k K] [--mode auto|wand|exhaustive]
+          [--match or|and] [--phrase] [--filter "col==val" ...]
   msearch --index DIR --queries FILE.jsonl --out runs.parquet [--top-k K]
+          [--match or|and] [--phrase] [--filter "col==val" ...]
   eval    --runs runs.parquet --qrels qrels.tsv [--k 10 ...]
   merge   --inputs IDX1 IDX2 ... --out DIR
+
+Filter clauses are ``col OP value`` with OP in ==, !=, <=, >=, <, >
+(value coerced to int/float when it parses as one); repeat --filter for
+a conjunction. --phrase needs a positional index (build --positions) —
+for position-free indexes use the library's lazy-verification path
+(webindex.phrase.phrase_search), which also needs the corpus text.
 
 Owns its Ray session (the only scripts allowed to: CLAUDE.md invariants);
 the driver contract in __ray_entry__.py never calls ray.init.
@@ -35,6 +44,32 @@ def _init_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+_FILTER_OPS = ("==", "!=", "<=", ">=", "<", ">")
+
+
+def _parse_filters(clauses):
+    """["lang==en", "n_chars>=200"] -> filter_pred tuple (None if empty)."""
+    if not clauses:
+        return None
+    pred = []
+    for c in clauses:
+        for op in _FILTER_OPS:  # two-char ops first
+            col, sep, val = c.partition(op)
+            if sep:
+                val = val.strip()
+                for cast in (int, float):
+                    try:
+                        val = cast(val)
+                        break
+                    except ValueError:
+                        pass
+                pred.append((col.strip(), op, val))
+                break
+        else:
+            raise SystemExit(f"bad --filter clause {c!r} (need col OP value)")
+    return tuple(pred)
+
+
 def cmd_build(args) -> int:
     _init_ray()
     import ray.data as rd
@@ -44,7 +79,8 @@ def cmd_build(args) -> int:
     from webindex.pipelines import prepare_corpus_from_pages
 
     cfg = IndexConfig(
-        analyzer=AnalyzerConfig() if args.stemmed else SQL_SAFE_ANALYZER
+        analyzer=AnalyzerConfig() if args.stemmed else SQL_SAFE_ANALYZER,
+        store_positions=args.positions,
     )
     pages = rd.read_parquet(args.pages, override_num_blocks=64)
     if "text" in pages.schema().names:
@@ -58,7 +94,11 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from webindex.search import SearcherActor
 
-    s = SearcherActor(args.index, top_k=args.top_k, mode=args.mode)
+    s = SearcherActor(
+        args.index, top_k=args.top_k, mode=args.mode,
+        filter_pred=_parse_filters(args.filter), match=args.match,
+        query_kind="phrase" if args.phrase else "match",
+    )
     ids, scores = s.search_one("cli", args.query)
     for rank, (d, sc) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
         print(f"{rank}\t{d}\t{sc:.6f}")
@@ -72,7 +112,11 @@ def cmd_msearch(args) -> int:
     from webindex.sources import read_beir_queries
 
     queries = read_beir_queries(args.queries)
-    runs = search_queries(queries, args.index, top_k=args.top_k, mode=args.mode)
+    runs = search_queries(
+        queries, args.index, top_k=args.top_k, mode=args.mode,
+        filter_pred=_parse_filters(args.filter), match=args.match,
+        query_kind="phrase" if args.phrase else "match",
+    )
     runs.write_parquet(args.out)
     print(json.dumps({"rows": runs.count(), "out": args.out}))
     return 0
@@ -115,6 +159,8 @@ def main(argv=None) -> int:
     b.add_argument("--stemmed", action=argparse.BooleanOptionalAction,
                    default=True)
     b.add_argument("--num-shards", type=int, default=64)
+    b.add_argument("--positions", action="store_true",
+                   help="store term positions (index-only phrase queries)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
@@ -122,6 +168,12 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--top-k", type=int, default=10)
     s.add_argument("--mode", default="auto")
+    s.add_argument("--match", choices=["or", "and"], default="or")
+    s.add_argument("--phrase", action="store_true",
+                   help="phrase query (needs a --positions index)")
+    s.add_argument("--filter", action="append", default=[],
+                   metavar="COL_OP_VAL",
+                   help="docvalues clause like lang==en (repeatable)")
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("msearch")
@@ -130,6 +182,12 @@ def main(argv=None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--top-k", type=int, default=1000)
     m.add_argument("--mode", default="auto")
+    m.add_argument("--match", choices=["or", "and"], default="or")
+    m.add_argument("--phrase", action="store_true",
+                   help="phrase query (needs a --positions index)")
+    m.add_argument("--filter", action="append", default=[],
+                   metavar="COL_OP_VAL",
+                   help="docvalues clause like lang==en (repeatable)")
     m.set_defaults(fn=cmd_msearch)
 
     e = sub.add_parser("eval")
