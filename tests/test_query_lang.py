@@ -484,3 +484,43 @@ def test_snippet_runs_brute(index_dir, oracle):
             best_window(toks, set(an.tokens(qmap[qid])), 6)[1]
         )
         assert snip == want, (qid, did)
+
+
+def test_filter_with_sparse_docvalues_range(ray_session, tmp_path):
+    """A docvalues sidecar covering only part of the docID space: docs
+    (or whole shard ranges) without rows are non-matching, never a crash."""
+    import ray.data as rd
+
+    from webindex.segments import SegmentReader
+
+    out = str(tmp_path / "sparse_dv_index")
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+            "text": pa.array([d["text"] for d in DOCS]),
+        }
+    )
+    # docvalues only for even doc_ids
+    dv = pa.table(
+        {
+            "doc_id": pa.array(
+                [d["doc_id"] for d in DOCS if d["doc_id"] % 2 == 0],
+                pa.int64(),
+            ),
+            "lang": pa.array(
+                [d["lang"] for d in DOCS if d["doc_id"] % 2 == 0]
+            ),
+        }
+    )
+    build_index(rd.from_arrow(tab), out, CFG, docvalues_ds=rd.from_arrow(dv))
+    s = SearcherActor(out, top_k=50, filter_pred=(("lang", "==", "en"),))
+    ids, _ = s.search_one("q", "alpha")
+    assert ids.size > 0
+    assert all(i % 2 == 0 and DOCS[i]["lang"] == "en" for i in ids.tolist())
+    # a reader restricted to a range with NO docvalues rows: empty, no crash
+    odd_ids = [d["doc_id"] for d in DOCS if d["doc_id"] % 2 == 1]
+    r = SegmentReader(out, doc_id_range=(1, 1))
+    r.preload()
+    mask = r.filter_mask((("lang", "==", "en"),))
+    assert mask.sum() == 0
+    assert odd_ids  # fixture sanity

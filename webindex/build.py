@@ -129,8 +129,6 @@ class TokenizeStage:
         order (Counter insertion order — identical to ``term_freqs``).
         One vectorized varbyte encode over the doc; per-term blobs are
         byte-offset slices (the encode_run trick)."""
-        import pandas as pd
-
         codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
         counts = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
         order = np.argsort(codes, kind="stable")

@@ -43,8 +43,15 @@ def merge_indexes(index_dirs: list[str], out_dir: str,
     if cfg is None:
         cfg = IndexConfig.from_dict(cfgs[0])
     for c in cfgs[1:]:
-        if IndexConfig.from_dict(c).analyzer != cfg.analyzer:
+        ic = IndexConfig.from_dict(c)
+        if ic.analyzer != cfg.analyzer:
             raise ValueError("cannot merge indexes with different analyzers")
+        if ic.store_positions != cfg.store_positions:
+            # mixed inputs would either crash stage 4 reading a missing
+            # 'pos' column or silently drop one input's positions
+            raise ValueError(
+                "cannot merge indexes with different store_positions"
+            )
 
     runner = StageRunner(out_dir)
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())

@@ -90,6 +90,13 @@ class SearcherActor:
         self.match = match
         self.query_kind = query_kind
 
+    def _mask(self):
+        return (
+            self.reader.filter_mask(self.filter_pred)
+            if self.filter_pred is not None
+            else None
+        )
+
     def search_one(self, qid: str, text: str):
         terms = self.an.tokens(text or "")
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
@@ -97,22 +104,14 @@ class SearcherActor:
         if self.query_kind == "phrase":
             from webindex.positional import phrase_topk
 
-            mask = (
-                self.reader.filter_mask(self.filter_pred)
-                if self.filter_pred is not None
-                else None
-            )
+            mask = self._mask()
             ids, scores = phrase_topk(self.reader, terms, k, mask=mask)
             return self._post(qid, ids, scores)
         if self.filter_pred is not None or self.match == "and":
             # constrained queries take the dedicated exhaustive kernel
             # (pruning θ bounds are invalid under filters — see
             # wand.exhaustive_constrained)
-            mask = (
-                self.reader.filter_mask(self.filter_pred)
-                if self.filter_pred is not None
-                else None
-            )
+            mask = self._mask()
             ids, scores = exhaustive_constrained(
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
@@ -145,11 +144,7 @@ class SearcherActor:
         import pyarrow.compute as pc
 
         terms = self.an.tokens(text or "")
-        mask = (
-            self.reader.filter_mask(self.filter_pred)
-            if self.filter_pred is not None
-            else None
-        )
+        mask = self._mask()
         from webindex.wand import match_positions
 
         sel = match_positions(
@@ -225,7 +220,10 @@ def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
     from webindex.serve import _ShardSearcherImpl
 
     cfg_m = os.stat(os.path.join(index_dir, "config.json")).st_mtime_ns
-    key = (index_dir, cfg_m, salt_lo, salt_hi, top_k, mode, self_hit)
+    # top_k is NOT part of the key: it is a cheap per-call attribute while
+    # the resident segment subset is the expensive part — different-k
+    # workloads (e.g. search top-1000 + facet passes) share one searcher
+    key = (index_dir, cfg_m, salt_lo, salt_hi, mode, self_hit)
     s = _SHARD_SEARCHERS.get(key)
     if s is None:
         for k in [k for k in _SHARD_SEARCHERS if k[0] == index_dir
@@ -235,6 +233,7 @@ def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
             index_dir, salt_lo, salt_hi, top_k=top_k, mode=mode,
             self_hit_filter=self_hit,
         )
+    s.inner.top_k = top_k
     return s
 
 

@@ -144,19 +144,28 @@ class SegmentReader:
         if self._doc_id_range is not None:
             lo, hi = self._doc_id_range
             filt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+        # use_threads=False: pyarrow scanner threads ignore Ray CPU
+        # accounting (CLAUDE.md), and this load runs inside shard tasks
         tab = pads.dataset(root).to_table(
-            columns=["doc_id"] + missing, filter=filt
+            columns=["doc_id"] + missing, filter=filt, use_threads=False
         )
         ids = tab.column("doc_id").to_numpy()
+        if ids.size == 0:
+            # no docvalues in this reader's docID range (e.g. a sparse
+            # sidecar + a shard whose range it doesn't cover): every doc
+            # is simply non-matching, not an error
+            none = np.zeros(self._dl_ids.size, dtype=bool)
+            for c in missing:
+                self._dv[c] = (
+                    pa.nulls(self._dl_ids.size, tab.schema.field(c).type),
+                    none,
+                )
+            return
         order = np.argsort(ids, kind="stable")
         ids_s = ids[order]
         pos = np.searchsorted(ids_s, self._dl_ids)
-        pos_c = np.minimum(pos, max(ids_s.size - 1, 0))
-        valid = (
-            ids_s[pos_c] == self._dl_ids
-            if ids_s.size
-            else np.zeros(self._dl_ids.size, dtype=bool)
-        )
+        pos_c = np.minimum(pos, ids_s.size - 1)
+        valid = ids_s[pos_c] == self._dl_ids
         take = pa.array(order[pos_c], pa.int64())
         for c in missing:
             # rows without a docvalue are masked out by `valid` at
