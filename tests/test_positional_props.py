@@ -1,0 +1,61 @@
+"""Property tests (hypothesis) for the positional machinery's pure parts:
+
+- ``contains_phrase`` against a naive window scan;
+- the tokenize stage's per-doc position encoding
+  (``TokenizeStage._doc_positions``) round-trips through varbyte decode
+  back to the exact token positions, per term, in first-occurrence term
+  order with counts matching ``Counter`` semantics.
+
+No Ray needed — these run the in-process kernels only.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webindex.compress import varbyte_decode
+from webindex.phrase import contains_phrase
+
+TOK = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+def naive_contains(tokens, phrase):
+    m = len(phrase)
+    if m == 0 or len(tokens) < m:
+        return False
+    return any(
+        list(tokens[i: i + m]) == list(phrase)
+        for i in range(len(tokens) - m + 1)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(TOK, max_size=30), st.lists(TOK, min_size=1, max_size=4))
+def test_contains_phrase_matches_naive(tokens, phrase):
+    assert contains_phrase(tokens, tuple(phrase)) == naive_contains(
+        tokens, phrase
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(TOK, min_size=1, max_size=60))
+def test_doc_positions_roundtrip(tokens):
+    from webindex.build import TokenizeStage
+    from webindex.config import SQL_SAFE_ANALYZER
+
+    stage = TokenizeStage(SQL_SAFE_ANALYZER, store_positions=True)
+    terms, counts, blobs = stage._doc_positions(tokens)
+    # first-occurrence order + Counter counts
+    seen = []
+    for t in tokens:
+        if t not in seen:
+            seen.append(t)
+    assert terms == seen
+    assert counts == [tokens.count(t) for t in terms]
+    # blobs decode to the exact positions (first absolute, then deltas)
+    for t, c, blob in zip(terms, counts, blobs):
+        gaps = varbyte_decode(blob)
+        assert gaps.size == c
+        pos = np.cumsum(gaps)
+        want = [i for i, x in enumerate(tokens) if x == t]
+        assert pos.tolist() == want
