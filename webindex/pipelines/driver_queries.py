@@ -2279,6 +2279,128 @@ SELECT qid, doc_id, array_to_string(win, ' ') AS snippet FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-field best_fields (ES multi_match analog — the reference's ACTUAL
+# query shape: multi_match{type: best_fields, fields:[title, txt],
+# tie_breaker: 0.5}, crossencoder_beir_bm25.ipynb cell 10; SURVEY.md §3.1)
+# ---------------------------------------------------------------------------
+
+
+def ensure_field_indexes(sf_dir: str) -> dict:
+    """Build (once, resumably) the per-field indexes for the pinned
+    title/body split of the documents table (webindex.multifield)."""
+    from webindex.multifield import build_field_indexes
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-mf")
+    cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    return build_field_indexes(_docs(sf_dir), root, cfg)
+
+
+def q_mf_best_fields_top10(sf_dir: str):
+    from webindex.multifield import multifield_search
+
+    idxs = ensure_field_indexes(sf_dir)
+    runs = multifield_search(
+        _queries_ds(), idxs["title"], idxs["body"], top_k=TOPK,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_mf_best_fields_scores(sf_dir: str):
+    """Full combined match set rounded to 6dp (no top-k boundary — robust
+    to last-ulp float noise, same rationale as q_bm25_scores)."""
+    from webindex.multifield import MultiFieldSearcher
+
+    idxs = ensure_field_indexes(sf_dir)
+    s = MultiFieldSearcher(idxs["title"], idxs["body"], top_k=10**9)
+    rows = []
+    for qid, text in DOC_QUERIES:
+        ids, scores = s.search_one(qid, text)
+        rows.extend(
+            (qid, int(d), round(sc, 6))
+            for d, sc in zip(ids.tolist(), scores.tolist())
+        )
+    return pd.DataFrame(rows, columns=["qid", "doc_id", "score_r"])
+
+
+def _sql_mf_scores() -> str:
+    """Per-field BM25 + best_fields combine. The field split is the pinned
+    raw-whitespace-token rule (webindex.multifield.split_fields); slices
+    past the list end are NULL in DuckDB, hence the coalesce."""
+
+    def field_block(p: str, docs_cte: str) -> str:
+        tok = f"regexp_extract_all(lower(ftext), '[a-z0-9]+')"
+        return f"""
+{p}toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM {docs_cte}, unnest({tok}) AS t(tok)
+),
+{p}tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM {p}toks GROUP BY doc_id, term),
+{p}dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM {docs_cte}),
+{p}df AS (SELECT term, count(*)::BIGINT AS df FROM {p}tf GROUP BY term),
+{p}stats AS (SELECT count(*)::BIGINT AS n_docs,
+                    sum(dl)::BIGINT AS total_tokens FROM {p}dl),
+{p}contrib AS (
+  SELECT q.qid, tf.doc_id, q.term,
+    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl
+          / (s.total_tokens::DOUBLE / s.n_docs))))) AS c
+  FROM qterms q
+  JOIN {p}tf tf ON tf.term = q.term
+  JOIN {p}df df ON df.term = q.term
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats s
+),
+{p}scores AS (
+  SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS s
+  FROM {p}contrib GROUP BY qid, doc_id
+)"""
+
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS rt
+  FROM documents
+),
+fields AS (
+  SELECT doc_id,
+         coalesce(array_to_string(rt[1:6], ' '), '') AS ftitle,
+         coalesce(array_to_string(rt[7:], ' '), '') AS fbody
+  FROM rawtok
+),
+tdocs AS (SELECT doc_id, ftitle AS ftext FROM fields WHERE ftitle <> ''),
+bdocs AS (SELECT doc_id, fbody AS ftext FROM fields WHERE fbody <> ''),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+{field_block("t", "tdocs")},
+{field_block("b", "bdocs")},
+comb AS (
+  SELECT coalesce(t.qid, b.qid) AS qid,
+         coalesce(t.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(t.s, 0.0), coalesce(b.s, 0.0))
+           + 0.5 * least(coalesce(t.s, 0.0), coalesce(b.s, 0.0)) AS score
+  FROM tscores t
+  FULL OUTER JOIN bscores b ON t.qid = b.qid AND t.doc_id = b.doc_id
+)
+"""
+
+
+SQL_MF_TOP10 = _sql_mf_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM comb
+) WHERE rank <= {TOPK}
+"""
+
+SQL_MF_SCORES = _sql_mf_scores() + """
+SELECT qid, doc_id, round(score, 6) AS score_r FROM comb
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2303,6 +2425,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_filtered_top10": (q_bm25_filtered_top10, SQL_BM25_FILTERED_TOP10),
     "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
+    "mf_best_fields_top10": (q_mf_best_fields_top10, SQL_MF_TOP10),
+    "mf_best_fields_scores": (q_mf_best_fields_scores, SQL_MF_SCORES),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_counts_filtered": (q_facet_counts_filtered,
