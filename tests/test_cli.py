@@ -125,3 +125,40 @@ def test_cli_query_language(tmp_path, capsys):
         main(["search", "--index", idx, "--query", qtext,
               "--filter", "lang~en"])
     assert and_lines is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_delete_compact(tmp_path, capsys):
+    """delete tombstones hide docs at search time; compact removes them."""
+    tab = synth_pages_table(200, seed=17)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, pages_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", pages_path, "--out", idx]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    qtext = synth_queries_table(n=3).column("text").to_pylist()[0]
+    assert main(["search", "--index", idx, "--query", qtext,
+                 "--top-k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    victim = lines[0].split("\t")[1]
+
+    assert main(["delete", "--index", idx, "--doc-ids", victim]) == 0
+    msg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert msg == {"tombstoned": 1, "total_tombstones": 1}
+
+    assert main(["search", "--index", idx, "--query", qtext,
+                 "--top-k", "5"]) == 0
+    after = [l.split("\t")[1]
+             for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert victim not in after
+
+    compacted = str(tmp_path / "compacted")
+    assert main(["compact", "--index", idx, "--out", compacted]) == 0
+    cstats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cstats["N"] == stats["N"] - 1
+    assert cstats["n_deleted"] == 1
+    assert main(["search", "--index", compacted, "--query", qtext,
+                 "--top-k", "5"]) == 0
+    clines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert victim not in [l.split("\t")[1] for l in clines]

@@ -9,6 +9,10 @@ Commands:
           [--match or|and] [--phrase] [--filter "col==val" ...]
   eval    --runs runs.parquet --qrels qrels.tsv [--k 10 ...]
   merge   --inputs IDX1 IDX2 ... --out DIR
+  delete  --index DIR --doc-ids ID [ID ...]     (tombstone; live searchers
+          hide the docs immediately, stats unchanged until compact)
+  compact --index DIR --out DIR                 (rewrite without tombstoned
+          docs, stats/df/block maxima recomputed; resumable)
 
 Filter clauses are ``col OP value`` with OP in ==, !=, <=, >=, <, >
 (value coerced to int/float when it parses as one); repeat --filter for
@@ -149,6 +153,27 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from webindex.lifecycle import delete_docs, read_deletes
+
+    n = delete_docs(args.index, args.doc_ids)
+    print(json.dumps({
+        "tombstoned": n,
+        "total_tombstones": int(read_deletes(args.index).size),
+    }))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _init_ray()
+
+    from webindex.lifecycle import compact_index
+
+    stats = compact_index(args.index, args.out)
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="webindex")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +225,17 @@ def main(argv=None) -> int:
     g.add_argument("--inputs", nargs="+", required=True)
     g.add_argument("--out", required=True)
     g.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", type=int, nargs="+", required=True,
+                   dest="doc_ids")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     # validate index paths up front: a missing/garbage --index otherwise

@@ -546,6 +546,83 @@ def encode_part(batch: pa.Table, praw: str, cfg_dict: dict,
     )
 
 
+def sum_relay_sidecars(praw: str) -> dict:
+    """Global N/total_tokens/max_doc_id/avgdl from the per-file .stats.json
+    sidecars of a postings relay (shared by build, merge, and compaction —
+    the stats stage never re-scans posting rows)."""
+    import json as _json
+
+    n = tot = 0
+    max_doc = -1
+    for root, _, names in os.walk(praw):
+        for name in names:
+            if not name.endswith(".stats.json"):
+                continue
+            with open(os.path.join(root, name)) as f:
+                rec = _json.load(f)
+            n += rec["n_docs"]
+            tot += rec["dl_sum"]
+            max_doc = max(max_doc, rec["max_doc_id"])
+    return {
+        "N": n,
+        "total_tokens": tot,
+        "max_doc_id": max_doc,
+        "avgdl": float(tot) / max(1, n),
+    }
+
+
+def write_dict_from_partials(praw: str, tmp: str, cfg: IndexConfig,
+                             out_dir: str, stats_path: str) -> dict:
+    """Dictionary stage body (shared by build and compaction): aggregate
+    the per-block _dictpart partials — only ~vocab-sized rows shuffle —
+    add the term bucket, write parquet, and record heavy-term/skew
+    observability metrics into stats.json."""
+    import glob as _glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    partial = rd.read_parquet(
+        sorted(_glob.glob(os.path.join(praw, "_dictpart-*.parquet")))
+    ).repartition(8)
+    dict_ds = partial.groupby("term").aggregate(
+        Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(
+            [term_bucket(x, cfg.num_buckets)
+             for x in t.column("term").to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    dict_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(tmp)
+    # heavy-term list (stopword-scale df): skew observability metric
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    dset = pads.dataset(tmp)
+    heavy = dset.to_table(
+        columns=["term", "df"],
+        filter=pads.field("df") >= cfg.df_salt_threshold,
+    )
+    atomic_write_json(
+        os.path.join(out_dir, "heavy_terms.json"),
+        dict(zip(heavy.column("term").to_pylist(),
+                 heavy.column("df").to_pylist())),
+    )
+    n_terms = sum(
+        pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+        for r, _, fs in os.walk(tmp) for f in fs if f.endswith(".parquet")
+    )
+    st = read_json(stats_path)
+    st["n_terms"] = n_terms
+    st["n_heavy_terms"] = heavy.num_rows
+    atomic_write_json(stats_path, st)
+    return {}
+
+
 def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
                 *, tokenize_batch_size: int = 512,
                 tokenize_concurrency=None, docvalues_ds=None) -> dict:
@@ -607,25 +684,7 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     # folded into stage 1: each postings file carries a .stats.json sidecar
     # with its doclen partials; this stage just sums the (n_files) sidecars
     def stage_stats(_tmp):
-        import json as _json
-
-        n = tot = 0
-        max_doc = -1
-        for root, _, names in os.walk(praw):
-            for name in names:
-                if not name.endswith(".stats.json"):
-                    continue
-                with open(os.path.join(root, name)) as f:
-                    rec = _json.load(f)
-                n += rec["n_docs"]
-                tot += rec["dl_sum"]
-                max_doc = max(max_doc, rec["max_doc_id"])
-        stats = {
-            "N": n,
-            "total_tokens": tot,
-            "max_doc_id": max_doc,
-            "avgdl": float(tot) / max(1, n),
-        }
+        stats = sum_relay_sidecars(praw)
         atomic_write_json(stats_path, stats)
         return {"stats": stats}
 
@@ -633,51 +692,11 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     stats = read_json(stats_path)
 
     # ---- stage 3: dictionary (df/cf per term) ---------------------------
-    def stage_dict(tmp):
-        import glob as _glob
-
-        # per-block partials were written by stage 1 (_dictpart-*.parquet:
-        # term, cf_p, df_p); only these ~vocab-sized rows shuffle
-        partial = rd.read_parquet(
-            sorted(_glob.glob(os.path.join(praw, "_dictpart-*.parquet")))
-        ).repartition(8)
-        dict_ds = partial.groupby("term").aggregate(
-            Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
-        )
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            b = pa.array(
-                [term_bucket(x, cfg.num_buckets) for x in t.column("term").to_pylist()],
-                pa.int32(),
-            )
-            return t.append_column("bucket", b)
-
-        dict_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(tmp)
-        # heavy-term list (stopword-scale df): skew observability metric
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-
-        dset = pads.dataset(tmp)
-        heavy = dset.to_table(
-            columns=["term", "df"],
-            filter=pads.field("df") >= cfg.df_salt_threshold,
-        )
-        atomic_write_json(
-            os.path.join(out_dir, "heavy_terms.json"),
-            dict(zip(heavy.column("term").to_pylist(),
-                     heavy.column("df").to_pylist())),
-        )
-        n_terms = sum(
-            pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-            for r, _, fs in os.walk(tmp) for f in fs if f.endswith(".parquet")
-        )
-        st = read_json(stats_path)
-        st["n_terms"] = n_terms
-        st["n_heavy_terms"] = heavy.num_rows
-        atomic_write_json(stats_path, st)
-        return {}
-
-    runner.run("dict", stage_dict)
+    runner.run(
+        "dict",
+        lambda tmp: write_dict_from_partials(praw, tmp, cfg, out_dir,
+                                             stats_path),
+    )
     stats = read_json(stats_path)
 
     # ---- stage 4: encoded segments (one task per pkey partition) --------

@@ -245,9 +245,11 @@ def q_bm25_top10(sf_dir: str):
     )
 
 
-def _sql_bm25_scores(values_sql: str | None = None) -> str:
+def _sql_bm25_scores(values_sql: str | None = None,
+                     docs_where: str = "") -> str:
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+WITH docs AS (SELECT doc_id, text FROM documents
+              WHERE text <> '' {docs_where}),
 toks AS (
   SELECT doc_id, t.tok AS term
   FROM docs, unnest({_TOK_SQL}) AS t(tok)
@@ -2280,6 +2282,91 @@ SELECT qid, doc_id, array_to_string(win, ' ') AS snippet FROM (
 
 
 # ---------------------------------------------------------------------------
+# document lifecycle: deletes (Lucene liveDocs semantics) + compaction
+# (webindex.lifecycle — the ES delete-by-id / forcemerge surface)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_lifecycle_indexes(sf_dir: str) -> tuple[str, str]:
+    """(tombstoned-copy, compacted) indexes for the pinned delete set
+    ``doc_id % 7 == 0``. Built once; compaction is resumable by itself."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from webindex.lifecycle import compact_index, delete_docs
+
+    base = ensure_index(sf_dir, "nostem")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    live = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-del")
+    comp = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-del-compacted")
+    if not os.path.isdir(live):
+        tmp = live + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        ids = (
+            pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+            .to_table(columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy()
+        )
+        delete_docs(tmp, ids[ids % 7 == 0])
+        os.rename(tmp, live)
+    compact_index(live, comp)
+    return live, comp
+
+
+def q_bm25_deleted_top10(sf_dir: str):
+    """Top-10 over the tombstoned (NOT compacted) index: deleted docs are
+    invisible but df/avgdl still count them — survivors keep their exact
+    pre-delete scores (Lucene pre-merge semantics)."""
+    from webindex.search import search_queries
+
+    live, _ = _ensure_lifecycle_indexes(sf_dir)
+    runs = search_queries(
+        _queries_ds(), live, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_bm25_compacted_top10(sf_dir: str):
+    """Top-10 over the compacted index: stats recomputed — identical to an
+    index built from scratch over the surviving docs."""
+    from webindex.search import search_queries
+
+    _, comp = _ensure_lifecycle_indexes(sf_dir)
+    runs = search_queries(
+        _queries_ds(), comp, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+# tombstone semantics: scores from the FULL corpus stats, survivors only
+SQL_BM25_DELETED_TOP10 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores WHERE doc_id % 7 <> 0
+) WHERE rank <= {TOPK}
+"""
+
+# compacted semantics: the surviving docs ARE the corpus
+SQL_BM25_COMPACTED_TOP10 = _sql_bm25_scores(
+    docs_where="AND doc_id % 7 <> 0"
+) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # multi-field best_fields (ES multi_match analog — the reference's ACTUAL
 # query shape: multi_match{type: best_fields, fields:[title, txt],
 # tie_breaker: 0.5}, crossencoder_beir_bm25.ipynb cell 10; SURVEY.md §3.1)
@@ -2427,6 +2514,9 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
     "mf_best_fields_top10": (q_mf_best_fields_top10, SQL_MF_TOP10),
     "mf_best_fields_scores": (q_mf_best_fields_scores, SQL_MF_SCORES),
+    "bm25_deleted_top10": (q_bm25_deleted_top10, SQL_BM25_DELETED_TOP10),
+    "bm25_compacted_top10": (q_bm25_compacted_top10,
+                             SQL_BM25_COMPACTED_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_counts_filtered": (q_facet_counts_filtered,

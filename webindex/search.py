@@ -91,11 +91,21 @@ class SearcherActor:
         self.query_kind = query_kind
 
     def _mask(self):
-        return (
+        """Composed keep-bitset: docvalues predicate AND live (non-deleted)
+        docs. ``None`` when neither constrains — the hot unconstrained
+        path pays nothing. Queries with any mask route to the constrained
+        exhaustive kernel: WAND/MAXSCORE θ bounds derive from UNfiltered
+        top-k scores and are not valid lower bounds for a filtered k-th
+        score (see wand.exhaustive_constrained)."""
+        m = (
             self.reader.filter_mask(self.filter_pred)
             if self.filter_pred is not None
             else None
         )
+        live = self.reader.live_mask()
+        if live is None:
+            return m
+        return live if m is None else (m & live)
 
     def search_one(self, qid: str, text: str):
         terms = self.an.tokens(text or "")
@@ -107,11 +117,12 @@ class SearcherActor:
             mask = self._mask()
             ids, scores = phrase_topk(self.reader, terms, k, mask=mask)
             return self._post(qid, ids, scores)
-        if self.filter_pred is not None or self.match == "and":
-            # constrained queries take the dedicated exhaustive kernel
-            # (pruning θ bounds are invalid under filters — see
+        mask = self._mask()
+        if mask is not None or self.match == "and":
+            # constrained queries (filter predicate, pending deletes, or
+            # AND match) take the dedicated exhaustive kernel (pruning θ
+            # bounds are invalid under filters — see
             # wand.exhaustive_constrained)
-            mask = self._mask()
             ids, scores = exhaustive_constrained(
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",

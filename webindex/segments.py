@@ -94,6 +94,8 @@ class SegmentReader:
         self._bucket_cache: dict[int, dict[str, list]] = {}
         self._postings: OrderedDict[str, PostingList] = OrderedDict()
         self._postings_cap = postings_cache
+        self._live: np.ndarray | None = None  # live_mask() cache
+        self._live_key: int | None = None
 
     # -- doclens -----------------------------------------------------------
     def doclen(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -205,6 +207,37 @@ class SegmentReader:
             rb = pc.fill_null(r, False).to_numpy(zero_copy_only=False)
             mask &= rb.astype(bool) & valid
         self._dv_masks[key] = mask
+        return mask
+
+    # -- deletes (tombstone sidecar, webindex.lifecycle) ---------------------
+    def live_mask(self) -> np.ndarray | None:
+        """Bool bitset aligned to the doclen table: True = not tombstoned.
+        ``None`` when the index has no ``deletes/`` sidecar (the common
+        case — zero per-query cost). Cached; re-read when the sidecar
+        directory's mtime changes (``delete_docs`` renames a new tombstone
+        file into it), so a live searcher observes new deletes without
+        re-preloading segments. Lucene liveDocs analog: deleted docs stay
+        in the postings (df/avgdl unchanged) until compaction rewrites
+        the index."""
+        root = os.path.join(self.dir, "deletes")
+        try:
+            key = os.stat(root).st_mtime_ns
+        except FileNotFoundError:
+            return None
+        if self._live is not None and self._live_key == key:
+            return self._live
+        tab = pads.dataset(root).to_table(
+            columns=["doc_id"], use_threads=False
+        )
+        dels = np.unique(tab.column("doc_id").to_numpy())
+        mask = np.ones(self._dl_ids.size, dtype=bool)
+        if dels.size and self._dl_ids.size:
+            pos = np.searchsorted(self._dl_ids, dels)
+            ok = pos < self._dl_ids.size
+            pos, d = pos[ok], dels[ok]
+            hit = self._dl_ids[pos] == d
+            mask[pos[hit]] = False
+        self._live, self._live_key = mask, key
         return mask
 
     # -- dictionary --------------------------------------------------------
