@@ -242,3 +242,37 @@ def test_compaction_resumable(live_index, compacted_index, tmp_path_factory):
         # identical to an uninterrupted compaction (scores are recomputed
         # post-compaction, so the tombstoned live index is NOT the oracle)
         assert _all_hits(out, text) == _all_hits(compacted_index, text), text
+
+
+def test_compaction_positional_index(ray_session, tmp_path_factory):
+    """Position blobs flow through the relay filter untouched: phrase
+    queries on the compacted positional index are bit-identical to a
+    from-scratch positional rebuild over the survivors."""
+    from webindex.build import build_index
+
+    cfg = IndexConfig(num_buckets=8, n_parts=8, store_positions=True,
+                      analyzer=AnalyzerConfig())
+    rows = _rows()
+    root = tmp_path_factory.mktemp("lcpos")
+    idx = str(root / "posidx")
+    build_index(_docs_ds(rows), idx, cfg)
+    delete_docs(idx, DELETED)
+    out = str(root / "poscomp")
+    compact_index(idx, out)
+    rebuilt = str(root / "posscratch")
+    survivors = [(d, t) for d, t in rows if d not in set(DELETED)]
+    build_index(_docs_ds(survivors), rebuilt, cfg)
+
+    texts = [t for _, t in survivors]
+    phrases = [" ".join(texts[0].split()[:2]),
+               " ".join(texts[7].split()[3:5]), "data pipeline"]
+    n_hits = 0
+    for text in phrases:
+        a = SearcherActor(out, top_k=100, query_kind="phrase")
+        b = SearcherActor(rebuilt, top_k=100, query_kind="phrase")
+        ia, sa = a.search_one("q", text)
+        ib, sb = b.search_one("q", text)
+        assert ia.tolist() == ib.tolist(), text
+        assert sa.tolist() == sb.tolist(), text
+        n_hits += ia.size
+    assert n_hits > 0, "no phrase ever matched — fixture too narrow"

@@ -183,3 +183,33 @@ def test_field_stats_independent(field_indexes):
     assert sb["N"] == n_body
     assert sb["N"] < st["N"]  # short docs exist
     assert st["avgdl"] < sb["avgdl"]  # titles are capped at 6 raw tokens
+
+
+def test_multifield_respects_deletes(field_indexes, tmp_path_factory):
+    """Tombstones (webindex.lifecycle) on both field indexes exclude the
+    doc from combined results; survivor scores are unchanged."""
+    import shutil
+
+    from webindex.lifecycle import delete_docs
+
+    root = tmp_path_factory.mktemp("mfdel")
+    dirs = {}
+    for f, d in field_indexes.items():
+        dirs[f] = str(root / f)
+        shutil.copytree(d, dirs[f])
+
+    s0 = MultiFieldSearcher(
+        field_indexes["title"], field_indexes["body"], top_k=10**6
+    )
+    text = "data pipeline search"
+    ids0, sc0 = s0.search_one("q", text)
+    assert ids0.size > 1
+    victim = int(ids0[0])
+    for d in dirs.values():
+        delete_docs(d, [victim])
+    s1 = MultiFieldSearcher(dirs["title"], dirs["body"], top_k=10**6)
+    ids1, sc1 = s1.search_one("q", text)
+    before = dict(zip(ids0.tolist(), sc0.tolist()))
+    after = dict(zip(ids1.tolist(), sc1.tolist()))
+    assert set(after) == set(before) - {victim}
+    assert all(after[d] == before[d] for d in after)

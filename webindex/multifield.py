@@ -93,7 +93,8 @@ def field_match_scores(reader: SegmentReader, terms: list[str]):
     index -> (doc_ids ascending, scores). Same scatter-add kernel and
     ascending-term summation order as wand.exhaustive_topk — bit-identical
     contributions, no top-k cut (the cut happens after cross-field
-    combination)."""
+    combination). Tombstoned docs (webindex.lifecycle) are excluded like
+    every other query path."""
     pls = query_postings(reader, terms)
     if not pls:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -103,6 +104,9 @@ def field_match_scores(reader: SegmentReader, terms: list[str]):
         _dense(pl, reader)
         scores[pl.dense_pos] += pl.dense_contrib
     sel = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
+    live = reader.live_mask()
+    if live is not None:
+        sel = sel[live[sel]]
     return dl_ids[sel], scores[sel].copy()  # copy: scratch is reader-owned
 
 
