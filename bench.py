@@ -180,6 +180,33 @@ def run_bench() -> dict:
     extra["query_p50_ms"] = round(float(np.percentile(lats, 50)) * 1000, 2)
     extra["query_p95_ms"] = round(float(np.percentile(lats, 95)) * 1000, 2)
 
+    # ---- lifecycle: tombstone 10% of docs + full compaction ---------------
+    # (after the query benches: tombstones would route queries to the
+    # constrained kernel). Deterministic victim set (doc_id % 10 == 0) so
+    # the compacted doc set is parallelism-independent.
+    import pyarrow.dataset as pads
+
+    from webindex.lifecycle import compact_index, delete_docs
+
+    dl_ids = (
+        pads.dataset(os.path.join(idx_dir, "postings_raw"))
+        .to_table(columns=["doc_id"], filter=pads.field("kind") == 1)
+        .column("doc_id")
+        .to_numpy()
+    )
+    victims = dl_ids[dl_ids % 10 == 0]
+    comp_dir = idx_dir + "-compacted"
+    shutil.rmtree(comp_dir, ignore_errors=True)
+    t0 = time.time()
+    delete_docs(idx_dir, victims)
+    cstats = compact_index(idx_dir, comp_dir)
+    timings["compact"] = time.time() - t0
+    extra["n_tombstoned"] = int(victims.size)
+    extra["compact_docs_per_sec"] = round(
+        cstats["N"] / timings["compact"], 1
+    )
+    shutil.rmtree(comp_dir, ignore_errors=True)
+
     # ---- curation pipelines over the sf tables ---------------------------
     from webindex.dedup import minhash_dedup
 
