@@ -162,3 +162,32 @@ def test_cli_delete_compact(tmp_path, capsys):
                  "--top-k", "5"]) == 0
     clines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert victim not in [l.split("\t")[1] for l in clines]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_refresh(tmp_path, capsys):
+    """build --urlmap + refresh: new pages merge in, ids stay live."""
+    from webindex.synth import synth_pages_slice
+
+    v1 = str(tmp_path / "v1.parquet")
+    pq.write_table(synth_pages_table(150, seed=11), v1)
+    delta = str(tmp_path / "delta.parquet")
+    # 50 overlapping rows (same ts -> ignored) + 50 genuinely new pages
+    pq.write_table(synth_pages_slice(100, 200, seed=11), delta)
+
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", v1, "--out", idx, "--urlmap"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = str(tmp_path / "refreshed")
+    assert main(["refresh", "--index", idx, "--pages", delta,
+                 "--out", out]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_updated"] == 0 and s["n_new"] > 0
+    assert s["stats"]["N"] > stats["N"]
+
+    qtext = synth_queries_table(n=3).column("text").to_pylist()[0]
+    assert main(["search", "--index", out, "--query", qtext,
+                 "--top-k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) > 0

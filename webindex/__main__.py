@@ -13,6 +13,9 @@ Commands:
           hide the docs immediately, stats unchanged until compact)
   compact --index DIR --out DIR                 (rewrite without tombstoned
           docs, stats/df/block maxima recomputed; resumable)
+  refresh --index OLD --pages DELTA_DIR --out DIR  (incremental re-crawl:
+          new/newer pages get a delta index merged in, superseded docs are
+          tombstoned; needs an index built with build --urlmap)
 
 Filter clauses are ``col OP value`` with OP in ==, !=, <=, >=, <, >
 (value coerced to int/float when it parses as one); repeat --filter for
@@ -89,9 +92,29 @@ def cmd_build(args) -> int:
     pages = rd.read_parquet(args.pages, override_num_blocks=64)
     if "text" in pages.schema().names:
         pages = pages.drop_columns(["text"])
-    corpus = prepare_corpus_from_pages(pages, num_shards=args.num_shards)
-    stats = build_index(corpus, args.out, cfg)
+    if args.urlmap:
+        from webindex.refresh import build_with_urlmap
+
+        stats = build_with_urlmap(pages, args.out, cfg,
+                                  num_shards=args.num_shards)
+    else:
+        corpus = prepare_corpus_from_pages(pages, num_shards=args.num_shards)
+        stats = build_index(corpus, args.out, cfg)
     print(json.dumps(stats))
+    return 0
+
+
+def cmd_refresh(args) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from webindex.refresh import refresh_index
+
+    pages = rd.read_parquet(args.pages, override_num_blocks=64)
+    if "text" in pages.schema().names:
+        pages = pages.drop_columns(["text"])
+    summary = refresh_index(args.index, pages, args.out)
+    print(json.dumps(summary))
     return 0
 
 
@@ -186,6 +209,8 @@ def main(argv=None) -> int:
     b.add_argument("--num-shards", type=int, default=64)
     b.add_argument("--positions", action="store_true",
                    help="store term positions (index-only phrase queries)")
+    b.add_argument("--urlmap", action="store_true",
+                   help="persist the urlmap sidecar (enables refresh)")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
@@ -236,6 +261,12 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser("refresh")
+    r.add_argument("--index", required=True)
+    r.add_argument("--pages", required=True)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_refresh)
 
     args = p.parse_args(argv)
     # validate index paths up front: a missing/garbage --index otherwise

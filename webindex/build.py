@@ -625,7 +625,8 @@ def write_dict_from_partials(praw: str, tmp: str, cfg: IndexConfig,
 
 def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
                 *, tokenize_batch_size: int = 512,
-                tokenize_concurrency=None, docvalues_ds=None) -> dict:
+                tokenize_concurrency=None, docvalues_ds=None,
+                urlmap_ds=None) -> dict:
     """Run the full checkpointed build. ``corpus_ds`` is a
     ``ray.data.Dataset`` with columns ``(doc_id:int64, text:string)``,
     already deduped/filtered (see webindex.pipelines.prepare_corpus).
@@ -725,5 +726,15 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             return {}
 
         runner.run("docvalues", stage_docvalues)
+
+    # ---- stage 6 (optional): urlmap sidecar -------------------------------
+    # (url, warc_ts, doc_id) of the deduped crawl — what the incremental
+    # refresh pipeline (webindex.refresh) joins a re-crawl delta against.
+    if urlmap_ds is not None:
+        def stage_urlmap(tmp):
+            urlmap_ds.write_parquet(tmp)
+            return {}
+
+        runner.run("urlmap", stage_urlmap)
 
     return read_json(stats_path)

@@ -180,18 +180,31 @@ def assign_doc_ids(pages_ds, num_shards: int, *,
 
     Physical plan: the wide step runs over key columns only
     (``build_id_table``); the payload is then matched to its id by
-    broadcast lookup (small corpora: dict via ``ray.put``, read once per
-    worker) or, above ``broadcast_max_urls``, by a distributed hash join
-    (``Dataset.join``) — the payload crosses the wire once, hash- not
-    sort-partitioned. Exact duplicate (url, warc_ts) records (n_ties > 1)
-    are resolved deterministically by keeping the lexicographically
-    smallest ``html``.
+    ``attach_ids``.
     """
-    import ray
-
     # one distributed execution; count on the materialized table is a
     # metadata read, and only the broadcast branch pulls rows to the driver
     id_tab = build_id_table(pages_ds, num_shards).materialize()
+    return attach_ids(pages_ds, id_tab, num_shards,
+                      broadcast_max_urls=broadcast_max_urls)
+
+
+def attach_ids(pages_ds, id_tab, num_shards: int, *,
+               broadcast_max_urls: int = BROADCAST_MAX_URLS):
+    """Inner-join an id side table (url, warc_ts, doc_id, n_ties, k_hi,
+    k_lo — the ``build_id_table`` schema; ``id_tab`` must be materialized)
+    onto a pages Dataset: rows without a matching (url, warc_ts) key are
+    DROPPED (that is what implements latest-wins dedup, and it lets a
+    caller pass a pruned id table — e.g. the refresh pipeline's
+    newer-than-indexed delta subset).
+
+    Small tables broadcast as four numpy arrays (``ray.put`` once,
+    zero-copy per task); above ``broadcast_max_urls`` a distributed hash
+    join runs instead. Exact duplicate (url, warc_ts) records
+    (n_ties > 1) resolve deterministically to the lexicographically
+    smallest payload."""
+    import ray
+
     n_urls = id_tab.count()
 
     if n_urls <= broadcast_max_urls:

@@ -187,9 +187,13 @@ def compact_index(index_dir: str, out_dir: str,
 
     runner.run("segments", stage_segments)
 
-    # ---- stage 5 (conditional): filtered docvalues sidecar ----------------
-    if os.path.isdir(os.path.join(index_dir, "docvalues")):
-        def stage_docvalues(tmp):
+    # ---- stages 5/6 (conditional): filtered sidecars ----------------------
+    # docvalues and urlmap rows of tombstoned docs are dropped with them
+    for sidecar in ("docvalues", "urlmap"):
+        if not os.path.isdir(os.path.join(index_dir, sidecar)):
+            continue
+
+        def stage_sidecar(tmp, sidecar=sidecar):
             import pyarrow.compute as pc
 
             dels_ref = ray.put(pa.array(dels, pa.int64()))
@@ -204,12 +208,12 @@ def compact_index(index_dir: str, out_dir: str,
                 )
 
             (
-                rd.read_parquet(os.path.join(index_dir, "docvalues"))
+                rd.read_parquet(os.path.join(index_dir, sidecar))
                 .map_batches(drop_deleted, batch_format="pyarrow")
                 .write_parquet(tmp)
             )
             return {}
 
-        runner.run("docvalues", stage_docvalues)
+        runner.run(sidecar, stage_sidecar)
 
     return read_json(stats_path)
