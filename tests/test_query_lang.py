@@ -524,3 +524,121 @@ def test_filter_with_sparse_docvalues_range(ray_session, tmp_path):
     mask = r.filter_mask((("lang", "==", "en"),))
     assert mask.sum() == 0
     assert odd_ids  # fixture sanity
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match + per-term boosts (ES bool.should / ^boost)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_min_match(oracle, query, k, m):
+    an = oracle.an
+    terms = sorted(set(an.tokens(query)))
+    doc_tokens = {d["doc_id"]: set(an.tokens(d["text"])) for d in DOCS}
+    out = [
+        (d, s) for d, s in _oracle_all_scores(oracle, query).items()
+        if sum(t in doc_tokens[d] for t in terms) >= m
+    ]
+    out.sort(key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+def _oracle_boosted(oracle, query, k, boosts):
+    terms = sorted(set(oracle.an.tokens(query)))
+    cfg = oracle.cfg
+    scores = {}
+    for t in terms:  # ascending-term sums, like the engine
+        plist = oracle.postings.get(t)
+        if not plist:
+            continue
+        idf_t = oracle.idf(t)
+        b = boosts.get(t, 1.0)
+        for d, tf in plist.items():
+            dl = oracle.dl[d]
+            denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * (dl / oracle.avgdl))
+            scores[d] = scores.get(d, 0.0) + (idf_t * (tf / denom)) * b
+    out = sorted(scores.items(), key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_min_match_matches_oracle(index_dir, oracle, impl):
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        min_match=2, concurrency=2, batch_size=4,
+    )
+    want = {
+        qid: _oracle_min_match(oracle, text, 7, 2)
+        for qid, text in QUERIES
+    }
+    want = {q: w for q, w in want.items() if w}
+    got = _runs_rows(runs)
+    # single-term q4 and half-dead q5 can never reach 2 matched terms...
+    assert "q4" not in got
+    # ...except q5's live term alone cannot satisfy min_match=2 either
+    assert "q5" not in got
+    _assert_matches(got, want)
+    # min_match must actually prune relative to plain OR somewhere
+    plain = _runs_rows(
+        search_queries(_queries_ds(QUERIES), index_dir, top_k=7,
+                       impl="pool", concurrency=2, batch_size=4)
+    )
+    assert any(len(got.get(q, [])) != len(plain.get(q, []))
+               or got.get(q) != plain.get(q) for q in plain)
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_boosts_match_oracle(index_dir, oracle, impl):
+    boosts = {"beta": 3.0, "rare1": 0.5, "gamma": 2.0}
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        boosts=boosts, concurrency=2, batch_size=4,
+    )
+    want = {
+        qid: _oracle_boosted(oracle, text, 7, boosts)
+        for qid, text in QUERIES
+    }
+    want = {q: w for q, w in want.items() if w}
+    got = _runs_rows(runs)
+    _assert_matches(got, want)
+    # the boost must actually reorder at least one query vs plain BM25
+    plain = {
+        qid: [d for d, _ in oracle.topk(text, 7)] for qid, text in QUERIES
+    }
+    assert any(
+        [d for d, _ in got.get(q, [])] != plain[q] for q in plain
+    )
+
+
+def test_boosts_compose_with_filter_and_min_match(index_dir, oracle):
+    boosts = {"alpha": 4.0}
+    pred = (("lang", "==", "en"),)
+    allowed = {d["doc_id"] for d in DOCS if d["lang"] == "en"}
+    an = oracle.an
+    doc_tokens = {d["doc_id"]: set(an.tokens(d["text"])) for d in DOCS}
+    runs = search_queries(
+        _queries_ds(QUERIES[:3]), index_dir, top_k=5, impl="pool",
+        boosts=boosts, filter_pred=pred, min_match=2,
+        concurrency=2, batch_size=4,
+    )
+    want = {}
+    for qid, text in QUERIES[:3]:
+        terms = sorted(set(an.tokens(text)))
+        rows = [
+            (d, s) for d, s in _oracle_boosted(oracle, text, 10**9, boosts)
+            if d in allowed
+            and sum(t in doc_tokens[d] for t in terms) >= 2
+        ]
+        if rows:
+            want[qid] = rows[:5]
+    assert want
+    _assert_matches(_runs_rows(runs), want)
+
+
+def test_invalid_boost_and_phrase_combination(index_dir):
+    with pytest.raises(ValueError, match="boosts must be > 0"):
+        s = SearcherActor(index_dir, top_k=5, boosts={"alpha": -1.0})
+        s.search_one("q", "alpha beta")
+    with pytest.raises(ValueError, match="phrase"):
+        SearcherActor(index_dir, top_k=5, query_kind="phrase",
+                      boosts={"alpha": 2.0})

@@ -118,6 +118,19 @@ def cmd_refresh(args) -> int:
     return 0
 
 
+def _parse_boosts(clauses):
+    """["data=2.0", "merge=3"] -> {term: weight} (None if empty)."""
+    if not clauses:
+        return None
+    out = {}
+    for c in clauses:
+        term, sep, w = c.partition("=")
+        if not sep:
+            raise SystemExit(f"bad --boost clause {c!r} (need TERM=WEIGHT)")
+        out[term.strip()] = float(w)
+    return out
+
+
 def cmd_search(args) -> int:
     from webindex.search import SearcherActor
 
@@ -125,6 +138,7 @@ def cmd_search(args) -> int:
         args.index, top_k=args.top_k, mode=args.mode,
         filter_pred=_parse_filters(args.filter), match=args.match,
         query_kind="phrase" if args.phrase else "match",
+        min_match=args.min_match, boosts=_parse_boosts(args.boost),
     )
     ids, scores = s.search_one("cli", args.query)
     for rank, (d, sc) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
@@ -143,6 +157,7 @@ def cmd_msearch(args) -> int:
         queries, args.index, top_k=args.top_k, mode=args.mode,
         filter_pred=_parse_filters(args.filter), match=args.match,
         query_kind="phrase" if args.phrase else "match",
+        min_match=args.min_match, boosts=_parse_boosts(args.boost),
     )
     runs.write_parquet(args.out)
     print(json.dumps({"rows": runs.count(), "out": args.out}))
@@ -224,6 +239,11 @@ def main(argv=None) -> int:
     s.add_argument("--filter", action="append", default=[],
                    metavar="COL_OP_VAL",
                    help="docvalues clause like lang==en (repeatable)")
+    s.add_argument("--min-match", type=int, default=None, dest="min_match",
+                   help="require >= N distinct query terms per doc")
+    s.add_argument("--boost", action="append", default=[],
+                   metavar="TERM=WEIGHT",
+                   help="per-term score boost (repeatable)")
     s.set_defaults(fn=cmd_search)
 
     m = sub.add_parser("msearch")
@@ -238,6 +258,11 @@ def main(argv=None) -> int:
     m.add_argument("--filter", action="append", default=[],
                    metavar="COL_OP_VAL",
                    help="docvalues clause like lang==en (repeatable)")
+    m.add_argument("--min-match", type=int, default=None, dest="min_match",
+                   help="require >= N distinct query terms per doc")
+    m.add_argument("--boost", action="append", default=[],
+                   metavar="TERM=WEIGHT",
+                   help="per-term score boost (repeatable)")
     m.set_defaults(fn=cmd_msearch)
 
     e = sub.add_parser("eval")

@@ -246,7 +246,20 @@ def q_bm25_top10(sf_dir: str):
 
 
 def _sql_bm25_scores(values_sql: str | None = None,
-                     docs_where: str = "") -> str:
+                     docs_where: str = "", having: str = "",
+                     boosts_values: dict | None = None) -> str:
+    boost_cte = boost_join = ""
+    boost_expr = ""
+    if boosts_values:
+        rows = ", ".join(
+            f"('{t}', {w!r})" for t, w in sorted(boosts_values.items())
+        )
+        boost_cte = (
+            f"boosts AS (SELECT * FROM (VALUES {rows}) b(term, boost)),\n"
+        )
+        boost_join = "LEFT JOIN boosts b ON b.term = q.term"
+        # same float-op order as the engine: (idf * tf_norm) * boost
+        boost_expr = " * coalesce(b.boost, 1.0)"
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents
               WHERE text <> '' {docs_where}),
@@ -258,20 +271,21 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, te
 dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
-qterms AS (SELECT * FROM {values_sql or _query_values_sql()}),
+{boost_cte}qterms AS (SELECT * FROM {values_sql or _query_values_sql()}),
 contrib AS (
   SELECT q.qid, tf.doc_id, q.term,
     ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-      * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))) AS c
+      * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))){boost_expr} AS c
   FROM qterms q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
+  {boost_join}
   CROSS JOIN stats s
 ),
 scores AS (
   SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
-  FROM contrib GROUP BY qid, doc_id
+  FROM contrib GROUP BY qid, doc_id {having}
 )
 """
 
@@ -2282,6 +2296,59 @@ SELECT qid, doc_id, array_to_string(win, ' ') AS snippet FROM (
 
 
 # ---------------------------------------------------------------------------
+# bool-query extensions: minimum_should_match + per-term boosts
+# (ES bool.should/minimum_should_match and query-term ^boost syntax —
+# webindex.wand.exhaustive_constrained)
+# ---------------------------------------------------------------------------
+
+MIN_MATCH = 2
+BOOSTS = {"data": 2.0, "merge": 3.0, "key": 1.5}
+
+
+def q_bm25_min2_top10(sf_dir: str):
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        min_match=MIN_MATCH,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_bm25_boosted_top10(sf_dir: str):
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        boosts=BOOSTS,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+_SQL_TOP10_TAIL = f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+SQL_BM25_MIN2_TOP10 = _sql_bm25_scores(
+    having=f"HAVING count(*) >= {MIN_MATCH}"
+) + _SQL_TOP10_TAIL
+
+SQL_BM25_BOOSTED_TOP10 = _sql_bm25_scores(
+    boosts_values=BOOSTS
+) + _SQL_TOP10_TAIL
+
+
+# ---------------------------------------------------------------------------
 # document lifecycle: deletes (Lucene liveDocs semantics) + compaction
 # (webindex.lifecycle — the ES delete-by-id / forcemerge surface)
 # ---------------------------------------------------------------------------
@@ -2514,6 +2581,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
     "mf_best_fields_top10": (q_mf_best_fields_top10, SQL_MF_TOP10),
     "mf_best_fields_scores": (q_mf_best_fields_scores, SQL_MF_SCORES),
+    "bm25_min2_top10": (q_bm25_min2_top10, SQL_BM25_MIN2_TOP10),
+    "bm25_boosted_top10": (q_bm25_boosted_top10, SQL_BM25_BOOSTED_TOP10),
     "bm25_deleted_top10": (q_bm25_deleted_top10, SQL_BM25_DELETED_TOP10),
     "bm25_compacted_top10": (q_bm25_compacted_top10,
                              SQL_BM25_COMPACTED_TOP10),

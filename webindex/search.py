@@ -48,7 +48,8 @@ class SearcherActor:
                  mode: str = "auto", self_hit_filter: bool = False,
                  preload: bool = True, segments_ref=None,
                  doc_id_range=None, filter_pred=None, match: str = "or",
-                 query_kind: str = "match"):
+                 query_kind: str = "match", min_match: int | None = None,
+                 boosts: dict[str, float] | None = None):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -68,12 +69,16 @@ class SearcherActor:
         self.self_hit = self_hit_filter
         # query constraints (ES bool-query analog): a conjunctive docvalues
         # predicate — tuple of (col, op, value) clauses — AND match
-        # semantics (every query term required), and/or the phrase query
-        # kind (positional index, webindex.positional)
-        self.set_constraints(filter_pred, match, query_kind)
+        # semantics (every query term required), minimum_should_match,
+        # per-term boosts, and/or the phrase query kind
+        # (positional index, webindex.positional)
+        self.set_constraints(filter_pred, match, query_kind,
+                             min_match=min_match, boosts=boosts)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
-                        query_kind: str = "match"):
+                        query_kind: str = "match",
+                        min_match: int | None = None,
+                        boosts: dict[str, float] | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -87,8 +92,15 @@ class SearcherActor:
             raise ValueError(
                 f"query_kind must be 'match' or 'phrase', got {query_kind!r}"
             )
+        if query_kind == "phrase" and (min_match or boosts):
+            raise ValueError(
+                "min_match/boosts do not compose with phrase queries "
+                "(a phrase is already an exact positional conjunction)"
+            )
         self.match = match
         self.query_kind = query_kind
+        self.min_match = min_match
+        self.boosts = dict(boosts) if boosts else None
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -118,14 +130,16 @@ class SearcherActor:
             ids, scores = phrase_topk(self.reader, terms, k, mask=mask)
             return self._post(qid, ids, scores)
         mask = self._mask()
-        if mask is not None or self.match == "and":
-            # constrained queries (filter predicate, pending deletes, or
-            # AND match) take the dedicated exhaustive kernel (pruning θ
-            # bounds are invalid under filters — see
-            # wand.exhaustive_constrained)
+        if (mask is not None or self.match == "and" or self.min_match
+                or self.boosts):
+            # constrained queries (filter predicate, pending deletes, AND
+            # match, minimum_should_match, boosts) take the dedicated
+            # exhaustive kernel (pruning θ bounds are invalid under
+            # filters/boosts — see wand.exhaustive_constrained)
             ids, scores = exhaustive_constrained(
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
+                min_match=self.min_match, boosts=self.boosts,
             )
             return self._post(qid, ids, scores)
         mode = self.mode
@@ -259,7 +273,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    concurrency=None, batch_size: int = 128,
                    impl: str = "auto", n_shards: int = SEARCH_SHARDS,
                    filter_pred=None, match: str = "or",
-                   query_kind: str = "match"):
+                   query_kind: str = "match", min_match: int | None = None,
+                   boosts: dict[str, float] | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -308,7 +323,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             queries_ds, index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, concurrency=concurrency,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
-            query_kind=query_kind,
+            query_kind=query_kind, min_match=min_match, boosts=boosts,
         )
 
     import pandas as pd
@@ -340,7 +355,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         searcher = _shard_searcher(
             index_dir, lo, hi, top_k, mode, self_hit_filter
         )
-        searcher.inner.set_constraints(filter_pred, match, query_kind)
+        searcher.inner.set_constraints(filter_pred, match, query_kind,
+                                       min_match=min_match, boosts=boosts)
         qid_out, id_out, sc_out = [], [], []
         for qid, text in zip(
             g.column("qid").to_pylist(), g.column("text").to_pylist()
@@ -382,7 +398,9 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          mode: str = "auto", self_hit_filter: bool = False,
                          concurrency=None, batch_size: int = 128,
                          filter_pred=None, match: str = "or",
-                         query_kind: str = "match"):
+                         query_kind: str = "match",
+                         min_match: int | None = None,
+                         boosts: dict[str, float] | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -406,6 +424,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             index_dir=index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
+            min_match=min_match, boosts=boosts,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

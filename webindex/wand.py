@@ -137,32 +137,42 @@ def _zero_scratch(reader: SegmentReader, n: int) -> np.ndarray:
 
 def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
                            mask: np.ndarray | None = None,
-                           require_all: bool = False):
+                           require_all: bool = False,
+                           min_match: int | None = None,
+                           boosts: dict[str, float] | None = None):
     """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
-    ``match`` + ``filter`` context, and ``operator: and`` — the query
+    ``match`` + ``filter`` context, ``operator: and``,
+    ``minimum_should_match`` and per-term query boosts — the query
     surface the reference's BM25 runs sit on top of, SURVEY.md §2.6 K6).
 
     Identical per-term contributions and ascending-unicode summation order
     as :func:`exhaustive_topk`; candidate selection additionally requires
     ``mask`` (a docvalues predicate bitset aligned to the reader's doclen
-    table, see ``SegmentReader.filter_mask``) and/or presence of EVERY
-    distinct query term (``require_all``). MAXSCORE/WAND pruning is
+    table, see ``SegmentReader.filter_mask``), presence of EVERY distinct
+    query term (``require_all``) or of at least ``min_match`` of them, and
+    ``boosts`` scales each term's contribution ((idf·tf_norm)·boost,
+    boosts must be > 0 — the pinned float-op order the SQL oracle
+    reproduces). MAXSCORE/WAND pruning is
     deliberately OFF here: θ bounds derive from *unfiltered* top-k scores
     and are not valid lower bounds for the filtered k-th score — pruning
     with them could drop qualifying docs. Cost is one scatter-add over the
     query's postings, the same as the unpruned exhaustive path.
     """
+    if boosts and any(b <= 0 for b in boosts.values()):
+        raise ValueError("boosts must be > 0 (scores stay positive — the "
+                         "match set is the nonzero-score set)")
     uniq = sorted(set(terms))
     pls = query_postings(reader, uniq)
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     if not pls:
         return empty
-    if require_all and len(pls) < len(uniq):
-        return empty  # some query term matches no document at all
+    need = len(uniq) if require_all else max(1, int(min_match or 1))
+    if len(pls) < need:
+        return empty  # too many query terms match no document at all
     dl_ids = reader._dl_ids
     scores = _zero_scratch(reader, dl_ids.size)
     hits = None
-    if require_all and len(pls) > 1:
+    if need > 1 and len(pls) > 1:
         # reader-owned reusable hit counter (same fresh-allocation stall
         # rationale as _zero_scratch)
         buf = getattr(reader, "_hits_scratch", None)
@@ -172,12 +182,17 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
         hits.fill(0)
     for pl in pls:  # ascending term order (query_postings sorts)
         _dense(pl, reader)
-        scores[pl.dense_pos] += pl.dense_contrib
+        contrib = pl.dense_contrib
+        if boosts:
+            b = boosts.get(pl.term, 1.0)
+            if b != 1.0:
+                contrib = contrib * b
+        scores[pl.dense_pos] += contrib
         if hits is not None:
             hits[pl.dense_pos] += 1
     sel = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
     if hits is not None:
-        sel = sel[hits[sel] == len(pls)]
+        sel = sel[hits[sel] >= need]
     if mask is not None:
         sel = sel[mask[sel]]
     return _rank_topk(dl_ids[sel], scores[sel], k)
