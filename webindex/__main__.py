@@ -16,6 +16,8 @@ Commands:
   refresh --index OLD --pages DELTA_DIR --out DIR  (incremental re-crawl:
           new/newer pages get a delta index merged in, superseded docs are
           tombstoned; needs an index built with build --urlmap)
+  check   --index DIR   (integrity fsck: re-derives dictionary/stats/block
+          metadata from the segments through the codec; exit 1 on damage)
 
 Filter clauses are ``col OP value`` with OP in ==, !=, <=, >=, <, >
 (value coerced to int/float when it parses as one); repeat --filter for
@@ -212,6 +214,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    _init_ray()
+
+    from webindex.fsck import check_index
+
+    report = check_index(args.index)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="webindex")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -292,6 +304,10 @@ def main(argv=None) -> int:
     r.add_argument("--pages", required=True)
     r.add_argument("--out", required=True)
     r.set_defaults(fn=cmd_refresh)
+
+    k = sub.add_parser("check")
+    k.add_argument("--index", required=True)
+    k.set_defaults(fn=cmd_check)
 
     args = p.parse_args(argv)
     # validate index paths up front: a missing/garbage --index otherwise
