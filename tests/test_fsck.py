@@ -129,3 +129,35 @@ def test_compacted_index_passes(clean_index, tmp_path):
     compact_index(idx, out)
     rep = check_index(out)
     assert rep["ok"], rep["errors"][:5]
+
+
+def test_positional_index_checked(ray_session, tmp_path):
+    """Positions are validated through the codec; damaging a position
+    blob is detected."""
+    import ray.data as rd
+
+    from dataclasses import replace
+
+    from webindex.build import build_index
+    from webindex.pipelines.corpus import prepare_corpus_from_pages
+
+    cfg = replace(CFG, store_positions=True)
+    idx = str(tmp_path / "posidx")
+    pages = rd.from_arrow(
+        synth_pages_table(150, seed=33)
+    ).drop_columns(["text"])
+    build_index(prepare_corpus_from_pages(pages, num_shards=8), idx, cfg)
+    rep = check_index(idx)
+    assert rep["ok"], rep["errors"][:5]
+
+    f = _one_parquet(os.path.join(idx, "segments"))
+    t = pq.read_table(f)
+    pos = t.column("positions").to_pylist()
+    victim = next(i for i, b in enumerate(pos) if b and len(b) > 2)
+    pos[victim] = pos[victim][: len(pos[victim]) // 2]  # truncate blob
+    t = t.set_column(t.column_names.index("positions"), "positions",
+                     pa.array(pos, pa.binary()))
+    pq.write_table(t, f)
+    rep = check_index(idx)
+    assert not rep["ok"]
+    assert any("position" in e for e in rep["errors"])

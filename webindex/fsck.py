@@ -81,6 +81,11 @@ def _check_bucket(batch: pa.Table, index_dir: str, cfg_dict: dict,
         maxes = seg.column("max_tf_norm").to_numpy()
         idbufs = seg.column("doc_ids").to_pylist()
         tfbufs = seg.column("tfs").to_pylist()
+        posbufs = (
+            seg.column("positions").to_pylist()
+            if "positions" in seg.column_names
+            else None
+        )
 
         got: dict[str, tuple[int, int]] = {}
         i = 0
@@ -124,6 +129,32 @@ def _check_bucket(batch: pa.Table, index_dir: str, cfg_dict: dict,
                         f"{ids.size} ids"
                     )
                     break
+                if posbufs is not None:
+                    # positional runs: tf varbyte values per posting, all
+                    # positions in [0, dl) and strictly ascending per doc
+                    pgaps = varbyte_decode(b"".join(posbufs[s:j]))
+                    if pgaps.size != int(tfs.sum()):
+                        errors.append(
+                            f"term {t!r} salt {salt}: {pgaps.size} "
+                            f"position deltas, tfs sum to {int(tfs.sum())}"
+                        )
+                    else:
+                        tf64 = tfs.astype(np.int64)
+                        pends = np.cumsum(tf64)
+                        pstarts = pends - tf64
+                        pcsum = np.cumsum(pgaps)
+                        pshift = np.zeros(tf64.size, dtype=np.int64)
+                        pshift[1:] = pcsum[pstarts[1:] - 1]
+                        pvals = pcsum - np.repeat(pshift, tf64)
+                        # gaps > 0 except each posting's (absolute) first
+                        # value, which only needs to be >= 0
+                        nonfirst = np.ones(pgaps.size, dtype=bool)
+                        nonfirst[pstarts] = False
+                        if np.any(pgaps[nonfirst] <= 0) or np.any(pvals < 0):
+                            errors.append(
+                                f"term {t!r} salt {salt}: positions not "
+                                "strictly ascending per posting"
+                            )
                 if ids.size:
                     if ids[0] <= prev_id or np.any(np.diff(ids) <= 0):
                         errors.append(
