@@ -213,3 +213,127 @@ def test_multifield_respects_deletes(field_indexes, tmp_path_factory):
     after = dict(zip(ids1.tolist(), sc1.tolist()))
     assert set(after) == set(before) - {victim}
     assert all(after[d] == before[d] for d in after)
+
+
+# ---------------------------------------------------------------------------
+# combined_fields (ES combined_fields / BM25F-style weighted-field BM25)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cf_oracle():
+    """Independent single-threaded combined-fields oracle: weighted tf/dl
+    over the split corpora, union df, one BM25."""
+    import math
+
+    from webindex.analyze import Analyzer
+    from webindex.multifield import COMBINED_WEIGHTS
+
+    wt, wb = COMBINED_WEIGHTS
+    an = Analyzer(CFG.analyzer)
+    tft, tfb, dlt, dlb = {}, {}, {}, {}
+    for d, text in _corpus():
+        title, body = split_fields(text)
+        if title:
+            c = an.term_freqs(title)
+            dlt[d] = sum(c.values())
+            for t, f in c.items():
+                tft.setdefault(t, {})[d] = f
+        if body:
+            c = an.term_freqs(body)
+            dlb[d] = sum(c.values())
+            for t, f in c.items():
+                tfb.setdefault(t, {})[d] = f
+    N = len(dlt)
+    avgdl = (wt * sum(dlt.values()) + wb * sum(dlb.values())) / N
+
+    def topk(query: str, k: int):
+        terms = sorted(set(an.tokens(query)))
+        scores: dict[int, float] = {}
+        for t in terms:
+            docs = set(tft.get(t, {})) | set(tfb.get(t, {}))
+            if not docs:
+                continue
+            dfu = len(docs)
+            idf = math.log(1.0 + (N - dfu + 0.5) / (dfu + 0.5))
+            for d in docs:
+                tf = (wt * tft.get(t, {}).get(d, 0)
+                      + wb * tfb.get(t, {}).get(d, 0))
+                dl = wt * dlt[d] + wb * dlb.get(d, 0)
+                denom = tf + CFG.k1 * (1.0 - CFG.b + CFG.b * (dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + idf * (tf / denom)
+        return sorted(scores.items(), key=lambda e: (-e[1], e[0]))[:k]
+
+    return topk
+
+
+def test_combined_fields_matches_oracle(field_indexes, cf_oracle):
+    s = MultiFieldSearcher(
+        field_indexes["title"], field_indexes["body"], top_k=50,
+        combine="combined_fields",
+        combined_dict_dir=field_indexes["combined_dict"],
+    )
+    qs = synth_queries_table(n=30)
+    n_nonempty = 0
+    for qid, text in zip(
+        qs.column("qid").to_pylist(), qs.column("text").to_pylist()
+    ):
+        expect = cf_oracle(text, 50)
+        ids, scores = s.search_one(qid, text)
+        assert list(zip(ids.tolist(), scores.tolist())) == expect, (qid, text)
+        n_nonempty += bool(expect)
+    assert n_nonempty >= 25
+
+
+def test_combined_dict_is_exact_union(field_indexes):
+    """The build-time sidecar df equals the runtime posting-doc union for
+    every dictionary term (full-index readers = global truth)."""
+    import pyarrow.dataset as pads
+
+    from webindex.segments import SegmentReader
+
+    dic = pads.dataset(field_indexes["combined_dict"]).to_table()
+    cdict = dict(zip(dic.column("term").to_pylist(),
+                     dic.column("dfu").to_pylist()))
+    rt = SegmentReader(field_indexes["title"])
+    rb = SegmentReader(field_indexes["body"])
+    terms = set(rt._df) | set(rb._df)
+    assert terms == set(cdict)
+    for t in sorted(terms):
+        plt, plb = rt.postings(t), rb.postings(t)
+        union = set(plt.ids.tolist() if plt is not None else []) | set(
+            plb.ids.tolist() if plb is not None else []
+        )
+        assert cdict[t] == len(union), t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_combined_pool_vs_sharded_identical(field_indexes):
+    import ray.data as rd
+
+    from webindex.multifield import multifield_search
+
+    qs = rd.from_arrow(synth_queries_table(n=15)).repartition(3)
+    frames = {}
+    for impl in ("pool", "sharded"):
+        runs = multifield_search(
+            qs, field_indexes["title"], field_indexes["body"],
+            top_k=12, impl=impl, n_shards=3, concurrency=2, batch_size=8,
+            combine="combined_fields",
+            combined_dict_dir=field_indexes["combined_dict"],
+        ).to_pandas()
+        frames[impl] = (
+            runs[["qid", "doc_id", "score", "rank"]]
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+    assert frames["pool"].equals(frames["sharded"])
+    assert len(frames["pool"]) > 0
+
+
+def test_combined_requires_dict(field_indexes):
+    with pytest.raises(ValueError, match="combined_dict"):
+        MultiFieldSearcher(
+            field_indexes["title"], field_indexes["body"],
+            combine="combined_fields",
+        )

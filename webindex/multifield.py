@@ -50,6 +50,8 @@ from webindex.wand import _dense, _rank_topk, _zero_scratch, query_postings
 # oracle and tests alike).
 TITLE_TOKENS = 6
 TIE_BREAKER = 0.5
+# combined_fields (BM25F-style) weights: (title, body)
+COMBINED_WEIGHTS = (2.0, 1.0)
 
 # Raw pre-analysis whitespace tokenizer: [^ \t\n\f\r]+ matches DuckDB RE2's
 # complement of \s exactly (Python's \S differs on \v and unicode spaces).
@@ -127,15 +129,34 @@ def combine_best_fields(ids_a, sc_a, ids_b, sc_b,
 
 class MultiFieldSearcher:
     """Actor-pool stage: one resident SegmentReader per field (T4 analog),
-    query batches -> best_fields runs. Both fields share one analyzer (the
+    query batches -> multi-field runs. Both fields share one analyzer (the
     configs are asserted identical — ES would analyze the query once per
-    field; with equal analyzers that is one tokenization)."""
+    field; with equal analyzers that is one tokenization).
+
+    ``combine="best_fields"`` (default): per-doc max + tie_breaker * min
+    of the per-field BM25 scores (dis_max).
+    ``combine="combined_fields"`` (the ES combined_fields / BM25F-style
+    query): ONE BM25 over the weighted term/length statistics —
+    tf~ = w_t·tf_title + w_b·tf_body, dl~ = w_t·dl_title + w_b·dl_body,
+    avgdl~ from the per-field totals, df~ = |union of the fields' posting
+    docs| read from the build-time ``combined_dict`` sidecar
+    (:func:`build_combined_dict`) so GLOBAL df reaches salt-range shard
+    searchers (a query-time union inside a shard would see shard-local
+    df and break the exact scatter-gather merge). Requires the pinned
+    containment body-docs ⊆ title-docs (true by the split: a non-empty
+    body implies ≥7 raw tokens, hence a non-empty title) — validated at
+    construction."""
 
     def __init__(self, title_dir: str, body_dir: str, top_k: int = 1000,
                  tie_breaker: float = TIE_BREAKER, preload: bool = True,
-                 segments_refs=None, doc_id_range=None):
+                 segments_refs=None, doc_id_range=None,
+                 combine: str = "best_fields",
+                 weights: tuple[float, float] = COMBINED_WEIGHTS,
+                 combined_dict_dir: str | None = None):
         from webindex.analyze import Analyzer
 
+        if combine not in ("best_fields", "combined_fields"):
+            raise ValueError(f"unknown combine mode {combine!r}")
         self.readers = {}
         for field, d in (("title", title_dir), ("body", body_dir)):
             r = SegmentReader(d, doc_id_range=doc_id_range)
@@ -157,9 +178,110 @@ class MultiFieldSearcher:
         self.an = Analyzer(ct.analyzer)
         self.top_k = top_k
         self.tie = tie_breaker
+        self.combine = combine
+        if combine == "combined_fields":
+            if combined_dict_dir is None:
+                raise ValueError(
+                    "combined_fields needs the combined_dict sidecar "
+                    "(build_combined_dict) — query-time df unions are "
+                    "shard-local and therefore wrong under sharding"
+                )
+            import pyarrow.dataset as pads
+
+            dic = pads.dataset(combined_dict_dir).to_table(
+                columns=["term", "dfu"], use_threads=False
+            )
+            self._cdict = dict(
+                zip(dic.column("term").to_pylist(),
+                    dic.column("dfu").to_pylist())
+            )
+            rt, rb = self.readers["title"], self.readers["body"]
+            self.wt, self.wb = float(weights[0]), float(weights[1])
+            # body-docs ⊆ title-docs containment (resident doclen tables
+            # are equally range-restricted, so this holds per shard too)
+            pos = np.searchsorted(rt._dl_ids, rb._dl_ids)
+            pos_c = np.minimum(pos, max(rt._dl_ids.size - 1, 0))
+            if rb._dl_ids.size and (
+                rt._dl_ids.size == 0
+                or not np.array_equal(rt._dl_ids[pos_c], rb._dl_ids)
+            ):
+                raise ValueError(
+                    "combined_fields: body index contains docs absent "
+                    "from the title index — not the pinned split"
+                )
+            # dense combined doclens over the title domain
+            dl_body = np.zeros(rt._dl_ids.size, dtype=np.float64)
+            if rb._dl_ids.size:
+                dl_body[pos_c] = rb._dl.astype(np.float64)
+            self._dl_comb = (
+                self.wt * rt._dl.astype(np.float64) + self.wb * dl_body
+            )
+            # global N and weighted avgdl from the per-field stats
+            self._n_comb = rt.N
+            self._avgdl_comb = (
+                self.wt * rt.stats["total_tokens"]
+                + self.wb * rb.stats["total_tokens"]
+            ) / rt.N
+
+    def _combined_one(self, terms: list[str]):
+        from webindex.scoring import idf as _idf
+        from webindex.scoring import term_contrib
+
+        rt, rb = self.readers["title"], self.readers["body"]
+        cfg = rt.cfg
+        scores = _zero_scratch(rt, rt._dl_ids.size)
+        for t in sorted(set(terms)):  # ascending-term summation order
+            plt = rt.postings(t)
+            plb = rb.postings(t)
+            if plt is None and plb is None:
+                continue
+            dfu = self._cdict.get(t)
+            if dfu is None:
+                raise ValueError(
+                    f"combined_dict missing term {t!r} — rebuild the "
+                    "sidecar (build_combined_dict) after index changes"
+                )
+            parts = []
+            if plt is not None:
+                _dense(plt, rt)  # dense_pos = positions in title domain
+                parts.append((plt.dense_pos, self.wt, plt.tfs))
+            if plb is not None:
+                posb = np.searchsorted(rt._dl_ids, plb.ids)
+                parts.append((posb, self.wb, plb.tfs))
+            upos = (
+                np.union1d(parts[0][0], parts[1][0])
+                if len(parts) == 2
+                else parts[0][0]
+            )
+            tfv = np.zeros(upos.size, dtype=np.float64)
+            for pos, w, tfs in parts:  # title first, then body — pinned
+                tfv[np.searchsorted(upos, pos)] += w * tfs.astype(np.float64)
+            idf_t = _idf(self._n_comb, dfu)
+            scores[upos] += term_contrib(
+                tfv, self._dl_comb[upos], self._avgdl_comb,
+                cfg.k1, cfg.b, idf_t,
+            )
+        sel = np.flatnonzero(scores)
+        # tombstones: title mask directly; body tombstones map into the
+        # title domain (delete from BOTH field indexes, like best_fields)
+        lt = rt.live_mask()
+        if lt is not None:
+            sel = sel[lt[sel]]
+        lb = rb.live_mask()
+        if lb is not None and rb._dl_ids.size:
+            dead_b = rb._dl_ids[~lb]
+            if dead_b.size:
+                posd = np.searchsorted(rt._dl_ids, dead_b)
+                posd = np.minimum(posd, max(rt._dl_ids.size - 1, 0))
+                dead_mask = np.ones(rt._dl_ids.size, dtype=bool)
+                dead_mask[posd[rt._dl_ids[posd] == dead_b]] = False
+                sel = sel[dead_mask[sel]]
+        return _rank_topk(rt._dl_ids[sel], scores[sel].copy(), self.top_k)
 
     def search_one(self, qid: str, text: str):
         terms = self.an.tokens(text or "")
+        if self.combine == "combined_fields":
+            return self._combined_one(terms)
         it, st = field_match_scores(self.readers["title"], terms)
         ib, sb = field_match_scores(self.readers["body"], terms)
         ids, comb = combine_best_fields(it, st, ib, sb, self.tie)
@@ -194,9 +316,12 @@ class MultiFieldSearcher:
 
 
 def build_field_indexes(docs_ds, out_root: str, cfg=None, *,
-                        n_title: int = TITLE_TOKENS) -> dict[str, str]:
+                        n_title: int = TITLE_TOKENS,
+                        combined_dict: bool = True) -> dict[str, str]:
     """Build (resumably) one index per field under ``out_root/{title,body}``
-    from a documents(doc_id, text) Dataset. Returns {field: index_dir}."""
+    from a documents(doc_id, text) Dataset, plus (by default) the
+    ``combined_dict`` sidecar for combined_fields scoring. Returns
+    {field: index_dir, ["combined_dict": dir]}."""
     import os
 
     from webindex.build import build_index
@@ -206,7 +331,66 @@ def build_field_indexes(docs_ds, out_root: str, cfg=None, *,
         d = os.path.join(out_root, field)
         build_index(field_corpus(docs_ds, field, n_title), d, cfg)
         dirs[field] = d
+    if combined_dict:
+        dirs["combined_dict"] = build_combined_dict(
+            dirs["title"], dirs["body"],
+            os.path.join(out_root, "combined_dict"),
+        )
     return dirs
+
+
+def build_combined_dict(title_dir: str, body_dir: str,
+                        out_dir: str) -> str:
+    """Union document frequency per term across both field indexes ->
+    parquet (term, dfu) — the df the combined_fields scorer needs
+    (|docs where tf~ > 0| = |title postings ∪ body postings| per term).
+
+    Derived from the indexes' postings relays (raw (term, doc_id) rows, no
+    decode): the only duplicates are docs carrying the term in BOTH
+    fields, removed by a hash-partitioned distinct before a per-partition
+    count — the repo's standard high-cardinality groupby shape. Atomic
+    (tmp + rename); skipped when already built."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from webindex.lifecycle import _relay_files
+    from webindex.relational import hash_partitioned_groupby
+
+    if os.path.isdir(out_dir):
+        return out_dir
+    files = [
+        f
+        for d in (title_dir, body_dir)
+        for f in _relay_files(os.path.join(d, "postings_raw"))
+    ]
+    rows = rd.read_parquet(files, columns=["term", "doc_id", "kind"])
+    pairs = rows.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(
+            ["term", "doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["term", "doc_id"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop_duplicates(["term", "doc_id"])
+            .groupby("term", as_index=False)
+            .agg(dfu=("doc_id", "size"))
+        )
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    hash_partitioned_groupby(pairs, ["term"], partial, final).write_parquet(
+        tmp
+    )
+    os.rename(tmp, out_dir)
+    return out_dir
 
 
 # process-global shard-searcher cache (same worker-reuse rationale as
@@ -215,7 +399,10 @@ _MF_SHARD_SEARCHERS: dict = {}
 
 
 def _mf_shard_searcher(title_dir: str, body_dir: str, salt_lo: int,
-                       salt_hi: int, top_k: int, tie_breaker: float):
+                       salt_hi: int, top_k: int, tie_breaker: float,
+                       combine: str = "best_fields",
+                       weights: tuple = COMBINED_WEIGHTS,
+                       combined_dict_dir: str | None = None):
     """Process-global cache of shard-restricted MultiFieldSearchers (Ray
     reuses worker processes; the resident segment subsets load once per
     worker). Keyed on both indexes' config mtimes so a rebuild at the same
@@ -226,7 +413,8 @@ def _mf_shard_searcher(title_dir: str, body_dir: str, salt_lo: int,
 
     mt = os.stat(os.path.join(title_dir, "config.json")).st_mtime_ns
     mb = os.stat(os.path.join(body_dir, "config.json")).st_mtime_ns
-    key = (title_dir, body_dir, mt, mb, salt_lo, salt_hi)
+    key = (title_dir, body_dir, mt, mb, salt_lo, salt_hi, combine,
+           tuple(weights))
     s = _MF_SHARD_SEARCHERS.get(key)
     if s is None:
         for k in [
@@ -247,7 +435,8 @@ def _mf_shard_searcher(title_dir: str, body_dir: str, salt_lo: int,
         ) - 1
         s = MultiFieldSearcher(
             title_dir, body_dir, top_k=top_k, tie_breaker=tie_breaker,
-            preload=False, doc_id_range=(doc_lo, doc_hi),
+            preload=False, doc_id_range=(doc_lo, doc_hi), combine=combine,
+            weights=weights, combined_dict_dir=combined_dict_dir,
         )
         for r in s.readers.values():
             seg_root = r._seg_root
@@ -265,7 +454,10 @@ def _mf_shard_searcher(title_dir: str, body_dir: str, salt_lo: int,
 def multifield_search(queries_ds, title_dir: str, body_dir: str, *,
                       top_k: int = 1000, tie_breaker: float = TIE_BREAKER,
                       concurrency=None, batch_size: int = 128,
-                      impl: str = "auto", n_shards: int = SEARCH_SHARDS):
+                      impl: str = "auto", n_shards: int = SEARCH_SHARDS,
+                      combine: str = "best_fields",
+                      weights: tuple = COMBINED_WEIGHTS,
+                      combined_dict_dir: str | None = None):
     """queries(qid, text) Dataset -> best_fields runs Dataset
     (qid, doc_id, score, rank).
 
@@ -315,6 +507,8 @@ def multifield_search(queries_ds, title_dir: str, body_dir: str, *,
             fn_constructor_kwargs=dict(
                 title_dir=title_dir, body_dir=body_dir, top_k=top_k,
                 tie_breaker=tie_breaker, segments_refs=segments_refs,
+                combine=combine, weights=weights,
+                combined_dict_dir=combined_dict_dir,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -346,7 +540,9 @@ def multifield_search(queries_ds, title_dir: str, body_dir: str, *,
         sid = g.column("shard")[0].as_py()
         lo, hi = bounds[sid]
         searcher = _mf_shard_searcher(
-            title_dir, body_dir, lo, hi, top_k, tie_breaker
+            title_dir, body_dir, lo, hi, top_k, tie_breaker,
+            combine=combine, weights=weights,
+            combined_dict_dir=combined_dict_dir,
         )
         qid_out, id_out, sc_out = [], [], []
         for qid, text in zip(

@@ -2555,6 +2555,81 @@ SELECT qid, doc_id, round(score, 6) AS score_r FROM comb
 """
 
 
+def q_mf_combined_top10(sf_dir: str):
+    """ES combined_fields (BM25F-style): ONE BM25 over weighted per-field
+    term/length statistics with union df (webindex.multifield)."""
+    from webindex.multifield import multifield_search
+
+    idxs = ensure_field_indexes(sf_dir)
+    runs = multifield_search(
+        _queries_ds(), idxs["title"], idxs["body"], top_k=TOPK,
+        concurrency=2, batch_size=8, combine="combined_fields",
+        combined_dict_dir=idxs["combined_dict"],
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _sql_mf_combined(wt: float = 2.0, wb: float = 1.0) -> str:
+    tok = "regexp_extract_all(lower(ftext), '[a-z0-9]+')"
+    return f"""
+WITH rawtok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS rt
+  FROM documents
+),
+fields AS (
+  SELECT doc_id,
+         coalesce(array_to_string(rt[1:6], ' '), '') AS ftitle,
+         coalesce(array_to_string(rt[7:], ' '), '') AS fbody
+  FROM rawtok
+),
+tdocs AS (SELECT doc_id, ftitle AS ftext FROM fields WHERE ftitle <> ''),
+bdocs AS (SELECT doc_id, fbody AS ftext FROM fields WHERE fbody <> ''),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+ttf AS (SELECT doc_id, t.tok AS term, count(*)::BIGINT AS tf
+        FROM tdocs, unnest({tok}) AS t(tok) GROUP BY doc_id, t.tok),
+btf AS (SELECT doc_id, t.tok AS term, count(*)::BIGINT AS tf
+        FROM bdocs, unnest({tok}) AS t(tok) GROUP BY doc_id, t.tok),
+tdl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM tdocs),
+bdl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM bdocs),
+cdl AS (SELECT t.doc_id, {wt!r} * t.dl + {wb!r} * coalesce(b.dl, 0) AS dl
+        FROM tdl t LEFT JOIN bdl b USING (doc_id)),
+cstats AS (SELECT (SELECT count(*) FROM tdl)::BIGINT AS n_docs,
+                  ({wt!r} * (SELECT sum(dl) FROM tdl)
+                   + {wb!r} * (SELECT sum(dl) FROM bdl))
+                  / (SELECT count(*) FROM tdl) AS avgdl),
+ctf AS (
+  SELECT doc_id, term,
+         {wt!r} * coalesce(t.tf, 0) + {wb!r} * coalesce(b.tf, 0) AS tf
+  FROM ttf t FULL OUTER JOIN btf b USING (doc_id, term)
+),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY term),
+contrib AS (
+  SELECT q.qid, tf.doc_id, q.term,
+    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / s.avgdl)))) AS c
+  FROM qterms q
+  JOIN ctf tf ON tf.term = q.term
+  JOIN cdf df ON df.term = q.term
+  JOIN cdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN cstats s
+),
+scores AS (
+  SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_MF_COMBINED_TOP10 = _sql_mf_combined()
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2581,6 +2656,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),
     "mf_best_fields_top10": (q_mf_best_fields_top10, SQL_MF_TOP10),
     "mf_best_fields_scores": (q_mf_best_fields_scores, SQL_MF_SCORES),
+    "mf_combined_top10": (q_mf_combined_top10, SQL_MF_COMBINED_TOP10),
     "bm25_min2_top10": (q_bm25_min2_top10, SQL_BM25_MIN2_TOP10),
     "bm25_boosted_top10": (q_bm25_boosted_top10, SQL_BM25_BOOSTED_TOP10),
     "bm25_deleted_top10": (q_bm25_deleted_top10, SQL_BM25_DELETED_TOP10),
