@@ -1,4 +1,6 @@
-"""Multi-field ``best_fields`` scoring — the ES ``multi_match`` analog.
+"""Multi-field scoring — the ES ``multi_match`` analogs: ``best_fields``
+(dis_max with a tie breaker) and ``combined_fields`` (BM25F-style ONE BM25
+over weighted per-field statistics).
 
 The reference's actual Elasticsearch query is
 ``multi_match{type: best_fields, fields: [title, txt], tie_breaker: 0.5}``
