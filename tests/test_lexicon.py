@@ -1,0 +1,242 @@
+"""Dictionary-driven query operators (webindex.lexicon) vs brute oracles.
+
+Suggest / fuzzy expansion are checked against plain-Python recomputation
+over the corpus vocabulary; fuzzy_search and more_like_this against an
+explicit-term scoring oracle built on OracleBM25's postings (bypassing its
+query tokenizer — expansion terms are already analyzed, which is exactly
+what the engine's pre_tokenized path exists for). The index is STEMMED, so
+any analyzer re-application in the engine path would corrupt terms and
+fail these tests.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webindex.build import build_index
+from webindex.config import IndexConfig
+from webindex.lexicon import (
+    MltTermSelect,
+    explain_scores,
+    fuzzy_expand,
+    fuzzy_search,
+    levenshtein_batch,
+    more_like_this,
+    suggest,
+)
+from webindex.oracle import OracleBM25
+
+CFG = IndexConfig(num_buckets=8, block_size=32)
+
+VOCAB = ("merge merges merged marge purge surge search searches sort "
+         "sorted sorting join joins joint point paint print stream steam "
+         "team formal normal custom customs").split()
+N_DOCS = 120
+
+
+def _make_docs():
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(N_DOCS):
+        n = int(rng.integers(6, 30))
+        words = [VOCAB[int(j)] for j in rng.integers(0, len(VOCAB), size=n)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    return rows
+
+
+DOCS = _make_docs()
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("lexidx") / "docs_index")
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+            "text": pa.array([d["text"] for d in DOCS]),
+        }
+    )
+    build_index(rd.from_arrow(tab), out, CFG)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleBM25([(d["doc_id"], d["text"]) for d in DOCS], CFG)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _score_terms(oracle, terms: set[str], k: int):
+    """Explicit-term BM25 oracle: same fixed ascending-term float64 sums
+    as OracleBM25.topk, without re-tokenizing a query string."""
+    import math
+
+    scores: dict[int, float] = {}
+    cfg = oracle.cfg
+    for t in sorted(terms):
+        plist = oracle.postings.get(t)
+        if not plist:
+            continue
+        idf_t = oracle.idf(t)
+        for doc_id, tf in plist.items():
+            dl = oracle.dl[doc_id]
+            denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * (dl / oracle.avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf_t * (tf / denom)
+    return sorted(scores.items(), key=lambda e: (-e[1], e[0]))[:k]
+
+
+def test_levenshtein_batch_matches_reference():
+    rng = np.random.default_rng(5)
+    alphabet = "abcde"
+    words = [
+        "".join(alphabet[int(c)] for c in rng.integers(0, 5, size=int(n)))
+        for n in rng.integers(0, 9, size=80)
+    ]
+    for q in ["", "abc", "edcba", "aa", "abcdeabc"]:
+        got = levenshtein_batch(words, q)
+        want = np.array([_lev_ref(w, q) for w in words])
+        assert np.array_equal(got, want), q
+
+
+def test_suggest_matches_brute(index_dir, oracle):
+    out = suggest(index_dir, ["s", "jo", "mer", "zzz"], k=4)
+    vocab_df = {t: len(p) for t, p in oracle.postings.items()}
+    for prefix in ["s", "jo", "mer"]:
+        want = sorted(
+            ((t, d) for t, d in vocab_df.items() if t.startswith(prefix)),
+            key=lambda e: (-e[1], e[0]),
+        )[:4]
+        got = out[out["prefix"] == prefix]
+        assert list(zip(got["term"], got["df"])) == want
+        assert list(got["rank"]) == list(range(1, len(want) + 1))
+    assert (out["prefix"] == "zzz").sum() == 0
+
+
+def test_fuzzy_expand_matches_brute(index_dir, oracle):
+    vocab_df = {t: len(p) for t, p in oracle.postings.items()}
+    got = fuzzy_expand(index_dir, ["merg", "sort", "tream"], max_edits=1,
+                       max_expansions=3)
+    for q in ["merg", "sort", "tream"]:
+        want = sorted(
+            ((t, d) for t, d in vocab_df.items() if _lev_ref(t, q) <= 1),
+            key=lambda e: (-e[1], e[0]),
+        )[:3]
+        sub = got[got["qterm"] == q]
+        assert list(zip(sub["term"], sub["df"])) == want, q
+
+
+def test_fuzzy_expand_prefix_len(index_dir, oracle):
+    vocab_df = {t: len(p) for t, p in oracle.postings.items()}
+    got = fuzzy_expand(index_dir, ["mearge"], max_edits=2, prefix_len=2)
+    want = sorted(
+        ((t, d) for t, d in vocab_df.items()
+         if t.startswith("me") and _lev_ref(t, "mearge") <= 2),
+        key=lambda e: (-e[1], e[0]),
+    )
+    assert list(zip(got["term"], got["df"])) == want[:50]
+
+
+def test_fuzzy_search_matches_explicit_term_oracle(index_dir, oracle):
+    queries = [("f1", "mearge joint"), ("f2", "steem"), ("f3", "qqqq")]
+    runs = fuzzy_search(queries, index_dir, top_k=5, max_edits=1,
+                        max_expansions=50).to_pandas()
+    vocab = list(oracle.postings)
+    an = oracle.an
+    for qid, text in queries:
+        qterms = sorted(set(an.tokens(text)))
+        exp = {
+            t
+            for q in qterms
+            for t in sorted(
+                vocab,
+                key=lambda t: (-len(oracle.postings[t]), t),
+            )
+            if _lev_ref(t, q) <= 1
+        }
+        want = _score_terms(oracle, exp, 5)
+        sub = runs[runs["qid"] == qid].sort_values("rank")
+        assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want], qid
+        got_scores = [float(s) for s in sub["score"]]
+        assert np.allclose(
+            got_scores, [s for _, s in want], rtol=0, atol=1e-12
+        )
+
+
+def test_more_like_this_matches_oracle(index_dir, oracle):
+    import ray.data as rd
+
+    seeds = [0, 7, 33]
+    seeds_ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(seeds, pa.int64()),
+                "text": pa.array([DOCS[i]["text"] for i in seeds]),
+            }
+        )
+    )
+    runs = more_like_this(
+        seeds_ds, index_dir, top_k=5, max_query_terms=4
+    ).to_pandas()
+    for sid in seeds:
+        tfs = oracle.an.term_freqs(DOCS[sid]["text"])
+        ranked = sorted(
+            ((-(oracle.idf(t) * tf), t) for t, tf in tfs.items()
+             if oracle.df(t) > 0),
+        )
+        top_terms = {t for _, t in ranked[:4]}
+        want = [
+            (d, s) for d, s in _score_terms(oracle, top_terms, 6)
+            if d != sid
+        ][:5]
+        sub = runs[runs["qid"] == str(sid)].sort_values("rank")
+        assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want], sid
+
+
+def test_mlt_term_select_emits_pre_tokenized(index_dir, oracle):
+    stage = MltTermSelect(index_dir, max_query_terms=3)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([4], pa.int64()),
+            "text": pa.array([DOCS[4]["text"]]),
+        }
+    )
+    out = stage(batch)
+    terms = out.column("text")[0].as_py().split()
+    assert len(terms) == len(set(terms)) <= 3
+    # every emitted term is an INDEX term (already stemmed) — feeding it
+    # through the analyzer again must not be assumed safe
+    assert all(t in oracle.postings for t in terms)
+
+
+def test_explain_sums_to_search_score(index_dir, oracle):
+    queries = [("q1", "merged streams"), ("q2", "custom paint")]
+    out = explain_scores(queries, index_dir, top_k=3)
+    assert set(out.columns) == {"qid", "doc_id", "term", "tf", "dl", "df",
+                                "contrib"}
+    for qid, text in queries:
+        want = oracle.topk(text, 3)
+        sub = out[out["qid"] == qid]
+        got = (
+            sub.groupby("doc_id")["contrib"].sum()
+            .sort_values(ascending=False)
+        )
+        assert set(got.index) == {d for d, _ in want}
+        for d, s in want:
+            assert got[d] == pytest.approx(s, rel=0, abs=1e-12)
+        # per-term quantities match the oracle's postings exactly
+        for _, row in sub.iterrows():
+            assert row["tf"] == oracle.postings[row["term"]][row["doc_id"]]
+            assert row["df"] == oracle.df(row["term"])
+            assert row["dl"] == oracle.dl[row["doc_id"]]

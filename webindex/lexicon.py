@@ -1,0 +1,390 @@
+"""Dictionary-driven query operators: prefix suggest, fuzzy match, MLT,
+and the per-term score explanation.
+
+ES analogs the reference's BM25 baseline gets for free from Elasticsearch
+(the reference delegates every query shape to ES — see
+/root/reference/crossencoder_beir_bm25.ipynb cell 10 and SURVEY.md §3.1):
+
+- ``suggest``        — completion suggester / ``match_phrase_prefix``:
+  top-k dictionary completions of a prefix ranked by document frequency.
+- ``fuzzy_expand`` / ``fuzzy_search`` — ``fuzzy`` query: Lucene's
+  FuzzyQuery rewrites to the ``max_expansions`` highest-df dictionary
+  terms within ``max_edits`` Levenshtein distance, then scores the
+  disjunction; we reproduce exactly that rewrite.
+- ``more_like_this`` — MLT query: rank the seed document's terms by
+  tf·idf, keep ``max_query_terms``, re-run them as a disjunctive BM25
+  query, exclude the seed (the engine's self-hit anti-join).
+- ``explain_scores`` — the ``_explain`` API: per-(query, doc, term)
+  BM25 contribution breakdown (tf, dl, df, contribution), bit-identical
+  to what the ranking summed.
+
+Scale shape: every operator is a distributed scan of the index's ``dict``
+sidecar (term, df, cf) — per-batch vectorized work emits only per-batch
+top-k partials, so the final exact merge sees k x n_blocks rows, never the
+vocabulary. Query execution reuses ``search_queries``'s sharded
+scatter-gather path with ``pre_tokenized=True`` (expansion terms come from
+the dictionary already analyzed; re-analysis would re-stem).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webindex.analyze import Analyzer
+from webindex.scoring import idf as bm25_idf
+
+
+def _dict_ds(index_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(index_dir, "dict"), columns=["term", "df"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix suggest (ES completion suggester)
+# ---------------------------------------------------------------------------
+
+
+def suggest(index_dir: str, prefixes: list[str], k: int = 10) -> pd.DataFrame:
+    """Top-k dictionary completions per prefix by (df desc, term asc).
+
+    Returns a frame (prefix, term, df, rank). Distributed scan of the dict
+    sidecar; each batch contributes at most k rows per prefix, so the
+    driver-side exact merge is bounded by k x n_blocks x n_prefixes.
+    """
+    pref = sorted(set(prefixes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term")
+        dfs = batch.column("df").to_numpy()
+        out = {"prefix": [], "term": [], "df": []}
+        for p in pref:
+            mask = pc.starts_with(terms, pattern=p).to_numpy(
+                zero_copy_only=False
+            )
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            cand = sorted(
+                ((int(-dfs[i]), terms[i].as_py()) for i in idx)
+            )[:k]
+            out["prefix"].extend([p] * len(cand))
+            out["term"].extend(t for _, t in cand)
+            out["df"].extend(-n for n, _ in cand)
+        return pa.table(
+            {
+                "prefix": pa.array(out["prefix"], pa.string()),
+                "term": pa.array(out["term"], pa.string()),
+                "df": pa.array(out["df"], pa.int64()),
+            }
+        )
+
+    parts = _dict_ds(index_dir).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"prefix": pd.Series(dtype=str), "term": pd.Series(dtype=str),
+             "df": pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int32)}
+        )
+    top = (
+        parts.sort_values(
+            ["prefix", "df", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("prefix", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = (top.groupby("prefix").cumcount() + 1).astype(np.int32)
+    return top
+
+
+# ---------------------------------------------------------------------------
+# fuzzy query (Lucene FuzzyQuery rewrite)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_batch(terms: list[str], query: str) -> np.ndarray:
+    """Vectorized Levenshtein distance of one query term against a batch of
+    dictionary terms. Classic DP, vectorized across the whole batch: for
+    each query character one substitution/deletion row, then the insertion
+    closure as a running minimum of (row - column index) — no per-term
+    Python loop. O(len(query) * max_len) numpy ops on batch-sized arrays.
+    """
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, np.int64)
+    lens = np.fromiter((len(t) for t in terms), np.int64, n)
+    lmax = int(lens.max())
+    # padded codepoint matrix (n, lmax); pad value never equals a query char
+    chars = np.zeros((n, lmax), np.int32)
+    for i, t in enumerate(terms):
+        chars[i, : len(t)] = np.frombuffer(
+            t.encode("utf-32-le"), np.uint32
+        ).astype(np.int32)
+    col = np.arange(lmax + 1, dtype=np.int64)
+    prev = np.broadcast_to(col, (n, lmax + 1)).copy()
+    for i, qc in enumerate(query, 1):
+        base = np.empty_like(prev)
+        base[:, 0] = i
+        sub = prev[:, :-1] + (chars != ord(qc))
+        base[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
+        # insertion closure: cur[j] = min over m<=j of base[m] + (j - m)
+        base -= col
+        np.minimum.accumulate(base, axis=1, out=base)
+        base += col
+        prev = base
+    return prev[np.arange(n), lens]
+
+
+def fuzzy_expand(index_dir: str, qterms: list[str], *, max_edits: int = 1,
+                 max_expansions: int = 50,
+                 prefix_len: int = 0) -> pd.DataFrame:
+    """One distributed dict scan expands ALL query terms at once.
+
+    Returns (qterm, term, df): per query term the ``max_expansions``
+    dictionary terms within ``max_edits`` Levenshtein distance, ranked by
+    (df desc, term asc) — Lucene's top-terms fuzzy rewrite order. The
+    ``prefix_len`` first characters must match exactly (Lucene's
+    ``prefix_length``), which also prunes the scan cheaply.
+    """
+    qs = sorted(set(qterms))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_numpy()
+        lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
+        out_q, out_t, out_d = [], [], []
+        for q in qs:
+            # cheap vectorized prefilters: length band + fixed prefix
+            cand = np.flatnonzero(np.abs(lens - len(q)) <= max_edits)
+            if prefix_len:
+                p = q[:prefix_len]
+                cand = cand[
+                    np.fromiter(
+                        (terms[i].startswith(p) for i in cand), bool,
+                        cand.size,
+                    )
+                ]
+            if cand.size == 0:
+                continue
+            sub = [terms[i] for i in cand]
+            dist = levenshtein_batch(sub, q)
+            hit = cand[dist <= max_edits]
+            if hit.size == 0:
+                continue
+            top = sorted(
+                ((int(-dfs[i]), terms[i]) for i in hit)
+            )[:max_expansions]
+            out_q.extend([q] * len(top))
+            out_t.extend(t for _, t in top)
+            out_d.extend(-n for n, _ in top)
+        return pa.table(
+            {
+                "qterm": pa.array(out_q, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    parts = _dict_ds(index_dir).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"qterm": pd.Series(dtype=str), "term": pd.Series(dtype=str),
+             "df": pd.Series(dtype=np.int64)}
+        )
+    return (
+        parts.sort_values(
+            ["qterm", "df", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("qterm", sort=True)
+        .head(max_expansions)
+        .reset_index(drop=True)
+    )
+
+
+def fuzzy_search(queries: list[tuple[str, str]], index_dir: str, *,
+                 top_k: int = 10, max_edits: int = 1,
+                 max_expansions: int = 50, prefix_len: int = 0,
+                 **search_kwargs):
+    """ES ``fuzzy`` query: analyze each query, expand every term against
+    the dictionary, BM25-score the union of expansions (each expansion
+    contributes with its OWN idf — the Lucene rewrite semantics), exclude
+    nothing. Returns the runs Dataset of ``search_queries``.
+    """
+    import ray.data as rd
+
+    from webindex.config import IndexConfig
+    from webindex.search import search_queries
+    from webindex.util import read_json
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    toks = {qid: sorted(set(an.tokens(text or ""))) for qid, text in queries}
+    all_terms = sorted({t for ts in toks.values() for t in ts})
+    exp = fuzzy_expand(
+        index_dir, all_terms, max_edits=max_edits,
+        max_expansions=max_expansions, prefix_len=prefix_len,
+    )
+    by_qterm: dict[str, list[str]] = (
+        exp.groupby("qterm")["term"].apply(list).to_dict()
+    )
+    rows_q, rows_t = [], []
+    for qid, _ in queries:
+        terms = sorted({t for qt in toks[qid] for t in by_qterm.get(qt, ())})
+        if not terms:
+            continue
+        rows_q.append(qid)
+        rows_t.append(" ".join(terms))
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array(rows_q, pa.string()),
+                  "text": pa.array(rows_t, pa.string())})
+    )
+    return search_queries(
+        q_ds, index_dir, top_k=top_k, pre_tokenized=True, **search_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# more_like_this
+# ---------------------------------------------------------------------------
+
+
+class MltTermSelect:
+    """Actor stage: seed (doc_id, text) rows -> (qid, text) MLT queries.
+
+    Per seed: analyze the text, rank its terms by tf·idf
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from the GLOBAL dictionary),
+    keep the top ``max_query_terms`` by (tf·idf desc, term asc). Emits
+    qid = str(doc_id) so the search stage's self-hit anti-join
+    (SURVEY.md §2.4 J4) drops the seed from its own results, and a
+    space-joined pre-analyzed term list as the query text.
+
+    The SegmentReader here is used only for its dict + stats (df/N);
+    postings stay on disk. One reader per pool actor (setup in __init__).
+    """
+
+    def __init__(self, index_dir: str, max_query_terms: int = 25):
+        from webindex.segments import SegmentReader
+
+        self.reader = SegmentReader(index_dir)
+        self.an = Analyzer(self.reader.cfg.analyzer)
+        self.max_terms = max_query_terms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        N = self.reader.N
+        qids, texts = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            tfs = self.an.term_freqs(text or "")
+            scored = []
+            for t, tf in tfs.items():
+                df = self.reader.df(t)
+                if df <= 0:
+                    continue
+                scored.append((-(bm25_idf(N, df) * tf), t))
+            scored.sort()
+            top = [t for _, t in scored[: self.max_terms]]
+            if not top:
+                continue
+            qids.append(str(doc_id))
+            texts.append(" ".join(top))
+        return pa.table(
+            {"qid": pa.array(qids, pa.string()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+
+def more_like_this(seeds_ds, index_dir: str, *, top_k: int = 10,
+                   max_query_terms: int = 25, concurrency=2,
+                   **search_kwargs):
+    """ES ``more_like_this``: seeds(doc_id, text) Dataset -> runs Dataset
+    of each seed's BM25 neighbors (qid = str(seed doc_id), seed excluded).
+    Term selection is an actor-pool ``map_batches`` (dict resident per
+    actor); scoring reuses the sharded batch query path.
+    """
+    from webindex.search import search_queries
+
+    if isinstance(concurrency, int):
+        # autoscaling pool (min=1): a fixed-size pool here plus the
+        # downstream searcher pool can overcommit small CPU budgets and
+        # stall each other; min=1 always makes progress
+        concurrency = (1, concurrency)
+    q_ds = seeds_ds.map_batches(
+        MltTermSelect,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, max_query_terms=max_query_terms
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return search_queries(
+        q_ds, index_dir, top_k=top_k, self_hit_filter=True,
+        pre_tokenized=True, **search_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# explain (per-term score breakdown)
+# ---------------------------------------------------------------------------
+
+
+def explain_scores(queries: list[tuple[str, str]], index_dir: str, *,
+                   top_k: int = 3) -> pd.DataFrame:
+    """ES ``_explain`` analog: for each query's top-k docs, one row per
+    contributing term with the exact quantities the ranking summed:
+    (qid, doc_id, term, tf, dl, df, contrib). ``sum(contrib)`` over a
+    (qid, doc_id) group reproduces the ranking score bit-for-bit (same
+    float64 expression via webindex.scoring.term_contrib).
+    """
+    from webindex.scoring import term_contrib
+    from webindex.search import SearcherActor
+
+    s = SearcherActor(index_dir, top_k=top_k, mode="auto")
+    reader, cfg = s.reader, s.reader.cfg
+    rows = []
+    for qid, text in queries:
+        ids, _ = s.search_one(qid, text)
+        if ids.size == 0:
+            continue
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        dls = reader.doclen(sorted_ids)
+        dl_by_id = dict(zip(sorted_ids.tolist(), dls.tolist()))
+        for term in sorted(set(s.an.tokens(text or ""))):
+            pl = reader.postings(term)
+            if pl is None:
+                continue
+            pos = np.searchsorted(pl.ids, sorted_ids)
+            pos = np.clip(pos, 0, len(pl.ids) - 1)
+            hit = pl.ids[pos] == sorted_ids
+            for d, p in zip(sorted_ids[hit].tolist(), pos[hit].tolist()):
+                tf = int(pl.tfs[p])
+                dl = dl_by_id[d]
+                rows.append(
+                    (qid, d, term, tf, dl, pl.df,
+                     term_contrib(tf, dl, reader.avgdl, cfg.k1, cfg.b,
+                                  pl.idf))
+                )
+    out = pd.DataFrame(
+        rows, columns=["qid", "doc_id", "term", "tf", "dl", "df", "contrib"]
+    )
+    return out.sort_values(
+        ["qid", "doc_id", "term"], kind="mergesort"
+    ).reset_index(drop=True)

@@ -273,7 +273,7 @@ df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
 {boost_cte}qterms AS (SELECT * FROM {values_sql or _query_values_sql()}),
 contrib AS (
-  SELECT q.qid, tf.doc_id, q.term,
+  SELECT q.qid, tf.doc_id, q.term, tf.tf AS tf, dl.dl AS dl, df.df AS df,
     ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
       * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))){boost_expr} AS c
   FROM qterms q
@@ -2630,6 +2630,218 @@ SELECT qid, doc_id, rank FROM (
 SQL_MF_COMBINED_TOP10 = _sql_mf_combined()
 
 
+# ---------------------------------------------------------------------------
+# dictionary-driven query operators (webindex.lexicon) + exact heavy hitters
+# (webindex.sketch) — ES completion-suggester / fuzzy / MLT / _explain
+# analogs and the certified two-pass top-terms, each vs a DuckDB oracle
+# ---------------------------------------------------------------------------
+
+SUGGEST_PREFIXES = ["ba", "c", "gr", "s", "zz"]
+SUGGEST_K = 5
+
+
+def q_suggest(sf_dir: str):
+    """ES completion-suggester analog: top-k dictionary completions per
+    prefix by (df desc, term asc), from a distributed dict-sidecar scan
+    (webindex/lexicon.py suggest)."""
+    from webindex.lexicon import suggest
+
+    idx = ensure_index(sf_dir, "nostem")
+    return suggest(idx, SUGGEST_PREFIXES, k=SUGGEST_K)
+
+
+def _prefix_values_sql() -> str:
+    rows = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"(VALUES {rows}) AS p(prefix)"
+
+
+SQL_SUGGEST = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (SELECT DISTINCT doc_id, t.tok AS term
+         FROM docs, unnest({_TOK_SQL}) AS t(tok)),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+pref AS (SELECT * FROM {_prefix_values_sql()})
+SELECT prefix, term, df, rank FROM (
+  SELECT p.prefix, d.term, d.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.term)::INTEGER AS rank
+  FROM pref p JOIN dft d ON starts_with(d.term, p.prefix)
+) WHERE rank <= {SUGGEST_K}
+"""
+
+
+FUZZY_QUERIES: list[tuple[str, str]] = [
+    ("f1", "mergge"),
+    ("f2", "windoww strean"),
+    ("f3", "batsh"),
+    ("f4", "custmer ordr"),
+]
+FUZZY_TOPK = 10
+FUZZY_MAX_EDITS = 1
+FUZZY_PREFIX_LEN = 1
+
+
+def q_fuzzy_top10(sf_dir: str):
+    """ES fuzzy query (Lucene FuzzyQuery rewrite): expand each analyzed
+    query term to the highest-df dictionary terms within Levenshtein 1
+    (first char pinned), BM25-score the expansion union — each expansion
+    with its OWN idf (webindex/lexicon.py fuzzy_search)."""
+    from webindex.lexicon import fuzzy_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = fuzzy_search(
+        FUZZY_QUERIES, idx, top_k=FUZZY_TOPK, max_edits=FUZZY_MAX_EDITS,
+        max_expansions=50, prefix_len=FUZZY_PREFIX_LEN,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _fuzzy_qterm_values_sql() -> str:
+    # one row per analyzed (qid, qterm) — mirrors fuzzy_search's analyze
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in FUZZY_QUERIES
+        for t in sorted(set(_sql_an.tokens(text)))
+    )
+    return f"(VALUES {rows}) AS v(qid, qterm)"
+
+
+# the expansion subquery runs INSIDE _sql_bm25_scores' qterms CTE, where
+# the df CTE is already defined; LATERAL reproduces Lucene's per-term
+# top-`max_expansions` rewrite by (df desc, term asc), DISTINCT the union
+_FUZZY_EXPAND_SQL = f"""(
+  SELECT DISTINCT v.qid, e.term
+  FROM {_fuzzy_qterm_values_sql()},
+  LATERAL (
+    SELECT term FROM df
+    WHERE levenshtein(term, v.qterm) <= {FUZZY_MAX_EDITS}
+      AND substr(term, 1, {FUZZY_PREFIX_LEN})
+          = substr(v.qterm, 1, {FUZZY_PREFIX_LEN})
+    ORDER BY df DESC, term LIMIT 50
+  ) e
+) AS fz(qid, term)"""
+
+SQL_FUZZY_TOP10 = _sql_bm25_scores(_FUZZY_EXPAND_SQL) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {FUZZY_TOPK}
+"""
+
+
+MLT_SEEDS = [3, 17, 29, 42]
+MLT_TOPK = 5
+MLT_MAX_TERMS = 25
+
+
+def q_mlt_top5(sf_dir: str):
+    """ES more_like_this: per seed doc, rank its terms by tf*idf, keep the
+    top 25, BM25-score them as a disjunctive query, exclude the seed
+    (self-hit anti-join) — webindex/lexicon.py more_like_this."""
+    from webindex.lexicon import more_like_this
+
+    idx = ensure_index(sf_dir, "nostem")
+    seed_ids = pa.array(MLT_SEEDS, pa.int64())
+    seeds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), seed_ids)),
+        batch_format="pyarrow",
+    )
+    runs = more_like_this(
+        seeds, idx, top_k=MLT_TOPK, max_query_terms=MLT_MAX_TERMS,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+# MLT term selection in SQL: the seed's tf rows joined to global df/stats,
+# ranked by (tf*idf desc, term asc) — the same float64 expression the
+# engine's MltTermSelect computes — then the standard scores CTE, seed
+# excluded before ranking (top-k of all-minus-seed == engine's k+1 + drop)
+_MLT_QTERMS_SQL = f"""(
+  SELECT CAST(m.seed AS VARCHAR) AS qid, m.term
+  FROM (
+    SELECT s.doc_id AS seed, tf.term,
+           row_number() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * tf.tf DESC,
+                      tf.term
+           ) AS rn
+    FROM (VALUES {", ".join(f"({d})" for d in MLT_SEEDS)}) s(doc_id)
+    JOIN tf ON tf.doc_id = s.doc_id
+    JOIN df ON df.term = tf.term
+    CROSS JOIN stats st
+  ) m WHERE m.rn <= {MLT_MAX_TERMS}
+) AS mq(qid, term)"""
+
+SQL_MLT_TOP5 = _sql_bm25_scores(_MLT_QTERMS_SQL) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+  WHERE doc_id <> CAST(qid AS BIGINT)
+) WHERE rank <= {MLT_TOPK}
+"""
+
+
+def q_explain_top3(sf_dir: str):
+    """ES _explain analog: per query's top-3 docs, one row per contributing
+    term with the exact quantities the ranking summed (tf, dl, df, contrib
+    rounded 6dp) — webindex/lexicon.py explain_scores."""
+    from webindex.lexicon import explain_scores
+
+    idx = ensure_index(sf_dir, "nostem")
+    out = explain_scores(DOC_QUERIES, idx, top_k=3)
+    out["contrib_r"] = out["contrib"].round(6)
+    return out.drop(columns=["contrib"])
+
+
+SQL_EXPLAIN_TOP3 = _sql_bm25_scores() + """
+, top3 AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM scores
+  ) WHERE rnk <= 3
+)
+SELECT c.qid, c.doc_id, c.term, c.tf, c.dl, c.df, round(c.c, 6) AS contrib_r
+FROM contrib c JOIN top3 USING (qid, doc_id)
+"""
+
+
+TOP_TERMS_K = 20
+
+
+def q_top_terms(sf_dir: str):
+    """Exact global top-k terms by collection frequency via the two-pass
+    candidates + certified-recount pattern (webindex/sketch.py top_terms)
+    — never a full-vocabulary shuffle; the certificate makes the result
+    exact, hence hash-matchable against a plain GROUP BY oracle."""
+    from webindex.sketch import top_terms
+
+    return top_terms(_docs(sf_dir), k=TOP_TERMS_K)
+
+
+SQL_TOP_TERMS = f"""
+SELECT term, cnt, rank FROM (
+  SELECT term, count(*)::BIGINT AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, term)::INTEGER AS rank
+  FROM (SELECT t.tok AS term
+        FROM documents, unnest({_TOK_SQL}) AS t(tok))
+  GROUP BY term
+) WHERE rank <= {TOP_TERMS_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -2684,6 +2896,11 @@ REGISTRY: dict[str, tuple] = {
     "events_median": (q_events_median, SQL_EVENTS_MEDIAN),
     "top_longest_per_lang": (q_top_longest_per_lang, SQL_TOP_PER_LANG),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "suggest": (q_suggest, SQL_SUGGEST),
+    "fuzzy_top10": (q_fuzzy_top10, SQL_FUZZY_TOP10),
+    "mlt_top5": (q_mlt_top5, SQL_MLT_TOP5),
+    "explain_top3": (q_explain_top3, SQL_EXPLAIN_TOP3),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),

@@ -49,7 +49,8 @@ class SearcherActor:
                  preload: bool = True, segments_ref=None,
                  doc_id_range=None, filter_pred=None, match: str = "or",
                  query_kind: str = "match", min_match: int | None = None,
-                 boosts: dict[str, float] | None = None):
+                 boosts: dict[str, float] | None = None,
+                 pre_tokenized: bool = False):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -73,12 +74,14 @@ class SearcherActor:
         # per-term boosts, and/or the phrase query kind
         # (positional index, webindex.positional)
         self.set_constraints(filter_pred, match, query_kind,
-                             min_match=min_match, boosts=boosts)
+                             min_match=min_match, boosts=boosts,
+                             pre_tokenized=pre_tokenized)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
                         min_match: int | None = None,
-                        boosts: dict[str, float] | None = None):
+                        boosts: dict[str, float] | None = None,
+                        pre_tokenized: bool = False):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -101,6 +104,12 @@ class SearcherActor:
         self.query_kind = query_kind
         self.min_match = min_match
         self.boosts = dict(boosts) if boosts else None
+        # pre_tokenized: query text is a space-joined list of ALREADY
+        # analyzed terms (e.g. straight from the dict sidecar, as the
+        # MLT / fuzzy expansion paths produce). Bypassing the analyzer
+        # matters for stemmed indexes: Porter is not idempotent, so
+        # re-analyzing a stem can change it.
+        self.pre_tokenized = bool(pre_tokenized)
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -120,7 +129,10 @@ class SearcherActor:
         return live if m is None else (m & live)
 
     def search_one(self, qid: str, text: str):
-        terms = self.an.tokens(text or "")
+        terms = (
+            (text or "").split() if self.pre_tokenized
+            else self.an.tokens(text or "")
+        )
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
         if self.query_kind == "phrase":
@@ -274,7 +286,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    impl: str = "auto", n_shards: int = SEARCH_SHARDS,
                    filter_pred=None, match: str = "or",
                    query_kind: str = "match", min_match: int | None = None,
-                   boosts: dict[str, float] | None = None):
+                   boosts: dict[str, float] | None = None,
+                   pre_tokenized: bool = False):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -324,6 +337,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             self_hit_filter=self_hit_filter, concurrency=concurrency,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
+            pre_tokenized=pre_tokenized,
         )
 
     import pandas as pd
@@ -356,7 +370,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             index_dir, lo, hi, top_k, mode, self_hit_filter
         )
         searcher.inner.set_constraints(filter_pred, match, query_kind,
-                                       min_match=min_match, boosts=boosts)
+                                       min_match=min_match, boosts=boosts,
+                                       pre_tokenized=pre_tokenized)
         qid_out, id_out, sc_out = [], [], []
         for qid, text in zip(
             g.column("qid").to_pylist(), g.column("text").to_pylist()
@@ -400,7 +415,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          filter_pred=None, match: str = "or",
                          query_kind: str = "match",
                          min_match: int | None = None,
-                         boosts: dict[str, float] | None = None):
+                         boosts: dict[str, float] | None = None,
+                         pre_tokenized: bool = False):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -409,7 +425,13 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
     import ray
 
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        # autoscaling (min=1) pool: a fixed-size pool chained after
+        # another actor stage can deadlock when min actors overcommit
+        # the CPU budget (each pool waits for the other's release);
+        # min=1 always makes progress and scales up when CPUs free up
+        concurrency = (
+            1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        )
     # one read of the segments dataset, shared with every pool actor
     # through the object store (zero-copy Arrow buffers)
     seg_root = os.path.join(index_dir, "segments")
@@ -424,7 +446,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             index_dir=index_dir, top_k=top_k, mode=mode,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
-            min_match=min_match, boosts=boosts,
+            min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
