@@ -1,0 +1,108 @@
+"""Fixed-point PageRank (webindex.graph) vs the single-threaded replay of
+the exact integer spec — bit-identical, including dangling-mass handling
+and partition invariance (integer arithmetic is order-free, so any
+partitioning must produce the same pr_q)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from webindex.graph import (
+    LINK_OFFSETS,
+    SCALE,
+    pagerank,
+    pagerank_reference,
+    synth_links,
+)
+
+
+def _edges_ds(edges, blocks=4):
+    import ray.data as rd
+
+    t = pa.table(
+        {"src": pa.array([a for a, _ in edges], pa.int64()),
+         "dst": pa.array([b for _, b in edges], pa.int64())}
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+# ring + chords + a dangling node (9 has no out-edges) + a hub
+EDGES = (
+    [(i, (i + 1) % 8) for i in range(8)]
+    + [(0, 4), (1, 5), (2, 6), (3, 7), (5, 0), (6, 0), (7, 0)]
+    + [(8, 0), (8, 1), (0, 9), (4, 9)]
+)
+
+
+def _as_dict(ds) -> dict:
+    df = ds.to_pandas().sort_values("node")
+    return dict(zip(df["node"].astype(int), df["pr_q"].astype(int)))
+
+
+def test_pagerank_matches_reference(ray_session):
+    got = _as_dict(pagerank(_edges_ds(EDGES), iters=4, n_parts=8))
+    want = pagerank_reference(EDGES, iters=4)
+    assert got == want
+    # the dangling node received base + redistributed mass, not zero
+    assert want[9] > 0
+
+
+def test_pagerank_partition_invariant(ray_session):
+    a = _as_dict(pagerank(_edges_ds(EDGES, blocks=2), iters=3, n_parts=4))
+    b = _as_dict(pagerank(_edges_ds(EDGES, blocks=16), iters=3, n_parts=32))
+    assert a == b
+
+
+def test_pagerank_distributed_path_identical(ray_session):
+    # above broadcast_limit the Pregel-exchange path runs; integer
+    # arithmetic makes it bit-identical to broadcast AND the reference
+    dist = _as_dict(
+        pagerank(_edges_ds(EDGES), iters=3, n_parts=8, mode="distributed")
+    )
+    bcast = _as_dict(
+        pagerank(_edges_ds(EDGES), iters=3, n_parts=8, mode="broadcast")
+    )
+    assert dist == bcast == pagerank_reference(EDGES, iters=3)
+
+
+def test_pagerank_star_center_wins(ray_session):
+    n = 12
+    edges = [(i, 0) for i in range(1, n)] + [(0, i) for i in range(1, n)]
+    pr = _as_dict(pagerank(_edges_ds(edges), iters=4, n_parts=8))
+    assert pr[0] == max(pr.values())
+    # leaves are symmetric -> identical fixed-point mass
+    assert len({pr[i] for i in range(1, n)}) == 1
+    # total mass stays within integer-floor slack of SCALE
+    assert 0 <= SCALE - sum(pr.values()) < SCALE // 100
+
+
+def test_synth_links_matches_brute(ray_session):
+    import ray.data as rd
+
+    n = 40
+    rng = np.random.default_rng(11)
+    nch = rng.integers(5, 900, size=n)
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(np.arange(n), pa.int64()),
+             "n_chars": pa.array(nch.astype(np.int64), pa.int64())}
+        )
+    ).repartition(4)
+    got = (
+        synth_links(docs, n)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = sorted(
+        {
+            (i, int((i + off + nch[i]) % n))
+            for i in range(n)
+            for off in LINK_OFFSETS
+            if (i + off + nch[i]) % n != i
+        }
+    )
+    assert list(zip(got["src"], got["dst"])) == want
+    # no dangling nodes by construction
+    assert set(got["src"]) == set(range(n))

@@ -1,0 +1,460 @@
+"""Link-graph operators: distributed fixed-point PageRank over an edge
+Dataset, plus the deterministic synthetic link graph the contract uses.
+
+Not in the reference (its corpora are flat BEIR collections); a web-scale
+index pipeline needs link analysis next to the text index (crawl
+prioritization, spam/quality priors, ranking signals). The operator is
+Ray-Data-shaped end to end: per-iteration work is two hash-partitioned
+groupbys (co-locate pr with edges by src, then reduce contributions by
+dst) — the driver only ever sees scalars (N, dangling mass), never nodes
+or edges.
+
+Determinism contract (the reason this is *fixed-point*): float PageRank
+sums in-neighbor contributions per node, and float summation order is
+neither partition-independent nor engine-portable (numpy pairwise !=
+DuckDB list_sum != strict sequential — measured). All mass here is int64
+micro-units (SCALE = 10^12) with integer division, so every sum is exact
+and order-free; results are bit-identical across partitionings, CPU
+counts, and engines, and a DuckDB oracle reproduces them exactly.
+
+    pr_q[0]    = SCALE // N                       (per node)
+    contrib    = pr_q[src] // outdeg[src]         (per edge)
+    dm         = sum(pr_q[dangling]) // N         (dangling redistribution)
+    pr_q[t+1]  = (3*SCALE) // (20*N)              [= (1-d)/N, d = 0.85]
+               + (17 * (sum(contrib by dst) + dm)) // 20
+
+Overflow: total mass <= SCALE = 10^12, so 17 * per-node sums stay far
+below 2^63. Quantization error is 1e-12 per op — ranking-irrelevant.
+
+Scale shape: edges are the big table and are re-tagged per iteration with
+two int32 partition keys (a map_batches scan — no driver round trip); pr
+is one small (node, pr_q) row per node, co-partitioned by the same hash.
+At 10^12 edges the per-iteration cost is two shuffles of (dst, contrib)
+rows — the canonical Pregel-style PageRank exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 10**12
+_DAMP_NUM, _DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# deterministic synthetic link offsets (pairwise differences never divide
+# the corpus sizes in play, so the three out-edges of a doc are distinct)
+LINK_OFFSETS = (7, 28, 63)
+
+
+def _part_of(key: np.ndarray, n_parts: int) -> np.ndarray:
+    h = key.astype(np.uint64) * _MIX
+    return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+
+
+def synth_links(docs_ds, n_docs: int):
+    """Deterministic link graph over the documents table: doc ``i`` links
+    to ``(i + off + n_chars_i) % N`` for each offset — a content-derived,
+    SQL-reproducible rule (the contract oracle re-derives it). Self-loops
+    dropped, duplicate edges deduped. Every node keeps >= 2 out-edges for
+    any N not divisible by an offset difference, so the synthetic graph
+    has no dangling nodes (the operator still handles them)."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("doc_id").to_numpy().astype(np.int64)
+        nch = batch.column("n_chars").to_numpy().astype(np.int64)
+        outs, outd = [], []
+        for off in LINK_OFFSETS:
+            dst = (src + off + nch) % n_docs
+            keep = dst != src
+            outs.append(src[keep])
+            outd.append(dst[keep])
+        s = np.concatenate(outs)
+        d = np.concatenate(outd)
+        # batch-local dedup (the rule can only collide within one src,
+        # and a src never spans batches in a parquet row-group read —
+        # but dedup globally anyway via lexsort+unique per batch)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.ones(s.size, dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        return pa.table(
+            {"src": pa.array(s[keep], pa.int64()),
+             "dst": pa.array(d[keep], pa.int64())}
+        )
+
+    return docs_ds.map_batches(edges, batch_format="pyarrow")
+
+
+def _outdegrees(edges_ds, n_parts: int):
+    """(src, outdeg) via the repo's hash-partitioned combiner shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy().astype(np.int64)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table(
+            {"src": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64()),
+             "part": pa.array(_part_of(u, n_parts))}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src", as_index=False)["cnt"].sum()
+        return out.rename(columns={"cnt": "outdeg"})
+
+    return (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _node_table(edges_ds, n_parts: int):
+    """Distinct node ids from both edge endpoints (hash-partition dedup)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        u = np.unique(np.concatenate([s, d]))
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "part": pa.array(_part_of(u, n_parts))}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.unique(g["node"].to_numpy())})
+
+    return (
+        edges_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
+             n_nodes: int | None = None, mode: str = "auto",
+             broadcast_limit: int = 2_000_000) -> "ray.data.Dataset":  # noqa: F821,E501
+    """Fixed-point PageRank (damping 17/20) -> Dataset (node, pr_q).
+
+    ``pr_q`` is int64 micro-units of probability mass (``SCALE`` = 1e12);
+    divide by SCALE for the float value. Exact integer arithmetic makes
+    the result independent of partitioning, summation order, and engine —
+    the module docstring pins the update rule the DuckDB oracle replays.
+
+    ``edges_ds`` needs (src:int64, dst:int64), pre-deduped (parallel
+    edges count double, as in the classic formulation over a multigraph).
+    Dangling mass (nodes with no out-edges) redistributes uniformly.
+    ``n_nodes`` skips the node-count pass when the caller knows N.
+
+    Two execution paths, bit-identical by integer exactness (the repo's
+    standard broadcast-threshold routing — cf. dedup.attach_pair_payloads):
+
+    - ``broadcast`` (n <= ``broadcast_limit``): the pr/outdeg vectors (8
+      bytes/node) live on the driver and broadcast once per iteration via
+      ``ray.put``; each edge batch emits per-batch exact partial sums
+      (an integer combiner), ONE small hash groupby reduces them to
+      <= N rows. Per-iteration cost: one edges scan + one tiny shuffle.
+    - ``distributed`` (above the limit): pr is a co-partitioned Dataset;
+      each iteration is the canonical Pregel exchange — co-locate pr
+      with edges by hash(src), emit contributions, reduce by hash(dst).
+      Nothing node- or edge-sized ever reaches the driver.
+    """
+    import ray
+
+    nodes = _node_table(edges_ds, n_parts).materialize()
+    n = int(n_nodes) if n_nodes is not None else int(nodes.count())
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "pr_q": pa.array([], pa.int64())})
+        )
+    base = (3 * SCALE) // (_DAMP_DEN * n)
+
+    deg = _outdegrees(edges_ds, n_parts)
+
+    if mode == "broadcast" or (mode == "auto" and n <= broadcast_limit):
+        return _pagerank_broadcast(
+            edges_ds, nodes, deg, n=n, base=base, iters=iters,
+            n_parts=n_parts,
+        )
+
+    # static per-iteration state: (node, pr_q, outdeg) co-partitioned with
+    # the edges by hash(node) == hash(src). outdeg == 0 marks dangling.
+    def seed_pr(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(pr_q=np.int64(SCALE // n))
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": batch.column("node"),
+             "outdeg": pa.nulls(batch.num_rows, pa.int64()),
+             "part": pa.array(_part_of(node, n_parts))}
+        )
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": batch.column("src"),
+             "outdeg": batch.column("outdeg").cast(pa.int64()),
+             "part": pa.array(_part_of(src, n_parts))}
+        )
+
+    def join_deg(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["outdeg"].isna()][["node"]]
+        right = g[g["outdeg"].notna()][["node", "outdeg"]]
+        out = left.merge(right, on="node", how="left")
+        # float64 intermediates stay exact: every quantity here is
+        # <= SCALE = 1e12 < 2^53
+        out["outdeg"] = out["outdeg"].fillna(0).astype(np.int64)
+        return out
+
+    tagged = nodes.map_batches(tag_nodes, batch_format="pyarrow").union(
+        deg.map_batches(tag_deg, batch_format="pyarrow")
+    )
+    state = (
+        tagged.groupby("part")
+        .map_groups(join_deg, batch_format="pandas")
+        .map_batches(seed_pr, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": batch.column("src"),
+             "dst": batch.column("dst"),
+             "part": pa.array(_part_of(src, n_parts))}
+        )
+
+    edges_tagged = edges_ds.map_batches(
+        tag_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        deg_v = batch.column("outdeg").to_numpy()
+        pr_v = batch.column("pr_q").to_numpy()
+        return pa.table(
+            {"dmass": pa.array([int(pr_v[deg_v == 0].sum())], pa.int64())}
+        )
+
+    # one upfront scan: a graph with no dangling nodes (e.g. the synthetic
+    # contract graph) skips the per-iteration dangling-mass pass entirely
+    import pyarrow.compute as pc
+
+    has_dangling = any(
+        int(pc.sum(b.column("dmass")).as_py() or 0) > 0
+        for b in state.map_batches(
+            dangling_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    )
+
+    for _ in range(iters):
+        # dangling mass: exact integer sum (order-free), scalar to driver
+        if has_dangling:
+            dparts = state.map_batches(
+                dangling_partial, batch_format="pyarrow"
+            ).to_pandas()
+            dm = int(dparts["dmass"].sum()) // n
+        else:
+            dm = 0
+
+        # phase 1: co-locate pr/outdeg with edges by src, emit contribs
+        def emit_contribs(g: pd.DataFrame, n_parts=n_parts) -> pd.DataFrame:
+            st = g[g["dst"].isna()]
+            ed = g[g["dst"].notna()]
+            if ed.empty:
+                return pd.DataFrame(
+                    {"dst": pd.Series(dtype=np.int64),
+                     "contrib": pd.Series(dtype=np.int64)}
+                )
+            node = st["node"].to_numpy(np.int64)
+            order = np.argsort(node, kind="stable")
+            node_s = node[order]
+            pr_s = st["pr_q"].to_numpy(np.int64)[order]
+            deg_s = st["outdeg"].to_numpy(np.int64)[order]
+            src = ed["node"].to_numpy(np.int64)
+            pos = np.searchsorted(node_s, src)
+            # every edge src exists in the node table by construction
+            contrib = pr_s[pos] // np.maximum(deg_s[pos], 1)
+            return pd.DataFrame(
+                {"dst": ed["dst"].to_numpy(np.int64),
+                 "contrib": contrib.astype(np.int64)}
+            )
+
+        def tag_state_for_join(batch: pa.Table) -> pa.Table:
+            node = batch.column("node").to_numpy().astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"),
+                 "pr_q": batch.column("pr_q").cast(pa.int64()),
+                 "outdeg": batch.column("outdeg").cast(pa.int64()),
+                 "dst": pa.nulls(batch.num_rows, pa.float64()),
+                 "part": pa.array(_part_of(node, n_parts))}
+            )
+
+        def tag_edges_for_join(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch.column("node"),
+                 "pr_q": pa.nulls(batch.num_rows, pa.int64()),
+                 "outdeg": pa.nulls(batch.num_rows, pa.int64()),
+                 "dst": batch.column("dst").cast(pa.float64()),
+                 "part": batch.column("part")}
+            )
+
+        # materialized: fusing both shuffles into one plan makes the
+        # second sort's boundary sampling re-execute the first (measured
+        # ~4x wall time); the message table is the canonical Pregel
+        # per-iteration intermediate anyway
+        contribs = (
+            state.map_batches(tag_state_for_join, batch_format="pyarrow")
+            .union(
+                edges_tagged.map_batches(
+                    tag_edges_for_join, batch_format="pyarrow"
+                )
+            )
+            .groupby("part")
+            .map_groups(emit_contribs, batch_format="pandas")
+            .materialize()
+        )
+
+        # phase 2: reduce contributions by dst (exact integer sums), then
+        # apply the update rule per node; zero-inlink nodes get base + dm
+        def tag_contrib(batch: pa.Table) -> pa.Table:
+            dst = batch.column("dst").to_numpy().astype(np.int64)
+            return pa.table(
+                {"node": pa.array(dst, pa.int64()),
+                 "contrib": batch.column("contrib"),
+                 "outdeg": pa.nulls(batch.num_rows, pa.int64()),
+                 "part": pa.array(_part_of(dst, n_parts))}
+            )
+
+        def tag_state_for_update(batch: pa.Table) -> pa.Table:
+            node = batch.column("node").to_numpy().astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"),
+                 "contrib": pa.nulls(batch.num_rows, pa.int64()),
+                 "outdeg": batch.column("outdeg").cast(pa.int64()),
+                 "part": pa.array(_part_of(node, n_parts))}
+            )
+
+        def update(g: pd.DataFrame, base=base, dm=dm) -> pd.DataFrame:
+            st = g[g["outdeg"].notna()][["node", "outdeg"]]
+            cb = g[g["outdeg"].isna()][["node", "contrib"]]
+            sums = (
+                cb.groupby("node", as_index=False)["contrib"].sum()
+                if not cb.empty
+                else pd.DataFrame({"node": [], "contrib": []})
+            )
+            out = st.merge(sums, on="node", how="left")
+            s = out["contrib"].fillna(0).astype(np.int64).to_numpy()
+            pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+            return pd.DataFrame(
+                {"node": out["node"].to_numpy(np.int64),
+                 "outdeg": out["outdeg"].to_numpy(np.int64),
+                 "pr_q": pr.astype(np.int64)}
+            )
+
+        state = (
+            contribs.map_batches(tag_contrib, batch_format="pyarrow")
+            .union(
+                state.map_batches(
+                    tag_state_for_update, batch_format="pyarrow"
+                )
+            )
+            .groupby("part")
+            .map_groups(update, batch_format="pandas")
+            .materialize()
+        )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "pr_q"])
+
+    return state.map_batches(emit, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
+                        iters: int, n_parts: int):
+    """Broadcast-path PageRank: driver-resident (node, outdeg, pr) vectors
+    (<= broadcast_limit rows, 8 B each), integer combiner per edge batch,
+    one small hash groupby per iteration. Bit-identical to the
+    distributed path (integer arithmetic is order-free)."""
+    import ray
+    import ray.data as rd
+
+    node_ids = np.sort(
+        np.concatenate(
+            [b.column("node").to_numpy()
+             for b in nodes.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    outdeg = np.zeros(node_ids.size, dtype=np.int64)
+    for b in deg.iter_batches(batch_format="pyarrow"):
+        pos = np.searchsorted(node_ids, b.column("src").to_numpy())
+        outdeg[pos] = b.column("outdeg").to_numpy()
+    dangling = outdeg == 0
+    pr = np.full(node_ids.size, SCALE // n, dtype=np.int64)
+
+    edges_mat = edges_ds.materialize()
+
+    for _ in range(iters):
+        dm = int(pr[dangling].sum()) // n
+        contrib_vec = pr // np.maximum(outdeg, 1)
+        ref = ray.put((node_ids, contrib_vec))
+
+        def partial(batch: pa.Table, ref=ref, n_parts=n_parts) -> pa.Table:
+            ids, cv = ray.get(ref)  # zero-copy numpy from the store
+            src = batch.column("src").to_numpy().astype(np.int64)
+            dst = batch.column("dst").to_numpy().astype(np.int64)
+            c = cv[np.searchsorted(ids, src)]
+            ud, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(ud.size, dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table(
+                {"node": pa.array(ud, pa.int64()),
+                 "psum": pa.array(sums, pa.int64()),
+                 "part": pa.array(_part_of(ud, n_parts))}
+            )
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["psum"].sum()
+
+        sums_ds = (
+            edges_mat.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(final, batch_format="pandas")
+        )
+        s = np.zeros(node_ids.size, dtype=np.int64)
+        for b in sums_ds.iter_batches(batch_format="pyarrow"):
+            pos = np.searchsorted(node_ids, b.column("node").to_numpy())
+            s[pos] = b.column("psum").to_numpy()
+        pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array(node_ids, pa.int64()),
+                  "pr_q": pa.array(pr, pa.int64())})
+    )
+
+
+def pagerank_reference(edges: list[tuple[int, int]], *, iters: int = 10
+                       ) -> dict[int, int]:
+    """Single-threaded replay of the exact fixed-point spec (test oracle)."""
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    inlinks: dict[int, list[int]] = {v: [] for v in nodes}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        inlinks[d].append(s)
+    base = (3 * SCALE) // (_DAMP_DEN * n)
+    pr = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        dm = sum(pr[v] for v in nodes if outdeg.get(v, 0) == 0) // n
+        nxt = {}
+        for v in nodes:
+            s = sum(pr[u] // outdeg[u] for u in inlinks[v])
+            nxt[v] = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+        pr = nxt
+    return pr

@@ -2818,6 +2818,83 @@ FROM contrib c JOIN top3 USING (qid, doc_id)
 """
 
 
+PAGERANK_ITERS = 5
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed fixed-point PageRank (webindex/graph.py) over the
+    deterministic synthetic link graph derived from the documents table
+    (doc i -> (i + off + n_chars_i) % N for off in LINK_OFFSETS). Integer
+    micro-unit arithmetic makes the result bit-identical across
+    partitionings and engines, so the DuckDB oracle replays the exact
+    update rule. Returns (node, pr_q, rank)."""
+    import ray.data as rd
+
+    from webindex.graph import pagerank, synth_links
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    n = docs.count()
+    pr = pagerank(
+        synth_links(docs, n), iters=PAGERANK_ITERS, n_parts=16, n_nodes=n
+    )
+    out = pr.to_pandas().sort_values(
+        ["pr_q", "node"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out
+
+
+def _sql_pagerank(iters: int) -> str:
+    from webindex.graph import LINK_OFFSETS, SCALE
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    ctes = [f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id + o.off + n_chars) % (SELECT n FROM cnt) AS dst
+  FROM documents, (VALUES {offs}) o(off)
+  WHERE (doc_id + o.off + n_chars) % (SELECT n FROM cnt) <> doc_id
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, ({SCALE} // (SELECT n FROM cnt))::BIGINT AS pr_q
+        FROM nodes)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""
+dm{t} AS (SELECT coalesce(sum(p.pr_q), 0) // (SELECT n FROM cnt) AS m
+          FROM pr{p} p LEFT JOIN deg d ON d.src = p.node
+          WHERE d.src IS NULL),
+pr{t} AS (
+  SELECT n.node,
+         ((3 * {SCALE}) // (20 * (SELECT n FROM cnt))
+          + (17 * (coalesce(s.sq, 0) + (SELECT m FROM dm{t}))) // 20
+         )::BIGINT AS pr_q
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr_q // d.outdeg) AS sq
+    FROM edges e
+    JOIN pr{p} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT node, pr_q,
+       row_number() OVER (ORDER BY pr_q DESC, node)::INTEGER AS rank
+FROM pr{iters}
+"""
+    )
+
+
+SQL_PAGERANK = _sql_pagerank(PAGERANK_ITERS)
+
+
 TOP_TERMS_K = 20
 
 
@@ -2901,6 +2978,7 @@ REGISTRY: dict[str, tuple] = {
     "mlt_top5": (q_mlt_top5, SQL_MLT_TOP5),
     "explain_top3": (q_explain_top3, SQL_EXPLAIN_TOP3),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
