@@ -341,6 +341,61 @@ def more_like_this(seeds_ds, index_dir: str, *, top_k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# term vectors (ES _termvectors API)
+# ---------------------------------------------------------------------------
+
+
+class TermVectorStage:
+    """Actor stage: (doc_id, text) rows -> per-(doc, term) statistics
+    (tf, dl, df) — the ES ``_termvectors`` API with ``term_statistics``.
+    The dict/stats-resident SegmentReader supplies global df; postings
+    stay on disk (same shape as :class:`MltTermSelect`). Rows emit in
+    ascending (doc_id within batch order, term) order."""
+
+    def __init__(self, index_dir: str):
+        from webindex.segments import SegmentReader
+
+        self.reader = SegmentReader(index_dir)
+        self.an = Analyzer(self.reader.cfg.analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dids, terms, tfs, dls, dfs = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            freqs = self.an.term_freqs(text or "")
+            dl = sum(freqs.values())
+            for t in sorted(freqs):
+                dids.append(doc_id)
+                terms.append(t)
+                tfs.append(int(freqs[t]))
+                dls.append(int(dl))
+                dfs.append(int(self.reader.df(t)))
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+
+def term_vectors(docs_ds, index_dir: str, *, concurrency=2):
+    """(doc_id, text) Dataset -> per-(doc, term) (tf, dl, df) Dataset."""
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    return docs_ds.map_batches(
+        TermVectorStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
 # explain (per-term score breakdown)
 # ---------------------------------------------------------------------------
 

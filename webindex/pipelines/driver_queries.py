@@ -2818,6 +2818,92 @@ FROM contrib c JOIN top3 USING (qid, doc_id)
 """
 
 
+def q_bm25_page2(sf_dir: str):
+    """ES search_after (stateless deep pagination): page 1 = BM25 top-10;
+    the cursor (score, doc_id of each query's rank-10 row) feeds
+    ``search_one_after``, which returns the next 10 results STRICTLY
+    after the cursor in the total order (score desc, docID asc). The SQL
+    oracle is global ranks 11..20 renumbered — equal because the order is
+    strict (docID tiebreak) and the cursor is the engine's own rank-10
+    row."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs1 = search_queries(
+        _queries_ds(), idx, top_k=TOPK, mode="auto", concurrency=2,
+        batch_size=8,
+    ).to_pandas()
+    last = runs1[runs1["rank"] == TOPK].sort_values("qid")
+    texts = dict(DOC_QUERIES)
+    import ray.data as rd
+
+    q2 = rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array(list(last["qid"]), pa.string()),
+                "text": pa.array(
+                    [texts[q] for q in last["qid"]], pa.string()
+                ),
+                "after_score": pa.array(
+                    last["score"].to_numpy(np.float64), pa.float64()
+                ),
+                "after_doc": pa.array(
+                    last["doc_id"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+    runs2 = search_queries(
+        q2, idx, top_k=TOPK, mode="auto", concurrency=2, batch_size=8
+    )
+    return runs2.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_PAGE2 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, (rank - {TOPK})::INTEGER AS rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+) WHERE rank > {TOPK} AND rank <= {2 * TOPK}
+"""
+
+
+def q_termvectors(sf_dir: str):
+    """ES _termvectors with term_statistics: per (doc, term) of the seed
+    docs, (tf, dl, df) — tf/dl from the analyzer, global df from the
+    index dictionary (webindex/lexicon.py TermVectorStage actor pool)."""
+    from webindex.lexicon import term_vectors
+
+    idx = ensure_index(sf_dir, "nostem")
+    seed_ids = pa.array(MLT_SEEDS, pa.int64())
+    seeds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), seed_ids)),
+        batch_format="pyarrow",
+    )
+    return term_vectors(seeds, idx, concurrency=2)
+
+
+SQL_TERMVECTORS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dft.df
+FROM tf
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN dft ON dft.term = tf.term
+WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
+"""
+
+
 PAGERANK_ITERS = 5
 
 
@@ -2979,6 +3065,8 @@ REGISTRY: dict[str, tuple] = {
     "explain_top3": (q_explain_top3, SQL_EXPLAIN_TOP3),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
+    "termvectors": (q_termvectors, SQL_TERMVECTORS),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),

@@ -135,12 +135,43 @@ class SearcherActor:
         )
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
+        ids, scores = self._ranked(terms, k)
+        return self._post(qid, ids, scores)
+
+    def search_one_after(self, qid: str, text: str, after_score: float,
+                         after_doc: int):
+        """ES ``search_after``: the next ``top_k`` results STRICTLY after
+        the cursor in the total order (score desc, docID asc). Stateless —
+        the caller passes the last row of the previous page. Routed to the
+        full exhaustive ranking (θ-pruning bounds are one-sided: WAND can
+        skip docs scoring BELOW a floor, and a cursor needs docs below a
+        ceiling), then a vectorized cursor cut; in the sharded batch path
+        each shard returns only ``top_k`` after-cursor rows, so deep pages
+        never fan (offset + size) rows into the merge — the ES
+        search_after saving, exactly."""
+        terms = (
+            (text or "").split() if self.pre_tokenized
+            else self.an.tokens(text or "")
+        )
+        full_k = max(int(self.reader._dl_ids.size), 1)
+        ids, scores = self._ranked(terms, full_k, force_exhaustive=True)
+        keep = (scores < after_score) | (
+            (scores == after_score) & (ids > after_doc)
+        )
+        ids, scores = ids[keep], scores[keep]
+        if self.self_hit and ids.size:
+            m = np.array([str(d) != qid for d in ids])
+            ids, scores = ids[m], scores[m]
+        return ids[: self.top_k], scores[: self.top_k]
+
+    def _ranked(self, terms: list[str], k: int,
+                force_exhaustive: bool = False):
+        """Kernel routing shared by top-k search and cursor pagination."""
         if self.query_kind == "phrase":
             from webindex.positional import phrase_topk
 
             mask = self._mask()
-            ids, scores = phrase_topk(self.reader, terms, k, mask=mask)
-            return self._post(qid, ids, scores)
+            return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
                 or self.boosts):
@@ -148,13 +179,12 @@ class SearcherActor:
             # match, minimum_should_match, boosts) take the dedicated
             # exhaustive kernel (pruning θ bounds are invalid under
             # filters/boosts — see wand.exhaustive_constrained)
-            ids, scores = exhaustive_constrained(
+            return exhaustive_constrained(
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
                 min_match=self.min_match, boosts=self.boosts,
             )
-            return self._post(qid, ids, scores)
-        mode = self.mode
+        mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
             dfs = [self.reader.df(t) for t in set(terms)]
             dfs = [d for d in dfs if d > 0]
@@ -170,8 +200,7 @@ class SearcherActor:
                 else "exhaustive"
             )
         fn = block_max_wand if mode == "wand" else exhaustive_topk
-        ids, scores = fn(self.reader, terms, k)
-        return self._post(qid, ids, scores)
+        return fn(self.reader, terms, k)
 
     def facet_one(self, text: str, facet_cols: list[str]):
         """ES terms-aggregation analog: per docvalues column, value counts
@@ -210,10 +239,20 @@ class SearcherActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids_out, dids_out, docid_out, score_out, rank_out = [], [], [], [], []
-        for qid, text in zip(
+        has_cursor = "after_score" in batch.column_names
+        a_scores = (
+            batch.column("after_score").to_pylist() if has_cursor else None
+        )
+        a_docs = batch.column("after_doc").to_pylist() if has_cursor else None
+        for i, (qid, text) in enumerate(zip(
             batch.column("qid").to_pylist(), batch.column("text").to_pylist()
-        ):
-            ids, scores = self.search_one(qid, text)
+        )):
+            if has_cursor:
+                ids, scores = self.search_one_after(
+                    qid, text, a_scores[i], a_docs[i]
+                )
+            else:
+                ids, scores = self.search_one(qid, text)
             n = ids.size
             qids_out.extend([qid] * n)
             dids_out.extend(str(d) for d in ids)
@@ -347,21 +386,19 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
     bounds = shard_salt_bounds(index_dir, n_shards)
 
     def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        qids = batch.column("qid")
-        texts = batch.column("text")
-        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
-        return pa.table(
-            {
-                "shard": pa.array(shard),
-                "qid": pa.concat_arrays(
-                    [qids.combine_chunks()] * len(bounds)
-                ),
-                "text": pa.concat_arrays(
-                    [texts.combine_chunks()] * len(bounds)
-                ),
-            }
-        )
+        # replicate every query column to every shard (cursor pagination
+        # rides along as after_score/after_doc when present)
+        cols = {
+            "shard": pa.array(
+                np.repeat(np.arange(len(bounds), dtype=np.int32),
+                          batch.num_rows)
+            )
+        }
+        for name in batch.column_names:
+            cols[name] = pa.concat_arrays(
+                [batch.column(name).combine_chunks()] * len(bounds)
+            )
+        return pa.table(cols)
 
     def score_shard(g: pa.Table) -> pa.Table:
         sid = g.column("shard")[0].as_py()
@@ -372,11 +409,22 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         searcher.inner.set_constraints(filter_pred, match, query_kind,
                                        min_match=min_match, boosts=boosts,
                                        pre_tokenized=pre_tokenized)
+        has_cursor = "after_score" in g.column_names
+        a_scores = g.column("after_score").to_pylist() if has_cursor else None
+        a_docs = g.column("after_doc").to_pylist() if has_cursor else None
         qid_out, id_out, sc_out = [], [], []
-        for qid, text in zip(
+        for i, (qid, text) in enumerate(zip(
             g.column("qid").to_pylist(), g.column("text").to_pylist()
-        ):
-            ids, scores = searcher.inner.search_one(qid, text)
+        )):
+            if has_cursor:
+                # per-shard after-cursor top-k: the cursor cut is a
+                # per-document predicate, so shard partials compose
+                # exactly under the global (score desc, docID asc) merge
+                ids, scores = searcher.inner.search_one_after(
+                    qid, text, a_scores[i], a_docs[i]
+                )
+            else:
+                ids, scores = searcher.inner.search_one(qid, text)
             qid_out.extend([qid] * ids.size)
             id_out.append(ids)
             sc_out.append(scores)
