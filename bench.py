@@ -242,6 +242,30 @@ def run_bench() -> dict:
     q_events_hourly(SF_DIR).count()
     timings["events_hourly"] = time.time() - t0
 
+    # ---- link analysis: fixed-point PageRank over a synthetic graph ------
+    # one node per bench page, 3 deterministic out-edges each (the synth
+    # rule of webindex.graph); measures the per-iteration combiner +
+    # reduce machinery, not the toy contract graph
+    from webindex.graph import LINK_OFFSETS, pagerank
+
+    m = n_pages
+    nch = (np.arange(m, dtype=np.int64) * 37 + 11) % 997
+    src = np.repeat(np.arange(m, dtype=np.int64), len(LINK_OFFSETS))
+    off = np.tile(np.array(LINK_OFFSETS, dtype=np.int64), m)
+    dst = (src + off + nch[src]) % m
+    keep = dst != src
+    import pyarrow as pa
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    ).repartition(max(8, NUM_CPUS))
+    t0 = time.time()
+    pr = pagerank(edges, iters=5, n_parts=64, n_nodes=m)
+    pr.count()
+    timings["pagerank"] = time.time() - t0
+    extra["pagerank_nodes"] = m
+    extra["pagerank_edges"] = int(keep.sum())
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)

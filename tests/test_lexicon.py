@@ -240,3 +240,19 @@ def test_explain_sums_to_search_score(index_dir, oracle):
             assert row["tf"] == oracle.postings[row["term"]][row["doc_id"]]
             assert row["df"] == oracle.df(row["term"])
             assert row["dl"] == oracle.dl[row["doc_id"]]
+
+
+def test_synonym_search_matches_explicit_term_oracle(index_dir, oracle):
+    from webindex.lexicon import synonym_search
+
+    # mapping over ANALYZED (stemmed) terms — 'merges'/'merged' stem to
+    # 'merg', 'searches' to 'search'; synonyms must NOT be re-analyzed
+    syn = {"merg": ["purg", "surg"], "search": ["sort"]}
+    queries = [("s1", "merges stream"), ("s2", "searching points")]
+    runs = synonym_search(queries, index_dir, syn, top_k=6).to_pandas()
+    for qid, text in queries:
+        base = sorted(set(oracle.an.tokens(text)))
+        terms = {t for qt in base for t in [qt, *syn.get(qt, ())]}
+        want = _score_terms(oracle, terms, 6)
+        sub = runs[runs["qid"] == qid].sort_values("rank")
+        assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want], qid

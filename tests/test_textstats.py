@@ -315,3 +315,39 @@ def test_grouped_topk_matches_pandas():
         out[["g", "id", "v", "rank"]], want[["g", "id", "v", "rank"]],
         check_dtype=False,
     )
+
+
+def test_repetition_signals_hand_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import repetition_batch
+
+    docs = [
+        # 4 lines, "ab" repeats (2 dup lines of 4); chars: total 2+2+2+1=7,
+        # distinct {"ab","c"} = 3 -> dup_line_char_frac 4/7
+        (0, "ab\nab\nab\nc"),
+        # bigrams of [x y x y x]: "x y" x2, "y x" x2 -> top2 2/4;
+        # 3-grams: [x y x, y x y, x y x] -> dup 1/3; 5-grams: 1 total 0 dup
+        (1, "x y x y x"),
+        (2, ""),  # empty: one empty line, no tokens
+        (3, "one"),  # single token: no bigrams at all
+        (4, "a a a a a a"),  # maximal repetition: top2 5/5, dup3 3/4
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([t for _, t in docs])}
+    )
+    out = repetition_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "dup_line_frac"] == 2 / 4
+    assert out.loc[0, "dup_line_char_frac"] == 4 / 7
+    assert out.loc[1, "top2gram_frac"] == 2 / 4
+    assert out.loc[1, "dup3gram_frac"] == 1 / 3
+    assert out.loc[1, "dup5gram_frac"] == 0.0
+    assert out.loc[2, "n_lines"] == 1
+    assert (out.loc[2] == [1, 0, 0, 0, 0, 0]).all()
+    assert out.loc[3, "top2gram_frac"] == 0.0
+    assert out.loc[4, "top2gram_frac"] == 1.0
+    assert out.loc[4, "dup3gram_frac"] == 3 / 4
+    assert out.loc[4, "dup5gram_frac"] == 1 / 2

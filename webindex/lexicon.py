@@ -341,6 +341,55 @@ def more_like_this(seeds_ds, index_dir: str, *, top_k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# query-time synonym expansion (ES synonym filter, expand=true)
+# ---------------------------------------------------------------------------
+
+
+def synonym_search(queries: list[tuple[str, str]], index_dir: str,
+                   synonyms: dict[str, list[str]], *, top_k: int = 10,
+                   **search_kwargs):
+    """ES query-time synonyms with ``expand=true`` (match-query
+    semantics): each analyzed query term expands to itself plus its
+    mapped synonyms; the union is scored as a disjunction where every
+    term contributes with its OWN idf — exactly what ES's query-time
+    ``synonym`` token filter produces for a ``match`` query.
+
+    ``synonyms`` maps ANALYZED terms to lists of ANALYZED terms (the
+    mapping lives in index-term space, like an ES synonyms file after
+    analysis) — which is why scoring goes through the ``pre_tokenized``
+    path: re-analysis would re-stem. Returns the runs Dataset of
+    ``search_queries``.
+    """
+    import ray.data as rd
+
+    from webindex.config import IndexConfig
+    from webindex.search import search_queries
+    from webindex.util import read_json
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    rows_q, rows_t = [], []
+    for qid, text in queries:
+        base = sorted(set(an.tokens(text or "")))
+        exp = sorted(
+            {t for qt in base for t in [qt, *synonyms.get(qt, ())]}
+        )
+        if not exp:
+            continue
+        rows_q.append(qid)
+        rows_t.append(" ".join(exp))
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array(rows_q, pa.string()),
+                  "text": pa.array(rows_t, pa.string())})
+    )
+    return search_queries(
+        q_ds, index_dir, top_k=top_k, pre_tokenized=True, **search_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
 # term vectors (ES _termvectors API)
 # ---------------------------------------------------------------------------
 

@@ -2904,6 +2904,149 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
 """
 
 
+SYNONYMS: dict[str, list[str]] = {
+    "merge": ["join"],
+    "sort": ["order"],
+    "stream": ["window"],
+    "big": ["large"],
+    "fast": ["quick"],
+    "row": ["line"],
+}
+SYN_QUERIES: list[tuple[str, str]] = [
+    ("y1", "merge sort"),
+    ("y2", "fast stream"),
+    ("y3", "big row table"),
+]
+
+
+def q_synonym_top10(sf_dir: str):
+    """ES query-time synonym expansion (expand=true): each analyzed term
+    ORs in its mapped synonyms, every term scored with its own idf
+    (webindex/lexicon.py synonym_search via the pre_tokenized path). The
+    SQL oracle performs the same expansion with a relational join against
+    the synonym VALUES table."""
+    from webindex.lexicon import synonym_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = synonym_search(
+        SYN_QUERIES, idx, SYNONYMS, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _syn_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in SYN_QUERIES
+        for t in sorted(set(_sql_an.tokens(text)))
+    )
+    syn_rows = ", ".join(
+        f"('{t}', '{e}')"
+        for t, exps in sorted(SYNONYMS.items())
+        for e in sorted({t, *exps})
+    )
+    # identity rows for terms with no mapping come from the LEFT JOIN
+    return f"""(
+  SELECT DISTINCT b.qid, coalesce(s.exp, b.term) AS term
+  FROM (VALUES {rows}) b(qid, term)
+  LEFT JOIN (VALUES {syn_rows}) s(term, exp) ON s.term = b.term
+) AS sy(qid, term)"""
+
+
+SQL_SYNONYM_TOP10 = _sql_bm25_scores(_syn_values_sql()) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals (dup-line / dup-line-char / top
+    bigram / dup 3-gram / dup 5-gram fractions) per document — the
+    repetition filters of a Common-Crawl curation pipeline
+    (webindex/textstats.py repetition_signals). Every fraction is one
+    int/int IEEE division, so the SQL oracle is bit-exact."""
+    from webindex.textstats import repetition_signals
+
+    return repetition_signals(_docs(sf_dir))
+
+
+SQL_REPETITION = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+lines AS (
+  SELECT doc_id, l.ln
+  FROM docs, unnest(string_split(text, chr(10))) AS l(ln)
+),
+linestats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         count(DISTINCT ln)::BIGINT AS n_dist,
+         sum(len(ln))::BIGINT AS tot_chars
+  FROM lines GROUP BY doc_id
+),
+dlc AS (
+  SELECT doc_id, sum(len(ln))::BIGINT AS dist_chars
+  FROM (SELECT DISTINCT doc_id, ln FROM lines) GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {_TOK_SQL} AS tk FROM docs),
+g2 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)
+),
+g2s AS (
+  SELECT doc_id, max(c)::BIGINT AS topc, sum(c)::BIGINT AS total
+  FROM (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 2)) AS i FROM toks)
+),
+g3s AS (SELECT doc_id, count(*)::BIGINT AS total,
+               count(DISTINCT g)::BIGINT AS dist
+        FROM g3 GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id,
+         tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+         tk[i + 3] || ' ' || tk[i + 4] AS g
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 4)) AS i FROM toks)
+),
+g5s AS (SELECT doc_id, count(*)::BIGINT AS total,
+               count(DISTINCT g)::BIGINT AS dist
+        FROM g5 GROUP BY doc_id)
+SELECT d.doc_id,
+       ls.n_lines,
+       CASE WHEN ls.n_lines > 0
+            THEN (ls.n_lines - ls.n_dist) / ls.n_lines ELSE 0.0
+       END AS dup_line_frac,
+       CASE WHEN ls.tot_chars > 0
+            THEN (ls.tot_chars - dlc.dist_chars) / ls.tot_chars ELSE 0.0
+       END AS dup_line_char_frac,
+       CASE WHEN g2s.total > 0 THEN g2s.topc / g2s.total ELSE 0.0
+       END AS top2gram_frac,
+       CASE WHEN g3s.total > 0
+            THEN (g3s.total - g3s.dist) / g3s.total ELSE 0.0
+       END AS dup3gram_frac,
+       CASE WHEN g5s.total > 0
+            THEN (g5s.total - g5s.dist) / g5s.total ELSE 0.0
+       END AS dup5gram_frac
+FROM docs d
+JOIN linestats ls USING (doc_id)
+JOIN dlc USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g3s USING (doc_id)
+LEFT JOIN g5s USING (doc_id)
+"""
+
+
 PAGERANK_ITERS = 5
 
 
@@ -3067,6 +3210,8 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "synonym_top10": (q_synonym_top10, SQL_SYNONYM_TOP10),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),

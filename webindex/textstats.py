@@ -171,3 +171,82 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fp_roll": pa.array(rolls, pa.int64()),
         }
     )
+
+
+_ASCII_TOK_RE = re.compile(r"[a-z0-9]+")
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    paper; no reference counterpart) — the repetition filters a
+    Common-Crawl curation pipeline applies before training:
+
+    - ``dup_line_frac``       (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_frac``  chars in repeat lines / chars in all lines
+      (each distinct line's chars counted once in the numerator's
+      complement — exact rational, see below)
+    - ``top2gram_frac``       occurrences of the most frequent word
+      bigram / total bigrams
+    - ``dup3gram_frac`` / ``dup5gram_frac``
+                              (total n-grams - distinct n-grams) / total
+
+    Tokens are ``[a-z0-9]+`` over the lowercased text (the repo's
+    SQL-safe analyzer regex), lines split on ``\\n`` — both reproducible
+    in DuckDB, and every fraction is one integer/integer IEEE division,
+    so the DuckDB oracle matches bit for bit. Documents too short for an
+    n-gram emit 0.0 (no denominator).
+    """
+    from collections import Counter
+
+    dids = batch.column("doc_id").to_pylist()
+    out = {
+        "n_lines": [], "dup_line_frac": [], "dup_line_char_frac": [],
+        "top2gram_frac": [], "dup3gram_frac": [], "dup5gram_frac": [],
+    }
+    for t in batch.column("text").to_pylist():
+        t = t or ""
+        lines = t.split("\n")
+        n_lines = len(lines)
+        n_dist = len(set(lines))
+        tot_chars = sum(len(ln) for ln in lines)
+        dist_chars = sum(len(ln) for ln in set(lines))
+        out["n_lines"].append(n_lines)
+        out["dup_line_frac"].append(
+            (n_lines - n_dist) / n_lines if n_lines else 0.0
+        )
+        out["dup_line_char_frac"].append(
+            (tot_chars - dist_chars) / tot_chars if tot_chars else 0.0
+        )
+        toks = _ASCII_TOK_RE.findall(t.lower())
+        for n, col in ((2, "top2gram_frac"), (3, "dup3gram_frac"),
+                       (5, "dup5gram_frac")):
+            total = len(toks) - n + 1
+            if total <= 0:
+                out[col].append(0.0)
+                continue
+            grams = Counter(
+                " ".join(toks[i: i + n]) for i in range(total)
+            )
+            if n == 2:
+                out[col].append(max(grams.values()) / total)
+            else:
+                out[col].append((total - len(grams)) / total)
+    return pa.table(
+        {
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_lines": pa.array(out["n_lines"], pa.int64()),
+            "dup_line_frac": pa.array(out["dup_line_frac"], pa.float64()),
+            "dup_line_char_frac": pa.array(
+                out["dup_line_char_frac"], pa.float64()
+            ),
+            "top2gram_frac": pa.array(out["top2gram_frac"], pa.float64()),
+            "dup3gram_frac": pa.array(out["dup3gram_frac"], pa.float64()),
+            "dup5gram_frac": pa.array(out["dup5gram_frac"], pa.float64()),
+        }
+    )
+
+
+def repetition_signals(ds):
+    """documents Dataset -> per-doc repetition-signal Dataset (stateless
+    ``map_batches``; scale-safe — no shuffle, no state)."""
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
