@@ -694,8 +694,10 @@ def minhash_bands(sig_ds, num_perm: int = 128, bands: int = 16):
     return sig_ds.map_batches(explode, batch_format="pyarrow")
 
 
-def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
+def jaccard(text_a: str, text_b: str, k: int = 3,
+            base_hash: str = "blake2b") -> float:
+    sa = set(_shingle_hashes(text_a, k, base_hash))
+    sb = set(_shingle_hashes(text_b, k, base_hash))
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
@@ -706,7 +708,8 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.8,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
-                  driver_threshold: int = 100_000) -> pd.DataFrame:
+                  driver_threshold: int = 100_000,
+                  base_hash: str = "blake2b") -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (doc_id, cluster) pandas frame.
 
     ``ds`` needs (doc_id, text). Verification hash-joins the LSH candidate
@@ -720,12 +723,13 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     # a 6.8s sf0.1 run); tasks scale elastically with the data
     del concurrency
 
-    def sig_batch(batch: pa.Table, num_perm=num_perm, shingle_k=shingle_k):
-        key = ("minhash", num_perm, shingle_k)
+    def sig_batch(batch: pa.Table, num_perm=num_perm, shingle_k=shingle_k,
+                  base_hash=base_hash):
+        key = ("minhash", num_perm, shingle_k, base_hash)
         st = _STAGE_CACHE.get(key)
         if st is None:
             st = _STAGE_CACHE[key] = MinHashStage(
-                num_perm=num_perm, shingle_k=shingle_k
+                num_perm=num_perm, shingle_k=shingle_k, base_hash=base_hash
             )
         return st(batch)
 
@@ -741,11 +745,13 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
         pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
     )
 
-    def verify(batch: pa.Table, k=shingle_k, thr=threshold) -> pa.Table:
+    def verify(batch: pa.Table, k=shingle_k, thr=threshold,
+               bh=base_hash) -> pa.Table:
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
         keep = pa.array(
-            [jaccard(x or "", y or "", k) >= thr for x, y in zip(ta, tb)]
+            [jaccard(x or "", y or "", k, bh) >= thr
+             for x, y in zip(ta, tb)]
         )
         out = batch.filter(keep)
         return out.select(["a", "b"])
@@ -882,17 +888,19 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def simhash_dedup(ds, *, max_hamming: int = 3,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
-                  driver_threshold: int = 100_000) -> pd.DataFrame:
+                  driver_threshold: int = 100_000,
+                  base_hash: str = "blake2b") -> pd.DataFrame:
     """SimHash near-dup: 4 x 16-bit band buckets (any doc pair within
     hamming distance 3 shares at least one exact band), verified by full
     hamming distance computed in ``map_batches`` after hash-joining the
     signatures onto both pair sides (no driver materialization)."""
     del concurrency
 
-    def sig_batch(batch: pa.Table):
-        st = _STAGE_CACHE.get("simhash")
+    def sig_batch(batch: pa.Table, base_hash=base_hash):
+        key = ("simhash", base_hash)
+        st = _STAGE_CACHE.get(key)
         if st is None:
-            st = _STAGE_CACHE["simhash"] = SimHashStage()
+            st = _STAGE_CACHE[key] = SimHashStage(base_hash=base_hash)
         return st(batch)
 
     # signatures are 16 bytes/doc: materializing keeps them in the object

@@ -2036,6 +2036,158 @@ GROUP BY h.doc_id, pm.perm
 """
 
 
+def q_minhash_poly_clusters(sf_dir: str):
+    """END-TO-END SQL-proven MinHash-LSH near-dup: the full production
+    pipeline (shingle -> permutation-min signature -> band buckets ->
+    candidate pairs -> exact-Jaccard verify -> connected components) run
+    with the poly base hash so a DuckDB oracle reproduces every stage —
+    banding included (the oracle buckets by the band SLICE itself, which
+    has the same equality structure as the engine's band hash). Docs with
+    no ASCII token are excluded up front (they have no shingles; the
+    default pipeline gives them the sentinel signature)."""
+    from webindex.dedup import minhash_dedup
+
+    def keep_tokenful(t: pa.Table) -> pa.Table:
+        has = pc.match_substring_regex(
+            pc.utf8_lower(pc.coalesce(t.column("text"), pa.scalar(""))),
+            "[a-z0-9]",
+        )
+        return t.filter(has)
+
+    docs = _docs(sf_dir).map_batches(keep_tokenful, batch_format="pyarrow")
+    return minhash_dedup(
+        docs, num_perm=_MH_PERMS, bands=4, shingle_k=3, threshold=0.8,
+        base_hash="poly",
+    )
+
+
+_MH_R = _MH_PERMS // 4  # rows per band in the poly clusters entry
+
+SQL_MINHASH_POLY_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3
+         THEN list_transform(range(len(tk) - 2),
+                             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+         ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks WHERE len(tk) > 0
+),
+sh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+hx AS (
+  SELECT DISTINCT doc_id, {_POLY_HASH_SQL.format(col='g')} AS x FROM sh
+),
+mh AS (
+  SELECT h.doc_id, pm.perm,
+         min((pm.a * h.x + pm.b) % 2305843009213693951)::BIGINT AS mh
+  FROM hx h CROSS JOIN {_mh_perms_sql()}
+  GROUP BY h.doc_id, pm.perm
+),
+sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM mh
+        GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.bi,
+         list_slice(sig, b.bi * {_MH_R} + 1, b.bi * {_MH_R} + {_MH_R}) AS sl
+  FROM sig, (VALUES (0), (1), (2), (3)) b(bi)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.sl = y.sl AND x.doc_id < y.doc_id
+),
+szs AS (SELECT doc_id, count(*)::BIGINT AS sz FROM hx GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN hx ha ON ha.doc_id = c.a
+  JOIN hx hb ON hb.doc_id = c.b AND hb.x = ha.x
+  GROUP BY c.a, c.b
+),
+good AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN szs sa ON sa.doc_id = c.a
+  JOIN szs sb ON sb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.8
+),
+edges AS (SELECT a AS u, b AS v FROM good UNION SELECT b, a FROM good),
+walk(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.m FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node
+"""
+
+
+def q_simhash_poly_clusters(sf_dir: str):
+    """END-TO-END SQL-proven SimHash near-dup: tf-weighted bit-majority
+    signature (poly base hash, 61-bit) -> 4 x 16-bit band buckets ->
+    hamming <= 3 verify -> connected components, each stage reproduced by
+    the DuckDB oracle (bands via shift/mask, hamming via
+    bit_count(xor))."""
+    from webindex.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=3, base_hash="poly")
+
+
+SQL_SIMHASH_POLY_CLUSTERS = f"""
+WITH RECURSIVE tc AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+hxbits AS (
+  SELECT doc_id, ({_POLY_HASH_SQL.format(col='tok')})::BIGINT AS h, c
+  FROM tc
+),
+bitsum AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hxbits, (SELECT unnest(generate_series(0, 60)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+-- tokenless docs never enter tc; give them simhash 0 like the engine
+sig AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, b.bi, (simhash >> (16 * b.bi)) & 65535 AS bv
+  FROM sig, (VALUES (0), (1), (2), (3)) b(bi)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+),
+good AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+),
+edges AS (SELECT a AS u, b AS v FROM good UNION SELECT b, a FROM good),
+walk(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.m FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node
+"""
+
+
 def q_simhash_sigs(sf_dir: str):
     """(doc_id, simhash) with the poly base hash (61-bit tf-weighted
     bit-majority; tokenless docs get 0)."""
@@ -3212,6 +3364,10 @@ REGISTRY: dict[str, tuple] = {
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
     "repetition": (q_repetition, SQL_REPETITION),
     "synonym_top10": (q_synonym_top10, SQL_SYNONYM_TOP10),
+    "minhash_poly_clusters": (q_minhash_poly_clusters,
+                              SQL_MINHASH_POLY_CLUSTERS),
+    "simhash_poly_clusters": (q_simhash_poly_clusters,
+                              SQL_SIMHASH_POLY_CLUSTERS),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
