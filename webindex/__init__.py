@@ -33,6 +33,12 @@ Layers
 - parallel    : UDF harness with log/fail error channels + retries
 - pipelines   : end-to-end compositions (run_bm25, corpus prep, driver
                 contract registry); CLI via ``python -m webindex``
+- lexicon     : dictionary-driven query operators (suggest, fuzzy, MLT,
+                synonyms, explain, termvectors)
+- sketch      : exact distributed heavy hitters (certified two-pass)
+- graph       : link analysis (fixed-point PageRank over edge Datasets)
+- temporal/quantile : as-of & range joins, sliding windows, exact
+                distributed per-group median
 - dedup/ann/textstats/textutil/relational/multimodal :
                 training-data pipeline operators
 """

@@ -18,6 +18,10 @@ Commands:
           tombstoned; needs an index built with build --urlmap)
   check   --index DIR   (integrity fsck: re-derives dictionary/stats/block
           metadata from the segments through the codec; exit 1 on damage)
+  suggest --index DIR --prefix P [--prefix P2 ...] [--top-k K]
+          (completion suggester over the dict sidecar)
+  mlt     --index DIR --doc-id ID --text "..." [--top-k K] [--max-terms N]
+          (more-like-this: tf-idf term selection + BM25, seed excluded)
 
 Filter clauses are ``col OP value`` with OP in ==, !=, <=, >=, <, >
 (value coerced to int/float when it parses as one); repeat --filter for
@@ -166,6 +170,36 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    _init_ray()
+    from webindex.lexicon import suggest
+
+    out = suggest(args.index, args.prefix, k=args.top_k)
+    for row in out.itertuples(index=False):
+        print(f"{row.prefix}\t{row.rank}\t{row.term}\t{row.df}")
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    _init_ray()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.lexicon import more_like_this
+
+    seeds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([args.doc_id], pa.int64()),
+                  "text": pa.array([args.text])})
+    )
+    runs = more_like_this(
+        seeds, args.index, top_k=args.top_k,
+        max_query_terms=args.max_terms,
+    ).to_pandas().sort_values("rank")
+    for row in runs.itertuples(index=False):
+        print(f"{row.rank}\t{row.doc_id}\t{row.score:.6f}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     _init_ray()
     import pyarrow.dataset as pads
@@ -276,6 +310,22 @@ def main(argv=None) -> int:
                    metavar="TERM=WEIGHT",
                    help="per-term score boost (repeatable)")
     m.set_defaults(fn=cmd_msearch)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", action="append", required=True,
+                    help="completion prefix (repeatable)")
+    sg.add_argument("--top-k", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    ml.add_argument("--text", required=True,
+                    help="the seed document's text")
+    ml.add_argument("--top-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25, dest="max_terms")
+    ml.set_defaults(fn=cmd_mlt)
 
     e = sub.add_parser("eval")
     e.add_argument("--runs", required=True)
