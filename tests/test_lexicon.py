@@ -256,3 +256,49 @@ def test_synonym_search_matches_explicit_term_oracle(index_dir, oracle):
         want = _score_terms(oracle, terms, 6)
         sub = runs[runs["qid"] == qid].sort_values("rank")
         assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want], qid
+
+
+def test_spell_correct_missing_only(index_dir, oracle):
+    from webindex.lexicon import spell_correct
+
+    # 'merg' IS a dictionary term (stem of merge/merges/merged) -> no row;
+    # 'mearg' and 'stteam' are missing -> corrected; 'zzzz' has no
+    # neighbor within distance 1
+    out = spell_correct(
+        index_dir, ["merg", "mearg", "stteam", "zzzz"], max_edits=1,
+        prefix_len=1, k=2,
+    )
+    assert "merg" not in set(out["qterm"])
+    assert "zzzz" not in set(out["qterm"])
+    for qt in ("mearg", "stteam"):
+        sub = out[out["qterm"] == qt]
+        assert len(sub) >= 1
+        # brute: all dict terms within distance 1 sharing the first char,
+        # ranked (df desc, term asc), top-2
+        cand = sorted(
+            ((-oracle.df(t), t) for t in oracle.postings
+             if t[0] == qt[0] and _lev_ref(t, qt) <= 1)
+        )[:2]
+        assert list(sub["term"]) == [t for _, t in cand], qt
+
+
+def test_count_queries_matches_postings_union(index_dir, oracle,
+                                              ray_session):
+    import ray.data as rd
+
+    from webindex.search import count_queries
+
+    queries = [("c1", "merge stream"), ("c2", "searching sorted"),
+               ("c3", "nonexistenttoken")]
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array([q for q, _ in queries]),
+                  "text": pa.array([t for _, t in queries])})
+    )
+    got = count_queries(q_ds, index_dir).to_pandas()
+    got = dict(zip(got["qid"], got["total"].astype(int)))
+    for qid, text in queries:
+        want = len(
+            {d for t in set(oracle.an.tokens(text))
+             for d in oracle.postings.get(t, {})}
+        )
+        assert got.get(qid, 0) == want, qid

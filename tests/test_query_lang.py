@@ -642,3 +642,29 @@ def test_invalid_boost_and_phrase_combination(index_dir):
     with pytest.raises(ValueError, match="phrase"):
         SearcherActor(index_dir, top_k=5, query_kind="phrase",
                       boosts={"alpha": 2.0})
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_must_not_matches_oracle(index_dir, oracle, impl):
+    # negate a mid-frequency word: survivors' scores must be EXACTLY the
+    # unconstrained scores (must_not is filter-context), and no survivor
+    # may contain a negated term
+    neg = ["gamma", "rare1"]
+    an = oracle.an
+    neg_terms = {t for m in neg for t in an.tokens(m)}
+    banned = {
+        d["doc_id"] for d in DOCS
+        if neg_terms & set(an.tokens(d["text"]))
+    }
+    allowed = {d["doc_id"] for d in DOCS} - banned
+    assert banned and allowed  # fixture must exercise both sides
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        must_not=neg, concurrency=2, batch_size=4,
+    )
+    want = {
+        qid: _oracle_constrained(oracle, text, 7, allowed=allowed)
+        for qid, text in QUERIES
+    }
+    want = {q: w for q, w in want.items() if w}
+    _assert_matches(_runs_rows(runs), want)

@@ -340,6 +340,47 @@ def more_like_this(seeds_ds, index_dir: str, *, top_k: int = 10,
     )
 
 
+def spell_correct(index_dir: str, terms: list[str], *, max_edits: int = 1,
+                  prefix_len: int = 1, k: int = 3) -> pd.DataFrame:
+    """ES term suggester with ``suggest_mode=missing`` ("did you mean"):
+    for query terms ABSENT from the dictionary, the top-``k`` dictionary
+    terms within ``max_edits`` Levenshtein distance ranked by
+    (df desc, term asc). Terms present in the dictionary produce no rows
+    (they need no correction). Returns (qterm, term, df, rank).
+
+    Two distributed dict scans: a membership check (is_in over the dict
+    sidecar) and the fuzzy expansion of the missing terms — both
+    per-batch vectorized with bounded partials.
+    """
+    qs = sorted(set(terms))
+
+    def member(batch: pa.Table, want=pa.array(qs, pa.string())) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch.column("term"), want))
+        return hit.select(["term"])
+
+    present = set()
+    for b in (
+        _dict_ds(index_dir)
+        .map_batches(member, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        present.update(b.column("term").to_pylist())
+    missing = [t for t in qs if t not in present]
+    if not missing:
+        return pd.DataFrame(
+            {"qterm": pd.Series(dtype=str), "term": pd.Series(dtype=str),
+             "df": pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int32)}
+        )
+    exp = fuzzy_expand(
+        index_dir, missing, max_edits=max_edits, max_expansions=k,
+        prefix_len=prefix_len,
+    )
+    exp = exp.reset_index(drop=True)
+    exp["rank"] = (exp.groupby("qterm").cumcount() + 1).astype(np.int32)
+    return exp
+
+
 # ---------------------------------------------------------------------------
 # query-time synonym expansion (ES synonym filter, expand=true)
 # ---------------------------------------------------------------------------

@@ -3056,6 +3056,114 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
 """
 
 
+MUST_NOT_TERMS = ["slow", "big"]
+
+
+def q_bm25_not_top10(sf_dir: str):
+    """ES bool must_not: BM25 top-10 excluding every doc that contains any
+    negated term; survivor scores unchanged (must_not is filter-context —
+    it never contributes to the score). Routed to the constrained
+    exhaustive kernel; exclusion is per-document, so the sharded
+    scatter-gather merge composes exactly."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        must_not=MUST_NOT_TERMS,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_NOT_TOP10 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term IN ({", ".join(f"'{t}'" for t in MUST_NOT_TERMS)})
+  )
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_search_count(sf_dir: str):
+    """ES _count / track_total_hits: each query's FULL match count (OR
+    semantics), sharded count + exact Sum merge
+    (webindex/search.py count_queries)."""
+    from webindex.search import count_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    return count_queries(_queries_ds(), idx)
+
+
+SQL_SEARCH_COUNT = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qt AS (SELECT * FROM {_query_values_sql()}),
+hits AS (
+  SELECT qt.qid, tk.doc_id
+  FROM qt JOIN toks tk ON tk.term = qt.term
+)
+-- LEFT JOIN from the query list: a zero-match query still emits a 0 row
+-- (the engine always emits one row per qid, like ES _count)
+SELECT q.qid, count(DISTINCT h.doc_id)::BIGINT AS total
+FROM (SELECT DISTINCT qid FROM qt) q
+LEFT JOIN hits h ON h.qid = q.qid
+GROUP BY q.qid
+"""
+
+
+SPELL_TERMS = ["mergge", "windoww", "batch", "qzqzq", "custmer"]
+SPELL_K = 3
+
+
+def q_spell_correct(sf_dir: str):
+    """ES term suggester, suggest_mode=missing (did-you-mean): top-3
+    dictionary corrections within edit distance 1 (first char pinned) for
+    the query terms absent from the dictionary; in-dictionary terms emit
+    nothing (webindex/lexicon.py spell_correct)."""
+    from webindex.lexicon import spell_correct
+
+    idx = ensure_index(sf_dir, "nostem")
+    return spell_correct(
+        idx, SPELL_TERMS, max_edits=1, prefix_len=1, k=SPELL_K
+    )
+
+
+SQL_SPELL_CORRECT = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+miss AS (
+  SELECT v.qterm
+  FROM (VALUES {", ".join(f"('{t}')" for t in sorted(set(SPELL_TERMS)))})
+       v(qterm)
+  WHERE NOT EXISTS (SELECT 1 FROM dft d WHERE d.term = v.qterm)
+)
+SELECT m.qterm, e.term, e.df,
+       row_number() OVER (PARTITION BY m.qterm
+                          ORDER BY e.df DESC, e.term)::INTEGER AS rank
+FROM miss m,
+LATERAL (
+  SELECT term, df FROM dft
+  WHERE levenshtein(term, m.qterm) <= 1
+    AND substr(term, 1, 1) = substr(m.qterm, 1, 1)
+  ORDER BY df DESC, term LIMIT {SPELL_K}
+) e
+"""
+
+
 SYNONYMS: dict[str, list[str]] = {
     "merge": ["join"],
     "sort": ["order"],
@@ -3364,6 +3472,9 @@ REGISTRY: dict[str, tuple] = {
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
     "repetition": (q_repetition, SQL_REPETITION),
     "synonym_top10": (q_synonym_top10, SQL_SYNONYM_TOP10),
+    "search_count": (q_search_count, SQL_SEARCH_COUNT),
+    "bm25_not_top10": (q_bm25_not_top10, SQL_BM25_NOT_TOP10),
+    "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
                               SQL_MINHASH_POLY_CLUSTERS),
     "simhash_poly_clusters": (q_simhash_poly_clusters,

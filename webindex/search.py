@@ -50,7 +50,8 @@ class SearcherActor:
                  doc_id_range=None, filter_pred=None, match: str = "or",
                  query_kind: str = "match", min_match: int | None = None,
                  boosts: dict[str, float] | None = None,
-                 pre_tokenized: bool = False):
+                 pre_tokenized: bool = False,
+                 must_not: list[str] | None = None):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -75,13 +76,14 @@ class SearcherActor:
         # (positional index, webindex.positional)
         self.set_constraints(filter_pred, match, query_kind,
                              min_match=min_match, boosts=boosts,
-                             pre_tokenized=pre_tokenized)
+                             pre_tokenized=pre_tokenized, must_not=must_not)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
                         min_match: int | None = None,
                         boosts: dict[str, float] | None = None,
-                        pre_tokenized: bool = False):
+                        pre_tokenized: bool = False,
+                        must_not: list[str] | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -110,6 +112,14 @@ class SearcherActor:
         # matters for stemmed indexes: Porter is not idempotent, so
         # re-analyzing a stem can change it.
         self.pre_tokenized = bool(pre_tokenized)
+        # must_not (ES bool negation): analyzed once here; docs containing
+        # ANY of these terms are excluded from every match-query result.
+        # Filter-context semantics: exclusion never changes a survivor's
+        # score. match queries only (phrase negation would need positions).
+        self.must_not = (
+            sorted({t for m in must_not for t in self.an.tokens(m or "")})
+            if must_not else None
+        )
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -174,7 +184,7 @@ class SearcherActor:
             return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
-                or self.boosts):
+                or self.boosts or self.must_not):
             # constrained queries (filter predicate, pending deletes, AND
             # match, minimum_should_match, boosts) take the dedicated
             # exhaustive kernel (pruning θ bounds are invalid under
@@ -183,6 +193,7 @@ class SearcherActor:
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
                 min_match=self.min_match, boosts=self.boosts,
+                neg_terms=self.must_not,
             )
         mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
@@ -326,7 +337,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    filter_pred=None, match: str = "or",
                    query_kind: str = "match", min_match: int | None = None,
                    boosts: dict[str, float] | None = None,
-                   pre_tokenized: bool = False):
+                   pre_tokenized: bool = False,
+                   must_not: list[str] | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -376,7 +388,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             self_hit_filter=self_hit_filter, concurrency=concurrency,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
-            pre_tokenized=pre_tokenized,
+            pre_tokenized=pre_tokenized, must_not=must_not,
         )
 
     import pandas as pd
@@ -408,7 +420,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         )
         searcher.inner.set_constraints(filter_pred, match, query_kind,
                                        min_match=min_match, boosts=boosts,
-                                       pre_tokenized=pre_tokenized)
+                                       pre_tokenized=pre_tokenized,
+                                       must_not=must_not)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -464,7 +477,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          query_kind: str = "match",
                          min_match: int | None = None,
                          boosts: dict[str, float] | None = None,
-                         pre_tokenized: bool = False):
+                         pre_tokenized: bool = False,
+                         must_not: list[str] | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -495,10 +509,79 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
+            must_not=must_not,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def count_queries(queries_ds, index_dir: str, *, match: str = "or",
+                  filter_pred=None, n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, total): each query's FULL match count
+    (the ES ``track_total_hits=true`` / ``_count`` surface — no scoring,
+    no top-k).
+
+    Same shard fan-out as :func:`facet_counts`: each salt-range shard
+    counts its own matches (one int16 scatter over the query's postings,
+    ``wand.match_positions``) and an exact Sum-merge by qid reassembles
+    the global total; per-doc membership makes shard partials compose
+    exactly. Respects ``match="and"``, docvalues filter predicates, and
+    tombstones, like the ranked paths."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        qid_out, c_out = [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            qid_out.append(qid)
+            c_out.append(int(sel.size))
+        return pa.table(
+            {"qid": pa.array(qid_out, pa.string()),
+             "total_p": pa.array(c_out, pa.int64())}
+        )
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(count_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").aggregate(
+        Sum("total_p", alias_name="total")
     )
 
 

@@ -139,7 +139,8 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
                            mask: np.ndarray | None = None,
                            require_all: bool = False,
                            min_match: int | None = None,
-                           boosts: dict[str, float] | None = None):
+                           boosts: dict[str, float] | None = None,
+                           neg_terms: list[str] | None = None):
     """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
     ``match`` + ``filter`` context, ``operator: and``,
     ``minimum_should_match`` and per-term query boosts — the query
@@ -195,6 +196,17 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
         sel = sel[hits[sel] >= need]
     if mask is not None:
         sel = sel[mask[sel]]
+    if neg_terms:
+        # must_not (ES bool negation): drop docs containing ANY negative
+        # term; exclusion is per-document, so it composes exactly with
+        # the sharded scatter-gather merge. Survivor scores are the
+        # positive clauses' sums, untouched (ES semantics: must_not is a
+        # filter-context clause, it never contributes to the score).
+        excl = np.zeros(dl_ids.size, dtype=bool)
+        for pl in query_postings(reader, sorted(set(neg_terms))):
+            _dense(pl, reader)
+            excl[pl.dense_pos] = True
+        sel = sel[~excl[sel]]
     return _rank_topk(dl_ids[sel], scores[sel], k)
 
 
