@@ -351,3 +351,47 @@ def test_repetition_signals_hand_cases(ray_session):
     assert out.loc[4, "top2gram_frac"] == 1.0
     assert out.loc[4, "dup3gram_frac"] == 3 / 4
     assert out.loc[4, "dup5gram_frac"] == 1 / 2
+
+
+def test_deterministic_sample_properties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.relational import deterministic_sample, stratified_sample
+
+    n = 2000
+    tab = pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()),
+         "lang": pa.array(["en", "de", "fr"][i % 3] for i in range(n))}
+    )
+    ds = rd.from_arrow(tab)
+
+    s10 = set(deterministic_sample(ds, 0.1).to_pandas()["doc_id"])
+    s30 = set(deterministic_sample(ds, 0.3).to_pandas()["doc_id"])
+    # nesting: a grown frac keeps everything it kept before
+    assert s10 <= s30
+    # rate lands near the target (md5 is uniform)
+    assert 0.05 < len(s10) / n < 0.15
+    assert 0.24 < len(s30) / n < 0.36
+    # partition-independent
+    s30b = set(
+        deterministic_sample(ds.repartition(13), 0.3)
+        .to_pandas()["doc_id"]
+    )
+    assert s30 == s30b
+    # salt decorrelates
+    s30c = set(
+        deterministic_sample(ds, 0.3, salt="v2").to_pandas()["doc_id"]
+    )
+    assert s30 != s30c
+
+    st = stratified_sample(ds, "lang", {"en": 0.5, "de": 0.1}).to_pandas()
+    by = st.groupby("lang")["doc_id"].count()
+    assert "fr" not in by.index  # default_frac 0 drops the stratum
+    assert by["en"] > by.get("de", 0)
+    # per-stratum membership equals the flat rule at that stratum's frac
+    en_flat = {
+        d for d in tab.column("doc_id").to_pylist()
+        if d % 3 == 0  # lang == en
+    } & set(deterministic_sample(ds, 0.5).to_pandas()["doc_id"])
+    assert set(st[st["lang"] == "en"]["doc_id"]) == en_flat

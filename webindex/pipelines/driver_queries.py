@@ -3056,6 +3056,112 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
 """
 
 
+PACK_CAP = 128
+PACK_BUCKETS = 8
+
+
+def q_packed_seqs(sf_dir: str):
+    """Token-budget sequence packing (LLM pretraining data prep,
+    webindex/pack.py): docs bucketed by doc_id % 8 pack greedily in
+    ascending doc_id order into 128-token sequences; oversized docs get a
+    sequence of their own. Deterministic per spec, so the DuckDB
+    recursive-CTE oracle replays the greedy scan row for row."""
+    from webindex.pack import pack_sequences
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        an = Analyzer(SQL_SAFE_ANALYZER)
+        nt = [
+            len(an.tokens(t or ""))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tokens": pa.array(nt, pa.int64())}
+        )
+
+    docs = _docs(sf_dir).map_batches(with_tokens, batch_format="pyarrow")
+    return pack_sequences(
+        docs, max_tokens=PACK_CAP, n_buckets=PACK_BUCKETS
+    )
+
+
+SQL_PACKED_SEQS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, len({_TOK_SQL})::BIGINT AS nt,
+         (doc_id % {PACK_BUCKETS})::INTEGER AS bucket
+  FROM documents
+),
+ord AS (
+  SELECT doc_id, nt, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+),
+state(bucket, rn, doc_id, nt, seq, off, cum) AS (
+  SELECT bucket, rn, doc_id, nt, 0::BIGINT, 0::BIGINT, nt
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.nt,
+         CASE WHEN s.cum > 0 AND s.cum + o.nt > {PACK_CAP}
+              THEN s.seq + 1 ELSE s.seq END,
+         CASE WHEN s.cum > 0 AND s.cum + o.nt > {PACK_CAP}
+              THEN 0 ELSE s.cum END,
+         CASE WHEN s.cum > 0 AND s.cum + o.nt > {PACK_CAP}
+              THEN o.nt ELSE s.cum + o.nt END
+  FROM state s JOIN ord o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+)
+SELECT doc_id, bucket, seq, off AS "offset" FROM state
+"""
+
+
+SAMPLE_FRAC = 0.2
+STRATA_FRACS = {"en": 0.5, "de": 0.1}
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic content-hash sampling (md5-prefix threshold —
+    partition/engine-independent, repeatable; webindex/relational.py
+    deterministic_sample): keep ~20% of documents by doc_id hash."""
+    from webindex.relational import deterministic_sample
+
+    return deterministic_sample(
+        _docs(sf_dir).select_columns(["doc_id"]), SAMPLE_FRAC
+    )
+
+
+_SAMPLE_TH = format(int(SAMPLE_FRAC * 16**8), "08x")
+
+SQL_SAMPLE_DOCS = f"""
+SELECT doc_id FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{_SAMPLE_TH}'
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (per-language corpus-mix
+    quotas): en at 50%, de at 10%, everything else dropped
+    (webindex/relational.py stratified_sample)."""
+    import ray.data as rd
+
+    from webindex.relational import stratified_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    return stratified_sample(docs, "lang", STRATA_FRACS)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) < CASE lang
+  {" ".join(
+      f"WHEN '{k}' THEN '{format(int(f * 16**8), '08x')}'"
+      for k, f in sorted(STRATA_FRACS.items())
+  )}
+  ELSE '00000000' END
+"""
+
+
 MUST_NOT_TERMS = ["slow", "big"]
 
 
@@ -3474,6 +3580,9 @@ REGISTRY: dict[str, tuple] = {
     "synonym_top10": (q_synonym_top10, SQL_SYNONYM_TOP10),
     "search_count": (q_search_count, SQL_SEARCH_COUNT),
     "bm25_not_top10": (q_bm25_not_top10, SQL_BM25_NOT_TOP10),
+    "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
+    "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
                               SQL_MINHASH_POLY_CLUSTERS),

@@ -95,3 +95,61 @@ def grouped_topk(ds, keys: list[str], order_col: str, k: int, *,
         return out
 
     return hash_partitioned_groupby(ds, keys, topk, final, n_parts=n_parts)
+
+
+def _md5_prefix(key: str, salt: str = "") -> str:
+    from hashlib import md5
+
+    return md5((salt + key).encode("utf-8")).hexdigest()[:8]
+
+
+def deterministic_sample(ds, frac: float, *, key_col: str = "doc_id",
+                         salt: str = ""):
+    """Deterministic content-hash sampling: keep a row iff the first 8 hex
+    chars of ``md5(salt + str(key))`` fall below ``frac`` of the hash
+    space. Partition- and engine-independent (DuckDB's ``md5()`` produces
+    the identical digest, and fixed-width lowercase hex compares
+    lexicographically like the number it encodes), repeatable across
+    runs, and a superset/subset relation holds across fracs — the
+    properties a training-data subsampling step needs that
+    ``Dataset.random_sample`` cannot give. Stateless ``map_batches``; no
+    shuffle.
+    """
+    thresh = format(min(int(frac * 16**8), 16**8), "08x")
+
+    def keep(batch):
+        import pyarrow as pa
+
+        keys = batch.column(key_col).to_pylist()
+        m = [_md5_prefix(str(k), salt) < thresh for k in keys]
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, strata_col: str, fracs: dict, *,
+                      default_frac: float = 0.0, key_col: str = "doc_id",
+                      salt: str = ""):
+    """Per-stratum deterministic sampling (e.g. per-language quotas in a
+    corpus mix): each row's keep-threshold comes from its stratum's frac.
+    Same md5-prefix rule as :func:`deterministic_sample`, so strata can
+    be re-balanced later and previously-kept rows stay kept whenever a
+    stratum's frac only grows."""
+    th = {
+        k: format(min(int(f * 16**8), 16**8), "08x")
+        for k, f in fracs.items()
+    }
+    th_default = format(min(int(default_frac * 16**8), 16**8), "08x")
+
+    def keep(batch):
+        import pyarrow as pa
+
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        m = [
+            _md5_prefix(str(k), salt) < th.get(s, th_default)
+            for k, s in zip(keys, strata)
+        ]
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
