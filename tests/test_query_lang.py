@@ -668,3 +668,29 @@ def test_must_not_matches_oracle(index_dir, oracle, impl):
     }
     want = {q: w for q, w in want.items() if w}
     _assert_matches(_runs_rows(runs), want)
+
+
+def test_facet_stats_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_stats
+
+    out = facet_stats(
+        _queries_ds(QUERIES), index_dir, "n_chars"
+    ).to_pandas().set_index("qid")
+    an = oracle.an
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    for qid, text in QUERIES:
+        terms = set(an.tokens(text))
+        match = {
+            d["doc_id"] for d in DOCS
+            if terms & set(an.tokens(d["text"]))
+        }
+        if not match:
+            assert qid not in out.index
+            continue
+        vals = [nchars[d] for d in match]
+        row = out.loc[qid]
+        assert int(row["count"]) == len(vals)
+        assert int(row["sum"]) == sum(vals)
+        assert int(row["min"]) == min(vals)
+        assert int(row["max"]) == max(vals)
+        assert float(row["avg"]) == sum(vals) / len(vals)

@@ -3056,6 +3056,40 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
 """
 
 
+def q_facet_stats(sf_dir: str):
+    """ES stats aggregation: (count, sum, min, max, avg) of n_chars over
+    each query's FULL match set — per-shard exact int64 partials +
+    Sum/Min/Max merge, mean as one float division of exact integers
+    (webindex/search.py facet_stats)."""
+    from webindex.search import facet_stats
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_stats(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_STATS = f"""
+WITH docs AS (SELECT doc_id, text, n_chars FROM documents
+              WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qt AS (SELECT * FROM {_query_values_sql()}),
+hits AS (
+  SELECT DISTINCT qt.qid, tk.doc_id
+  FROM qt JOIN toks tk ON tk.term = qt.term
+)
+SELECT h.qid,
+       count(*)::BIGINT AS count,
+       sum(d.n_chars)::BIGINT AS sum,
+       min(d.n_chars)::BIGINT AS min,
+       max(d.n_chars)::BIGINT AS max,
+       sum(d.n_chars)::BIGINT / count(*)::BIGINT AS avg
+FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+GROUP BY h.qid
+"""
+
+
 PACK_CAP = 128
 PACK_BUCKETS = 8
 
@@ -3582,6 +3616,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_not_top10": (q_bm25_not_top10, SQL_BM25_NOT_TOP10),
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
+    "facet_stats": (q_facet_stats, SQL_FACET_STATS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,

@@ -585,6 +585,103 @@ def count_queries(queries_ds, index_dir: str, *, match: str = "or",
     )
 
 
+def facet_stats(queries_ds, index_dir: str, col: str, *,
+                match: str = "or", filter_pred=None,
+                n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, count, sum, min, max, avg) of an
+    integer docvalues column over each query's FULL match set — the ES
+    ``stats`` aggregation.
+
+    Shard fan-out like :func:`facet_counts`; per-shard partials are
+    (count, sum, min, max) over the shard's matches (exact int64), merged
+    with Sum/Sum/Min/Max — per-doc membership makes the merge exact. The
+    mean is ONE float division of exact integers at the end, so the SQL
+    oracle matches bit for bit. Docs lacking the docvalue don't count
+    (ES missing-field semantics)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def stats_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        rows = {"qid": [], "count_p": [], "sum_p": [],
+                "min_p": [], "max_p": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = vals_np[sel].astype(np.int64)
+            rows["qid"].append(qid)
+            rows["count_p"].append(int(v.size))
+            rows["sum_p"].append(int(v.sum()))
+            rows["min_p"].append(int(v.min()))
+            rows["max_p"].append(int(v.max()))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "count_p": pa.array(rows["count_p"], pa.int64()),
+                "sum_p": pa.array(rows["sum_p"], pa.int64()),
+                "min_p": pa.array(rows["min_p"], pa.int64()),
+                "max_p": pa.array(rows["max_p"], pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(stats_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(
+            Sum("count_p", alias_name="count"),
+            Sum("sum_p", alias_name="sum"),
+            Min("min_p", alias_name="min"),
+            Max("max_p", alias_name="max"),
+        )
+    )
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        c = batch.column("count").to_numpy().astype(np.int64)
+        sm = batch.column("sum").to_numpy().astype(np.int64)
+        avg = sm / c  # exact-int inputs, one IEEE division
+        return batch.append_column("avg", pa.array(avg, pa.float64()))
+
+    return merged.map_batches(add_avg, batch_format="pyarrow")
+
+
 def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
                  match: str = "or", filter_pred=None,
                  n_shards: int = SEARCH_SHARDS):
