@@ -694,3 +694,30 @@ def test_facet_stats_matches_brute(index_dir, oracle, ray_session):
         assert int(row["min"]) == min(vals)
         assert int(row["max"]) == max(vals)
         assert float(row["avg"]) == sum(vals) / len(vals)
+
+
+def test_facet_percentiles_matches_brute(index_dir, oracle, ray_session):
+    import math
+
+    from webindex.search import facet_percentiles
+
+    ps = (10, 50, 90)
+    out = facet_percentiles(
+        _queries_ds(QUERIES), index_dir, "n_chars", ps=ps
+    ).to_pandas()
+    an = oracle.an
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    for qid, text in QUERIES:
+        terms = set(an.tokens(text))
+        vals = sorted(
+            nchars[d["doc_id"]] for d in DOCS
+            if terms & set(an.tokens(d["text"]))
+        )
+        sub = out[out["qid"] == qid].set_index("p")
+        if not vals:
+            assert sub.empty
+            continue
+        n = len(vals)
+        for p in ps:
+            k = min(max(math.ceil(p * n / 100), 1), n)
+            assert int(sub.loc[p, "value"]) == vals[k - 1], (qid, p)

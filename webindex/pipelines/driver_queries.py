@@ -3090,6 +3090,49 @@ GROUP BY h.qid
 """
 
 
+PCT_PS = (25, 50, 75, 95)
+
+
+def q_facet_pcts(sf_dir: str):
+    """ES percentiles aggregation, EXACT (nearest-rank) instead of
+    t-digest: per-shard per-(qid, value) match-count histograms merged
+    with an exact Sum, percentile read off the merged histogram
+    (webindex/search.py facet_percentiles)."""
+    from webindex.search import facet_percentiles
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_percentiles(_queries_ds(), idx, "n_chars", ps=PCT_PS)
+
+
+SQL_FACET_PCTS = f"""
+WITH docs AS (SELECT doc_id, text, n_chars FROM documents
+              WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qt AS (SELECT * FROM {_query_values_sql()}),
+hits AS (
+  SELECT DISTINCT qt.qid, tk.doc_id
+  FROM qt JOIN toks tk ON tk.term = qt.term
+),
+vals AS (
+  SELECT h.qid, d.n_chars AS value
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+),
+ordv AS (
+  SELECT qid, value,
+         row_number() OVER (PARTITION BY qid ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY qid) AS n
+  FROM vals
+)
+SELECT o.qid, p.p, o.value
+FROM (VALUES {", ".join(f"({p})" for p in PCT_PS)}) p(p)
+JOIN ordv o
+  ON o.rn = greatest(1, least(o.n, (p.p * o.n + 99) // 100))
+"""
+
+
 PACK_CAP = 128
 PACK_BUCKETS = 8
 
@@ -3617,6 +3660,7 @@ REGISTRY: dict[str, tuple] = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
     "facet_stats": (q_facet_stats, SQL_FACET_STATS),
+    "facet_pcts": (q_facet_pcts, SQL_FACET_PCTS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,

@@ -682,6 +682,108 @@ def facet_stats(queries_ds, index_dir: str, col: str, *,
     return merged.map_batches(add_avg, batch_format="pyarrow")
 
 
+def facet_percentiles(queries_ds, index_dir: str, col: str,
+                      ps: list[int] = (25, 50, 75, 95), *,
+                      match: str = "or", filter_pred=None,
+                      n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, p, value): EXACT nearest-rank
+    percentiles (value = ceil(p/100 * n)-th smallest, 1-based) of an
+    integer docvalues column over each query's FULL match set — the ES
+    ``percentiles`` aggregation, exact instead of t-digest-approximate.
+
+    Scale shape: per-shard partials are per-(qid, value) match-count
+    HISTOGRAMS (bounded by the column's distinct values, not the match
+    count — doc-length-like columns have small domains), merged with an
+    exact Sum; each qid's percentile then reads off its merged histogram
+    in one vectorized cumsum inside ``map_groups``. Exact integer counts
+    make the result partition-independent and SQL-reproducible."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    ps = sorted(set(int(p) for p in ps))
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def hist_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        qs, vs, cs = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            u, c = np.unique(vals_np[sel].astype(np.int64),
+                             return_counts=True)
+            qs.extend([qid] * u.size)
+            vs.extend(u.tolist())
+            cs.extend(c.astype(np.int64).tolist())
+        return pa.table(
+            {"qid": pa.array(qs, pa.string()),
+             "value": pa.array(vs, pa.int64()),
+             "cnt_p": pa.array(cs, pa.int64())}
+        )
+
+    merged = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(hist_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
+
+    def pcts(g, ps=tuple(ps)):
+        import pandas as pd
+
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        out_p, out_v = [], []
+        for p in ps:
+            k = -(-p * n // 100)  # ceil(p*n/100), 1-based nearest rank
+            k = min(max(k, 1), n)
+            out_p.append(p)
+            out_v.append(int(vals[np.searchsorted(cum, k)]))
+        return pd.DataFrame(
+            {"qid": [g["qid"].iloc[0]] * len(ps),
+             "p": np.array(out_p, np.int32),
+             "value": np.array(out_v, np.int64)}
+        )
+
+    return merged.groupby("qid").map_groups(pcts, batch_format="pandas")
+
+
 def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
                  match: str = "or", filter_pred=None,
                  n_shards: int = SEARCH_SHARDS):
