@@ -721,3 +721,30 @@ def test_facet_percentiles_matches_brute(index_dir, oracle, ray_session):
         for p in ps:
             k = min(max(math.ceil(p * n / 100), 1), n)
             assert int(sub.loc[p, "value"]) == vals[k - 1], (qid, p)
+
+
+def test_collapse_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import collapse_queries
+
+    out = collapse_queries(
+        _queries_ds(QUERIES), index_dir, "lang", top_k=4
+    ).to_pandas()
+    an = oracle.an
+    langs = {d["doc_id"]: d["lang"] for d in DOCS}
+    for qid, text in QUERIES:
+        scores = _oracle_all_scores(oracle, text)
+        ranked = sorted(scores.items(), key=lambda e: (-e[1], e[0]))
+        seen, want = set(), []
+        for did, sc in ranked:
+            k = langs[did]
+            if k in seen:
+                continue
+            seen.add(k)
+            want.append((did, k))
+            if len(want) == 4:
+                break
+        sub = out[out["qid"] == qid].sort_values("rank")
+        got = list(zip(sub["doc_id"].astype(int), sub["ckey"]))
+        assert got == want, qid
+        # one hit per collapse key
+        assert sub["ckey"].is_unique

@@ -3090,6 +3090,37 @@ GROUP BY h.qid
 """
 
 
+def q_collapse_top5(sf_dir: str):
+    """ES collapse (field collapsing / host dedup): BM25 top-5 with at
+    most one hit per ``source`` value, scores untouched
+    (webindex/search.py collapse_queries; exact shard merge — see its
+    docstring's superset argument)."""
+    from webindex.search import collapse_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = collapse_queries(_queries_ds(), idx, "source", top_k=5)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "ckey", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COLLAPSE_TOP5 = _sql_bm25_scores() + """
+, keyed AS (
+  SELECT s.qid, s.doc_id, s.score, d.source AS ckey,
+         row_number() OVER (PARTITION BY s.qid, d.source
+                            ORDER BY s.score DESC, s.doc_id) AS grp_rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT qid, doc_id, ckey, rank FROM (
+  SELECT qid, doc_id, ckey,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM keyed WHERE grp_rn = 1
+) WHERE rank <= 5
+"""
+
+
 PCT_PS = (25, 50, 75, 95)
 
 
@@ -3661,6 +3692,7 @@ REGISTRY: dict[str, tuple] = {
     "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
     "facet_stats": (q_facet_stats, SQL_FACET_STATS),
     "facet_pcts": (q_facet_pcts, SQL_FACET_PCTS),
+    "collapse_top5": (q_collapse_top5, SQL_COLLAPSE_TOP5),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,

@@ -682,6 +682,116 @@ def facet_stats(queries_ds, index_dir: str, col: str, *,
     return merged.map_batches(add_avg, batch_format="pyarrow")
 
 
+def collapse_queries(queries_ds, index_dir: str, collapse_col: str, *,
+                     top_k: int = 10, match: str = "or", filter_pred=None,
+                     n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> runs with at most ONE hit per value of a
+    docvalues column — the ES ``collapse`` API (host/domain collapsing in
+    web search). Scores are the untouched BM25 scores of each group's
+    best hit; ranking and tie-breaks follow the standard total order.
+
+    Exactness of the shard merge: a collapse group's global best lives in
+    exactly one shard and is that shard's best for the group, and any
+    group displaced below a shard's local top-k is outranked by >= k
+    other groups' bests globally — so per-shard (best-per-group, then
+    local top-k) partials are a valid superset, and the merge
+    (best-per-group again, then global top-k) is exact."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def collapse_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([collapse_col])
+        arr, valid = s.reader._dv[collapse_col]
+        import pyarrow.compute as pc
+
+        keys_np = pc.cast(arr, pa.string()).to_numpy(zero_copy_only=False)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, sc_out, key_out = [], [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = s.an.tokens(text or "")
+            # full shard ranking (exhaustive: the collapse cut needs every
+            # group's best, and theta pruning may drop a group's only hit)
+            ids, scores = s._ranked(
+                terms, max(int(dl_ids.size), 1), force_exhaustive=True
+            )
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(dl_ids, ids)
+            ok = valid[pos]  # docs lacking the key don't collapse-group
+            ids, scores, pos = ids[ok], scores[ok], pos[ok]
+            if ids.size == 0:
+                continue
+            keys = keys_np[pos]
+            # ids arrive in (score desc, docID asc) order: the FIRST
+            # occurrence of each key is that group's shard best
+            _, first = np.unique(keys, return_index=True)
+            first.sort()
+            first = first[:top_k]
+            n_hit = first.size
+            qid_out.extend([qid] * n_hit)
+            id_out.append(ids[first])
+            sc_out.append(scores[first])
+            key_out.extend(keys[first].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+                "ckey": pa.array(key_out, pa.string()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        g = g.drop_duplicates("ckey", keep="first").head(top_k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "ckey", "rank"]]
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(collapse_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 def facet_percentiles(queries_ds, index_dir: str, col: str,
                       ps: list[int] = (25, 50, 75, 95), *,
                       match: str = "or", filter_pred=None,
