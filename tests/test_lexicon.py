@@ -302,3 +302,38 @@ def test_count_queries_matches_postings_union(index_dir, oracle,
              for d in oracle.postings.get(t, {})}
         )
         assert got.get(qid, 0) == want, qid
+
+
+def test_significant_terms_matches_brute(index_dir, oracle, ray_session):
+    import ray.data as rd
+
+    from webindex.lexicon import significant_terms
+
+    docs_ds = rd.from_items(DOCS)
+    queries = [("g1", "merge stream"), ("g2", "custom paint")]
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array([q for q, _ in queries]),
+                  "text": pa.array([t for _, t in queries])})
+    )
+    got = significant_terms(
+        q_ds, docs_ds, index_dir, fg_k=8, top_n=5
+    )
+    texts = {d["doc_id"]: d["text"] for d in DOCS}
+    N = len([d for d in DOCS if d["text"]])
+    for qid, qtext in queries:
+        fg_ids = [d for d, _ in oracle.topk(qtext, 8)]
+        fg_n = len(fg_ids)
+        from collections import Counter
+
+        fg_df: Counter = Counter()
+        for d in fg_ids:
+            fg_df.update(set(oracle.an.tokens(texts[d])))
+        scored = []
+        for t, fdf in fg_df.items():
+            fgr = fdf / fg_n
+            bgr = oracle.df(t) / N
+            if fgr > bgr:
+                scored.append((round((fgr - bgr) * (fgr / bgr), 9), t))
+        want = sorted(scored, key=lambda e: (-e[0], e[1]))[:5]
+        sub = got[got["qid"] == qid].sort_values("rank")
+        assert list(zip(sub["score_r"], sub["term"])) == want, qid

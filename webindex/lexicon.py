@@ -431,6 +431,102 @@ def synonym_search(queries: list[tuple[str, str]], index_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# significant terms (ES significant_terms aggregation)
+# ---------------------------------------------------------------------------
+
+
+def significant_terms(queries_ds, docs_ds, index_dir: str, *,
+                      fg_k: int = 20, top_n: int = 10,
+                      **search_kwargs) -> pd.DataFrame:
+    """ES ``significant_terms`` over a sampled foreground (the standard
+    ``sampler`` > ``significant_terms`` composition): per query, the
+    terms most OVERrepresented in its top-``fg_k`` BM25 hits relative to
+    the whole corpus, scored with the JLH heuristic
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        fg_rate = fg_df / fg_n      bg_rate = df / N
+
+    (doc-frequency rates; only terms with fg_rate > bg_rate qualify).
+    Returns (qid, term, score_r, rank) with score rounded to 9dp, rank
+    by (score desc, term asc).
+
+    Scale shape: the foreground is BOUNDED (queries x fg_k doc ids) and
+    broadcast once; the corpus STREAMS through one ``map_batches`` that
+    emits only fg-doc (qid, term) membership rows; df/N come from the
+    dictionary-resident reader. Nothing corpus-sized leaves the stream.
+    """
+    import ray
+
+    from webindex.search import search_queries
+    from webindex.segments import SegmentReader
+
+    runs = search_queries(
+        queries_ds, index_dir, top_k=fg_k, **search_kwargs
+    ).to_pandas()  # bounded: n_queries x fg_k rows
+    fg_pairs: dict[int, list[str]] = {}
+    for qid, did in zip(runs["qid"], runs["doc_id"]):
+        fg_pairs.setdefault(int(did), []).append(qid)
+    fg_n = runs.groupby("qid")["doc_id"].nunique().to_dict()
+    ref = ray.put(fg_pairs)
+
+    reader = SegmentReader(index_dir)
+    an = Analyzer(reader.cfg.analyzer)
+    an_cfg = reader.cfg.analyzer
+
+    def member_terms(batch: pa.Table) -> pa.Table:
+        pairs = ray.get(ref)
+        local_an = Analyzer(an_cfg)
+        qs, ts = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            qids = pairs.get(int(did))
+            if not qids:
+                continue
+            terms = sorted(set(local_an.tokens(text or "")))
+            for q in qids:
+                qs.extend([q] * len(terms))
+                ts.extend(terms)
+        return pa.table(
+            {"qid": pa.array(qs, pa.string()),
+             "term": pa.array(ts, pa.string())}
+        )
+
+    fg = (
+        docs_ds.map_batches(member_terms, batch_format="pyarrow")
+        .groupby(["qid", "term"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "fg_df"})
+    )
+    if fg.empty:
+        return pd.DataFrame(
+            {"qid": pd.Series(dtype=str), "term": pd.Series(dtype=str),
+             "score_r": pd.Series(dtype=np.float64),
+             "rank": pd.Series(dtype=np.int32)}
+        )
+    N = reader.N
+    del an
+    fg["df"] = [reader.df(t) for t in fg["term"]]
+    fg["fg_n"] = [fg_n[q] for q in fg["qid"]]
+    fg_rate = fg["fg_df"].to_numpy(np.int64) / fg["fg_n"].to_numpy(np.int64)
+    bg_rate = fg["df"].to_numpy(np.int64) / N
+    score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    fg["score_r"] = np.round(score, 9)
+    fg = fg[fg_rate > bg_rate]
+    out = (
+        fg.sort_values(["qid", "score_r", "term"],
+                       ascending=[True, False, True], kind="mergesort")
+        .groupby("qid", sort=True)
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype(np.int32)
+    return out[["qid", "term", "score_r", "rank"]]
+
+
+# ---------------------------------------------------------------------------
 # term vectors (ES _termvectors API)
 # ---------------------------------------------------------------------------
 

@@ -3090,6 +3090,59 @@ GROUP BY h.qid
 """
 
 
+SIG_FG_K = 20
+SIG_TOP_N = 10
+
+
+def q_sig_terms(sf_dir: str):
+    """ES significant_terms over a sampled foreground: per query, the
+    terms most overrepresented in its top-20 BM25 hits vs the corpus,
+    JLH-scored (webindex/lexicon.py significant_terms)."""
+    from webindex.lexicon import significant_terms
+
+    idx = ensure_index(sf_dir, "nostem")
+    return significant_terms(
+        _queries_ds(), _docs(sf_dir), idx, fg_k=SIG_FG_K, top_n=SIG_TOP_N,
+        concurrency=2, batch_size=8,
+    )
+
+
+SQL_SIG_TERMS = _sql_bm25_scores() + f"""
+, fgdocs AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {SIG_FG_K}
+),
+fgn AS (SELECT qid, count(*)::BIGINT AS fg_n FROM fgdocs GROUP BY qid),
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+fgdf AS (
+  SELECT f.qid, t.term, count(*)::BIGINT AS fg_df
+  FROM fgdocs f JOIN dterms t ON t.doc_id = f.doc_id
+  GROUP BY f.qid, t.term
+),
+bg AS (SELECT term, count(*)::BIGINT AS df FROM dterms GROUP BY term),
+scored AS (
+  SELECT g.qid, g.term,
+         round(((g.fg_df / n.fg_n) - (b.df / s.n_docs))
+               * ((g.fg_df / n.fg_n) / (b.df / s.n_docs)), 9) AS score_r,
+         (g.fg_df / n.fg_n) AS fgr, (b.df / s.n_docs) AS bgr
+  FROM fgdf g
+  JOIN fgn n ON n.qid = g.qid
+  JOIN bg b ON b.term = g.term
+  CROSS JOIN stats s
+)
+SELECT qid, term, score_r, rank FROM (
+  SELECT qid, term, score_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_r DESC, term)::INTEGER AS rank
+  FROM scored WHERE fgr > bgr
+) WHERE rank <= {SIG_TOP_N}
+"""
+
+
 def q_collapse_top5(sf_dir: str):
     """ES collapse (field collapsing / host dedup): BM25 top-5 with at
     most one hit per ``source`` value, scores untouched
@@ -3693,6 +3746,7 @@ REGISTRY: dict[str, tuple] = {
     "facet_stats": (q_facet_stats, SQL_FACET_STATS),
     "facet_pcts": (q_facet_pcts, SQL_FACET_PCTS),
     "collapse_top5": (q_collapse_top5, SQL_COLLAPSE_TOP5),
+    "sig_terms": (q_sig_terms, SQL_SIG_TERMS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
