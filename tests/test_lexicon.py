@@ -337,3 +337,27 @@ def test_significant_terms_matches_brute(index_dir, oracle, ray_session):
         want = sorted(scored, key=lambda e: (-e[0], e[1]))[:5]
         sub = got[got["qid"] == qid].sort_values("rank")
         assert list(zip(sub["score_r"], sub["term"])) == want, qid
+
+
+def test_prefix_and_regexp_search_match_explicit_term_oracle(index_dir,
+                                                             oracle):
+    from webindex.lexicon import prefix_search, regexp_search
+
+    # prefix: stemmed dict — 'merg' covers merge/merges/merged stems etc.
+    runs = prefix_search([("p1", "mer st")], index_dir, top_k=6).to_pandas()
+    terms = {
+        t for t in oracle.postings
+        if t.startswith("mer") or t.startswith("st")
+    }
+    want = _score_terms(oracle, terms, 6)
+    sub = runs[runs["qid"] == "p1"].sort_values("rank")
+    assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]
+
+    import re
+
+    runs = regexp_search([("r1", "s.r.")], index_dir, top_k=6).to_pandas()
+    rterms = {t for t in oracle.postings if re.fullmatch("s.r.", t)}
+    assert rterms  # surg/sort must exist in the stemmed dict
+    want = _score_terms(oracle, rterms, 6)
+    sub = runs[runs["qid"] == "r1"].sort_values("rank")
+    assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]

@@ -340,6 +340,113 @@ def more_like_this(seeds_ds, index_dir: str, *, top_k: int = 10,
     )
 
 
+def _rewrite_expand(index_dir: str, patterns: list[str], match_fn,
+                    max_expansions: int) -> pd.DataFrame:
+    """Shared Lucene multi-term rewrite: one distributed dict scan maps
+    every pattern to its top-``max_expansions`` matching dictionary terms
+    by (df desc, term asc). ``match_fn(term, pattern) -> bool``."""
+    pats = sorted(set(patterns))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_numpy()
+        out_p, out_t, out_d = [], [], []
+        for p in pats:
+            hit = [i for i, t in enumerate(terms) if match_fn(t, p)]
+            top = sorted(((int(-dfs[i]), terms[i]) for i in hit))[
+                :max_expansions
+            ]
+            out_p.extend([p] * len(top))
+            out_t.extend(t for _, t in top)
+            out_d.extend(-n for n, _ in top)
+        return pa.table(
+            {"pattern": pa.array(out_p, pa.string()),
+             "term": pa.array(out_t, pa.string()),
+             "df": pa.array(out_d, pa.int64())}
+        )
+
+    parts = _dict_ds(index_dir).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"pattern": pd.Series(dtype=str), "term": pd.Series(dtype=str),
+             "df": pd.Series(dtype=np.int64)}
+        )
+    return (
+        parts.sort_values(
+            ["pattern", "df", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("pattern", sort=True)
+        .head(max_expansions)
+        .reset_index(drop=True)
+    )
+
+
+def _rewrite_search(queries: list[tuple[str, str]], index_dir: str,
+                    exp: pd.DataFrame, top_k: int, **search_kwargs):
+    """Score each query's expansion union disjunctively (each expansion
+    with its OWN idf — the Lucene top-terms rewrite) via the
+    ``pre_tokenized`` path. ``queries`` are (qid, space-joined patterns);
+    ``exp`` is the (pattern, term, df) frame of :func:`_rewrite_expand`."""
+    import ray.data as rd
+
+    from webindex.search import search_queries
+
+    by_pat: dict[str, list[str]] = (
+        exp.groupby("pattern")["term"].apply(list).to_dict()
+    )
+    rows_q, rows_t = [], []
+    for qid, pats in queries:
+        terms = sorted(
+            {t for p in pats.split() for t in by_pat.get(p, ())}
+        )
+        if not terms:
+            continue
+        rows_q.append(qid)
+        rows_t.append(" ".join(terms))
+    q_ds = rd.from_arrow(
+        pa.table({"qid": pa.array(rows_q, pa.string()),
+                  "text": pa.array(rows_t, pa.string())})
+    )
+    return search_queries(
+        q_ds, index_dir, top_k=top_k, pre_tokenized=True, **search_kwargs
+    )
+
+
+def prefix_search(queries: list[tuple[str, str]], index_dir: str, *,
+                  top_k: int = 10, max_expansions: int = 50,
+                  **search_kwargs):
+    """ES ``prefix`` query (Lucene top-terms rewrite): each
+    space-separated prefix in the query expands to the
+    ``max_expansions`` highest-df dictionary terms starting with it;
+    the union is scored disjunctively, each term with its own idf.
+    Prefixes are matched against INDEX terms (analyzed space)."""
+    pats = sorted({p for _, q in queries for p in q.split()})
+    exp = _rewrite_expand(
+        index_dir, pats, lambda t, p: t.startswith(p), max_expansions
+    )
+    return _rewrite_search(queries, index_dir, exp, top_k, **search_kwargs)
+
+
+def regexp_search(queries: list[tuple[str, str]], index_dir: str, *,
+                  top_k: int = 10, max_expansions: int = 50,
+                  **search_kwargs):
+    """ES ``regexp`` query: each whitespace-separated pattern must match
+    a WHOLE dictionary term (Lucene's anchored regexp semantics); the
+    expansion union scores disjunctively like :func:`prefix_search`."""
+    import re as _re
+
+    pats = sorted({p for _, q in queries for p in q.split()})
+    compiled = {p: _re.compile(p) for p in pats}
+    exp = _rewrite_expand(
+        index_dir, pats,
+        lambda t, p: compiled[p].fullmatch(t) is not None, max_expansions,
+    )
+    return _rewrite_search(queries, index_dir, exp, top_k, **search_kwargs)
+
+
 def spell_correct(index_dir: str, terms: list[str], *, max_edits: int = 1,
                   prefix_len: int = 1, k: int = 3) -> pd.DataFrame:
     """ES term suggester with ``suggest_mode=missing`` ("did you mean"):

@@ -3090,6 +3090,96 @@ GROUP BY h.qid
 """
 
 
+PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("x1", "mer so"),
+    ("x2", "wind str"),
+    ("x3", "cust"),
+]
+REGEX_QUERIES: list[tuple[str, str]] = [
+    ("r1", "m.rge s.an"),
+    ("r2", "[bh]atch"),
+    ("r3", "c.*er"),
+]
+
+
+def q_prefix_top10(sf_dir: str):
+    """ES prefix query (Lucene top-terms rewrite): every prefix expands
+    to the highest-df dictionary completions, scored disjunctively with
+    each expansion's own idf (webindex/lexicon.py prefix_search)."""
+    from webindex.lexicon import prefix_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = prefix_search(
+        PREFIX_QUERIES, idx, top_k=TOPK, max_expansions=50,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _prefix_pat_values_sql(queries) -> str:
+    rows = ", ".join(
+        f"('{qid}', '{p}')" for qid, q in queries for p in sorted(q.split())
+    )
+    return f"(VALUES {rows}) AS v(qid, pat)"
+
+
+_PREFIX_EXPAND_SQL = f"""(
+  SELECT DISTINCT v.qid, e.term
+  FROM {_prefix_pat_values_sql(PREFIX_QUERIES)},
+  LATERAL (
+    SELECT term FROM df WHERE starts_with(term, v.pat)
+    ORDER BY df DESC, term LIMIT 50
+  ) e
+) AS pz(qid, term)"""
+
+SQL_PREFIX_TOP10 = _sql_bm25_scores(_PREFIX_EXPAND_SQL) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_regexp_top10(sf_dir: str):
+    """ES regexp query: anchored whole-term regex expansion over the
+    dictionary, disjunction scored with per-expansion idf
+    (webindex/lexicon.py regexp_search; the oracle reproduces the
+    anchored semantics with regexp_full_match)."""
+    from webindex.lexicon import regexp_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = regexp_search(
+        REGEX_QUERIES, idx, top_k=TOPK, max_expansions=50,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+_REGEX_EXPAND_SQL = f"""(
+  SELECT DISTINCT v.qid, e.term
+  FROM {_prefix_pat_values_sql(REGEX_QUERIES)},
+  LATERAL (
+    SELECT term FROM df WHERE regexp_full_match(term, v.pat)
+    ORDER BY df DESC, term LIMIT 50
+  ) e
+) AS rz(qid, term)"""
+
+SQL_REGEXP_TOP10 = _sql_bm25_scores(_REGEX_EXPAND_SQL) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -3747,6 +3837,8 @@ REGISTRY: dict[str, tuple] = {
     "facet_pcts": (q_facet_pcts, SQL_FACET_PCTS),
     "collapse_top5": (q_collapse_top5, SQL_COLLAPSE_TOP5),
     "sig_terms": (q_sig_terms, SQL_SIG_TERMS),
+    "prefix_top10": (q_prefix_top10, SQL_PREFIX_TOP10),
+    "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
