@@ -361,3 +361,24 @@ def test_prefix_and_regexp_search_match_explicit_term_oracle(index_dir,
     want = _score_terms(oracle, rterms, 6)
     sub = runs[runs["qid"] == "r1"].sort_values("rank")
     assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]
+
+
+def test_wildcard_search_matches_fnmatch_oracle(index_dir, oracle):
+    """ES wildcard query vs an INDEPENDENT shell-glob oracle
+    (fnmatch implements * / ? natively — no shared translation code)."""
+    from fnmatch import fnmatchcase
+
+    from webindex.lexicon import wildcard_search
+
+    patterns = ["s?r*", "*am"]
+    runs = wildcard_search(
+        [("w1", " ".join(patterns))], index_dir, top_k=6
+    ).to_pandas()
+    wterms = {
+        t for t in oracle.postings
+        if any(fnmatchcase(t, p) for p in patterns)
+    }
+    assert wterms
+    want = _score_terms(oracle, wterms, 6)
+    sub = runs[runs["qid"] == "w1"].sort_values("rank")
+    assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]

@@ -748,3 +748,30 @@ def test_collapse_matches_brute(index_dir, oracle, ray_session):
         assert got == want, qid
         # one hit per collapse key
         assert sub["ckey"].is_unique
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_neg_boost_demotes_matches_oracle(index_dir, oracle, impl):
+    neg, factor = ["gamma"], 0.5
+    an = oracle.an
+    neg_terms = {t for m in neg for t in an.tokens(m)}
+    demoted = {
+        d["doc_id"] for d in DOCS
+        if neg_terms & set(an.tokens(d["text"]))
+    }
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        neg_boost=(neg, factor), concurrency=2, batch_size=4,
+    )
+    got = _runs_rows(runs)
+    for qid, text in QUERIES:
+        scores = _oracle_all_scores(oracle, text)
+        want = sorted(
+            ((d, s * factor if d in demoted else s)
+             for d, s in scores.items()),
+            key=lambda e: (-e[1], e[0]),
+        )[:7]
+        if not want:
+            assert qid not in got
+            continue
+        assert got[qid] == want, (impl, qid)

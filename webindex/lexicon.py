@@ -447,6 +447,35 @@ def regexp_search(queries: list[tuple[str, str]], index_dir: str, *,
     return _rewrite_search(queries, index_dir, exp, top_k, **search_kwargs)
 
 
+def wildcard_search(queries: list[tuple[str, str]], index_dir: str, *,
+                    top_k: int = 10, max_expansions: int = 50,
+                    **search_kwargs):
+    """ES ``wildcard`` query: ``*`` matches any run, ``?`` any single
+    character, anchored to the whole term — translated onto the regexp
+    rewrite (every other character is escaped literally)."""
+    import re as _re
+
+    def translate(p: str) -> str:
+        out = []
+        for ch in p:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(_re.escape(ch))
+        return "".join(out)
+
+    translated = [
+        (qid, " ".join(translate(p) for p in q.split()))
+        for qid, q in queries
+    ]
+    return regexp_search(
+        translated, index_dir, top_k=top_k,
+        max_expansions=max_expansions, **search_kwargs
+    )
+
+
 def spell_correct(index_dir: str, terms: list[str], *, max_edits: int = 1,
                   prefix_len: int = 1, k: int = 3) -> pd.DataFrame:
     """ES term suggester with ``suggest_mode=missing`` ("did you mean"):

@@ -3180,6 +3180,106 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+WILDCARD_QUERIES: list[tuple[str, str]] = [
+    ("w1", "mer* s?an"),
+    ("w2", "*dow"),
+    ("w3", "cust*er b?tch"),
+]
+
+
+def q_wildcard_top10(sf_dir: str):
+    """ES wildcard query: * / ? patterns translate onto the anchored
+    regexp rewrite (webindex/lexicon.py wildcard_search); the oracle
+    performs the identical translation inline (.* / . / escaped
+    literals) via regexp_full_match."""
+    from webindex.lexicon import wildcard_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = wildcard_search(
+        WILDCARD_QUERIES, idx, top_k=TOPK, max_expansions=50,
+        concurrency=2, batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _wildcard_regex(p: str) -> str:
+    import re as _re
+
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in p
+    )
+
+
+def _wildcard_pat_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{_wildcard_regex(p)}')"
+        for qid, q in WILDCARD_QUERIES
+        for p in sorted(q.split())
+    )
+    return f"(VALUES {rows}) AS v(qid, pat)"
+
+
+_WILDCARD_EXPAND_SQL = f"""(
+  SELECT DISTINCT v.qid, e.term
+  FROM {_wildcard_pat_values_sql()},
+  LATERAL (
+    SELECT term FROM df WHERE regexp_full_match(term, v.pat)
+    ORDER BY df DESC, term LIMIT 50
+  ) e
+) AS wz(qid, term)"""
+
+SQL_WILDCARD_TOP10 = _sql_bm25_scores(_WILDCARD_EXPAND_SQL) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+NEG_BOOST_TERMS = ["slow", "big"]
+NEG_BOOST_FACTOR = 0.25
+
+
+def q_bm25_boosting_top10(sf_dir: str):
+    """ES boosting query: docs containing a negative term are DEMOTED
+    (summed score x 0.25, one multiply), never excluded — the
+    soft-penalty counterpart of must_not (webindex/search.py neg_boost
+    through the constrained kernel)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        neg_boost=(NEG_BOOST_TERMS, NEG_BOOST_FACTOR),
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_BOOSTING_TOP10 = _sql_bm25_scores() + f"""
+, demoted AS (
+  SELECT s.qid, s.doc_id,
+         CASE WHEN s.doc_id IN (
+           SELECT DISTINCT doc_id FROM tf
+           WHERE term IN ({", ".join(f"'{t}'" for t in NEG_BOOST_TERMS)})
+         ) THEN s.score * {NEG_BOOST_FACTOR!r} ELSE s.score END AS score
+  FROM scores s
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM demoted
+) WHERE rank <= {TOPK}
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -3839,6 +3939,9 @@ REGISTRY: dict[str, tuple] = {
     "sig_terms": (q_sig_terms, SQL_SIG_TERMS),
     "prefix_top10": (q_prefix_top10, SQL_PREFIX_TOP10),
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
+    "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
+    "bm25_boosting_top10": (q_bm25_boosting_top10,
+                            SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "minhash_poly_clusters": (q_minhash_poly_clusters,

@@ -51,7 +51,8 @@ class SearcherActor:
                  query_kind: str = "match", min_match: int | None = None,
                  boosts: dict[str, float] | None = None,
                  pre_tokenized: bool = False,
-                 must_not: list[str] | None = None):
+                 must_not: list[str] | None = None,
+                 neg_boost: tuple[list[str], float] | None = None):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -76,14 +77,16 @@ class SearcherActor:
         # (positional index, webindex.positional)
         self.set_constraints(filter_pred, match, query_kind,
                              min_match=min_match, boosts=boosts,
-                             pre_tokenized=pre_tokenized, must_not=must_not)
+                             pre_tokenized=pre_tokenized, must_not=must_not,
+                             neg_boost=neg_boost)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
                         min_match: int | None = None,
                         boosts: dict[str, float] | None = None,
                         pre_tokenized: bool = False,
-                        must_not: list[str] | None = None):
+                        must_not: list[str] | None = None,
+                        neg_boost: tuple[list[str], float] | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -120,6 +123,18 @@ class SearcherActor:
             sorted({t for m in must_not for t in self.an.tokens(m or "")})
             if must_not else None
         )
+        # ES boosting query: (terms, factor) — matching docs are DEMOTED
+        # by one multiply of their summed score, never excluded
+        self.neg_boost = None
+        if neg_boost is not None:
+            nb_terms, factor = neg_boost
+            if not 0 < factor < 1:
+                raise ValueError("neg_boost factor must be in (0, 1)")
+            self.neg_boost = (
+                sorted({t for m in nb_terms
+                        for t in self.an.tokens(m or "")}),
+                float(factor),
+            )
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -184,7 +199,7 @@ class SearcherActor:
             return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
-                or self.boosts or self.must_not):
+                or self.boosts or self.must_not or self.neg_boost):
             # constrained queries (filter predicate, pending deletes, AND
             # match, minimum_should_match, boosts) take the dedicated
             # exhaustive kernel (pruning θ bounds are invalid under
@@ -193,7 +208,7 @@ class SearcherActor:
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
                 min_match=self.min_match, boosts=self.boosts,
-                neg_terms=self.must_not,
+                neg_terms=self.must_not, neg_boost=self.neg_boost,
             )
         mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
@@ -338,7 +353,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    query_kind: str = "match", min_match: int | None = None,
                    boosts: dict[str, float] | None = None,
                    pre_tokenized: bool = False,
-                   must_not: list[str] | None = None):
+                   must_not: list[str] | None = None,
+                   neg_boost: tuple[list[str], float] | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -389,6 +405,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
             pre_tokenized=pre_tokenized, must_not=must_not,
+            neg_boost=neg_boost,
         )
 
     import pandas as pd
@@ -421,7 +438,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         searcher.inner.set_constraints(filter_pred, match, query_kind,
                                        min_match=min_match, boosts=boosts,
                                        pre_tokenized=pre_tokenized,
-                                       must_not=must_not)
+                                       must_not=must_not,
+                                       neg_boost=neg_boost)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -478,7 +496,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          min_match: int | None = None,
                          boosts: dict[str, float] | None = None,
                          pre_tokenized: bool = False,
-                         must_not: list[str] | None = None):
+                         must_not: list[str] | None = None,
+                         neg_boost: tuple[list[str], float] | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -509,7 +528,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
-            must_not=must_not,
+            must_not=must_not, neg_boost=neg_boost,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

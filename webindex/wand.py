@@ -140,7 +140,8 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
                            require_all: bool = False,
                            min_match: int | None = None,
                            boosts: dict[str, float] | None = None,
-                           neg_terms: list[str] | None = None):
+                           neg_terms: list[str] | None = None,
+                           neg_boost: tuple[list[str], float] | None = None):
     """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
     ``match`` + ``filter`` context, ``operator: and``,
     ``minimum_should_match`` and per-term query boosts — the query
@@ -207,7 +208,19 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
             _dense(pl, reader)
             excl[pl.dense_pos] = True
         sel = sel[~excl[sel]]
-    return _rank_topk(dl_ids[sel], scores[sel], k)
+    vals = scores[sel]
+    if neg_boost is not None:
+        # ES boosting query: DEMOTE (not exclude) docs containing any
+        # negative term — one multiply of the summed score by the
+        # negative_boost factor (per-document, so the sharded merge
+        # composes; the pinned summation order is untouched)
+        nb_terms, factor = neg_boost
+        demote = np.zeros(dl_ids.size, dtype=bool)
+        for pl in query_postings(reader, sorted(set(nb_terms))):
+            _dense(pl, reader)
+            demote[pl.dense_pos] = True
+        vals = np.where(demote[sel], vals * factor, vals)
+    return _rank_topk(dl_ids[sel], vals, k)
 
 
 def match_positions(reader: SegmentReader, terms: list[str],
