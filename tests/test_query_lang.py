@@ -696,6 +696,54 @@ def test_facet_stats_matches_brute(index_dir, oracle, ray_session):
         assert float(row["avg"]) == sum(vals) / len(vals)
 
 
+def test_facet_cardinality_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_cardinality
+
+    out = facet_cardinality(
+        _queries_ds(QUERIES), index_dir, "lang"
+    ).to_pandas().set_index("qid")
+    an = oracle.an
+    langs = {d["doc_id"]: d["lang"] for d in DOCS}
+    for qid, text in QUERIES:
+        terms = set(an.tokens(text))
+        match = {
+            d["doc_id"] for d in DOCS
+            if terms & set(an.tokens(d["text"]))
+        }
+        if not match:
+            assert qid not in out.index
+            continue
+        assert int(out.loc[qid, "cardinality"]) == len(
+            {langs[d] for d in match}
+        ), qid
+
+
+def test_facet_histogram_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_histogram
+
+    interval = 50
+    out = facet_histogram(
+        _queries_ds(QUERIES), index_dir, "n_chars", interval
+    ).to_pandas()
+    an = oracle.an
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    for qid, text in QUERIES:
+        terms = set(an.tokens(text))
+        match = {
+            d["doc_id"] for d in DOCS
+            if terms & set(an.tokens(d["text"]))
+        }
+        sub = out[out["qid"] == qid]
+        if not match:
+            assert sub.empty
+            continue
+        from collections import Counter
+
+        want = Counter((nchars[d] // interval) * interval for d in match)
+        got = dict(zip(sub["bucket"].astype(int), sub["cnt"].astype(int)))
+        assert got == dict(want), qid
+
+
 def test_facet_percentiles_matches_brute(index_dir, oracle, ray_session):
     import math
 

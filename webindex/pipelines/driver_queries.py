@@ -2360,6 +2360,65 @@ FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY qid, d.source
 """
 
 
+def q_facet_cardinality(sf_dir: str):
+    """ES cardinality aggregation, EXACT: distinct count of the lang
+    docvalue over each query's FULL match set (ES itself approximates
+    with HLL++; exact per-shard distinct-merge here, so the SQL
+    COUNT(DISTINCT) oracle hash-matches —
+    webindex/search.py facet_cardinality)."""
+    from webindex.search import facet_cardinality
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_cardinality(_queries_ds(), idx, "lang")
+
+
+SQL_FACET_CARDINALITY = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term)
+SELECT qid, count(DISTINCT d.lang)::BIGINT AS cardinality
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY qid
+"""
+
+
+HIST_INTERVAL = 100
+
+
+def q_facet_histogram(sf_dir: str):
+    """ES histogram aggregation: fixed-interval buckets of the n_chars
+    docvalue over each query's FULL match set, min_doc_count=1 (empty
+    buckets omitted) — per-shard vectorized bucket counts + exact
+    Sum-merge (webindex/search.py facet_histogram)."""
+    from webindex.search import facet_histogram
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_histogram(_queries_ds(), idx, "n_chars", HIST_INTERVAL)
+
+
+SQL_FACET_HISTOGRAM = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term)
+SELECT qid,
+       CAST(floor(d.n_chars / {HIST_INTERVAL}.0) AS BIGINT)
+         * {HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY qid, bucket
+"""
+
+
 def q_facet_counts_filtered(sf_dir: str):
     """Facets compose with the bool-query constraints: AND match +
     docvalues predicate, counted over the constrained match set."""
@@ -3899,6 +3958,8 @@ REGISTRY: dict[str, tuple] = {
                              SQL_BM25_COMPACTED_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "facet_cardinality": (q_facet_cardinality, SQL_FACET_CARDINALITY),
+    "facet_histogram": (q_facet_histogram, SQL_FACET_HISTOGRAM),
     "facet_counts_filtered": (q_facet_counts_filtered,
                               SQL_FACET_COUNTS_FILTERED),
     "snippets_top10": (q_snippets_top10, SQL_SNIPPETS_TOP10),

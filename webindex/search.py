@@ -983,3 +983,167 @@ def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
     return partial.groupby(["qid", "facet", "value"]).aggregate(
         Sum("cnt_p", alias_name="cnt")
     )
+
+
+def facet_cardinality(queries_ds, index_dir: str, col: str, *,
+                      match: str = "or", filter_pred=None,
+                      n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, cardinality): the EXACT number of
+    distinct values of a docvalues column over each query's FULL match
+    set — the ES ``cardinality`` aggregation (ES approximates with
+    HyperLogLog++; per-doc docvalues make the exact answer a distinct
+    Sum-free merge here, so the SQL ``COUNT(DISTINCT ...)`` oracle
+    hash-matches).
+
+    Scale shape: each salt-range shard emits only its DISTINCT
+    (qid, value) rows — bounded by the column's value domain, never the
+    match count — and the merge dedups across shards then counts. Docs
+    lacking the docvalue don't contribute (ES missing-field semantics).
+    """
+    from ray.data.aggregate import Count
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def distinct_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        qid_out, v_out = [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            uniq = np.unique(vals_np[sel].astype(str))
+            qid_out.extend([qid] * uniq.size)
+            v_out.extend(uniq.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "value": pa.array(v_out, pa.string()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(distinct_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(Count(alias_name="_n"))  # dedup across shards
+        .drop_columns(["_n", "value"])
+        .groupby("qid")
+        .aggregate(Count(alias_name="cardinality"))
+    )
+
+
+def facet_histogram(queries_ds, index_dir: str, col: str, interval: int, *,
+                    match: str = "or", filter_pred=None,
+                    n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, bucket, cnt): fixed-interval histogram
+    of an integer docvalues column over each query's FULL match set — the
+    ES ``histogram`` aggregation (bucket key = floor(v / interval) *
+    interval; empty buckets omitted, ES ``min_doc_count=1``).
+
+    Same exact-merge shape as :func:`facet_counts`: per-shard vectorized
+    bucket counts over the shard's matches, Sum-merged by (qid, bucket).
+    Bucketing is per-doc, so partials compose exactly."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    if interval <= 0:
+        raise ValueError("interval must be a positive integer")
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def hist_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        qid_out, b_out, c_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = vals_np[sel].astype(np.int64)
+            # int64 floor division floors toward -inf via np.floor_divide
+            buckets = np.floor_divide(v, interval) * interval
+            uniq, cnts = np.unique(buckets, return_counts=True)
+            qid_out.extend([qid] * uniq.size)
+            b_out.extend(uniq.tolist())
+            c_out.extend(cnts.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "bucket": pa.array(b_out, pa.int64()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(hist_shard, batch_format="pyarrow")
+        .groupby(["qid", "bucket"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
