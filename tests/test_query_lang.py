@@ -798,6 +798,36 @@ def test_collapse_matches_brute(index_dir, oracle, ray_session):
         assert sub["ckey"].is_unique
 
 
+def test_top_hits_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import top_hits
+
+    k = 2
+    out = top_hits(
+        _queries_ds(QUERIES), index_dir, "lang", per_group_k=k
+    ).to_pandas()
+    langs = {d["doc_id"]: d["lang"] for d in DOCS}
+    for qid, text in QUERIES:
+        scores = _oracle_all_scores(oracle, text)
+        ranked = sorted(scores.items(), key=lambda e: (-e[1], e[0]))
+        want: dict[str, list[int]] = {}
+        for d, _s in ranked:
+            want.setdefault(langs[d], [])
+            if len(want[langs[d]]) < k:
+                want[langs[d]].append(d)
+        sub = out[out["qid"] == qid]
+        if not scores:
+            assert sub.empty
+            continue
+        got = {
+            gk: [int(d) for d in g.sort_values("rank")["doc_id"]]
+            for gk, g in sub.groupby("gkey")
+        }
+        assert got == want, qid
+        # rank is 1-based and dense within each bucket
+        for _gk, g in sub.groupby("gkey"):
+            assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
 @pytest.mark.parametrize("impl", ["pool", "sharded"])
 def test_neg_boost_demotes_matches_oracle(index_dir, oracle, impl):
     neg, factor = ["gamma"], 0.5

@@ -2419,6 +2419,34 @@ GROUP BY qid, bucket
 """
 
 
+TOP_HITS_K = 3
+
+
+def q_top_hits_per_lang(sf_dir: str):
+    """ES terms agg + top_hits sub-agg: for every lang bucket the GLOBAL
+    top-3 hits by BM25, rank 1-based within the bucket — per-shard
+    per-group top-k partials (proven superset, same argument as field
+    collapsing) + exact merge (webindex/search.py top_hits)."""
+    from webindex.search import top_hits
+
+    idx = ensure_index(sf_dir, "nostem")
+    out = top_hits(_queries_ds(), idx, "lang", per_group_k=TOP_HITS_K)
+    return out.map_batches(
+        lambda t: t.select(["qid", "gkey", "doc_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOP_HITS_PER_LANG = _sql_bm25_scores() + f"""
+SELECT qid, gkey, doc_id, rank FROM (
+  SELECT s.qid, d.lang::VARCHAR AS gkey, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid, d.lang
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+) WHERE rank <= {TOP_HITS_K}
+"""
+
+
 def q_facet_counts_filtered(sf_dir: str):
     """Facets compose with the bool-query constraints: AND match +
     docvalues predicate, counted over the constrained match set."""
@@ -3959,6 +3987,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_cardinality": (q_facet_cardinality, SQL_FACET_CARDINALITY),
+    "top_hits_per_lang": (q_top_hits_per_lang, SQL_TOP_HITS_PER_LANG),
     "facet_histogram": (q_facet_histogram, SQL_FACET_HISTOGRAM),
     "facet_counts_filtered": (q_facet_counts_filtered,
                               SQL_FACET_COUNTS_FILTERED),

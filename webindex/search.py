@@ -811,6 +811,128 @@ def collapse_queries(queries_ds, index_dir: str, collapse_col: str, *,
     return partial.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+def top_hits(queries_ds, index_dir: str, group_col: str, *,
+             per_group_k: int = 3, match: str = "or", filter_pred=None,
+             n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, gkey, doc_id, score, rank): for every
+    value of a docvalues column, the GLOBAL top ``per_group_k`` hits in
+    that group — the ES ``terms`` aggregation with a ``top_hits``
+    sub-aggregation (every bucket returns its best documents; ``rank``
+    is 1-based within the (qid, gkey) bucket).
+
+    Exactness of the shard merge (same argument as field collapsing): a
+    group's global i-th best hit (i <= k) is outranked within its group
+    by fewer than i docs globally, hence by fewer than i docs in its own
+    shard — so it survives that shard's per-group top-k cut, and the
+    per-shard partials are a superset of every group's global top-k.
+    Output size is bounded by the column's value domain x per_group_k
+    per query, never the match count. Docs lacking the docvalue are
+    omitted (ES missing-field semantics)."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def hits_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([group_col])
+        arr, valid = s.reader._dv[group_col]
+        import pyarrow.compute as pc
+
+        keys_np = pc.cast(arr, pa.string()).to_numpy(zero_copy_only=False)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, sc_out, key_out = [], [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = s.an.tokens(text or "")
+            # full shard ranking: every group's top-k is needed, and theta
+            # pruning may drop a small group's only hits
+            ids, scores = s._ranked(
+                terms, max(int(dl_ids.size), 1), force_exhaustive=True
+            )
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(dl_ids, ids)
+            ok = valid[pos]
+            ids, scores, pos = ids[ok], scores[ok], pos[ok]
+            if ids.size == 0:
+                continue
+            keys = keys_np[pos]
+            # ids arrive (score desc, docID asc): occurrence index within
+            # each key = rank within the group. Stable key-sort groups
+            # rows while preserving ranked order inside each group.
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            new_grp = np.empty(sk.size, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = sk[1:] != sk[:-1]
+            grp_id = np.cumsum(new_grp) - 1
+            starts = np.flatnonzero(new_grp)
+            occ = np.arange(sk.size) - starts[grp_id]
+            keep = np.sort(order[occ < per_group_k])  # ranked order back
+            qid_out.extend([qid] * keep.size)
+            id_out.append(ids[keep])
+            sc_out.append(scores[keep])
+            key_out.extend(keys[keep].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "gkey": pa.array(key_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["gkey", "score", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = g.groupby("gkey", sort=False).head(per_group_k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.groupby("gkey", sort=False).cumcount().astype(
+            np.int32
+        ) + 1
+        return g[["qid", "gkey", "doc_id", "score", "rank"]]
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(hits_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 def facet_percentiles(queries_ds, index_dir: str, col: str,
                       ps: list[int] = (25, 50, 75, 95), *,
                       match: str = "or", filter_pred=None,
