@@ -798,6 +798,75 @@ def test_collapse_matches_brute(index_dir, oracle, ray_session):
         assert sub["ckey"].is_unique
 
 
+def _brute_span_near(tokens, doc_tokens, slop):
+    """In-order span_near: exists p0 < ... < p_{m-1}, token i at p_i,
+    (p_{m-1} - p0) - (m-1) <= slop. Exhaustive over ALL position
+    combinations (independent of the engine's greedy-chain kernel)."""
+    from itertools import product
+
+    m = len(tokens)
+    occ = [
+        [i for i, t in enumerate(doc_tokens) if t == tok] for tok in tokens
+    ]
+    for combo in product(*occ):
+        if all(a < b for a, b in zip(combo, combo[1:])) and (
+            (combo[-1] - combo[0]) - (m - 1) <= slop
+        ):
+            return True
+    return False
+
+
+SPANS = [
+    ("s1", "alpha gamma", 1),
+    ("s2", "alpha beta", 2),
+    ("s3", "gamma delta epsilon", 2),
+    ("s4", "beta beta", 1),
+    ("s5", "alpha nosuchterm", 3),
+]
+
+
+def test_span_near_matches_brute(pos_index_dir, oracle, ray_session):
+    from webindex.search import search_queries
+
+    an = oracle.an
+    toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for qid, text, slop in SPANS:
+        runs = search_queries(
+            _queries_ds([(qid, text)]), pos_index_dir, top_k=8,
+            query_kind="phrase", slop=slop,
+        )
+        tokens = an.tokens(text)
+        matched = {
+            d for d, tl in toks.items()
+            if tokens and _brute_span_near(tokens, tl, slop)
+        }
+        want = _oracle_constrained(oracle, text, 8, allowed=matched,
+                                   require_all=True)
+        df = runs.to_pandas()
+        if not want:
+            assert df.empty, qid
+            continue
+        got = {
+            q: [(int(d), float(s)) for d, s in zip(g["doc_id"], g["score"])]
+            for q, g in df.sort_values(["qid", "rank"]).groupby("qid")
+        }
+        assert got[qid] == want, qid
+
+
+def test_span_near_slop0_is_exact_phrase(pos_index_dir, oracle):
+    from webindex.positional import phrase_topk, span_near_topk
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(pos_index_dir)
+    r.preload()
+    for _qid, text in PHRASES:
+        tokens = oracle.an.tokens(text)
+        a_ids, a_sc = phrase_topk(r, tokens, 10)
+        b_ids, b_sc = span_near_topk(r, tokens, 10, slop=0)
+        assert a_ids.tolist() == b_ids.tolist()
+        assert a_sc.tolist() == b_sc.tolist()
+
+
 def test_top_hits_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import top_hits
 

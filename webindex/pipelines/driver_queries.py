@@ -3367,6 +3367,89 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+SPAN_SLOP = 2
+SPAN_QUERIES: list[tuple[str, str]] = [
+    ("n1", "merge join"),
+    ("n2", "customer order"),
+    ("n3", "the fast key"),
+]
+
+
+def q_span_near_top10(sf_dir: str):
+    """ES/Lucene span_near(in_order=true, slop=2) over the positional
+    index: tokens in order at increasing positions with total stretch
+    <= slop (slop=0 would be exact match_phrase) — greedy-chain kernel
+    vectorized across all start positions
+    (webindex/positional.py span_near_topk)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pos")
+    runs = search_queries(
+        _span_queries_ds(), idx, top_k=TOPK, query_kind="phrase",
+        slop=SPAN_SLOP,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _span_queries_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([q for q, _ in SPAN_QUERIES]),
+                "text": pa.array([t for _, t in SPAN_QUERIES]),
+            }
+        )
+    )
+
+
+def _span_terms_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in SPAN_QUERIES
+        for t in sorted(set(_sql_an.tokens(text)))
+    )
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+def _span_match_sql(qid: str, text: str, slop: int) -> str:
+    """Exists-in-order-within-slop as an m-way self-join of the zipped
+    (doc_id, term, position) unnest — exhaustive over position
+    combinations, independent of the engine's greedy chain."""
+    ts = _sql_an.tokens(text)
+    m = len(ts)
+    joins = "".join(
+        f" JOIN pos t{i} ON t{i}.doc_id = t0.doc_id" for i in range(1, m)
+    )
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(ts)]
+    conds += [f"t{i}.p > t{i - 1}.p" for i in range(1, m)]
+    conds.append(f"(t{m - 1}.p - t0.p) - {m - 1} <= {slop}")
+    return (
+        f"SELECT DISTINCT '{qid}' AS qid, t0.doc_id FROM pos t0{joins} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+
+
+SQL_SPAN_NEAR_TOP10 = _sql_bm25_scores(_span_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_span_match_sql(q, t, SPAN_SLOP) for q, t in SPAN_QUERIES)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -4030,6 +4113,7 @@ REGISTRY: dict[str, tuple] = {
     "prefix_top10": (q_prefix_top10, SQL_PREFIX_TOP10),
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
+    "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

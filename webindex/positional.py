@@ -104,6 +104,14 @@ def phrase_topk(reader: SegmentReader, phrase_tokens: list[str], k: int,
             if survivors.size == 0:
                 return _EMPTY
     matched = cand[np.unique(survivors >> 32)]
+    return _score_matched(reader, pls, matched, k, mask)
+
+
+def _score_matched(reader: SegmentReader, pls, matched: np.ndarray, k: int,
+                   mask: np.ndarray | None):
+    """Mask filter + exact BM25 scores over ``pls`` (ascending-term order)
+    for the matched docs — shared by the phrase and span_near kernels so
+    their rankings are bit-identical to the ``match`` paths."""
     if mask is not None:
         pos_in_dl = np.searchsorted(reader._dl_ids, matched)
         matched = matched[mask[pos_in_dl]]
@@ -111,8 +119,80 @@ def phrase_topk(reader: SegmentReader, phrase_tokens: list[str], k: int,
         return _EMPTY
     # exact scores: ascending-term sums (bit-identical to the match path)
     scores = np.zeros(matched.size, dtype=np.float64)
-    for pl in pls:  # uniq is ascending
+    for pl in pls:  # callers pass posting lists in ascending term order
         _dense(pl, reader)
         idx = np.searchsorted(pl.ids, matched)
         scores += pl.dense_contrib[idx]
     return _rank_topk(matched, scores, k)
+
+
+def span_near_topk(reader: SegmentReader, tokens: list[str], k: int, *,
+                   slop: int = 0, mask: np.ndarray | None = None):
+    """ES/Lucene ``span_near(in_order=true, slop=N)`` — exact top-k docs
+    containing the tokens IN ORDER at strictly increasing positions
+    p0 < p1 < ... < p_{m-1} with total stretch
+    ``(p_{m-1} - p0) - (m - 1) <= slop`` (Lucene's span-extent slop;
+    ``slop=0`` is exactly ``match_phrase``). Scored like the phrase
+    kernels: BM25 sums of the unique terms, ascending unicode order.
+
+    Kernel: greedy chain, fully vectorized across every start position of
+    every candidate doc at once. For each occurrence of ``tokens[0]``
+    (64-bit keys ``cand_rank << 32 | position``), each subsequent term
+    advances to its smallest position strictly after the current chain
+    end (one ``np.searchsorted`` per term over that term's key array) —
+    greedy minimizes the chain end for a given start, so a start matches
+    iff its greedy chain spans within the window (exchange argument).
+    Cost: (m - 1) searchsorted rounds over |starts| keys, bounded by the
+    rarest term's df like the exact-phrase kernel."""
+    if not tokens:
+        return _EMPTY
+    if slop == 0:
+        return phrase_topk(reader, tokens, k, mask=mask)
+    uniq = sorted(set(tokens))
+    pls = []
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY
+        if pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions)"
+            )
+        pls.append(pl)
+    cand = pls[0].ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    # per-unique-term key arrays over the candidates (ascending: row_of is
+    # grouped ascending and positions ascend within each posting)
+    keys: dict[str, np.ndarray] = {}
+    for t, pl in zip(uniq, pls):
+        pos_vals, pos_ends = reader.positions(t)
+        rows = np.searchsorted(pl.ids, cand)
+        flat_pos, row_of = _gather_positions(
+            pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+        )
+        keys[t] = (row_of.astype(np.int64) << 32) | flat_pos
+
+    m = len(tokens)
+    cur = keys[tokens[0]]
+    start_pos = cur & 0xFFFFFFFF
+    for t in tokens[1:]:
+        if cur.size == 0:
+            return _EMPTY
+        b = keys[t]
+        idx = np.searchsorted(b, cur + 1)
+        ok = idx < b.size
+        nxt = b[np.minimum(idx, max(b.size - 1, 0))]
+        ok &= (nxt >> 32) == (cur >> 32)  # stay within the same doc
+        cur, start_pos, nxt = cur[ok], start_pos[ok], nxt[ok]
+        cur = nxt
+    if cur.size == 0:
+        return _EMPTY
+    within = ((cur & 0xFFFFFFFF) - start_pos) <= (m - 1 + slop)
+    ranks = np.unique(cur[within] >> 32)
+    if ranks.size == 0:
+        return _EMPTY
+    return _score_matched(reader, pls, cand[ranks], k, mask)

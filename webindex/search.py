@@ -52,7 +52,8 @@ class SearcherActor:
                  boosts: dict[str, float] | None = None,
                  pre_tokenized: bool = False,
                  must_not: list[str] | None = None,
-                 neg_boost: tuple[list[str], float] | None = None):
+                 neg_boost: tuple[list[str], float] | None = None,
+                 slop: int = 0):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -78,7 +79,7 @@ class SearcherActor:
         self.set_constraints(filter_pred, match, query_kind,
                              min_match=min_match, boosts=boosts,
                              pre_tokenized=pre_tokenized, must_not=must_not,
-                             neg_boost=neg_boost)
+                             neg_boost=neg_boost, slop=slop)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
@@ -86,7 +87,8 @@ class SearcherActor:
                         boosts: dict[str, float] | None = None,
                         pre_tokenized: bool = False,
                         must_not: list[str] | None = None,
-                        neg_boost: tuple[list[str], float] | None = None):
+                        neg_boost: tuple[list[str], float] | None = None,
+                        slop: int = 0):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -135,6 +137,10 @@ class SearcherActor:
                         for t in self.an.tokens(m or "")}),
                 float(factor),
             )
+        # span_near slop (query_kind="phrase"): 0 = exact match_phrase
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        self.slop = int(slop)
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -193,9 +199,13 @@ class SearcherActor:
                 force_exhaustive: bool = False):
         """Kernel routing shared by top-k search and cursor pagination."""
         if self.query_kind == "phrase":
-            from webindex.positional import phrase_topk
+            from webindex.positional import phrase_topk, span_near_topk
 
             mask = self._mask()
+            if self.slop:
+                return span_near_topk(
+                    self.reader, terms, k, slop=self.slop, mask=mask
+                )
             return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
@@ -354,7 +364,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    boosts: dict[str, float] | None = None,
                    pre_tokenized: bool = False,
                    must_not: list[str] | None = None,
-                   neg_boost: tuple[list[str], float] | None = None):
+                   neg_boost: tuple[list[str], float] | None = None,
+                   slop: int = 0):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -405,7 +416,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
             pre_tokenized=pre_tokenized, must_not=must_not,
-            neg_boost=neg_boost,
+            neg_boost=neg_boost, slop=slop,
         )
 
     import pandas as pd
@@ -439,7 +450,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                                        min_match=min_match, boosts=boosts,
                                        pre_tokenized=pre_tokenized,
                                        must_not=must_not,
-                                       neg_boost=neg_boost)
+                                       neg_boost=neg_boost, slop=slop)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -497,7 +508,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          boosts: dict[str, float] | None = None,
                          pre_tokenized: bool = False,
                          must_not: list[str] | None = None,
-                         neg_boost: tuple[list[str], float] | None = None):
+                         neg_boost: tuple[list[str], float] | None = None,
+                         slop: int = 0):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -528,7 +540,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             self_hit_filter=self_hit_filter, segments_ref=segments_ref,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
-            must_not=must_not, neg_boost=neg_boost,
+            must_not=must_not, neg_boost=neg_boost, slop=slop,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
