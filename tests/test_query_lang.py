@@ -867,6 +867,29 @@ def test_span_near_slop0_is_exact_phrase(pos_index_dir, oracle):
         assert a_sc.tolist() == b_sc.tolist()
 
 
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_field_value_factor_matches_oracle(index_dir, oracle, impl):
+    """ES function_score field_value_factor: score * (1 + w * docvalue),
+    same float-op order as the engine."""
+    w = 0.001
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        field_factor=("n_chars", w), concurrency=2, batch_size=4,
+    )
+    got = _runs_rows(runs)
+    for qid, text in QUERIES:
+        scores = _oracle_all_scores(oracle, text)
+        want = sorted(
+            ((d, s * (1.0 + w * nchars[d])) for d, s in scores.items()),
+            key=lambda e: (-e[1], e[0]),
+        )[:7]
+        if not want:
+            assert qid not in got
+            continue
+        assert got[qid] == want, (impl, qid)
+
+
 def test_top_hits_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import top_hits
 

@@ -3367,6 +3367,41 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+FVF_WEIGHT = 0.01
+
+
+def q_bm25_fvf_top10(sf_dir: str):
+    """ES function_score field_value_factor (score_mode=multiply):
+    final = BM25 * (1.0 + 0.01 * n_chars docvalue), missing -> factor 1
+    — pinned float-op order so the SQL oracle reproduces it bit for bit
+    (webindex/wand.py exhaustive_constrained field_factor)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        field_factor=("n_chars", FVF_WEIGHT),
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_FVF_TOP10 = _sql_bm25_scores() + f"""
+, boosted AS (
+  SELECT s.qid, s.doc_id,
+         s.score * (1.0 + {FVF_WEIGHT!r} * d.n_chars) AS score
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM boosted
+) WHERE rank <= {TOPK}
+"""
+
+
 SPAN_SLOP = 2
 SPAN_QUERIES: list[tuple[str, str]] = [
     ("n1", "merge join"),
@@ -4114,6 +4149,7 @@ REGISTRY: dict[str, tuple] = {
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
+    "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -53,7 +53,8 @@ class SearcherActor:
                  pre_tokenized: bool = False,
                  must_not: list[str] | None = None,
                  neg_boost: tuple[list[str], float] | None = None,
-                 slop: int = 0):
+                 slop: int = 0,
+                 field_factor: tuple[str, float] | None = None):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -79,7 +80,8 @@ class SearcherActor:
         self.set_constraints(filter_pred, match, query_kind,
                              min_match=min_match, boosts=boosts,
                              pre_tokenized=pre_tokenized, must_not=must_not,
-                             neg_boost=neg_boost, slop=slop)
+                             neg_boost=neg_boost, slop=slop,
+                             field_factor=field_factor)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
@@ -88,7 +90,8 @@ class SearcherActor:
                         pre_tokenized: bool = False,
                         must_not: list[str] | None = None,
                         neg_boost: tuple[list[str], float] | None = None,
-                        slop: int = 0):
+                        slop: int = 0,
+                        field_factor: tuple[str, float] | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -141,6 +144,14 @@ class SearcherActor:
         if slop < 0:
             raise ValueError("slop must be >= 0")
         self.slop = int(slop)
+        # ES function_score field_value_factor: (docvalues col, weight)
+        self.field_factor = None
+        if field_factor is not None:
+            col, w = field_factor
+            if w < 0:
+                raise ValueError("field_factor weight must be >= 0 "
+                                 "(scores stay positive)")
+            self.field_factor = (str(col), float(w))
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -209,7 +220,8 @@ class SearcherActor:
             return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
-                or self.boosts or self.must_not or self.neg_boost):
+                or self.boosts or self.must_not or self.neg_boost
+                or self.field_factor):
             # constrained queries (filter predicate, pending deletes, AND
             # match, minimum_should_match, boosts) take the dedicated
             # exhaustive kernel (pruning θ bounds are invalid under
@@ -219,6 +231,7 @@ class SearcherActor:
                 require_all=self.match == "and",
                 min_match=self.min_match, boosts=self.boosts,
                 neg_terms=self.must_not, neg_boost=self.neg_boost,
+                field_factor=self.field_factor,
             )
         mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
@@ -365,7 +378,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    pre_tokenized: bool = False,
                    must_not: list[str] | None = None,
                    neg_boost: tuple[list[str], float] | None = None,
-                   slop: int = 0):
+                   slop: int = 0,
+                   field_factor: tuple[str, float] | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -416,7 +430,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
             pre_tokenized=pre_tokenized, must_not=must_not,
-            neg_boost=neg_boost, slop=slop,
+            neg_boost=neg_boost, slop=slop, field_factor=field_factor,
         )
 
     import pandas as pd
@@ -450,7 +464,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                                        min_match=min_match, boosts=boosts,
                                        pre_tokenized=pre_tokenized,
                                        must_not=must_not,
-                                       neg_boost=neg_boost, slop=slop)
+                                       neg_boost=neg_boost, slop=slop,
+                             field_factor=field_factor)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -509,7 +524,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          pre_tokenized: bool = False,
                          must_not: list[str] | None = None,
                          neg_boost: tuple[list[str], float] | None = None,
-                         slop: int = 0):
+                         slop: int = 0,
+                         field_factor: tuple[str, float] | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -541,6 +557,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
             must_not=must_not, neg_boost=neg_boost, slop=slop,
+            field_factor=field_factor,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -141,7 +141,8 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
                            min_match: int | None = None,
                            boosts: dict[str, float] | None = None,
                            neg_terms: list[str] | None = None,
-                           neg_boost: tuple[list[str], float] | None = None):
+                           neg_boost: tuple[list[str], float] | None = None,
+                           field_factor=None):
     """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
     ``match`` + ``filter`` context, ``operator: and``,
     ``minimum_should_match`` and per-term query boosts — the query
@@ -220,6 +221,19 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
             _dense(pl, reader)
             demote[pl.dense_pos] = True
         vals = np.where(demote[sel], vals * factor, vals)
+    if field_factor is not None:
+        # ES function_score field_value_factor (score_mode=multiply):
+        # final = score * (1.0 + weight * docvalue). Pinned float-op
+        # order (w*v, 1+x, score*f — all exact IEEE doubles) so the SQL
+        # oracle reproduces it bit for bit; per-document, so the sharded
+        # merge composes. Docs lacking the docvalue use missing=0 (ES
+        # ``missing`` param) -> factor 1.0.
+        col, w = field_factor
+        reader._load_docvalues([col])
+        arr, valid = reader._dv[col]
+        dv = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        fac = 1.0 + w * np.where(valid[sel], dv[sel], 0.0)
+        vals = vals * fac
     return _rank_topk(dl_ids[sel], vals, k)
 
 
