@@ -351,3 +351,63 @@ def test_poly_base_hash_variants():
                   "text": pa.array(["!!!"])})
     )
     assert empty.column("simhash").to_pylist() == [0]
+
+
+def test_cross_doc_dup_ngrams_matches_brute(ray_session):
+    import ray.data as rd
+
+    from webindex.dedup import cross_doc_dup_ngrams
+
+    # corpus with engineered cross-doc repeats: docs 0/1 share a span,
+    # doc 2 repeats its own trigram, doc 3 is unique, doc 4 is too short
+    docs = [
+        (0, "alpha beta gamma delta epsilon one two"),
+        (1, "zz alpha beta gamma delta epsilon yy"),
+        (2, "red blue green red blue green tail"),
+        (3, "totally unique words here nothing shared"),
+        (4, "tiny doc"),
+        (5, ""),
+    ]
+    n, min_count = 3, 2
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    out = (
+        cross_doc_dup_ngrams(ds, n=n, min_count=min_count, n_parts=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute: global multiset of shingles, then per-position dup flags
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    shingles = {
+        d: [
+            " ".join(ts[i: i + n])
+            for ts in [tok.findall(t.lower())]
+            for i in range(len(ts) - n + 1)
+        ]
+        for d, t in docs
+    }
+    global_counts = Counter(g for gs in shingles.values() for g in gs)
+    for d, gs in shingles.items():
+        if not gs:
+            assert d not in out.index
+            continue
+        n_dup = sum(1 for g in gs if global_counts[g] >= min_count)
+        row = out.loc[d]
+        assert int(row["n_shingles"]) == len(gs), d
+        assert int(row["n_dup"]) == n_dup, d
+        assert float(row["dup_frac"]) == n_dup / len(gs), d
+    # the fixture must exercise cross-doc, within-doc, and zero cases
+    assert int(out.loc[0, "n_dup"]) > 0
+    assert int(out.loc[2, "n_dup"]) > 0
+    assert int(out.loc[3, "n_dup"]) == 0

@@ -1025,3 +1025,121 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
     return cluster_pairs(
         verified, mode=cc_mode, driver_threshold=driver_threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-grams (training-data curation signal)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_dup_ngrams(docs_ds, *, n: int = 3, min_count: int = 2,
+                         n_parts: int = 64, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Per-document CROSS-corpus duplicate n-gram statistics — the signal
+    behind span-level training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper: repeated spans across documents, not just within one).
+
+    Output per doc (docs with >= 1 shingle): ``(doc_id, n_shingles,
+    n_dup, dup_frac)`` where a shingle is ``n`` consecutive
+    ``[a-z0-9]+`` lowercase tokens (the SQL-reproducible analyzer of
+    ``textstats.repetition_batch``), ``n_dup`` counts shingle POSITIONS
+    whose shingle occurs >= ``min_count`` times in the whole corpus
+    (multiplicity across and within docs), and ``dup_frac`` is the one
+    ``n_dup / n_shingles`` IEEE division (exact-int inputs, so a DuckDB
+    oracle matches bit for bit).
+
+    Scale shape: one pass emits per-(doc, shingle-hash) partial counts
+    (pre-aggregated per doc — repeats inside a doc never fan out), ONE
+    hash shuffle co-locates each shingle's rows (``h % n_parts``,
+    partition count PINNED), the per-partition kernel is vectorized
+    (sort + reduceat group sums) and emits per-doc PARTIALS, and a final
+    small ``groupby(doc_id).Sum`` merge reassembles — nothing
+    corpus-sized reaches the driver and no string leaves the first
+    stage. Shingles are keyed by 64-bit blake2b (`stable_hash64`) of the
+    space-joined tokens: a cross-shingle collision (~2^-64 per pair)
+    could overcount one doc's dup positions — the same documented
+    tradeoff as the docids key128 path.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from webindex.textstats import _ASCII_TOK_RE
+    from webindex.util import stable_hash64
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_h, o_occ = [], [], []
+        for did, t in zip(ids, texts):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            total = len(toks) - n + 1
+            if total <= 0:
+                continue
+            grams = Counter(
+                " ".join(toks[i: i + n]) for i in range(total)
+            )
+            for g, c in grams.items():
+                o_id.append(did)
+                o_h.append(stable_hash64(g))
+                o_occ.append(c)
+        h = np.array(o_h, dtype=np.uint64)
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "h": pa.array(h),
+                "occ": pa.array(o_occ, pa.int64()),
+                "part": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def mark_partition(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.uint64)
+        occ = g["occ"].to_numpy(np.int64)
+        dids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, occs, idss = h[order], occ[order], dids[order]
+        new_grp = np.empty(hs.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new_grp)
+        totals = np.add.reduceat(occs, starts)
+        grp_of = np.cumsum(new_grp) - 1
+        dup_row = (totals >= min_count)[grp_of]
+        pdf = pd.DataFrame(
+            {
+                id_col: idss,
+                "occ_p": occs,
+                "dup_p": np.where(dup_row, occs, 0),
+            }
+        )
+        return (
+            pdf.groupby(id_col, sort=False).sum().reset_index()
+        )
+
+    partials = (
+        docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mark_partition, batch_format="pandas")
+    )
+    merged = partials.groupby(id_col).aggregate(
+        Sum("occ_p", alias_name="n_shingles"),
+        Sum("dup_p", alias_name="n_dup"),
+    )
+
+    def add_frac(batch: pa.Table) -> pa.Table:
+        tot = batch.column("n_shingles").to_numpy().astype(np.int64)
+        dup = batch.column("n_dup").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "dup_frac", pa.array(dup / tot, pa.float64())
+        )
+
+    return merged.map_batches(add_frac, batch_format="pyarrow")

@@ -3367,6 +3367,45 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+DUPNG_N = 3
+DUPNG_MIN = 2
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate n-gram statistics (Lee et al. 2022
+    span-dedup signal): per doc the total trigram positions, positions
+    whose trigram occurs >= 2x corpus-wide (across AND within docs), and
+    the one-division fraction (webindex/dedup.py cross_doc_dup_ngrams:
+    one pinned hash shuffle, vectorized reduceat partition kernel,
+    per-doc Sum merge)."""
+    import ray.data as rd
+
+    from webindex.dedup import cross_doc_dup_ngrams
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return cross_doc_dup_ngrams(docs, n=DUPNG_N, min_count=DUPNG_MIN)
+
+
+SQL_DUP_NGRAMS = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(tl[u.p + 1: u.p + {DUPNG_N}], ' ') AS s
+  FROM dt, unnest(range(len(tl) - {DUPNG_N} + 1)) AS u(p)
+),
+cnt AS (SELECT s, count(*)::BIGINT AS c FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN cnt.c >= {DUPNG_MIN} THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       sum(CASE WHEN cnt.c >= {DUPNG_MIN} THEN 1 ELSE 0 END)::BIGINT
+         / count(*)::BIGINT AS dup_frac
+FROM sh JOIN cnt ON cnt.s = sh.s
+GROUP BY sh.doc_id
+"""
+
+
 FVF_WEIGHT = 0.01
 
 
@@ -4150,6 +4189,7 @@ REGISTRY: dict[str, tuple] = {
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
+    "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
