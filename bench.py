@@ -220,6 +220,13 @@ def run_bench() -> dict:
     timings["dedup_minhash"] = time.time() - t0
     extra["minhash_clustered"] = len(cc)
 
+    from webindex.dedup import cross_doc_dup_ngrams
+
+    t0 = time.time()
+    dng = cross_doc_dup_ngrams(docs, n=3, min_count=2)
+    extra["dup_ngram_docs"] = dng.count()
+    timings["dup_ngrams"] = time.time() - t0
+
     from webindex.ann import brute_topk
 
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")

@@ -890,6 +890,37 @@ def test_field_value_factor_matches_oracle(index_dir, oracle, impl):
         assert got[qid] == want, (impl, qid)
 
 
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_dis_max_matches_oracle(index_dir, oracle, impl):
+    """ES dis_max: score = best clause + tie_breaker * (sum of others),
+    computed as max + tb * (sum - max) with the pinned term sum."""
+    tb = 0.3
+    an = oracle.an
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=7, impl=impl,
+        dis_max=tb, concurrency=2, batch_size=4,
+    )
+    got = _runs_rows(runs)
+    for qid, text in QUERIES:
+        terms = sorted(set(an.tokens(text)))
+        per_doc: dict[int, list[float]] = {}
+        for t in terms:
+            for d, c in oracle.contribs(t).items():
+                per_doc.setdefault(d, []).append(c)
+        want = []
+        for d, cs in per_doc.items():
+            s = 0.0
+            for c in cs:  # ascending-term order (terms iterated sorted)
+                s += c
+            mx = max(cs)
+            want.append((d, mx + tb * (s - mx)))
+        want = sorted(want, key=lambda e: (-e[1], e[0]))[:7]
+        if not want:
+            assert qid not in got
+            continue
+        assert got[qid] == want, (impl, qid)
+
+
 def test_top_hits_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import top_hits
 

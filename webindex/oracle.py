@@ -36,6 +36,20 @@ class OracleBM25:
         df = self.df(term)
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
+    def contribs(self, term: str) -> dict[int, float]:
+        """Per-doc BM25 contribution of one term (idf * tf_norm)."""
+        plist = self.postings.get(term)
+        if not plist:
+            return {}
+        idf_t = self.idf(term)
+        cfg = self.cfg
+        out = {}
+        for doc_id, tf in plist.items():
+            dl = self.dl[doc_id]
+            denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * (dl / self.avgdl))
+            out[doc_id] = idf_t * (tf / denom)
+        return out
+
     def topk(self, query: str, k: int) -> list[tuple[int, float]]:
         """[(doc_id, score)] by (score desc, docID asc); fixed-order sums."""
         terms = sorted(set(self.an.tokens(query)))

@@ -3367,6 +3367,43 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+DISMAX_TB = 0.3
+
+
+def q_bm25_dismax_top10(sf_dir: str):
+    """ES dis_max query: score = best term clause + tie_breaker * (sum of
+    the other clauses), computed as max + tb * (pinned ascending-term sum
+    - max) so the SQL oracle reproduces the float ops exactly
+    (webindex/wand.py exhaustive_constrained dis_max)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        dis_max=DISMAX_TB,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_DISMAX_TOP10 = _sql_bm25_scores() + f"""
+, dm AS (
+  SELECT qid, doc_id,
+         list_max(list(c ORDER BY term))
+           + {DISMAX_TB!r} * (list_sum(list(c ORDER BY term))
+                              - list_max(list(c ORDER BY term))) AS score
+  FROM contrib GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM dm
+) WHERE rank <= {TOPK}
+"""
+
+
 DUPNG_N = 3
 DUPNG_MIN = 2
 
@@ -4190,6 +4227,7 @@ REGISTRY: dict[str, tuple] = {
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

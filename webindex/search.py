@@ -54,7 +54,8 @@ class SearcherActor:
                  must_not: list[str] | None = None,
                  neg_boost: tuple[list[str], float] | None = None,
                  slop: int = 0,
-                 field_factor: tuple[str, float] | None = None):
+                 field_factor: tuple[str, float] | None = None,
+                 dis_max: float | None = None):
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -81,7 +82,7 @@ class SearcherActor:
                              min_match=min_match, boosts=boosts,
                              pre_tokenized=pre_tokenized, must_not=must_not,
                              neg_boost=neg_boost, slop=slop,
-                             field_factor=field_factor)
+                             field_factor=field_factor, dis_max=dis_max)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
@@ -91,7 +92,8 @@ class SearcherActor:
                         must_not: list[str] | None = None,
                         neg_boost: tuple[list[str], float] | None = None,
                         slop: int = 0,
-                        field_factor: tuple[str, float] | None = None):
+                        field_factor: tuple[str, float] | None = None,
+                        dis_max: float | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -152,6 +154,8 @@ class SearcherActor:
                 raise ValueError("field_factor weight must be >= 0 "
                                  "(scores stay positive)")
             self.field_factor = (str(col), float(w))
+        # ES dis_max: tie_breaker in [0, 1]; None = plain bool sum
+        self.dis_max = None if dis_max is None else float(dis_max)
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -221,7 +225,7 @@ class SearcherActor:
         mask = self._mask()
         if (mask is not None or self.match == "and" or self.min_match
                 or self.boosts or self.must_not or self.neg_boost
-                or self.field_factor):
+                or self.field_factor or self.dis_max is not None):
             # constrained queries (filter predicate, pending deletes, AND
             # match, minimum_should_match, boosts) take the dedicated
             # exhaustive kernel (pruning θ bounds are invalid under
@@ -231,7 +235,7 @@ class SearcherActor:
                 require_all=self.match == "and",
                 min_match=self.min_match, boosts=self.boosts,
                 neg_terms=self.must_not, neg_boost=self.neg_boost,
-                field_factor=self.field_factor,
+                field_factor=self.field_factor, dis_max=self.dis_max,
             )
         mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
@@ -379,7 +383,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    must_not: list[str] | None = None,
                    neg_boost: tuple[list[str], float] | None = None,
                    slop: int = 0,
-                   field_factor: tuple[str, float] | None = None):
+                   field_factor: tuple[str, float] | None = None,
+                   dis_max: float | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -431,6 +436,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
             pre_tokenized=pre_tokenized, must_not=must_not,
             neg_boost=neg_boost, slop=slop, field_factor=field_factor,
+            dis_max=dis_max,
         )
 
     import pandas as pd
@@ -465,7 +471,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                                        pre_tokenized=pre_tokenized,
                                        must_not=must_not,
                                        neg_boost=neg_boost, slop=slop,
-                             field_factor=field_factor)
+                             field_factor=field_factor, dis_max=dis_max)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -525,7 +531,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          must_not: list[str] | None = None,
                          neg_boost: tuple[list[str], float] | None = None,
                          slop: int = 0,
-                         field_factor: tuple[str, float] | None = None):
+                         field_factor: tuple[str, float] | None = None,
+                         dis_max: float | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -557,7 +564,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
             must_not=must_not, neg_boost=neg_boost, slop=slop,
-            field_factor=field_factor,
+            field_factor=field_factor, dis_max=dis_max,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -142,7 +142,8 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
                            boosts: dict[str, float] | None = None,
                            neg_terms: list[str] | None = None,
                            neg_boost: tuple[list[str], float] | None = None,
-                           field_factor=None):
+                           field_factor=None,
+                           dis_max: float | None = None):
     """Filtered / conjunctive exhaustive top-k (the ES bool-query analog:
     ``match`` + ``filter`` context, ``operator: and``,
     ``minimum_should_match`` and per-term query boosts — the query
@@ -164,6 +165,8 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
     if boosts and any(b <= 0 for b in boosts.values()):
         raise ValueError("boosts must be > 0 (scores stay positive — the "
                          "match set is the nonzero-score set)")
+    if dis_max is not None and not 0.0 <= dis_max <= 1.0:
+        raise ValueError("dis_max tie_breaker must be in [0, 1]")
     uniq = sorted(set(terms))
     pls = query_postings(reader, uniq)
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -183,6 +186,10 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
             buf = reader._hits_scratch = np.empty(dl_ids.size, np.int16)
         hits = buf[: dl_ids.size]
         hits.fill(0)
+    maxsc = (
+        np.zeros(dl_ids.size, dtype=np.float64) if dis_max is not None
+        else None
+    )
     for pl in pls:  # ascending term order (query_postings sorts)
         _dense(pl, reader)
         contrib = pl.dense_contrib
@@ -191,6 +198,9 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
             if b != 1.0:
                 contrib = contrib * b
         scores[pl.dense_pos] += contrib
+        if maxsc is not None:
+            # per-term best clause for the dis_max combine below
+            maxsc[pl.dense_pos] = np.maximum(maxsc[pl.dense_pos], contrib)
         if hits is not None:
             hits[pl.dense_pos] += 1
     sel = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
@@ -210,6 +220,13 @@ def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
             excl[pl.dense_pos] = True
         sel = sel[~excl[sel]]
     vals = scores[sel]
+    if maxsc is not None:
+        # ES dis_max query: score = best clause + tie_breaker * (sum of
+        # the other clauses). Computed as max + tb * (sum - max) with the
+        # pinned ascending-term sum — the float-op order the SQL oracle
+        # reproduces (list_max + tb * (list_sum - list_max)).
+        mx = maxsc[sel]
+        vals = mx + dis_max * (vals - mx)
     if neg_boost is not None:
         # ES boosting query: DEMOTE (not exclude) docs containing any
         # negative term — one multiply of the summed score by the
