@@ -363,6 +363,40 @@ def test_prefix_and_regexp_search_match_explicit_term_oracle(index_dir,
     assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]
 
 
+def test_percolate_matches_brute(oracle, ray_session):
+    """ES percolator: docs stream against registered queries; brute
+    oracle recomputes term-subset membership per (query, doc)."""
+    import ray.data as rd
+
+    from webindex.percolate import percolate
+
+    docs_ds = rd.from_items(DOCS)
+    queries = [
+        ("pq1", "merge stream"),
+        ("pq2", "custom"),
+        ("pq3", "paint batch surgeon"),
+        ("pq4", ""),
+    ]
+    an = oracle.an
+    for mm in (None, 2):
+        out = percolate(
+            docs_ds, queries, analyzer=an.cfg, min_match=mm
+        ).to_pandas()
+        got = set(zip(out["query_id"], out["doc_id"].astype(int)))
+        want = set()
+        for qid, qtext in queries:
+            ts = set(an.tokens(qtext))
+            if not ts:
+                continue
+            req = len(ts) if mm is None else min(mm, len(ts))
+            for d in DOCS:
+                hits = len(ts & set(an.tokens(d["text"])))
+                if hits >= req:
+                    want.add((qid, d["doc_id"]))
+        assert got == want, mm
+        assert want  # fixture must produce matches
+
+
 def test_wildcard_search_matches_fnmatch_oracle(index_dir, oracle):
     """ES wildcard query vs an INDEPENDENT shell-glob oracle
     (fnmatch implements * / ? natively — no shared translation code)."""

@@ -3367,6 +3367,38 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+def q_percolate(sf_dir: str):
+    """ES percolator (reverse search): every document streams against the
+    registered query set; (query_id, doc_id) emitted when the doc
+    contains ALL of the query's analyzed terms. Queries broadcast once
+    via ray.put; the corpus never leaves map_batches
+    (webindex/percolate.py)."""
+    import ray.data as rd
+
+    from webindex.percolate import percolate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return percolate(docs, DOC_QUERIES, analyzer=SQL_SAFE_ANALYZER)
+
+
+SQL_PERCOLATE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+nq AS (SELECT qid, count(*)::BIGINT AS nt FROM qterms GROUP BY qid)
+SELECT q.qid AS query_id, tk.doc_id
+FROM qterms q JOIN toks tk ON tk.term = q.term JOIN nq ON nq.qid = q.qid
+GROUP BY q.qid, tk.doc_id, nq.nt
+HAVING count(*) = nt
+"""
+
+
 DISMAX_TB = 0.3
 
 
@@ -4228,6 +4260,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
+    "percolate": (q_percolate, SQL_PERCOLATE),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
