@@ -696,6 +696,32 @@ def test_facet_stats_matches_brute(index_dir, oracle, ray_session):
         assert float(row["avg"]) == sum(vals) / len(vals)
 
 
+def test_sort_by_field_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import sort_by_field
+
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    an = oracle.an
+    for desc in (True, False):
+        out = sort_by_field(
+            _queries_ds(QUERIES), index_dir, "n_chars", top_k=6,
+            descending=desc,
+        ).to_pandas()
+        for qid, text in QUERIES:
+            terms = set(an.tokens(text))
+            match = {
+                d["doc_id"] for d in DOCS
+                if terms & set(an.tokens(d["text"]))
+            }
+            want = sorted(
+                ((nchars[d], d) for d in match),
+                key=lambda e: (-e[0], e[1]) if desc else (e[0], e[1]),
+            )[:6]
+            sub = out[out["qid"] == qid].sort_values("rank")
+            got = [(int(v), int(d))
+                   for v, d in zip(sub["sortval"], sub["doc_id"])]
+            assert got == want, (desc, qid)
+
+
 def test_facet_cardinality_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import facet_cardinality
 

@@ -3399,6 +3399,35 @@ HAVING count(*) = nt
 """
 
 
+def q_sort_by_nchars(sf_dir: str):
+    """ES sort clause (sort: [{n_chars: desc}]): the match set ordered by
+    a docvalue instead of BM25, scoring skipped — per-shard top-k under
+    the (value desc, docID) total order, exact superset merge
+    (webindex/search.py sort_by_field)."""
+    from webindex.search import sort_by_field
+
+    idx = ensure_index(sf_dir, "nostem")
+    return sort_by_field(_queries_ds(), idx, "n_chars", top_k=TOPK)
+
+
+SQL_SORT_BY_NCHARS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tk.doc_id
+      FROM qterms q JOIN toks tk ON tk.term = q.term)
+SELECT qid, doc_id, sortval, rank FROM (
+  SELECT m.qid, m.doc_id, d.n_chars::BIGINT AS sortval,
+         row_number() OVER (PARTITION BY m.qid
+                            ORDER BY d.n_chars DESC, m.doc_id)::INTEGER AS rank
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
 DISMAX_TB = 0.3
 
 
@@ -4261,6 +4290,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
+    "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -969,6 +969,104 @@ def top_hits(queries_ds, index_dir: str, group_col: str, *,
     return partial.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+def sort_by_field(queries_ds, index_dir: str, col: str, *,
+                  top_k: int = 10, descending: bool = True,
+                  match: str = "or", filter_pred=None,
+                  n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, doc_id, sortval, rank): the query's
+    match set ordered by an integer docvalues column instead of BM25 —
+    the ES ``sort`` clause (``sort: [{col: desc}]``; relevance scoring
+    skipped entirely, as ES does when a sort replaces _score). Ties break
+    by ascending docID; docs lacking the docvalue are omitted (ES
+    ``missing`` handling is _last — below any top-k here).
+
+    Exact shard merge: the global i-th row (i <= k) under the total order
+    is within its own shard's top-k, so per-shard top-k partials are a
+    superset; the merge re-sorts and cuts."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def sort_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, v_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = vals_np[sel].astype(np.int64)
+            ids = dl_ids[sel]
+            # shard-local top-k under (sortval, docID): lexsort is
+            # ascending — negate the value column for descending
+            order = np.lexsort((ids, -v if descending else v))[:top_k]
+            qid_out.extend([qid] * order.size)
+            id_out.append(ids[order])
+            v_out.append(v[order])
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "sortval": pa.array(
+                    np.concatenate(v_out) if v_out
+                    else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sortval", "doc_id"],
+            ascending=[not descending, True], kind="mergesort",
+        ).head(top_k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "sortval", "rank"]]
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sort_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 def facet_percentiles(queries_ds, index_dir: str, col: str,
                       ps: list[int] = (25, 50, 75, 95), *,
                       match: str = "or", filter_pred=None,
