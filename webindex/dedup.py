@@ -1056,8 +1056,9 @@ def cross_doc_dup_ngrams(docs_ds, *, n: int = 3, min_count: int = 2,
     (sort + reduceat group sums) and emits per-doc PARTIALS, and a final
     small ``groupby(doc_id).Sum`` merge reassembles — nothing
     corpus-sized reaches the driver and no string leaves the first
-    stage. Shingles are keyed by 64-bit blake2b (`stable_hash64`) of the
-    space-joined tokens: a cross-shingle collision (~2^-64 per pair)
+    stage. Shingles are keyed by a vectorized 64-bit polynomial combine
+    of memoized per-token blake2b hashes (order-sensitive, avalanche
+    finalizer): a cross-shingle collision (~2^-64 per pair)
     could overcount one doc's dup positions — the same documented
     tradeoff as the docids key128 path.
     """
@@ -1071,30 +1072,52 @@ def cross_doc_dup_ngrams(docs_ds, *, n: int = 3, min_count: int = 2,
     if n < 1:
         raise ValueError("n must be >= 1")
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+    # shingle hash = order-sensitive polynomial combine of per-token
+    # blake2b hashes (memoized per worker process — Zipf vocab makes the
+    # memo near-free), vectorized over each doc's token-hash array: one
+    # multiply-add per window offset instead of a join+blake2b per gram.
+    # Same collision caveat as above; equal shingles always hash equal.
+    _P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        cache = shingle_rows.__dict__.setdefault("_tok_cache", {})
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        o_id, o_h, o_occ = [], [], []
-        for did, t in zip(ids, texts):
-            toks = _ASCII_TOK_RE.findall((t or "").lower())
-            total = len(toks) - n + 1
-            if total <= 0:
-                continue
-            grams = Counter(
-                " ".join(toks[i: i + n]) for i in range(total)
-            )
-            for g, c in grams.items():
-                o_id.append(did)
-                o_h.append(stable_hash64(g))
-                o_occ.append(c)
-        h = np.array(o_h, dtype=np.uint64)
+        o_id, hs_parts, occ_parts = [], [], []
+        with np.errstate(over="ignore"):
+            weights = _P ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+            for did, t in zip(ids, texts):
+                toks = _ASCII_TOK_RE.findall((t or "").lower())
+                total = len(toks) - n + 1
+                if total <= 0:
+                    continue
+                th = np.empty(len(toks), dtype=np.uint64)
+                for i, tok in enumerate(toks):
+                    hv = cache.get(tok)
+                    if hv is None:
+                        hv = cache[tok] = np.uint64(stable_hash64(tok))
+                    th[i] = hv
+                acc = np.zeros(total, dtype=np.uint64)
+                for j in range(n):
+                    acc += th[j: j + total] * weights[j]
+                acc ^= acc >> np.uint64(33)  # final avalanche mix
+                uh, cnts = np.unique(acc, return_counts=True)
+                o_id.extend([did] * uh.size)
+                hs_parts.append(uh)
+                occ_parts.append(cnts.astype(np.int64))
+        h = (
+            np.concatenate(hs_parts) if hs_parts
+            else np.empty(0, np.uint64)
+        )
+        occ = (
+            np.concatenate(occ_parts) if occ_parts
+            else np.empty(0, np.int64)
+        )
         return pa.table(
             {
                 id_col: pa.array(o_id, pa.int64()),
                 "h": pa.array(h),
-                "occ": pa.array(o_occ, pa.int64()),
+                "occ": pa.array(occ),
                 "part": pa.array(
                     (h % np.uint64(n_parts)).astype(np.int32)
                 ),
