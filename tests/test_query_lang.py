@@ -947,6 +947,50 @@ def test_dis_max_matches_oracle(index_dir, oracle, impl):
         assert got[qid] == want, (impl, qid)
 
 
+def test_match_phrase_prefix_matches_brute(pos_index_dir, oracle,
+                                           ray_session):
+    """ES match_phrase_prefix: last term is a prefix; score = max over
+    matched expansions of the exact phrase score of base+[e]."""
+    from webindex.lexicon import match_phrase_prefix
+
+    an = oracle.an
+    doc_toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+
+    def phrase_in(tokens, tl):
+        m = len(tokens)
+        return any(
+            tl[i: i + m] == tokens for i in range(len(tl) - m + 1)
+        )
+
+    queries = [("mp1", "alpha bet"), ("mp2", "gamma delta epsil"),
+               ("mp3", "e"), ("mp4", "alpha nosuchpref")]
+    out = match_phrase_prefix(
+        queries, pos_index_dir, top_k=6
+    ).to_pandas()
+    for qid, text in queries:
+        toks = an.tokens(text)
+        base, pre = toks[:-1], toks[-1]
+        exps = sorted(t for t in oracle.postings if t.startswith(pre))
+        best: dict[int, float] = {}
+        for e in exps:
+            variant = base + [e]
+            uniq = sorted(set(variant))
+            for d, tl in doc_toks.items():
+                if phrase_in(variant, tl):
+                    s = 0.0
+                    for t in uniq:
+                        s += oracle.contribs(t).get(d, 0.0)
+                    if d not in best or s > best[d]:
+                        best[d] = s
+        want = sorted(best.items(), key=lambda e2: (-e2[1], e2[0]))[:6]
+        sub = out[out["qid"] == qid].sort_values("rank")
+        got = [(int(d), float(s))
+               for d, s in zip(sub["doc_id"], sub["score"])]
+        assert got == want, qid
+    assert (out["qid"] == "mp3").any()  # multi-expansion case exercised
+    assert not (out["qid"] == "mp4").any()
+
+
 def test_top_hits_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import top_hits
 

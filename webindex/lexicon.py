@@ -447,6 +447,106 @@ def regexp_search(queries: list[tuple[str, str]], index_dir: str, *,
     return _rewrite_search(queries, index_dir, exp, top_k, **search_kwargs)
 
 
+def match_phrase_prefix(queries: list[tuple[str, str]], index_dir: str, *,
+                        top_k: int = 10, max_expansions: int = 50,
+                        **search_kwargs):
+    """ES ``match_phrase_prefix`` (autocomplete / search-as-you-type):
+    the LAST analyzed term is a prefix; a doc matches when the phrase
+    completes consecutively with ANY of the prefix's
+    top-``max_expansions`` dictionary expansions (df desc, term asc —
+    the same Lucene rewrite as :func:`prefix_search`). Per-doc score =
+    MAX over matched expansions ``e`` of the exact phrase score of
+    ``base + [e]`` (BM25 sum over the variant's unique terms, pinned
+    ascending order) — per-document, so the sharded merge composes and a
+    SQL oracle reproduces it.
+
+    Execution: expansions come from the one distributed dict scan; each
+    (query, expansion) variant runs the index-only positional phrase
+    kernel through the standard batch path; per-variant top-k partials
+    are a proven superset of the global top-k under max-combine (a doc's
+    global rank-i means fewer than i docs beat its best variant score in
+    that variant's own ranking), merged by one small
+    ``groupby(qid, doc_id).Max``."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Max
+
+    from webindex.config import IndexConfig
+    from webindex.search import search_queries
+    from webindex.util import read_json
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    parsed = []  # (qid, base_tokens, prefix)
+    for qid, text in queries:
+        toks = an.tokens(text or "")
+        if not toks:
+            continue
+        parsed.append((qid, toks[:-1], toks[-1]))
+    if not parsed:
+        return rd.from_arrow(_EMPTY_RUNS)
+    prefixes = sorted({p for _, _, p in parsed})
+    exp = _rewrite_expand(
+        index_dir, prefixes, lambda t, p: t.startswith(p), max_expansions
+    )
+    by_pre: dict[str, list[str]] = (
+        exp.groupby("pattern")["term"].apply(list).to_dict()
+    )
+    SEP = "\x1f"
+    v_qids, v_texts = [], []
+    for qid, base, pre in parsed:
+        for e in by_pre.get(pre, ()):
+            v_qids.append(f"{qid}{SEP}{e}")
+            v_texts.append(" ".join(base + [e]))
+    if not v_qids:
+        return rd.from_arrow(_EMPTY_RUNS)
+    variants = rd.from_arrow(
+        pa.table({"qid": pa.array(v_qids), "text": pa.array(v_texts)})
+    )
+    runs = search_queries(
+        variants, index_dir, top_k=top_k, query_kind="phrase",
+        pre_tokenized=True, **search_kwargs,
+    )
+
+    def split_variant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        qids = [q.split(SEP, 1)[0] for q in batch.column("qid").to_pylist()]
+        return pa.table(
+            {"qid": pa.array(qids, pa.string()),
+             "doc_id": batch.column("doc_id"),
+             "score": batch.column("score")}
+        )
+
+    best = (
+        runs.map_batches(split_variant, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Max("score", alias_name="score"))
+    )
+
+    def rank_group(g):
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "rank"]]
+
+    return best.groupby("qid").map_groups(rank_group, batch_format="pandas")
+
+
+_EMPTY_RUNS = pa.table(
+    {"qid": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64()),
+     "score": pa.array([], pa.float64()),
+     "rank": pa.array([], pa.int32())}
+)
+
+
 def wildcard_search(queries: list[tuple[str, str]], index_dir: str, *,
                     top_k: int = 10, max_expansions: int = 50,
                     **search_kwargs):

@@ -3428,6 +3428,114 @@ SELECT qid, doc_id, sortval, rank FROM (
 """
 
 
+MPP_QUERIES: list[tuple[str, str]] = [
+    ("mpp1", "merge str"),
+    ("mpp2", "customer ord"),
+    ("mpp3", "the fast k"),
+]
+MPP_MAXEXP = 50
+
+
+def _mpp_parts() -> list[tuple[str, list[str], str]]:
+    out = []
+    for qid, text in MPP_QUERIES:
+        toks = _sql_an.tokens(text)
+        out.append((qid, toks[:-1], toks[-1]))
+    return out
+
+
+def q_match_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix (autocomplete): last term is a prefix,
+    completed by its top-50 dictionary expansions (df desc, term asc);
+    per-doc score = MAX over matched expansions of the exact phrase
+    score of base+[e] (webindex/lexicon.py match_phrase_prefix — one
+    dict scan, positional phrase kernel per variant, Max merge)."""
+    from webindex.lexicon import match_phrase_prefix
+
+    idx = ensure_index(sf_dir, "pos")
+    out = match_phrase_prefix(
+        MPP_QUERIES, idx, top_k=TOPK, max_expansions=MPP_MAXEXP,
+        concurrency=2, batch_size=8,
+    )
+    return out.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _mpp_expn_lateral() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{pre}')" for qid, _b, pre in _mpp_parts()
+    )
+    return f"""
+  SELECT v.qid, e.term AS eterm
+  FROM (VALUES {rows}) AS v(qid, pre),
+  LATERAL (
+    SELECT term FROM df WHERE starts_with(term, v.pre)
+    ORDER BY df DESC, term LIMIT {MPP_MAXEXP}
+  ) e"""
+
+
+def _mpp_base_values() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, base, _p in _mpp_parts()
+        for t in sorted(set(base))
+    )
+    return f"(VALUES {rows}) AS b(qid, term)"
+
+
+def _mpp_phrase_values() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{' '.join(base)}')" for qid, base, _p in _mpp_parts()
+    )
+    return f"(VALUES {rows}) AS p(qid, phrase)"
+
+
+_MPP_QTERMS_SQL = f"""(
+  SELECT qid, term FROM {_mpp_base_values()}
+  UNION
+  SELECT * FROM ({_mpp_expn_lateral()}) x(qid, term)
+) AS q(qid, term)"""
+
+SQL_MATCH_PHRASE_PREFIX = _sql_bm25_scores(_MPP_QTERMS_SQL) + f"""
+, expn AS ({_mpp_expn_lateral()}),
+baset AS (SELECT * FROM {_mpp_base_values()}),
+qe_terms AS (
+  SELECT b.qid, x.eterm, b.term FROM baset b JOIN expn x ON x.qid = b.qid
+  UNION
+  SELECT qid, eterm, eterm FROM expn
+),
+escore AS (
+  SELECT qt.qid, qt.eterm, c.doc_id,
+         list_sum(list(c.c ORDER BY c.term)) AS score
+  FROM qe_terms qt JOIN contrib c ON c.qid = qt.qid AND c.term = qt.term
+  GROUP BY qt.qid, qt.eterm, c.doc_id
+),
+dt AS (
+  SELECT doc_id, ' ' || array_to_string({_TOK_SQL}, ' ') || ' ' AS ts
+  FROM documents WHERE text <> ''
+),
+phr AS (SELECT * FROM {_mpp_phrase_values()}),
+pm AS (
+  SELECT x.qid, x.eterm, d.doc_id
+  FROM expn x JOIN phr p ON p.qid = x.qid
+  JOIN dt d ON strpos(d.ts, ' ' || p.phrase || ' ' || x.eterm || ' ') > 0
+),
+best AS (
+  SELECT pm.qid, pm.doc_id, max(s.score) AS score
+  FROM pm JOIN escore s
+    ON s.qid = pm.qid AND s.eterm = pm.eterm AND s.doc_id = pm.doc_id
+  GROUP BY pm.qid, pm.doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM best
+) WHERE rank <= {TOPK}
+"""
+
+
 DISMAX_TB = 0.3
 
 
@@ -4291,6 +4399,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
+    "match_phrase_prefix": (q_match_phrase_prefix,
+                            SQL_MATCH_PHRASE_PREFIX),
     "bm25_boosting_top10": (q_bm25_boosting_top10,
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
