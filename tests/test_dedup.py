@@ -411,3 +411,54 @@ def test_cross_doc_dup_ngrams_matches_brute(ray_session):
     assert int(out.loc[0, "n_dup"]) > 0
     assert int(out.loc[2, "n_dup"]) > 0
     assert int(out.loc[3, "n_dup"]) == 0
+
+
+def test_contamination_matches_brute(ray_session):
+    import ray.data as rd
+
+    from webindex.dedup import contamination
+
+    corpus = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "beta gamma delta unrelated words here"),
+        (2, "nothing in common at all"),
+        (3, "alpha beta gamma"),   # fully contained in eval
+        (4, "xy"),                 # too short for a trigram
+    ]
+    evals = [(100, "alpha beta gamma delta"), (101, "words here too")]
+    n = 3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in corpus], pa.int64()),
+                "text": pa.array([t for _, t in corpus]),
+            }
+        )
+    )
+    out = (
+        contamination(ds, evals, n=n)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def grams(t):
+        ts = tok.findall(t.lower())
+        return [" ".join(ts[i: i + n]) for i in range(len(ts) - n + 1)]
+
+    ev_set = {g for _e, t in evals for g in grams(t)}
+    for d, t in corpus:
+        gs = grams(t)
+        if not gs:
+            assert d not in out.index
+            continue
+        hits = sum(1 for g in gs if g in ev_set)
+        row = out.loc[d]
+        assert int(row["n_shingles"]) == len(gs), d
+        assert int(row["n_overlap"]) == hits, d
+        assert float(row["overlap_frac"]) == hits / len(gs), d
+    assert int(out.loc[3, "n_overlap"]) == 1  # exact containment case
+    assert int(out.loc[2, "n_overlap"]) == 0

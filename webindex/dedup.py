@@ -1066,45 +1066,22 @@ def cross_doc_dup_ngrams(docs_ds, *, n: int = 3, min_count: int = 2,
 
     from ray.data.aggregate import Sum
 
-    from webindex.textstats import _ASCII_TOK_RE
-    from webindex.util import stable_hash64
-
     if n < 1:
         raise ValueError("n must be >= 1")
-
-    # shingle hash = order-sensitive polynomial combine of per-token
-    # blake2b hashes (memoized per worker process — Zipf vocab makes the
-    # memo near-free), vectorized over each doc's token-hash array: one
-    # multiply-add per window offset instead of a join+blake2b per gram.
-    # Same collision caveat as above; equal shingles always hash equal.
-    _P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         cache = shingle_rows.__dict__.setdefault("_tok_cache", {})
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         o_id, hs_parts, occ_parts = [], [], []
-        with np.errstate(over="ignore"):
-            weights = _P ** np.arange(n - 1, -1, -1, dtype=np.uint64)
-            for did, t in zip(ids, texts):
-                toks = _ASCII_TOK_RE.findall((t or "").lower())
-                total = len(toks) - n + 1
-                if total <= 0:
-                    continue
-                th = np.empty(len(toks), dtype=np.uint64)
-                for i, tok in enumerate(toks):
-                    hv = cache.get(tok)
-                    if hv is None:
-                        hv = cache[tok] = np.uint64(stable_hash64(tok))
-                    th[i] = hv
-                acc = np.zeros(total, dtype=np.uint64)
-                for j in range(n):
-                    acc += th[j: j + total] * weights[j]
-                acc ^= acc >> np.uint64(33)  # final avalanche mix
-                uh, cnts = np.unique(acc, return_counts=True)
-                o_id.extend([did] * uh.size)
-                hs_parts.append(uh)
-                occ_parts.append(cnts.astype(np.int64))
+        for did, t in zip(ids, texts):
+            acc = _ngram_pos_hashes(t, n, cache)
+            if acc.size == 0:
+                continue
+            uh, cnts = np.unique(acc, return_counts=True)
+            o_id.extend([did] * uh.size)
+            hs_parts.append(uh)
+            occ_parts.append(cnts.astype(np.int64))
         h = (
             np.concatenate(hs_parts) if hs_parts
             else np.empty(0, np.uint64)
@@ -1166,3 +1143,101 @@ def cross_doc_dup_ngrams(docs_ds, *, n: int = 3, min_count: int = 2,
         )
 
     return merged.map_batches(add_frac, batch_format="pyarrow")
+
+
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _ngram_pos_hashes(text: str, n: int, cache: dict) -> np.ndarray:
+    """Per-position 64-bit shingle hashes of ``n`` consecutive
+    ``[a-z0-9]+`` lowercase tokens: an order-sensitive polynomial combine
+    of per-token blake2b hashes (memoized in ``cache`` per worker — Zipf
+    vocab makes the memo near-free), vectorized over the token-hash
+    array (one multiply-add per window offset), avalanche-finalized.
+    Equal shingle strings always hash equal; cross-shingle collisions
+    ~2^-64 per pair for natural text (documented tradeoff)."""
+    from webindex.textstats import _ASCII_TOK_RE
+    from webindex.util import stable_hash64
+
+    toks = _ASCII_TOK_RE.findall((text or "").lower())
+    total = len(toks) - n + 1
+    if total <= 0:
+        return np.empty(0, np.uint64)
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, tok in enumerate(toks):
+        hv = cache.get(tok)
+        if hv is None:
+            hv = cache[tok] = np.uint64(stable_hash64(tok))
+        th[i] = hv
+    with np.errstate(over="ignore"):
+        weights = _SHINGLE_P ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+        acc = np.zeros(total, dtype=np.uint64)
+        for j in range(n):
+            acc += th[j: j + total] * weights[j]
+    acc ^= acc >> np.uint64(33)
+    return acc
+
+
+def contamination(docs_ds, eval_texts: list[tuple[int, str]], *,
+                  n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark-decontamination scan: per corpus document, how many of
+    its n-gram positions also occur in a (small) EVAL/BENCHMARK set —
+    the n-gram-overlap contamination check LLM training pipelines run
+    before training (e.g. GPT-3 appendix C / PaLM-style n-gram overlap;
+    public methodology).
+
+    ``eval_texts`` is the small side: ``[(eval_id, text)]`` shingled on
+    the driver into ONE sorted 64-bit hash array and broadcast via
+    ``ray.put``; the corpus streams through a stateless ``map_batches``
+    whose per-doc work is one vectorized ``searchsorted`` membership
+    probe. Output per doc (docs with >= 1 shingle): ``(doc_id,
+    n_shingles, n_overlap, overlap_frac)`` with ``overlap_frac`` the one
+    exact-int IEEE division, so a DuckDB string-join oracle matches bit
+    for bit (same shingle-hash collision caveat as
+    :func:`cross_doc_dup_ngrams`)."""
+    import ray
+
+    cache: dict = {}
+    ev_parts = [
+        _ngram_pos_hashes(t, n, cache) for _eid, t in eval_texts
+    ]
+    ev = (
+        np.unique(np.concatenate(ev_parts)) if ev_parts
+        else np.empty(0, np.uint64)
+    )
+    ev_ref = ray.put(ev)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ev_ref)  # zero-copy numpy from the object store
+        c = probe.__dict__.setdefault("_tok_cache", {})
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_tot, o_hit = [], [], []
+        for did, t in zip(ids, texts):
+            acc = _ngram_pos_hashes(t, n, c)
+            if acc.size == 0:
+                continue
+            if bench.size:
+                pos = np.searchsorted(bench, acc)
+                pos_c = np.minimum(pos, bench.size - 1)
+                hits = int(np.count_nonzero(bench[pos_c] == acc))
+            else:
+                hits = 0
+            o_id.append(did)
+            o_tot.append(int(acc.size))
+            o_hit.append(hits)
+        tot = np.array(o_tot, dtype=np.int64)
+        hit = np.array(o_hit, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "n_shingles": pa.array(tot),
+                "n_overlap": pa.array(hit),
+                "overlap_frac": pa.array(
+                    hit / np.maximum(tot, 1), pa.float64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

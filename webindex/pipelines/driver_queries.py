@@ -3428,6 +3428,52 @@ SELECT qid, doc_id, sortval, rank FROM (
 """
 
 
+CONTAM_N = 3
+CONTAM_EVAL_K = 5
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-decontamination scan (GPT-3/PaLM-style n-gram overlap):
+    the CONTAM_EVAL_K lowest-doc_id documents stand in for a held-out
+    eval set; per corpus doc, the count/fraction of trigram positions
+    occurring anywhere in that set. Eval shingles broadcast once via
+    ray.put; the corpus streams through one vectorized searchsorted
+    probe per batch (webindex/dedup.py contamination)."""
+    import ray.data as rd
+
+    from webindex.dedup import contamination
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ev_rows = docs.sort("doc_id").limit(CONTAM_EVAL_K).take_all()
+    evals = [(r["doc_id"], r["text"]) for r in ev_rows]
+    return contamination(docs, evals, n=CONTAM_N)
+
+
+SQL_CONTAMINATION = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(tl[u.p + 1: u.p + {CONTAM_N}], ' ') AS s
+  FROM dt, unnest(range(len(tl) - {CONTAM_N} + 1)) AS u(p)
+),
+ev AS (
+  SELECT DISTINCT s FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   ORDER BY doc_id LIMIT {CONTAM_EVAL_K})
+)
+SELECT sh.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_overlap,
+       sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*)::BIGINT AS overlap_frac
+FROM sh LEFT JOIN ev ON ev.s = sh.s
+GROUP BY sh.doc_id
+"""
+
+
 MPP_QUERIES: list[tuple[str, str]] = [
     ("mpp1", "merge str"),
     ("mpp2", "customer ord"),
@@ -4396,6 +4442,7 @@ REGISTRY: dict[str, tuple] = {
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
