@@ -220,3 +220,56 @@ def test_joins_reject_int64_beyond_float_precision():
     )
     with pytest.raises(Exception, match="2\\^53"):
         ds.to_pandas()
+
+
+def test_session_windows_matches_brute(ray_session):
+    import ray.data as rd
+
+    from webindex.temporal import session_windows
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    n = 400
+    users = rng.integers(0, 12, size=n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 3_600_000_000, size=n).astype(
+        "timedelta64[us]"
+    )
+    gap = 120_000_000  # 2 minutes
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts)})
+    )
+    out = session_windows(ds, key="user_id", ts_col="ts", gap_us=gap)
+    got = out.to_pandas().sort_values(
+        ["user_id", "session_id"]
+    ).reset_index(drop=True)
+
+    rows = []
+    for u in sorted(set(users.tolist())):
+        uts = np.sort(ts[users == u]).astype("datetime64[us]").astype(
+            np.int64
+        )
+        sid, start, prev, cnt = 0, None, None, 0
+        for t in uts.tolist():
+            if prev is None or t - prev > gap:
+                if prev is not None:
+                    rows.append((u, sid, start, prev, cnt))
+                sid += 1
+                start, cnt = t, 0
+            cnt += 1
+            prev = t
+        rows.append((u, sid, start, prev, cnt))
+    import pandas as pd
+
+    want = pd.DataFrame(
+        rows,
+        columns=["user_id", "session_id", "session_start",
+                 "session_end", "n_events"],
+    )
+    want["session_start"] = want["session_start"].astype("datetime64[us]")
+    want["session_end"] = want["session_end"].astype("datetime64[us]")
+    got = got[want.columns].astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["n_events"] > 1).any() and (want["session_id"] > 1).any()

@@ -3428,6 +3428,49 @@ SELECT qid, doc_id, sortval, rank FROM (
 """
 
 
+SESSION_GAP_US = 300_000_000  # 5 minutes
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (Flink/Beam session windows; no native
+    Ray Data analog): per user, events split into sessions wherever the
+    inter-event gap exceeds 5 minutes; one row per session with
+    start/end/count (webindex/temporal.py session_windows — one key
+    shuffle, vectorized diff+cumsum kernel)."""
+    import ray.data as rd
+
+    from webindex.temporal import session_windows
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return session_windows(
+        ev, key="user_id", ts_col="ts", gap_us=SESSION_GAP_US
+    )
+
+
+SQL_USER_SESSIONS = f"""
+WITH b AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM b
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 CONTAM_N = 3
 CONTAM_EVAL_K = 5
 
@@ -4443,6 +4486,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),

@@ -364,3 +364,59 @@ def sliding_window_agg(ds, *, key: str, order_col: str, value_col: str,
         return g
 
     return ds.groupby(key).map_groups(roll, batch_format="pandas")
+
+
+def session_windows(ds, *, key: str, ts_col: str, gap_us: int):
+    """Gap-based sessionization — the classic streaming session window
+    (Flink/Beam session windows; Ray Data has no native analog): per
+    key, events ordered by timestamp split into sessions wherever the
+    gap to the previous event EXCEEDS ``gap_us`` microseconds; emits one
+    row per session: ``(key, session_id, session_start, session_end,
+    n_events)`` with ``session_id`` 1-based in per-key time order.
+
+    Exactly the SQL sessionization idiom the oracle uses::
+
+        1 + SUM(CASE WHEN ts - lag(ts) > gap THEN 1 ELSE 0 END)
+            OVER (PARTITION BY key ORDER BY ts, ...)
+
+    One hash shuffle on the key (Ray groupby); the per-key kernel is a
+    vectorized diff + cumsum — no Python loop. Ties on the timestamp stay in one session (gap 0
+    is never > gap_us for gap_us >= 0). Timestamps are compared in
+    integer microseconds, so the split is exact."""
+    if gap_us < 0:
+        raise ValueError("gap_us must be >= 0")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [ts_col, key], kind="mergesort"
+        ).reset_index(drop=True)
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        new = np.empty(len(g), dtype=np.int64)
+        new[0] = 1
+        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "session_id": sid,
+                "_ts": ts,
+            }
+        )
+        agg = out.groupby("session_id", sort=True).agg(
+            **{
+                key: (key, "first"),
+                "session_start": ("_ts", "min"),
+                "session_end": ("_ts", "max"),
+                "n_events": ("_ts", "size"),
+            }
+        ).reset_index()
+        agg["session_start"] = agg["session_start"].astype(
+            "datetime64[us]"
+        )
+        agg["session_end"] = agg["session_end"].astype("datetime64[us]")
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg[
+            [key, "session_id", "session_start", "session_end", "n_events"]
+        ]
+
+    return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
