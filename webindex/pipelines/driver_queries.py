@@ -1144,6 +1144,35 @@ def q_ivf_top5(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+def q_pq_top5(sf_dir: str):
+    """Product-quantized ANN (Jegou et al. 2011): seeded per-subspace
+    codebooks trained on a bounded sample, vectors -> m uint8 codes (the
+    64x memory cut that makes 100x-scale embedding search fit), queries
+    answered by ADC lookup-table sums with an exact k-merge
+    (webindex/ann.py pq_train/pq_encode/pq_topk). Approximate by
+    construction -> rows-only; determinism + ADC math are pytest-gated
+    (tests/test_ann.py vs a from-scratch Python oracle)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import pq_encode, pq_topk, pq_train
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    emb = rd.read_parquet(path)
+    books = pq_train(emb, m_subs=8, n_codes=32, sample_n=500, seed=13)
+    out = pq_topk(
+        pq_encode(emb, books), books, [0, 1, 2], qvecs, 5
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
 def q_ivf_seed_top5(sf_dir: str):
     """IVF with deterministic seed centroids (the 8 lowest-vec_id vectors),
     nprobe=3 — the SQL-verifiable IVF variant: centroid choice, assignment
@@ -4508,6 +4537,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
+    "pq_top5": (q_pq_top5, None),
     "openai_search": (q_openai_search, None),
     "media_features": (q_media_features, None),
 }
