@@ -395,3 +395,67 @@ def test_deterministic_sample_properties(ray_session):
         if d % 3 == 0  # lang == en
     } & set(deterministic_sample(ds, 0.5).to_pandas()["doc_id"])
     assert set(st[st["lang"] == "en"]["doc_id"]) == en_flat
+
+
+def test_unigram_logprob_matches_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import unigram_logprob
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "completely different words entirely"),
+        (3, ""),
+        (4, "the the the"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    out = (
+        unigram_logprob(ds, n_parts=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    cf: Counter = Counter()
+    per_doc = {}
+    for d, t in docs:
+        tfs = Counter(tok.findall(t.lower()))
+        per_doc[d] = tfs
+        cf.update(tfs)
+    total = sum(cf.values())
+    for d, tfs in per_doc.items():
+        if not tfs:
+            assert d not in out.index
+            continue
+        lp = 0.0
+        for term in sorted(tfs):  # ascending-term sequential fold
+            lp += tfs[term] * math.log(cf[term] / total)
+        row = out.loc[d]
+        assert int(row["n_tokens"]) == sum(tfs.values()), d
+        # summation ORDER is engine-specific for long float folds
+        # (numpy reduceat != sequential != DuckDB list_sum, measured) —
+        # the contract surface rounds to 6dp; here compare to 1e-12 rel
+        assert math.isclose(
+            float(row["logprob"]), lp, rel_tol=1e-12
+        ), d
+        assert math.isclose(
+            float(row["logprob_per_token"]), lp / sum(tfs.values()),
+            rel_tol=1e-12,
+        )
+    # repeated-token doc must score higher per-token than the unique doc
+    assert (
+        out.loc[4, "logprob_per_token"] > out.loc[2, "logprob_per_token"]
+    )

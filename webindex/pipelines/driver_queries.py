@@ -3457,6 +3457,66 @@ SELECT qid, doc_id, sortval, rank FROM (
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram-LM quality score: per doc the corpus-trained
+    unigram log-probability (sum over distinct terms of tf *
+    ln(cf/total)) and its per-token mean, rounded to 6dp — float fold
+    order over many terms is engine-specific (measured), so the contract
+    compares rounded values, like bm25_scores
+    (webindex/textstats.py unigram_logprob: one term-hash shuffle for
+    corpus cf, one doc-hash shuffle for the per-doc fold)."""
+    import ray.data as rd
+
+    from webindex.textstats import unigram_logprob
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = unigram_logprob(docs)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": batch.column("n_tokens"),
+                "logprob_r": pa.array(
+                    np.round(batch.column("logprob").to_numpy(), 6)
+                ),
+                "lpt_r": pa.array(
+                    np.round(
+                        batch.column("logprob_per_token").to_numpy(), 6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+toks AS (SELECT doc_id, unnest(tl) AS term FROM dt),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::BIGINT AS total FROM cf),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(cf.cf / t.total) AS c
+  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         list_sum(list(c ORDER BY term)) AS lp
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(lp, 6) AS logprob_r,
+       round(lp / n_tokens, 6) AS lpt_r
+FROM agg
+"""
+
+
 SESSION_GAP_US = 300_000_000  # 5 minutes
 
 
@@ -4516,6 +4576,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),

@@ -250,3 +250,137 @@ def repetition_signals(ds):
     """documents Dataset -> per-doc repetition-signal Dataset (stateless
     ``map_batches``; scale-safe — no shuffle, no state)."""
     return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def unigram_logprob(docs_ds, *, n_parts: int = 64):
+    """Corpus-trained unigram language-model score per document — the
+    CCNet-style perplexity-proxy quality signal (Wenzek et al. 2020
+    train a LM on reference text and keep low-perplexity docs; public
+    methodology; here the LM is the corpus's own unigram distribution).
+
+    Per doc: ``logprob = sum over distinct terms (ascending unicode) of
+    tf * ln(cf_term / total_tokens)`` and ``logprob_per_token =
+    logprob / n_tokens`` (one IEEE division). Tokens are the SQL-safe
+    ``[a-z0-9]+`` lowercase regex and ln() is scalar libm (bit-equal to
+    DuckDB ln; numpy's SIMD log differs by 1 ulp, measured). The per-doc
+    fold order over many terms is engine-specific (numpy reduceat !=
+    sequential != DuckDB list_sum, measured) — the driver contract
+    rounds to 6dp, which absorbs the ~1e-15-relative order noise.
+
+    Scale shape: one cheap counting pass gives the scalar total; then
+    ONE term-hash shuffle co-locates each term's (doc, tf) rows so the
+    corpus-wide cf is a per-partition vectorized groupby (no vocabulary
+    broadcast, no driver materialization); a doc-hash shuffle of the
+    (doc, term, contrib) rows and a per-doc term-sorted reduceat fold
+    compute the sums. Output: ``(doc_id, n_tokens,
+    logprob, logprob_per_token)`` for docs with >= 1 token."""
+    import pandas as pd
+
+    from webindex.relational import hash_partitioned_groupby
+    from webindex.util import stable_hash64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_t, o_tf = [], [], []
+        for did, t in zip(ids, texts):
+            tfs = Counter(_ASCII_TOK_RE.findall((t or "").lower()))
+            for term, f in tfs.items():
+                o_id.append(did)
+                o_t.append(term)
+                o_tf.append(f)
+        part = np.fromiter(
+            (stable_hash64(t) % n_parts for t in o_t),
+            dtype=np.int64, count=len(o_t),
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "term": pa.array(o_t, pa.string()),
+                "tf": pa.array(o_tf, pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    rows = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array(
+                [int(np.sum(batch.column("tf").to_numpy()))], pa.int64()
+            )}
+        )
+
+    rows = rows.materialize()  # two consumers: total + the join shuffle
+    total = int(
+        rows.map_batches(count_tokens, batch_format="pyarrow").sum("n")
+    )
+
+    def attach_logp(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        # all rows of a term are co-located: cf is a partition-local sum.
+        # SCALAR math.log per distinct term — libm agrees bit-for-bit
+        # with DuckDB ln(); numpy's SIMD array log differs by 1 ulp
+        # (measured), which would break the oracle hash.
+        cf_map = g.groupby("term", sort=False)["tf"].sum()
+        logp_map = {t: math.log(c / total) for t, c in cf_map.items()}
+        logp = g["term"].map(logp_map).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "tf": g["tf"].to_numpy(),
+                "contrib": g["tf"].to_numpy(np.float64) * logp,
+            }
+        )
+
+    scored = (
+        rows.groupby("part")
+        .map_groups(attach_logp, batch_format="pandas")
+    )
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-doc ASCENDING-TERM sequential sum (reduceat is a left fold)
+        df = df.sort_values(
+            ["doc_id", "term"], kind="mergesort"
+        ).reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, ids[1:] != ids[:-1]]
+        )
+        lp = np.add.reduceat(df["contrib"].to_numpy(np.float64), starts)
+        nt = np.add.reduceat(df["tf"].to_numpy(np.int64), starts)
+        return pd.DataFrame(
+            {"doc_id": ids[starts], "n_tokens": nt, "logprob": lp}
+        )
+
+    def doc_final(df: pd.DataFrame) -> pd.DataFrame:
+        # partials are already whole per doc (one term-partition pass
+        # emits every (doc, term) row exactly once; the doc shuffle only
+        # co-locates) — but a doc split across input blocks of THIS
+        # groupby arrives as multiple partials: recombine exactly.
+        if df["doc_id"].duplicated().any():
+            raise AssertionError(
+                "unigram_logprob: per-doc partials must be combined from "
+                "term-sorted rows in one kernel — split partials would "
+                "break the pinned summation order"
+            )
+        out = df.copy()
+        out["logprob_per_token"] = (
+            out["logprob"].to_numpy(np.float64)
+            / out["n_tokens"].to_numpy(np.int64)
+        )
+        return out[["doc_id", "n_tokens", "logprob", "logprob_per_token"]]
+
+    # doc-hash co-location FIRST (raw scored rows), THEN one kernel per
+    # partition does the term-sorted fold — doc_partial must see every
+    # row of a doc at once, so it runs as the per-partition final.
+    def final_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return doc_final(doc_partial(df))
+
+    return hash_partitioned_groupby(
+        scored, ["doc_id"], lambda df: df, final_fold, n_parts=n_parts
+    )
