@@ -219,3 +219,38 @@ def test_sharded_batch_path_identical_to_pool(pages_index):
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     assert sdtest.equals(shard1[["qid", "did", "doc_id", "score", "rank"]])
+
+
+def test_shard_request_cache(pages_index, oracle, tmp_path):
+    """ES shard request cache: identical repeat queries reuse the ranked
+    arrays; tombstone changes and constraint swaps invalidate."""
+    import numpy as np
+
+    idx = str(tmp_path / "cache_idx")
+    shutil.copytree(pages_index, idx)
+    s = SearcherActor(idx, top_k=10, mode="auto")
+    q = "merge stream table"
+    ids1, sc1 = s.search_one("q1", q)
+    assert s.cache_misses == 1 and s.cache_hits == 0
+    ids2, sc2 = s.search_one("q2", q)  # different qid, same query text
+    assert s.cache_hits == 1
+    assert np.array_equal(ids1, ids2) and np.array_equal(sc1, sc2)
+
+    # deleting a returned doc changes the tombstone version: the stale
+    # entry cannot be served and the new ranking excludes the victim
+    from webindex.lifecycle import delete_docs
+
+    victim = int(ids1[0])
+    delete_docs(idx, [victim])
+    ids3, _sc3 = s.search_one("q3", q)
+    assert s.cache_misses == 2
+    assert victim not in ids3.tolist()
+    # repeat under the new version hits again
+    s.search_one("q4", q)
+    assert s.cache_hits == 2
+
+    # constraint swap drops the cache wholesale
+    s.set_constraints(None, "and")
+    assert s.cache_hits == 0 and s.cache_misses == 0
+    s.search_one("q5", q)
+    assert s.cache_misses == 1

@@ -156,6 +156,13 @@ class SearcherActor:
             self.field_factor = (str(col), float(w))
         # ES dis_max: tie_breaker in [0, 1]; None = plain bool sum
         self.dis_max = None if dis_max is None else float(dis_max)
+        # ES shard request cache: constraint changes drop it wholesale;
+        # per-entry keys carry the tombstone version (see search_one)
+        from collections import OrderedDict
+
+        self._req_cache: OrderedDict = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def _mask(self):
         """Composed keep-bitset: docvalues predicate AND live (non-deleted)
@@ -174,6 +181,20 @@ class SearcherActor:
             return m
         return live if m is None else (m & live)
 
+    _REQ_CACHE_CAP = 1024
+
+    def _live_version(self):
+        """Tombstone version for cache keys: the deletes sidecar's mtime
+        (the same signal live_mask re-reads on) or None when absent."""
+        import os as _os
+
+        try:
+            return _os.stat(
+                _os.path.join(self.reader.dir, "deletes")
+            ).st_mtime_ns
+        except FileNotFoundError:
+            return None
+
     def search_one(self, qid: str, text: str):
         terms = (
             (text or "").split() if self.pre_tokenized
@@ -181,7 +202,23 @@ class SearcherActor:
         )
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
-        ids, scores = self._ranked(terms, k)
+        # ES shard request cache: identical (terms, k) under the same
+        # constraints and tombstone version reuse the ranked arrays —
+        # qid-independent (the per-qid self-hit cut happens in _post on a
+        # slice, never mutating the cached arrays). Bounded LRU; new
+        # deletes change the key, so staleness is impossible.
+        ck = (tuple(terms), k, self._live_version())
+        hit = self._req_cache.get(ck)
+        if hit is not None:
+            self._req_cache.move_to_end(ck)
+            self.cache_hits += 1
+            ids, scores = hit
+        else:
+            self.cache_misses += 1
+            ids, scores = self._ranked(terms, k)
+            self._req_cache[ck] = (ids, scores)
+            if len(self._req_cache) > self._REQ_CACHE_CAP:
+                self._req_cache.popitem(last=False)
         return self._post(qid, ids, scores)
 
     def search_one_after(self, qid: str, text: str, after_score: float,
