@@ -166,7 +166,11 @@ def run_bench() -> dict:
     extra["run_rows"] = n_run_rows
 
     # ---- warm per-query latency p50/p95 (single searcher) ----------------
-    s = SearcherActor(idx_dir, top_k=1000, mode="auto")
+    # request_cache=False: this metric tracks the SCORING kernel
+    # (comparable to BASELINE.md rounds measured before the cache
+    # existed); the cache-served path is reported separately below
+    s = SearcherActor(idx_dir, top_k=1000, mode="auto",
+                      request_cache=False)
     texts = qtab.column("text").to_pylist()
     # full warm pass: decode + dense-score caches are per-term one-time
     # costs (the resident-index design); p95 measures steady-state serving
@@ -179,6 +183,18 @@ def run_bench() -> dict:
         lats.append(time.time() - t1)
     extra["query_p50_ms"] = round(float(np.percentile(lats, 50)) * 1000, 2)
     extra["query_p95_ms"] = round(float(np.percentile(lats, 95)) * 1000, 2)
+    # cache-served repeat queries (the ES request-cache path)
+    s.request_cache = True
+    for t in texts:
+        s.search_one("warm2", t)
+    lats_c = []
+    for t in texts:
+        t1 = time.time()
+        s.search_one("qc", t)
+        lats_c.append(time.time() - t1)
+    extra["query_p50_ms_cached"] = round(
+        float(np.percentile(lats_c, 50)) * 1000, 3
+    )
 
     # ---- lifecycle: tombstone 10% of docs + full compaction ---------------
     # (after the query benches: tombstones would route queries to the

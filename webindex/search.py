@@ -55,7 +55,9 @@ class SearcherActor:
                  neg_boost: tuple[list[str], float] | None = None,
                  slop: int = 0,
                  field_factor: tuple[str, float] | None = None,
-                 dis_max: float | None = None):
+                 dis_max: float | None = None,
+                 request_cache: bool = True):
+        self.request_cache = bool(request_cache)
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
@@ -207,6 +209,9 @@ class SearcherActor:
         # qid-independent (the per-qid self-hit cut happens in _post on a
         # slice, never mutating the cached arrays). Bounded LRU; new
         # deletes change the key, so staleness is impossible.
+        if not self.request_cache:
+            ids, scores = self._ranked(terms, k)
+            return self._post(qid, ids, scores)
         ck = (tuple(terms), k, self._live_version())
         hit = self._req_cache.get(ck)
         if hit is not None:
