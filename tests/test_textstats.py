@@ -459,3 +459,57 @@ def test_unigram_logprob_matches_brute(ray_session):
     assert (
         out.loc[4, "logprob_per_token"] > out.loc[2, "logprob_per_token"]
     )
+
+
+def test_source_level_filter_matches_brute(ray_session):
+    import re
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import source_level_filter
+
+    rng = __import__("numpy").random.default_rng(9)
+    words = "alpha beta gamma delta epsilon".split()
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(2, 12))
+        docs.append(
+            (i, " ".join(words[int(j)] for j in rng.integers(0, 5, n)),
+             f"host{i % 6}")
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs]),
+                "source": pa.array([s for _, _, s in docs]),
+            }
+        )
+    )
+    short_tokens, cutoff = 7, 0.5
+    out = (
+        source_level_filter(
+            ds, short_tokens=short_tokens, max_short_frac=cutoff, n_parts=8
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    agg = defaultdict(lambda: [0, 0])
+    for _d, t, s in docs:
+        agg[s][0] += 1
+        if len(tok.findall(t.lower())) < short_tokens:
+            agg[s][1] += 1
+    kept_vals = set()
+    for d, _t, s in docs:
+        row = out.loc[d]
+        docs_n, short_n = agg[s]
+        assert row["source"] == s
+        assert int(row["src_docs"]) == docs_n
+        assert float(row["src_short_frac"]) == short_n / docs_n
+        assert bool(row["keep"]) == (short_n / docs_n <= cutoff)
+        kept_vals.add(bool(row["keep"]))
+    assert kept_vals == {True, False}  # fixture exercises both verdicts

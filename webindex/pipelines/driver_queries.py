@@ -3517,6 +3517,47 @@ FROM agg
 """
 
 
+SRC_SHORT_TOKENS = 40
+SRC_MAX_SHORT_FRAC = 0.35
+
+
+def q_source_filter(sf_dir: str):
+    """Domain-level curation (RefinedWeb/Dolma-style): judge each SOURCE
+    by its share of short documents, then annotate every doc with its
+    source's verdict — exact int64 source partials, one division per
+    ratio, bounded per-source table broadcast once
+    (webindex/textstats.py source_level_filter)."""
+    import ray.data as rd
+
+    from webindex.textstats import source_level_filter
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return source_level_filter(
+        docs, short_tokens=SRC_SHORT_TOKENS,
+        max_short_frac=SRC_MAX_SHORT_FRAC,
+    )
+
+
+SQL_SOURCE_FILTER = f"""
+WITH dt AS (
+  SELECT doc_id, source, len({_TOK_SQL})::BIGINT AS n_tok FROM documents
+),
+src AS (
+  SELECT source, count(*)::BIGINT AS src_docs,
+         sum(CASE WHEN n_tok < {SRC_SHORT_TOKENS} THEN 1 ELSE 0 END)::BIGINT
+           AS n_short
+  FROM dt GROUP BY source
+)
+SELECT d.doc_id, d.source, s.src_docs,
+       s.n_short / s.src_docs AS src_short_frac,
+       (s.n_short / s.src_docs) <= {SRC_MAX_SHORT_FRAC!r} AS keep
+FROM dt d JOIN src s ON s.source = d.source
+"""
+
+
 SESSION_GAP_US = 300_000_000  # 5 minutes
 
 
@@ -4577,6 +4618,7 @@ REGISTRY: dict[str, tuple] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),

@@ -384,3 +384,100 @@ def unigram_logprob(docs_ds, *, n_parts: int = 64):
     return hash_partitioned_groupby(
         scored, ["doc_id"], lambda df: df, final_fold, n_parts=n_parts
     )
+
+
+def source_level_filter(docs_ds, *, short_tokens: int = 40,
+                        max_short_frac: float = 0.35,
+                        source_col: str = "source", n_parts: int = 64):
+    """Domain-level curation (the RefinedWeb/Dolma-style stage: judge the
+    SOURCE, then keep/drop its documents wholesale — spam domains are
+    dominated by short boilerplate pages): aggregate per-source document
+    stats, then annotate every doc with its source's verdict.
+
+    Per source (exact int64 partials per the repo's float invariant —
+    one combiner per batch, one hash-partitioned merge, each output
+    ratio ONE int/int IEEE division): ``n_docs``, ``short_frac`` (share
+    of docs with < ``short_tokens`` ``[a-z0-9]+`` tokens),
+    ``mean_tokens``. A doc's ``keep`` flag is
+    ``short_frac <= max_short_frac``.
+
+    The per-source table is value-domain-sized; it broadcasts once via
+    ``ray.put`` and the corpus streams through the annotate stage (at
+    web scale hosts are ~10^7 rows — still object-store-broadcastable;
+    beyond that swap the attach for the repo's hash-join shape).
+    Output: ``(doc_id, source, src_docs, src_short_frac, keep)``."""
+    import pandas as pd
+    import ray
+
+    from webindex.relational import hash_partitioned_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.fromiter(
+            (len(_ASCII_TOK_RE.findall((t or "").lower()))
+             for t in df["text"]),
+            dtype=np.int64, count=len(df),
+        )
+        out = pd.DataFrame(
+            {
+                source_col: df[source_col].to_numpy(),
+                "docs_p": np.ones(len(df), np.int64),
+                "short_p": (n_tok < short_tokens).astype(np.int64),
+                "tokens_p": n_tok,
+            }
+        )
+        return (
+            out.groupby(source_col, sort=False).sum().reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(source_col, sort=False).sum().reset_index()
+        docs = g["docs_p"].to_numpy(np.int64)
+        short = g["short_p"].to_numpy(np.int64)
+        toks = g["tokens_p"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                source_col: g[source_col].to_numpy(),
+                "src_docs": docs,
+                "src_short_frac": short / docs,
+                "src_mean_tokens": toks / docs,
+            }
+        )
+
+    stats = hash_partitioned_groupby(
+        docs_ds.map_batches(
+            lambda t: t.select(["doc_id", "text", source_col]),
+            batch_format="pyarrow",
+        ),
+        [source_col], partial, final, n_parts=n_parts,
+    ).to_pandas()
+    side = ray.put(
+        {
+            "src": stats[source_col].to_numpy(),
+            "docs": stats["src_docs"].to_numpy(np.int64),
+            "frac": stats["src_short_frac"].to_numpy(np.float64),
+        }
+    )
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        s = ray.get(side)
+        order = np.argsort(s["src"], kind="stable")
+        src_s, docs_s, frac_s = (
+            s["src"][order], s["docs"][order], s["frac"][order]
+        )
+        vals = np.asarray(batch.column(source_col).to_pylist())
+        pos = np.searchsorted(src_s, vals)
+        pos = np.minimum(pos, max(src_s.size - 1, 0))
+        frac = frac_s[pos]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                source_col: batch.column(source_col),
+                "src_docs": pa.array(docs_s[pos], pa.int64()),
+                "src_short_frac": pa.array(frac, pa.float64()),
+                "keep": pa.array(frac <= max_short_frac),
+            }
+        )
+
+    return docs_ds.map_batches(
+        lambda t: t.select(["doc_id", source_col]), batch_format="pyarrow"
+    ).map_batches(annotate, batch_format="pyarrow")
