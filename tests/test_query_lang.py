@@ -696,6 +696,22 @@ def test_facet_stats_matches_brute(index_dir, oracle, ray_session):
         assert float(row["avg"]) == sum(vals) / len(vals)
 
 
+def test_scan_matches_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import scan_matches
+
+    out = scan_matches(_queries_ds(QUERIES), index_dir).to_pandas()
+    got = {
+        qid: set(g["doc_id"].astype(int))
+        for qid, g in out.groupby("qid")
+    }
+    for qid, text in QUERIES:
+        want = set(_oracle_all_scores(oracle, text))
+        if not want:
+            assert qid not in got, qid
+            continue
+        assert got[qid] == want, qid
+
+
 def test_sort_by_field_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import sort_by_field
 

@@ -3517,6 +3517,28 @@ FROM agg
 """
 
 
+def q_scan_matches(sf_dir: str):
+    """ES scroll / scan export: EVERY (qid, doc_id) match, no scoring,
+    no top-k — shard-disjoint docID ranges mean no merge stage at all
+    (webindex/search.py scan_matches)."""
+    from webindex.search import scan_matches
+
+    idx = ensure_index(sf_dir, "nostem")
+    return scan_matches(_queries_ds(), idx)
+
+
+SQL_SCAN_MATCHES = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qterms AS (SELECT * FROM {_query_values_sql()})
+SELECT DISTINCT q.qid, tk.doc_id
+FROM qterms q JOIN toks tk ON tk.term = q.term
+"""
+
+
 SRC_SHORT_TOKENS = 40
 SRC_MAX_SHORT_FRAC = 0.35
 
@@ -4619,6 +4641,7 @@ REGISTRY: dict[str, tuple] = {
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
+    "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),

@@ -614,6 +614,76 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
     )
 
 
+def scan_matches(queries_ds, index_dir: str, *, match: str = "or",
+                 filter_pred=None, n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, doc_id): EVERY matching document, no
+    scoring, no top-k — the ES scroll / ``_search`` scan export (feeding
+    a downstream bulk job with a query's full match set).
+
+    Same shard fan-out as :func:`count_queries`; each salt-range shard
+    emits its own matches directly (docID ranges are disjoint across
+    shards, so there is NO merge stage at all — the output streams
+    shard-parallel into whatever consumes it). Respects ``match="and"``,
+    docvalues filter predicates, and tombstones."""
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def scan_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out = [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            if sel.size == 0:
+                continue
+            qid_out.extend([qid] * sel.size)
+            id_out.append(dl_ids[sel])
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(scan_shard, batch_format="pyarrow")
+    )
+
+
 def count_queries(queries_ds, index_dir: str, *, match: str = "or",
                   filter_pred=None, n_shards: int = SEARCH_SHARDS):
     """queries(qid, text) -> (qid, total): each query's FULL match count
