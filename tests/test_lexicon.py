@@ -416,3 +416,51 @@ def test_wildcard_search_matches_fnmatch_oracle(index_dir, oracle):
     want = _score_terms(oracle, wterms, 6)
     sub = runs[runs["qid"] == "w1"].sort_values("rank")
     assert [int(d) for d in sub["doc_id"]] == [d for d, _ in want]
+
+
+def test_phrase_suggest_matches_brute(index_dir, oracle):
+    """ES phrase suggester: whole-query correction, per-position."""
+    from webindex.lexicon import phrase_suggest
+
+    def lev(a, b):
+        import numpy as _np
+
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return int(d[len(b)])
+
+    queries = [
+        ("ps1", "merga stream"),      # 'merga' absent -> corrected
+        ("ps2", "custom paint"),      # all present -> unchanged
+        ("ps3", "qqqqzz surgeon"),    # no candidate -> kept as typed
+    ]
+    out = phrase_suggest(index_dir, queries).set_index("qid")
+    an = oracle.an
+    vocab = set(oracle.postings)
+    for qid, text in queries:
+        toks = an.tokens(text)
+        fixed = 0
+        outs = []
+        for t in toks:
+            if t in vocab:
+                outs.append(t)
+                continue
+            cands = [
+                (-(oracle.df(w)), w) for w in vocab
+                if w[:1] == t[:1] and lev(t, w) <= 1
+            ]
+            if cands:
+                outs.append(min(cands)[1])
+                fixed += 1
+            else:
+                outs.append(t)
+        row = out.loc[qid]
+        assert row["suggestion"] == " ".join(outs), qid
+        assert int(row["n_corrected"]) == fixed, qid
+    assert int(out.loc["ps1", "n_corrected"]) >= 1
+    assert out.loc["ps3", "suggestion"].startswith("qqqqzz")

@@ -617,6 +617,71 @@ def spell_correct(index_dir: str, terms: list[str], *, max_edits: int = 1,
     return exp
 
 
+def phrase_suggest(index_dir: str, queries: list[tuple[str, str]], *,
+                   max_edits: int = 1, prefix_len: int = 1) -> pd.DataFrame:
+    """ES phrase suggester (whole-query did-you-mean): every analyzed
+    term of the query keeps its position; terms ABSENT from the
+    dictionary are replaced by their single best correction (edit
+    distance <= ``max_edits``, first ``prefix_len`` chars pinned, ranked
+    df desc then term asc — the unigram-confidence mode); terms with no
+    candidate stay as typed. Returns one row per query:
+    ``(qid, suggestion, n_corrected)``.
+
+    Reuses the term suggester's two distributed dict scans (membership +
+    fuzzy expansion of only the missing terms); the per-query assembly
+    is a driver-side join over the query's own tokens (bounded by the
+    query length, never the dictionary)."""
+    from webindex.config import IndexConfig
+    from webindex.util import read_json
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    toks_by_qid = {
+        qid: an.tokens(text or "") for qid, text in queries
+    }
+    uniq = sorted({t for ts in toks_by_qid.values() for t in ts})
+
+    def member(batch: pa.Table,
+               want=pa.array(uniq, pa.string())) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch.column("term"), want))
+        return hit.select(["term"])
+
+    present: set[str] = set()
+    if uniq:
+        for b in (
+            _dict_ds(index_dir)
+            .map_batches(member, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            present.update(b.column("term").to_pylist())
+    missing = [t for t in uniq if t not in present]
+    best: dict[str, str] = {}
+    if missing:
+        exp = fuzzy_expand(
+            index_dir, missing, max_edits=max_edits, max_expansions=1,
+            prefix_len=prefix_len,
+        )
+        best = dict(zip(exp["qterm"], exp["term"]))
+    rows = []
+    for qid, _text in queries:
+        toks = toks_by_qid[qid]
+        out, fixed = [], 0
+        for t in toks:
+            if t in present:
+                out.append(t)
+            elif t in best:
+                out.append(best[t])
+                fixed += 1
+            else:
+                out.append(t)
+        rows.append((qid, " ".join(out), fixed))
+    return pd.DataFrame(
+        rows, columns=["qid", "suggestion", "n_corrected"]
+    ).astype({"n_corrected": np.int64})
+
+
 # ---------------------------------------------------------------------------
 # query-time synonym expansion (ES synonym filter, expand=true)
 # ---------------------------------------------------------------------------

@@ -3539,6 +3539,67 @@ FROM qterms q JOIN toks tk ON tk.term = q.term
 """
 
 
+PHRASE_SUGGEST_QUERIES: list[tuple[str, str]] = [
+    ("g1", "mergge the stream"),
+    ("g2", "custmer order windoww"),
+    ("g3", "batch scan"),
+    ("g4", "qzqzq zzzz"),
+]
+
+
+def q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (whole-query did-you-mean): per position,
+    dictionary terms pass through, absent terms take their single best
+    edit-distance-1 correction by (df desc, term asc), no-candidate
+    terms stay as typed (webindex/lexicon.py phrase_suggest — the term
+    suggester's dict scans + a bounded per-query assembly)."""
+    from webindex.lexicon import phrase_suggest
+
+    idx = ensure_index(sf_dir, "nostem")
+    return phrase_suggest(idx, PHRASE_SUGGEST_QUERIES)
+
+
+def _psg_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', {pos}, '{t}')"
+        for qid, text in PHRASE_SUGGEST_QUERIES
+        for pos, t in enumerate(_sql_an.tokens(text))
+    )
+    return f"(VALUES {rows}) AS v(qid, pos, term)"
+
+
+SQL_PHRASE_SUGGEST = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+v AS (SELECT * FROM {_psg_values_sql()}),
+sel AS (
+  SELECT v.qid, v.pos,
+         CASE WHEN EXISTS (SELECT 1 FROM dft d WHERE d.term = v.term)
+              THEN v.term
+              ELSE coalesce(
+                (SELECT term FROM dft
+                 WHERE levenshtein(term, v.term) <= 1
+                   AND substr(term, 1, 1) = substr(v.term, 1, 1)
+                 ORDER BY df DESC, term LIMIT 1), v.term)
+         END AS out_term,
+         CASE WHEN EXISTS (SELECT 1 FROM dft d WHERE d.term = v.term)
+              THEN 0
+              WHEN EXISTS (SELECT 1 FROM dft
+                           WHERE levenshtein(term, v.term) <= 1
+                             AND substr(term, 1, 1) = substr(v.term, 1, 1))
+              THEN 1 ELSE 0 END AS corrected
+  FROM v
+)
+SELECT qid, string_agg(out_term, ' ' ORDER BY pos) AS suggestion,
+       sum(corrected)::BIGINT AS n_corrected
+FROM sel GROUP BY qid
+"""
+
+
 SRC_SHORT_TOKENS = 40
 SRC_MAX_SHORT_FRAC = 0.35
 
@@ -4651,6 +4712,7 @@ REGISTRY: dict[str, tuple] = {
                             SQL_BM25_BOOSTING_TOP10),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
+    "phrase_suggest": (q_phrase_suggest, SQL_PHRASE_SUGGEST),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
                               SQL_MINHASH_POLY_CLUSTERS),
     "simhash_poly_clusters": (q_simhash_poly_clusters,
