@@ -294,3 +294,76 @@ def test_pq_adc_matches_brute_python(ray_session):
     # PQ recall by nature; chance level is 10/500 = 0.02, so >= 0.2 mean
     # recall demonstrates the ADC signal an order of magnitude above it
     assert np.mean(recalls) >= 0.2, recalls
+
+
+def test_ivfpq_matches_brute_python(ray_session):
+    """IVF-PQ == a from-scratch Python recomputation: same probe plan,
+    same PQ encode (documented expansion form), ADC over probed ids
+    only; partition-count invariant."""
+    import ray.data as rd
+
+    from webindex.ann import (
+        _normalize,
+        _probe_plan,
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    import pyarrow.parquet as pq_mod
+
+    tab = pq_mod.read_table(path)
+    ids = tab.column("vec_id").to_numpy()
+    mat = _normalize(
+        np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    qids = [int(i) for i in ids[:3]]
+    qvecs = mat[:3].copy()
+
+    codes_ds, cents, books = ivfpq_build(
+        rd.read_parquet(path), n_centroids=8, m_subs=8, n_codes=16,
+        sample_n=500, seed=13,
+    )
+    codes_ds = codes_ds.materialize()
+    got = (
+        ivfpq_topk(codes_ds, cents, books, qids, qvecs, 5, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got2 = (
+        ivfpq_topk(
+            codes_ds.repartition(7), cents, books, qids, qvecs, 5,
+            nprobe=3,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)  # partition invariance
+
+    # brute: assign + encode + probe + ADC
+    m, nc, dsub = books.shape
+    assign = np.argmax(mat @ cents.T, axis=1)
+    codes_py = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        d2 = (
+            -2.0 * (sub @ books[j].T)
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+        codes_py[:, j] = np.argmin(d2, axis=1)
+    qnorm, _pset, allowed = _probe_plan(cents, qids, qvecs, 3)
+    for r, qid in enumerate(qids):
+        lut = np.einsum("jd,jcd->jc", qnorm[r].reshape(m, dsub), books)
+        ok = np.fromiter(
+            (int(c) in allowed[qid] for c in assign), bool, len(assign)
+        )
+        sims = lut[np.arange(m)[None, :], codes_py[ok]].sum(axis=1)
+        v = ids[ok]
+        sel = np.lexsort((v, -sims))[:5]
+        want = [(int(v[i]), float(sims[i])) for i in sel]
+        sub_df = got[got["query_id"] == qid]
+        have = [(int(x), float(s))
+                for x, s in zip(sub_df["vec_id"], sub_df["sim"])]
+        assert have == want, qid

@@ -672,3 +672,127 @@ def pq_topk(codes_ds, codebooks: np.ndarray, query_ids: list[int],
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )
+
+
+def ivfpq_build(emb_ds, *, n_centroids: int = 16, m_subs: int = 8,
+                n_codes: int = 16, sample_n: int = 2048, iters: int = 10,
+                seed: int = 13, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """IVF-PQ (the FAISS IVFADC layout, Jegou et al. 2011): coarse
+    cosine centroids route queries to ``nprobe`` partitions; within a
+    partition vectors exist ONLY as ``m_subs`` uint8 PQ codes — the
+    combination that makes 100x-scale ANN fit in memory AND skip most of
+    the corpus per query. Returns ``(codes_ds, cents, books)`` where
+    ``codes_ds`` is (id, centroid, pq_code); at scale it is written
+    ``partition_cols=["centroid"]`` (see :func:`ivf_write`) so probes
+    read only their lists. One pass over the corpus encodes both."""
+    sample = emb_ds.limit(sample_n).to_pandas()
+    smat = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    cents = kmeans_fit(smat, n_centroids, iters=iters, seed=seed)
+    books = pq_train(
+        emb_ds, m_subs=m_subs, n_codes=n_codes, sample_n=sample_n,
+        iters=iters, seed=seed, vec_col=vec_col,
+    )
+    m, nc, dsub = books.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        assign = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub: (j + 1) * dsub]
+            d2 = (
+                -2.0 * (sub @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "centroid": pa.array(assign),
+                "pq_code": pa.array(
+                    codes.tolist(), pa.list_(pa.uint8(), m)
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow"), cents, books
+
+
+def ivfpq_topk(codes_ds, cents: np.ndarray, books: np.ndarray,
+               query_ids: list[int], query_vecs: np.ndarray, k: int, *,
+               nprobe: int = 4, id_col: str = "vec_id",
+               concurrency=4, batch_size: int = 4096):
+    """IVF-PQ query: probe the ``nprobe`` nearest coarse centroids per
+    query, ADC-score ONLY rows in probed partitions (lookup-table sums
+    over uint8 codes, no decode), exact k-merge. Doubly approximate
+    (probe recall x codebook resolution), deterministic given the seeded
+    build. Returns (query_id, vec_id, sim, rank)."""
+    import pyarrow.compute as pc
+    import ray
+
+    m, nc, dsub = books.shape
+    qmat, probe_set, allowed = _probe_plan(
+        cents, query_ids, query_vecs, nprobe
+    )
+    lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), books
+    )
+    qids = [int(q) for q in query_ids]
+    ref = ray.put({"lut": lut, "allowed": allowed})
+
+    pruned = codes_ds.map_batches(
+        lambda t, cs=probe_set: t.filter(
+            pc.is_in(t.column("centroid"), pa.array(cs, pa.int32()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        lut_b, allowed_b = s["lut"], s["allowed"]
+        cents_b = batch.column("centroid").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        col = batch.column("pq_code")
+        codes = (
+            col.combine_chunks().values.to_numpy(zero_copy_only=False)
+            .reshape(batch.num_rows, m).astype(np.int64)
+        )
+        cols = np.arange(m)
+        out_q, out_i, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.fromiter(
+                (int(c) in allowed_b[qid] for c in cents_b),
+                dtype=bool, count=len(cents_b),
+            )
+            if not mask.any():
+                continue
+            sims = lut_b[qi][cols[None, :], codes[mask]].sum(axis=1)
+            v = ids[mask]
+            kk = min(k, sims.size)
+            sel = np.lexsort((v, -sims))[:kk]
+            out_q.append(np.full(kk, qid))
+            out_i.append(v[sel])
+            out_s.append(sims[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = pruned.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )

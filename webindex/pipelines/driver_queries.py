@@ -1173,6 +1173,36 @@ def q_pq_top5(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+def q_ivfpq_top5(sf_dir: str):
+    """IVF-PQ (FAISS IVFADC layout): coarse centroids prune the scan to
+    nprobe partitions, PQ uint8 codes + ADC lookup-table sums score what
+    remains — the memory-AND-compute scale combination for 100x
+    embedding search (webindex/ann.py ivfpq_build/ivfpq_topk). Doubly
+    approximate -> rows-only; exactness vs a from-scratch Python
+    recomputation + partition invariance are pytest-gated."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import ivfpq_build, ivfpq_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    codes_ds, cents, books = ivfpq_build(
+        rd.read_parquet(path), n_centroids=16, m_subs=8, n_codes=32,
+        sample_n=500, seed=13,
+    )
+    out = ivfpq_topk(
+        codes_ds, cents, books, [0, 1, 2], qvecs, 5, nprobe=4
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
 def q_ivf_seed_top5(sf_dir: str):
     """IVF with deterministic seed centroids (the 8 lowest-vec_id vectors),
     nprobe=3 — the SQL-verifiable IVF variant: centroid choice, assignment
@@ -4726,6 +4756,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
     "pq_top5": (q_pq_top5, None),
+    "ivfpq_top5": (q_ivfpq_top5, None),
     "openai_search": (q_openai_search, None),
     "media_features": (q_media_features, None),
 }
