@@ -84,3 +84,42 @@ def test_positional_index_identical_across_partitioning(tmp_path):
     a, b = (_seg_content(i) for i in outs)
     assert "positions" in a.columns
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_new_curation_ops_partition_invariant(ray_session):
+    """dup n-grams, contamination, unigram LM, source filter: identical
+    output at different input block counts (the repo's
+    determinism-under-parallelism invariant)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.dedup import contamination, cross_doc_dup_ngrams
+    from webindex.textstats import source_level_filter, unigram_logprob
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(blocks):
+        docs = rd.read_parquet(
+            path, columns=["doc_id", "text", "source"],
+            override_num_blocks=blocks,
+        )
+        d2 = docs.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
+        outs = {}
+        outs["dup"] = cross_doc_dup_ngrams(d2, n=3, min_count=2)
+        outs["contam"] = contamination(
+            d2, [(0, "merge the stream window"), (1, "customer order")],
+            n=3,
+        )
+        outs["lm"] = unigram_logprob(d2, n_parts=16)
+        outs["src"] = source_level_filter(docs, n_parts=16)
+        return {
+            k: v.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for k, v in outs.items()
+        }
+
+    a, b = run(2), run(9)
+    for k in a:
+        pd.testing.assert_frame_equal(a[k], b[k]), k
