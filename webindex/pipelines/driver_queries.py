@@ -805,6 +805,58 @@ def q_ann_top5(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+ANN_FILTER_LABEL = 1
+
+
+def q_ann_filtered_top5(sf_dir: str):
+    """Metadata-filtered vector search (the filtered-ANN shape every
+    vector store exposes): exact cosine top-5 restricted to label == 1,
+    with the predicate pushed into the parquet READ (row-group pruning
+    at scale) — not post-filtered after scoring. Same partial-top-k +
+    exact merge as ann_top5."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.ann import brute_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    emb = rd.read_parquet(
+        path, filter=pads.field("label") == ANN_FILTER_LABEL
+    )
+    out = brute_topk(emb, [0, 1, 2], qvecs, 5, concurrency=2).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+SQL_ANN_FILTERED_TOP5 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label = {ANN_FILTER_LABEL}
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id)::INTEGER AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 SQL_ANN_TOP5 = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
@@ -4661,6 +4713,7 @@ REGISTRY: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
+    "ann_filtered_top5": (q_ann_filtered_top5, SQL_ANN_FILTERED_TOP5),
     "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
     "simulate_rerank": (q_simulate_rerank, SQL_SIMULATE_RERANK),
     "chars_histogram": (q_chars_histogram, SQL_CHARS_HISTOGRAM),
