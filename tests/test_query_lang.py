@@ -1062,3 +1062,35 @@ def test_neg_boost_demotes_matches_oracle(index_dir, oracle, impl):
             assert qid not in got
             continue
         assert got[qid] == want, (impl, qid)
+
+
+def test_rrf_fuse_matches_brute(index_dir, oracle, ray_session):
+    """RRF hybrid fusion of two retrievers (BM25 OR-match vs AND-match
+    rankings) against a plain-Python recomputation."""
+    from webindex.rerank import rrf_fuse
+
+    win, kc, topk = 6, 60, 5
+    runs_a = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=win, concurrency=2,
+        batch_size=4,
+    )
+    runs_b = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=win, match="and",
+        concurrency=2, batch_size=4,
+    )
+    fused = rrf_fuse([runs_a, runs_b], k_const=kc, top_k=topk).to_pandas()
+    for qid, text in QUERIES:
+        ra = _oracle_constrained(oracle, text, win)
+        rb = _oracle_constrained(oracle, text, win, require_all=True)
+        score: dict[int, float] = {}
+        for side in (ra, rb):  # side order pinned
+            for r, (d, _s) in enumerate(side, 1):
+                score[d] = score.get(d, 0.0) + 1.0 / (kc + r)
+        want = sorted(score.items(), key=lambda e: (-e[1], e[0]))[:topk]
+        sub = fused[fused["qid"] == qid].sort_values("rank")
+        got = [(int(d), float(s))
+               for d, s in zip(sub["doc_id"], sub["score"])]
+        if not want:
+            assert sub.empty, qid
+            continue
+        assert got == want, qid

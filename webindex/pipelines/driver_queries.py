@@ -3621,6 +3621,83 @@ FROM qterms q JOIN toks tk ON tk.term = q.term
 """
 
 
+RRF_WINDOW = 20
+RRF_K = 60
+
+
+def q_hybrid_rrf_top10(sf_dir: str):
+    """Reciprocal-rank fusion (the ES/OpenSearch hybrid-search combiner,
+    Cormack et al. 2009): fuse two retrievers' rank windows — the
+    OR-match BM25 ranking and the stricter AND-match ranking — with
+    score = sum of 1/(60 + rank) per side, side order pinned
+    (webindex/rerank.py rrf_fuse)."""
+    from webindex.rerank import rrf_fuse
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs_a = search_queries(
+        _queries_ds(), idx, top_k=RRF_WINDOW, concurrency=2, batch_size=8
+    )
+    runs_b = search_queries(
+        _queries_ds(), idx, top_k=RRF_WINDOW, match="and", concurrency=2,
+        batch_size=8,
+    )
+    fused = rrf_fuse([runs_a, runs_b], k_const=RRF_K, top_k=TOPK)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": batch.column("qid"),
+                "doc_id": batch.column("doc_id"),
+                "score_r": pa.array(
+                    np.round(batch.column("score").to_numpy(), 9)
+                ),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    return fused.map_batches(out, batch_format="pyarrow")
+
+
+SQL_HYBRID_RRF_TOP10 = _sql_bm25_scores() + f"""
+, nq AS (SELECT qid, count(*)::BIGINT AS nt FROM qterms GROUP BY qid),
+hits AS (
+  SELECT qid, doc_id, count(*)::BIGINT AS npresent
+  FROM contrib GROUP BY qid, doc_id
+),
+ra AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS r
+  FROM scores
+),
+rb AS (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id) AS r
+  FROM scores s
+  JOIN hits h ON h.qid = s.qid AND h.doc_id = s.doc_id
+  JOIN nq ON nq.qid = s.qid
+  WHERE h.npresent = nq.nt
+),
+fused AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K} + a.r), 0.0)
+           + coalesce(1.0 / ({RRF_K} + b.r), 0.0) AS score
+  FROM (SELECT * FROM ra WHERE r <= {RRF_WINDOW}) a
+  FULL OUTER JOIN (SELECT * FROM rb WHERE r <= {RRF_WINDOW}) b
+    ON a.qid = b.qid AND a.doc_id = b.doc_id
+)
+SELECT qid, doc_id, round(score, 9) AS score_r, rank FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM fused
+) WHERE rank <= {TOPK}
+"""
+
+
 PHRASE_SUGGEST_QUERIES: list[tuple[str, str]] = [
     ("g1", "mergge the stream"),
     ("g2", "custmer order windoww"),
@@ -4787,6 +4864,7 @@ REGISTRY: dict[str, tuple] = {
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
+    "hybrid_rrf_top10": (q_hybrid_rrf_top10, SQL_HYBRID_RRF_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,

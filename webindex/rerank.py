@@ -171,3 +171,69 @@ def perfect_rerank(runs_df: pd.DataFrame, qrels: pd.DataFrame,
     ).reset_index(drop=True)
     top["rank"] = top.groupby("qid", sort=False).cumcount() + 1
     return top[["qid", "did", "score", "rank"]]
+
+
+def rrf_fuse(runs_list, *, k_const: int = 60, top_k: int = 10):
+    """Reciprocal-rank fusion (Cormack et al. 2009; the ES/OpenSearch
+    hybrid-search combiner): fused score of a doc =
+    ``sum over retrievers of 1 / (k_const + rank)``, summed in retriever
+    order (pinned float order — each term is one exact-int division).
+    Retrievers contribute only their own ranked window (the ES
+    ``rank_window_size`` semantics: a doc outside a retriever's window
+    adds 0 from that side).
+
+    ``runs_list``: Datasets with (qid, doc_id, rank). Output
+    (qid, doc_id, score, rank) with the standard (score desc, docID asc)
+    total order. The union is window x queries x retrievers rows — tiny
+    relative to any corpus — so the merge is one small per-qid kernel.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    tagged = None
+    for side, runs in enumerate(runs_list):
+        t = runs.map_batches(
+            lambda b, s=side: pa.table(
+                {
+                    "qid": b.column("qid"),
+                    "doc_id": b.column("doc_id"),
+                    "rank": b.column("rank"),
+                    "side": pa.array(
+                        np.full(b.num_rows, s, dtype=np.int32)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = t if tagged is None else tagged.union(t)
+
+    kk = float(k_const)
+
+    n_sides = len(runs_list)
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        ids_all = g["doc_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(ids_all, return_inverse=True)
+        contrib = 1.0 / (kk + g["rank"].to_numpy(np.float64))
+        sides = g["side"].to_numpy(np.int32)
+        score = np.zeros(uniq.size, dtype=np.float64)
+        # one scatter-add PER SIDE, ascending: the summation order is
+        # side order exactly (a doc appears at most once per side), the
+        # same left-to-right order the SQL oracle's coalesce chain uses
+        for s in range(n_sides):
+            m = sides == s
+            score[inv[m]] += contrib[m]
+        out = pd.DataFrame(
+            {
+                "qid": g["qid"].iloc[0],  # one qid per group
+                "doc_id": uniq,
+                "score": score,
+            }
+        ).sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return out
+
+    return tagged.groupby("qid").map_groups(fuse, batch_format="pandas")
