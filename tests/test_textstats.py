@@ -513,3 +513,67 @@ def test_source_level_filter_matches_brute(ray_session):
         assert bool(row["keep"]) == (short_n / docs_n <= cutoff)
         kept_vals.add(bool(row["keep"]))
     assert kept_vals == {True, False}  # fixture exercises both verdicts
+
+
+def test_pmi_collocations_matches_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import pmi_collocations
+
+    rng = __import__("numpy").random.default_rng(31)
+    words = "red blue fish cake stone wind".split()
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(5, 25))
+        toks = [words[int(j)] for j in rng.integers(0, 6, n)]
+        if i % 3 == 0:
+            toks[1:3] = ["red", "fish"]  # engineered collocation
+        docs.append((i, " ".join(toks)))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    w, mc, topn = 2, 3, 8
+    got = pmi_collocations(
+        ds, window=w, min_count=mc, top_n=topn, n_parts=8
+    )
+
+    tok = re.compile(r"[a-z0-9]+")
+    cnt: Counter = Counter()
+    for _d, t in docs:
+        toks = tok.findall(t.lower())
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + w + 1, len(toks))):
+                a, b = toks[i], toks[j]
+                if a != b:
+                    cnt[tuple(sorted((a, b)))] += 1
+    total = sum(cnt.values())
+    marg: Counter = Counter()
+    for (a, b), c in cnt.items():
+        marg[a] += c
+        marg[b] += c
+    want = sorted(
+        (
+            (math.log((c * total) / (marg[a] * marg[b])), a, b, c)
+            for (a, b), c in cnt.items()
+            if c >= mc
+        ),
+        key=lambda e: (-e[0], e[1], e[2]),
+    )[:topn]
+    have = [
+        (float(r.pmi), r.a, r.b, int(r.cnt))
+        for r in got.itertuples()
+    ]
+    assert have == [(p, a, b, c) for p, a, b, c in want]
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+    assert ("fish", "red") in {(b, a) for _p, a, b, _c in want} or (
+        "fish", "red") in {(a, b) for _p, a, b, _c in want}

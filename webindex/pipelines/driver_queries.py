@@ -3621,6 +3621,65 @@ FROM qterms q JOIN toks tk ON tk.term = q.term
 """
 
 
+PMI_W, PMI_MIN, PMI_TOPN = 3, 5, 20
+
+
+def q_pmi_top20(sf_dir: str):
+    """Collocation mining (Church & Hanks PMI over a +/-3 window): the
+    corpus's top-20 term pairs by pointwise mutual information, exact
+    int64 co-occurrence/marginal counts, one division + one scalar ln
+    per pair (webindex/textstats.py pmi_collocations — pair-hash +
+    term-hash shuffles, padded-union hash joins, per-block top-n cut)."""
+    import ray.data as rd
+
+    from webindex.textstats import pmi_collocations
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = pmi_collocations(
+        docs, window=PMI_W, min_count=PMI_MIN, top_n=PMI_TOPN
+    )
+    out["pmi_r"] = out["pmi"].round(9)
+    return out[["a", "b", "cnt", "pmi_r", "rank"]]
+
+
+SQL_PMI_TOP20 = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pr AS (
+  SELECT least(x.term, y.term) AS a, greatest(x.term, y.term) AS b,
+         count(*)::BIGINT AS cnt
+  FROM pos x JOIN pos y ON y.doc_id = x.doc_id
+    AND y.p > x.p AND y.p - x.p <= {PMI_W} AND y.term <> x.term
+  GROUP BY a, b
+),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM pr),
+marg AS (
+  SELECT term, sum(cnt)::BIGINT AS m FROM (
+    SELECT a AS term, cnt FROM pr UNION ALL SELECT b AS term, cnt FROM pr
+  ) GROUP BY term
+),
+scored AS (
+  SELECT pr.a, pr.b, pr.cnt,
+         ln((pr.cnt * t.t) / (ma.m * mb.m)) AS pmi
+  FROM pr
+  JOIN marg ma ON ma.term = pr.a
+  JOIN marg mb ON mb.term = pr.b
+  CROSS JOIN tot t
+  WHERE pr.cnt >= {PMI_MIN}
+)
+SELECT a, b, cnt, round(pmi, 9) AS pmi_r, rank FROM (
+  SELECT a, b, cnt, pmi,
+         row_number() OVER (ORDER BY pmi DESC, a, b)::INTEGER AS rank
+  FROM scored
+) WHERE rank <= {PMI_TOPN}
+"""
+
+
 RRF_WINDOW = 20
 RRF_K = 60
 
@@ -4865,6 +4924,7 @@ REGISTRY: dict[str, tuple] = {
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "hybrid_rrf_top10": (q_hybrid_rrf_top10, SQL_HYBRID_RRF_TOP10),
+    "pmi_top20": (q_pmi_top20, SQL_PMI_TOP20),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,

@@ -153,3 +153,99 @@ def stratified_sample(ds, strata_col: str, fracs: dict, *,
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_join_attach(rows_ds, key_col: str, side_ds, val_cols: list[str],
+                     *, rows_types: dict, val_types: dict,
+                     n_parts: int = 64, out_prefix: str = "",
+                     side_key: str | None = None):
+    """Inner hash-join ``val_cols`` from ``side_ds`` (key_col, *val_cols)
+    onto ``rows_ds`` — the repo's padded-union + hash-partition +
+    per-partition vectorized merge shape (never ``Dataset.join``; see
+    dedup.attach_pair_payloads for why). ONE shuffle for both sides;
+    nothing materializes on the driver. ``rows_types`` / ``val_types``
+    are {col: pa.DataType} (callers know their schemas statically — a
+    schema probe would execute a one-block prefix). String or int keys.
+    """
+    import pyarrow as pa
+
+    row_cols = list(rows_types)
+    new_cols = [out_prefix + c for c in val_cols]
+    side_key = side_key or key_col
+
+    def key_hash(arr: "pa.ChunkedArray", n: int) -> np.ndarray:
+        if pa.types.is_integer(arr.type):
+            h = arr.to_numpy().astype(np.uint64) * _MIX
+        else:
+            h = np.fromiter(
+                (stable_hash64(str(x)) for x in arr.to_pylist()),
+                dtype=np.uint64, count=n,
+            )
+        return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_part": pa.array(key_hash(batch.column(key_col),
+                                       batch.num_rows)),
+            "_kind": pa.array(np.ones(batch.num_rows, np.int8)),
+        }
+        for c in row_cols:
+            cols[c] = batch.column(c)
+        for c, nc in zip(val_cols, new_cols):
+            cols[nc] = pa.nulls(batch.num_rows, val_types[c])
+        return pa.table(cols)
+
+    def tag_side(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_part": pa.array(key_hash(batch.column(side_key),
+                                       batch.num_rows)),
+            "_kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+        }
+        for c in row_cols:
+            if c == key_col:
+                cols[c] = batch.column(side_key)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, rows_types[c])
+        for c, nc in zip(val_cols, new_cols):
+            cols[nc] = batch.column(c)
+        return pa.table(cols)
+
+    import pyarrow as _pa
+
+    tagged = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        side_ds.map_batches(tag_side, batch_format="pyarrow")
+    )
+
+    def join_group(g: "_pa.Table") -> "_pa.Table":
+        kind = g.column("_kind").to_numpy()
+        pay = g.filter(_pa.array(kind == 0))
+        rows = g.filter(_pa.array(kind == 1)).drop_columns(
+            ["_part", "_kind"] + new_cols
+        )
+        if rows.num_rows == 0 or pay.num_rows == 0:
+            empty = {c: rows.column(c).slice(0, 0) for c in row_cols}
+            for c, nc in zip(val_cols, new_cols):
+                empty[nc] = _pa.nulls(0, val_types[c])
+            return _pa.table(empty)
+        pk = pay.column(key_col)
+        rk = rows.column(key_col)
+        if _pa.types.is_integer(pk.type):
+            pk_np, rk_np = pk.to_numpy(), rk.to_numpy()
+        else:
+            pk_np = np.asarray(pk.to_pylist(), dtype=object)
+            rk_np = np.asarray(rk.to_pylist(), dtype=object)
+        order = np.argsort(pk_np, kind="stable")
+        pk_sorted = pk_np[order]
+        pos = np.searchsorted(pk_sorted, rk_np)
+        pos = np.minimum(pos, pk_sorted.size - 1)
+        hit = pk_sorted[pos] == rk_np
+        rows_f = rows.filter(_pa.array(hit))
+        taken = pay.take(_pa.array(order[pos[hit]], _pa.int64()))
+        cols = {c: rows_f.column(c) for c in row_cols}
+        for c, nc in zip(val_cols, new_cols):
+            cols[nc] = taken.column(nc)
+        return _pa.table(cols)
+
+    return tagged.groupby("_part").map_groups(
+        join_group, batch_format="pyarrow"
+    )

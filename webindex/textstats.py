@@ -481,3 +481,164 @@ def source_level_filter(docs_ds, *, short_tokens: int = 40,
     return docs_ds.map_batches(
         lambda t: t.select(["doc_id", source_col]), batch_format="pyarrow"
     ).map_batches(annotate, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, *, window: int = 3, min_count: int = 5,
+                     top_n: int = 20, n_parts: int = 64):
+    """Corpus-level collocation mining: the ``top_n`` unordered term
+    pairs by pointwise mutual information over a +/-``window``
+    co-occurrence relation (Church & Hanks 1990, public methodology —
+    the classic "which words belong together" corpus-analytics op).
+
+    A co-occurrence is a position pair (i < j, j - i <= window) of two
+    DIFFERENT ``[a-z0-9]+`` tokens, normalized to unordered (min, max).
+    ``pmi(a, b) = ln( (cnt_ab * total_pairs) / (marg_a * marg_b) )``
+    where marg_x counts pairs containing x — all exact int64 counts, one
+    int/int float division per pair and one scalar libm ln (bit-equal to
+    DuckDB), so the SQL oracle hash-matches (products must stay < 2^53
+    for the division to be exact — true far beyond contract scale; at
+    100x switch the ratio to log-space subtraction).
+
+    Scale shape: per-batch pair-count partials (combiner), ONE pair-hash
+    shuffle for global counts, marginals via a term-hash shuffle of the
+    (already bounded) pair table, both marginals attached by the repo's
+    padded-union hash join — the corpus text never leaves stage 1, and
+    the driver sees only the final ``top_n`` rows."""
+    import math
+
+    import pandas as pd
+
+    from webindex.relational import (
+        hash_join_attach,
+        hash_partitioned_groupby,
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in df["text"]:
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            n = len(toks)
+            for i in range(n):
+                a = toks[i]
+                for j in range(i + 1, min(i + window + 1, n)):
+                    b = toks[j]
+                    if a == b:
+                        continue
+                    cnt[(a, b) if a < b else (b, a)] += 1
+        if not cnt:
+            return pd.DataFrame({"a": [], "b": [], "cnt": []}).astype(
+                {"a": str, "b": str, "cnt": np.int64}
+            )
+        ks = list(cnt)
+        return pd.DataFrame(
+            {
+                "a": [k[0] for k in ks],
+                "b": [k[1] for k in ks],
+                "cnt": np.fromiter(
+                    (cnt[k] for k in ks), np.int64, len(ks)
+                ),
+            }
+        )
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+        )
+
+    pairs = hash_partitioned_groupby(
+        docs_ds, ["a", "b"], pair_partials, pair_final, n_parts=n_parts
+    ).materialize()
+
+    total = int(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array(
+                    [int(np.sum(t.column("cnt").to_numpy()))], pa.int64()
+                )}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+
+    def marg_partials(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                df[["a", "cnt"]].rename(columns={"a": "term"}),
+                df[["b", "cnt"]].rename(columns={"b": "term"}),
+            ],
+            ignore_index=True,
+        )
+        return both.groupby("term", sort=False)["cnt"].sum().reset_index()
+
+    def marg_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["cnt"].sum().reset_index()
+        return g.rename(columns={"cnt": "m"})
+
+    marg = hash_partitioned_groupby(
+        pairs, ["term"], marg_partials, marg_final, n_parts=n_parts
+    )
+
+    import pyarrow as _pa
+
+    rows_types = {"a": _pa.string(), "b": _pa.string(),
+                  "cnt": _pa.int64()}
+    withm = hash_join_attach(
+        pairs, "a", marg, ["m"], rows_types=rows_types,
+        val_types={"m": _pa.int64()}, n_parts=n_parts, out_prefix="a_",
+        side_key="term",
+    )
+    rows_types2 = dict(rows_types)
+    rows_types2["a_m"] = _pa.int64()
+    withm = hash_join_attach(
+        withm, "b", marg, ["m"], rows_types=rows_types2,
+        val_types={"m": _pa.int64()}, n_parts=n_parts, out_prefix="b_",
+        side_key="term",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy()
+        keep = cnt >= min_count
+        batch = batch.filter(pa.array(keep))
+        cnt = batch.column("cnt").to_numpy()
+        ma = batch.column("a_m").to_numpy()
+        mb = batch.column("b_m").to_numpy()
+        pmi = np.fromiter(
+            (
+                math.log((int(c) * total) / (int(x) * int(y)))
+                for c, x, y in zip(cnt, ma, mb)
+            ),
+            np.float64, len(cnt),
+        )
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                # the padded-union join rides pandas blocks, which float
+                # nullable ints — cast back (small exact ints, lossless)
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "pmi": pa.array(pmi),
+            }
+        )
+
+    scored = withm.map_batches(score, batch_format="pyarrow")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial cut: a global top-n row is in its own block's
+        # top-n, so only top_n x blocks rows reach the final sort
+        return df.sort_values(
+            ["pmi", "a", "b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(top_n)
+
+    out = (
+        scored.map_batches(local_top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["pmi", "a", "b"], ascending=[False, True, True],
+                     kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out
