@@ -577,3 +577,64 @@ def test_pmi_collocations_matches_brute(ray_session):
     assert list(got["rank"]) == list(range(1, len(want) + 1))
     assert ("fish", "red") in {(b, a) for _p, a, b, _c in want} or (
         "fish", "red") in {(a, b) for _p, a, b, _c in want}
+
+
+def test_textrank_keywords_matches_reimplementation(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import textrank_keywords
+
+    np_ = __import__("numpy")
+    docs = [
+        (0, "graph rank graph node edge rank graph walk node graph"),
+        (1, "single"),
+        (2, ""),
+        (3, "a b c d e f g a b a"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    w, k, d_, iters = 2, 4, 0.85, 20
+    out = (
+        textrank_keywords(ds, window=w, top_k=k, damping=d_, iters=iters)
+        .to_pandas()
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    for did, text in docs:
+        toks = tok.findall(text.lower())
+        sub = out[out["doc_id"] == did].sort_values("rank")
+        if not toks:
+            assert sub.empty
+            continue
+        vocab = sorted(set(toks))
+        vi = {x: i for i, x in enumerate(vocab)}
+        v = len(vocab)
+        wm = np_.zeros((v, v))
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + w + 1, len(toks))):
+                a, b = vi[toks[i]], vi[toks[j]]
+                if a != b:
+                    wm[a, b] += 1.0
+                    wm[b, a] += 1.0
+        deg = wm.sum(axis=1)
+        m = wm / np_.where(deg > 0, deg, 1.0)[:, None]
+        p = np_.full(v, 1.0 / v)
+        for _ in range(iters):
+            p = (1.0 - d_) / v + d_ * (m.T @ p)
+        order = np_.lexsort((np_.array(vocab), -p))[:k]
+        want = [(vocab[i], p[i]) for i in order]
+        got = list(zip(sub["term"], sub["score"]))
+        assert [t for t, _ in got] == [t for t, _ in want], did
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == ws, did
+    # the engineered repeated hub term dominates doc 0
+    top0 = out[(out["doc_id"] == 0) & (out["rank"] == 1)]["term"].iloc[0]
+    assert top0 == "graph"

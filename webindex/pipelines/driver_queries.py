@@ -3621,6 +3621,29 @@ FROM qterms q JOIN toks tk ON tk.term = q.term
 """
 
 
+def q_textrank_keywords(sf_dir: str):
+    """Per-doc TextRank keywords (Mihalcea & Tarau 2004): PageRank over
+    each doc's own co-occurrence graph, fixed 20 power iterations, top-5
+    by (score desc, term asc). Iterative float math is not
+    SQL-expressible -> rows-only; the math is pytest-gated against an
+    independent reimplementation (webindex/textstats.py
+    textrank_keywords — stateless per-doc map_batches, trivially
+    partition-invariant)."""
+    import ray.data as rd
+
+    from webindex.textstats import textrank_keywords
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = textrank_keywords(docs, window=2, top_k=5)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "term", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
 PMI_W, PMI_MIN, PMI_TOPN = 3, 5, 20
 
 
@@ -4925,6 +4948,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "hybrid_rrf_top10": (q_hybrid_rrf_top10, SQL_HYBRID_RRF_TOP10),
     "pmi_top20": (q_pmi_top20, SQL_PMI_TOP20),
+    "textrank_keywords": (q_textrank_keywords, None),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,

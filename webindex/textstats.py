@@ -642,3 +642,64 @@ def pmi_collocations(docs_ds, *, window: int = 3, min_count: int = 5,
     )
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
     return out
+
+
+def textrank_keywords(docs_ds, *, window: int = 2, top_k: int = 5,
+                      damping: float = 0.85, iters: int = 20):
+    """Per-document keyword extraction via TextRank (Mihalcea & Tarau
+    2004, public paper): PageRank over the doc's own token co-occurrence
+    graph (undirected, +/-``window``), a FIXED ``iters`` power
+    iterations in float64, top-``top_k`` terms by (score desc, term asc).
+
+    Entirely per-document — a stateless vectorized ``map_batches`` with
+    one dense (v x v) matrix per doc (v = distinct tokens, small by
+    construction) — so the operator is trivially partition-invariant and
+    embarrassingly parallel at any corpus size. Iterative float math is
+    not SQL-expressible -> rows-only contract entry; pytest gates the
+    math against an independent reimplementation. Output:
+    ``(doc_id, term, score, rank)``."""
+    import pandas as pd  # noqa: F401
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_t, o_s, o_r = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            vocab = sorted(set(toks))
+            vi = {w: i for i, w in enumerate(vocab)}
+            v = len(vocab)
+            w_mat = np.zeros((v, v), dtype=np.float64)
+            for i in range(len(toks)):
+                a = vi[toks[i]]
+                for j in range(i + 1, min(i + window + 1, len(toks))):
+                    b = vi[toks[j]]
+                    if a != b:
+                        w_mat[a, b] += 1.0
+                        w_mat[b, a] += 1.0
+            deg = w_mat.sum(axis=1)
+            safe = np.where(deg > 0, deg, 1.0)
+            m = w_mat / safe[:, None]  # row-stochastic over neighbors
+            p = np.full(v, 1.0 / v)
+            base = (1.0 - damping) / v
+            for _ in range(iters):
+                p = base + damping * (m.T @ p)
+            order = np.lexsort((np.array(vocab), -p))[:top_k]
+            o_id.extend([did] * order.size)
+            o_t.extend(vocab[i] for i in order)
+            o_s.extend(p[i] for i in order)
+            o_r.extend(range(1, order.size + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "term": pa.array(o_t, pa.string()),
+                "score": pa.array(o_s, pa.float64()),
+                "rank": pa.array(
+                    np.asarray(o_r, dtype=np.int32)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(extract, batch_format="pyarrow")
