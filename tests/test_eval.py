@@ -111,3 +111,34 @@ def test_k5_model_ranking_helpers():
     assert len(empty) == 0 and list(empty.columns) == [
         "family", "model", "avg_ndcg@10"
     ]
+
+
+def test_paired_bootstrap_properties():
+    import numpy as np
+    import pandas as pd
+
+    from webindex.eval import paired_bootstrap
+
+    rng = np.random.default_rng(3)
+    qids = [f"q{i}" for i in range(200)]
+    base = rng.random(200)
+    a = pd.DataFrame({"qid": qids, "ndcg@10": np.clip(base + 0.08, 0, 1)})
+    b = pd.DataFrame({"qid": qids, "ndcg@10": base})
+    r = paired_bootstrap(a, b, n_boot=2000, seed=7)
+    # a clearly better system: tiny p, all wins
+    assert r["p_value"] < 0.01
+    assert r["wins"] == 200 and r["losses"] == 0
+    assert abs(r["mean_delta"] - 0.08) < 0.02
+    # identical systems: all ties, p ~= 1 (<=0 every resample)
+    r2 = paired_bootstrap(a, a, n_boot=500, seed=7)
+    assert r2["ties"] == 200 and r2["p_value"] > 0.99
+    # deterministic under the same seed
+    r3 = paired_bootstrap(a, b, n_boot=2000, seed=7)
+    assert r3 == r
+    # noise-level difference: p must NOT claim significance
+    c = pd.DataFrame(
+        {"qid": qids,
+         "ndcg@10": np.clip(base + rng.normal(0, 0.05, 200), 0, 1)}
+    )
+    r4 = paired_bootstrap(c, b, n_boot=2000, seed=7)
+    assert r4["p_value"] > 0.01

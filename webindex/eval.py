@@ -168,3 +168,41 @@ def rank_models(metrics: pd.DataFrame, *, model_col: str = "model",
     ).head(top_n).reset_index(drop=True)
     out["rank"] = out.index + 1
     return out
+
+
+def paired_bootstrap(metrics_a: pd.DataFrame, metrics_b: pd.DataFrame, *,
+                     metric: str = "ndcg@10", n_boot: int = 10_000,
+                     seed: int = 7) -> dict:
+    """Paired bootstrap significance test between two systems' per-query
+    metrics (Sakai 2006 / the standard IR evaluation practice the
+    reference's model comparisons imply): resample queries WITH
+    replacement ``n_boot`` times from the paired per-query deltas and
+    report the one-sided p-value that system A does NOT beat B, plus the
+    observed mean delta and win/tie/loss counts.
+
+    Inputs are (qid, <metric>) frames over the SAME query set (inner
+    alignment on qid; a qid missing from either side is dropped —
+    evaluation joins are exact-key). Deterministic: seeded generator,
+    fixed resample count. Driver-side by design — per-query metric
+    tables are queries-sized, orders of magnitude below any corpus."""
+    a = metrics_a[["qid", metric]].rename(columns={metric: "a"})
+    b = metrics_b[["qid", metric]].rename(columns={metric: "b"})
+    j = a.merge(b, on="qid", how="inner").sort_values("qid")
+    if j.empty:
+        raise ValueError("paired_bootstrap: no overlapping qids")
+    delta = (j["a"] - j["b"]).to_numpy(np.float64)
+    n = delta.size
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    boot_means = delta[idx].mean(axis=1)
+    # one-sided: how often a resampled world shows A <= B
+    p = float((boot_means <= 0.0).sum() + 1) / (n_boot + 1)
+    return {
+        "n_queries": int(n),
+        "mean_delta": float(delta.mean()),
+        "wins": int((delta > 0).sum()),
+        "ties": int((delta == 0).sum()),
+        "losses": int((delta < 0).sum()),
+        "p_value": p,
+        "n_boot": int(n_boot),
+    }

@@ -3621,6 +3621,56 @@ FROM qterms q JOIN toks tk ON tk.term = q.term
 """
 
 
+def q_sig_test(sf_dir: str):
+    """Paired-bootstrap significance test (standard IR eval practice)
+    between two systems — full BM25 vs BM25 with the boosting-query
+    demotion — on per-query NDCG@10 over the derived qrels: one row of
+    (n_queries, mean_delta, wins/ties/losses, p_value), seeded and
+    deterministic (webindex/eval.py paired_bootstrap). Iterative
+    resampling is not SQL-expressible -> rows-only; the statistic's
+    properties are pytest-gated."""
+    from webindex.eval import evaluate_runs_pd, paired_bootstrap
+
+    base_metrics = q_eval_metrics(sf_dir)  # BM25 system A
+
+    runs_b = q_bm25_boosting_top10(sf_dir).to_pandas()
+    runs_b["did"] = runs_b["doc_id"].astype(str)
+    qspec = [(qid, frozenset(_sql_an.tokens(text)))
+             for qid, text in DOC_QUERIES]
+
+    def qrels_batch(batch: pa.Table) -> pa.Table:
+        an = Analyzer(SQL_SAFE_ANALYZER)
+        out_q, out_d = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = set(an.tokens(t or ""))
+            for qid, terms in qspec:
+                if terms <= toks:
+                    out_q.append(qid)
+                    out_d.append(str(int(did)))
+        return pa.table(
+            {"qid": pa.array(out_q, pa.string()),
+             "did": pa.array(out_d, pa.string())}
+        )
+
+    qrels = (
+        _docs(sf_dir)
+        .map_batches(qrels_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    qrels["rel"] = 1
+    metrics_b = evaluate_runs_pd(runs_b, qrels, k_values=[10])
+    r = paired_bootstrap(
+        base_metrics, metrics_b, metric="ndcg@10", n_boot=2000, seed=7
+    )
+    out = pd.DataFrame([r])
+    out["mean_delta"] = out["mean_delta"].round(6)
+    out["p_value"] = out["p_value"].round(6)
+    return out
+
+
 def q_textrank_keywords(sf_dir: str):
     """Per-doc TextRank keywords (Mihalcea & Tarau 2004): PageRank over
     each doc's own co-occurrence graph, fixed 20 power iterations, top-5
@@ -4949,6 +4999,7 @@ REGISTRY: dict[str, tuple] = {
     "hybrid_rrf_top10": (q_hybrid_rrf_top10, SQL_HYBRID_RRF_TOP10),
     "pmi_top20": (q_pmi_top20, SQL_PMI_TOP20),
     "textrank_keywords": (q_textrank_keywords, None),
+    "sig_test": (q_sig_test, None),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,
