@@ -228,3 +228,28 @@ def test_cli_suggest_and_mlt(tmp_path, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert 0 < len(out) <= 5
     assert all(int(l.split("\t")[1]) != some_doc for l in out)
+
+
+def test_cli_dym_and_keywords(tmp_path, capsys):
+    tab = synth_pages_table(120, seed=13)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, pages_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", pages_path, "--out", idx,
+                 "--no-stemmed"]) == 0
+    capsys.readouterr()
+
+    # dym: in-dictionary words pass through; output is one line
+    assert main(["dym", "--index", idx, "--query", "mergge the stream"]) == 0
+    line = capsys.readouterr().out.strip()
+    suggestion, corrected = line.split("\t")
+    assert len(suggestion.split()) == 3
+    assert corrected.endswith("corrected")
+
+    # keywords: top-k TextRank terms over pasted text
+    assert main(["keywords", "--text",
+                 "graph rank graph node edge rank graph walk node graph",
+                 "--top-k", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    assert lines[0].split("\t")[1] == "graph"

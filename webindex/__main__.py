@@ -200,6 +200,36 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_dym(args) -> int:
+    """Whole-query did-you-mean (the ES phrase suggester)."""
+    _init_ray()
+    from webindex.lexicon import phrase_suggest
+
+    out = phrase_suggest(args.index, [("q", args.query)])
+    row = out.iloc[0]
+    print(f"{row['suggestion']}\t{int(row['n_corrected'])} corrected")
+    return 0
+
+
+def cmd_keywords(args) -> int:
+    """Per-document TextRank keywords over pasted text."""
+    import pyarrow as pa
+
+    from webindex.textstats import textrank_keywords
+
+    _init_ray()
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([args.text])})
+    )
+    out = textrank_keywords(ds, top_k=args.top_k).to_pandas()
+    for row in out.sort_values("rank").itertuples(index=False):
+        print(f"{row.rank}\t{row.term}\t{row.score:.6f}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     _init_ray()
     import pyarrow.dataset as pads
@@ -326,6 +356,16 @@ def main(argv=None) -> int:
     ml.add_argument("--top-k", type=int, default=10)
     ml.add_argument("--max-terms", type=int, default=25, dest="max_terms")
     ml.set_defaults(fn=cmd_mlt)
+
+    dy = sub.add_parser("dym")
+    dy.add_argument("--index", required=True)
+    dy.add_argument("--query", required=True)
+    dy.set_defaults(fn=cmd_dym)
+
+    kw = sub.add_parser("keywords")
+    kw.add_argument("--text", required=True)
+    kw.add_argument("--top-k", type=int, default=5)
+    kw.set_defaults(fn=cmd_keywords)
 
     e = sub.add_parser("eval")
     e.add_argument("--runs", required=True)
