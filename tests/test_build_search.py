@@ -254,3 +254,38 @@ def test_shard_request_cache(pages_index, oracle, tmp_path):
     assert s.cache_hits == 0 and s.cache_misses == 0
     s.search_one("q5", q)
     assert s.cache_misses == 1
+
+
+def test_query_plan_matches_brute_routing(pages_index, oracle):
+    """query_plan == the documented routing formula recomputed from the
+    oracle's own dfs; the fixture must exercise both kernels."""
+    from webindex.search import query_plan
+
+    queries = [
+        ("p1", "merge stream table"),
+        ("p2", "zzznosuchterm"),       # no candidates -> exhaustive
+        ("p3", "search"),
+    ]
+    k = 10
+    out = query_plan(queries, pages_index, top_k=k).set_index("qid")
+    bs = CFG.block_size
+    for qid, text in queries:
+        terms = sorted(set(oracle.an.tokens(text)))
+        d = [oracle.df(t) for t in terms]
+        pos = [x for x in d if x > 0]
+        est = sum(pos)
+        n_blocks = sum(-(-x // bs) for x in pos)
+        sparse = len(pos) > 1 and any(x <= 4 * n_blocks for x in pos)
+        want_mode = "wand" if sparse or est > k * 10_000 else "exhaustive"
+        row = out.loc[qid]
+        assert int(row["n_terms"]) == len(terms), qid
+        assert int(row["est_candidates"]) == est, qid
+        assert row["mode"] == want_mode, qid
+    # both router branches, exercised on the pure function directly
+    # (the synthetic fixture's df tail is too dense to trigger wand):
+    from webindex.search import route_mode
+
+    assert route_mode([3, 5000], 10, 32) == "wand"        # sparse term
+    assert route_mode([200_000], 10, 32) == "wand"        # est >> k
+    assert route_mode([300, 500], 10, 32) == "exhaustive"
+    assert route_mode([], 10, 32) == "exhaustive"

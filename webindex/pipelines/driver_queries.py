@@ -3694,6 +3694,57 @@ def q_textrank_keywords(sf_dir: str):
     )
 
 
+PLAN_K = 1000
+PLAN_BS = 128  # nostem index block_size (IndexConfig default)
+
+
+def q_query_plan(sf_dir: str):
+    """ES profile/explain-routing analog: per query the auto router's
+    kernel choice and its inputs (distinct terms, estimated candidates)
+    — derived from dictionary statistics alone via one distributed dict
+    scan and the SAME pure route_mode function the ranked path executes
+    (webindex/search.py query_plan), so a SQL oracle reproduces the
+    whole plan."""
+    from webindex.search import query_plan
+
+    idx = ensure_index(sf_dir, "nostem")
+    return query_plan(DOC_QUERIES, idx, top_k=PLAN_K)
+
+
+SQL_QUERY_PLAN = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+qd AS (
+  SELECT q.qid, q.term, coalesce(d.df, 0) AS df
+  FROM {_query_values_sql()}
+  LEFT JOIN dft d ON d.term = q.term
+),
+agg AS (
+  SELECT qid, count(*)::BIGINT AS n_terms,
+         sum(CASE WHEN df > 0 THEN df ELSE 0 END)::BIGINT AS est,
+         sum(CASE WHEN df > 0
+                  THEN CAST(ceil(df / {PLAN_BS}.0) AS BIGINT)
+                  ELSE 0 END) AS blocks,
+         sum(CASE WHEN df > 0 THEN 1 ELSE 0 END) AS npos
+  FROM qd GROUP BY qid
+)
+SELECT a.qid, a.n_terms, a.est AS est_candidates,
+       CASE WHEN (a.npos > 1 AND s.anysparse = 1)
+              OR a.est > {PLAN_K} * 10000
+            THEN 'wand' ELSE 'exhaustive' END AS mode
+FROM agg a JOIN (
+  SELECT qd.qid,
+         max(CASE WHEN qd.df > 0 AND qd.df <= 4 * a2.blocks
+             THEN 1 ELSE 0 END) AS anysparse
+  FROM qd JOIN agg a2 ON a2.qid = qd.qid GROUP BY qd.qid
+) s ON s.qid = a.qid
+"""
+
+
 PMI_W, PMI_MIN, PMI_TOPN = 3, 5, 20
 
 
@@ -5000,6 +5051,7 @@ REGISTRY: dict[str, tuple] = {
     "pmi_top20": (q_pmi_top20, SQL_PMI_TOP20),
     "textrank_keywords": (q_textrank_keywords, None),
     "sig_test": (q_sig_test, None),
+    "query_plan": (q_query_plan, SQL_QUERY_PLAN),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,

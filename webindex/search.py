@@ -23,6 +23,21 @@ from webindex.segments import SegmentReader
 from webindex.wand import block_max_wand, exhaustive_constrained, exhaustive_topk
 
 
+def route_mode(dfs: list[int], k: int, block_size: int, *,
+               sparse_factor: int = 4, ratio: int = 10_000) -> str:
+    """The auto-mode kernel router, as a pure function of the query
+    terms' document frequencies (shared by the ranked path and the
+    query_plan observability surface; constants mirror
+    SearcherActor.SPARSE_FACTOR / AUTO_WAND_RATIO)."""
+    dfs = [d for d in dfs if d > 0]
+    est = sum(dfs)
+    n_blocks = sum(-(-d // block_size) for d in dfs)
+    has_sparse = len(dfs) > 1 and any(
+        d <= sparse_factor * n_blocks for d in dfs
+    )
+    return "wand" if has_sparse or est > k * ratio else "exhaustive"
+
+
 class SearcherActor:
     """``mode``:
     - ``"wand"``       — block-max WAND (document-at-a-time with skipping);
@@ -282,17 +297,8 @@ class SearcherActor:
         mode = "exhaustive" if force_exhaustive else self.mode
         if mode == "auto":
             dfs = [self.reader.df(t) for t in set(terms)]
-            dfs = [d for d in dfs if d > 0]
-            est = sum(dfs)
-            bs = max(1, self.reader.cfg.block_size)
-            n_blocks = sum(-(-d // bs) for d in dfs)
-            has_sparse = len(dfs) > 1 and any(
-                d <= self.SPARSE_FACTOR * n_blocks for d in dfs
-            )
-            mode = (
-                "wand"
-                if has_sparse or est > k * self.AUTO_WAND_RATIO
-                else "exhaustive"
+            mode = route_mode(
+                dfs, k, max(1, self.reader.cfg.block_size)
             )
         fn = block_max_wand if mode == "wand" else exhaustive_topk
         return fn(self.reader, terms, k)
@@ -1515,3 +1521,65 @@ def facet_histogram(queries_ds, index_dir: str, col: str, interval: int, *,
         .groupby(["qid", "bucket"])
         .aggregate(Sum("cnt_p", alias_name="cnt"))
     )
+
+
+def query_plan(queries: list[tuple[str, str]], index_dir: str, *,
+               top_k: int = 1000) -> "pd.DataFrame":
+    """The ES ``_search?profile`` / explain-routing analog: per query the
+    kernel the auto router would pick and why — distinct analyzed term
+    count, per-term document frequencies (one distributed dict-sidecar
+    scan, bounded partials), the estimated candidate count, and the
+    chosen mode (:func:`route_mode`, the SAME pure function the ranked
+    path calls). Fully derivable from dictionary statistics, so a SQL
+    oracle reproduces the whole plan. Returns
+    ``(qid, n_terms, est_candidates, mode)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from webindex.config import IndexConfig
+    from webindex.lexicon import _dict_ds
+    from webindex.util import read_json
+
+    import os
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    terms_by_qid = {
+        qid: sorted(set(an.tokens(text or ""))) for qid, text in queries
+    }
+    uniq = sorted({t for ts in terms_by_qid.values() for t in ts})
+    dfs: dict[str, int] = {}
+    if uniq:
+        want = pa.array(uniq, pa.string())
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            hit = batch.filter(pc.is_in(batch.column("term"), want))
+            return hit.select(["term", "df"])
+
+        for b in (
+            _dict_ds(index_dir)
+            .map_batches(lookup, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            dfs.update(
+                zip(b.column("term").to_pylist(),
+                    b.column("df").to_pylist())
+            )
+    rows = []
+    bs = max(1, cfg.block_size)
+    for qid, _text in queries:
+        ts = terms_by_qid[qid]
+        d = [dfs.get(t, 0) for t in ts]
+        rows.append(
+            (
+                qid,
+                len(ts),
+                int(sum(x for x in d if x > 0)),
+                route_mode(d, top_k, bs),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["qid", "n_terms", "est_candidates", "mode"]
+    ).astype({"n_terms": np.int64, "est_candidates": np.int64})
