@@ -59,3 +59,43 @@ def test_doc_positions_roundtrip(tokens):
         pos = np.cumsum(gaps)
         want = [i for i, x in enumerate(tokens) if x == t]
         assert pos.tolist() == want
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.text(alphabet="ab*?", min_size=0, max_size=8),
+    st.text(alphabet="ab", min_size=0, max_size=10),
+)
+def test_wildcard_translate_matches_fnmatch(pattern, term):
+    """The engine's glob->regex translation == fnmatch's native glob
+    semantics, for every pattern/term over the joint alphabet."""
+    import re
+    from fnmatch import fnmatchcase
+
+    from webindex.lexicon import wildcard_translate
+
+    got = re.fullmatch(wildcard_translate(pattern), term) is not None
+    assert got == fnmatchcase(term, pattern)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab1", min_size=1, max_size=3),
+                max_size=40),
+       st.integers(min_value=1, max_value=4))
+def test_ngram_pos_hashes_matches_string_shingles(tokens, n):
+    """Hash multiset == string-shingle multiset (no collisions on the
+    generated space; equal strings always hash equal)."""
+    from collections import Counter
+
+    from webindex.dedup import _ngram_pos_hashes
+
+    text = " ".join(tokens)
+    acc = _ngram_pos_hashes(text, n, {})
+    total = max(0, len(tokens) - n + 1)
+    assert acc.size == total
+    want = Counter(
+        " ".join(tokens[i: i + n]) for i in range(total)
+    )
+    got = Counter(acc.tolist())
+    assert sorted(got.values()) == sorted(want.values())
+    assert len(got) == len(want)

@@ -547,27 +547,31 @@ _EMPTY_RUNS = pa.table(
 )
 
 
+def wildcard_translate(p: str) -> str:
+    """Shell-glob -> anchored regex: ``*`` to ``.*``, ``?`` to ``.``,
+    everything else escaped literally (the ES wildcard-query pattern
+    grammar; property-tested against fnmatch)."""
+    import re as _re
+
+    out = []
+    for ch in p:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def wildcard_search(queries: list[tuple[str, str]], index_dir: str, *,
                     top_k: int = 10, max_expansions: int = 50,
                     **search_kwargs):
     """ES ``wildcard`` query: ``*`` matches any run, ``?`` any single
     character, anchored to the whole term — translated onto the regexp
     rewrite (every other character is escaped literally)."""
-    import re as _re
-
-    def translate(p: str) -> str:
-        out = []
-        for ch in p:
-            if ch == "*":
-                out.append(".*")
-            elif ch == "?":
-                out.append(".")
-            else:
-                out.append(_re.escape(ch))
-        return "".join(out)
-
     translated = [
-        (qid, " ".join(translate(p) for p in q.split()))
+        (qid, " ".join(wildcard_translate(p) for p in q.split()))
         for qid, q in queries
     ]
     return regexp_search(
