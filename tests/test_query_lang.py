@@ -1094,3 +1094,22 @@ def test_rrf_fuse_matches_brute(index_dir, oracle, ray_session):
             assert sub.empty, qid
             continue
         assert got == want, qid
+
+
+def test_fetch_fields_matches_docvalues(index_dir, oracle, ray_session):
+    """The fetch phase attaches exactly the sidecar's values (and nulls
+    for unknown docs), routed to the owning shard by docID."""
+    from webindex.search import fetch_fields
+
+    runs = search_queries(
+        _queries_ds(QUERIES), index_dir, top_k=6, concurrency=2,
+        batch_size=4,
+    )
+    out = fetch_fields(runs, index_dir, ["lang", "n_chars"]).to_pandas()
+    langs = {d["doc_id"]: d["lang"] for d in DOCS}
+    nchars = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    assert len(out) == runs.count()
+    for row in out.itertuples(index=False):
+        d = int(row.doc_id)
+        assert row.lang == langs[d], d
+        assert int(row.n_chars) == nchars[d], d

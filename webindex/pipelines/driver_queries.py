@@ -3694,6 +3694,35 @@ def q_textrank_keywords(sf_dir: str):
     )
 
 
+def q_fetch_top10(sf_dir: str):
+    """ES fetch phase (docvalue_fields): the BM25 top-10 hits with their
+    lang/n_chars docvalues attached — rows route to the OWNING
+    salt-range shard by the pinned docID->salt math; each shard resolves
+    only its slice (webindex/search.py fetch_fields)."""
+    from webindex.search import fetch_fields, search_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    out = fetch_fields(runs, idx, ["lang", "n_chars"])
+    return out.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank", "lang", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FETCH_TOP10 = _sql_bm25_scores() + f"""
+SELECT r.qid, r.doc_id, r.rank, d.lang, d.n_chars FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= {TOPK}
+"""
+
+
 PLAN_K = 1000
 PLAN_BS = 128  # nostem index block_size (IndexConfig default)
 
@@ -5052,6 +5081,7 @@ REGISTRY: dict[str, tuple] = {
     "textrank_keywords": (q_textrank_keywords, None),
     "sig_test": (q_sig_test, None),
     "query_plan": (q_query_plan, SQL_QUERY_PLAN),
+    "fetch_top10": (q_fetch_top10, SQL_FETCH_TOP10),
     "percolate": (q_percolate, SQL_PERCOLATE),
     "sort_by_nchars": (q_sort_by_nchars, SQL_SORT_BY_NCHARS),
     "match_phrase_prefix": (q_match_phrase_prefix,

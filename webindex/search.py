@@ -1523,6 +1523,74 @@ def facet_histogram(queries_ds, index_dir: str, col: str, interval: int, *,
     )
 
 
+def fetch_fields(runs_ds, index_dir: str, cols: list[str], *,
+                 n_shards: int = SEARCH_SHARDS):
+    """The ES fetch phase (``docvalue_fields``): attach docvalues columns
+    to a runs table — hits leave the ranking phase as bare docIDs; this
+    stage makes them documents again.
+
+    Scale shape: runs rows route to their OWNING salt-range shard by
+    docID (the same pinned shard math the query fan-out uses), each
+    shard task loads only ITS docvalues slice (reader cached per worker)
+    and resolves rows with one vectorized searchsorted — no broadcast of
+    the corpus-sized docvalues table, no driver materialization. Docs
+    lacking a value yield nulls (ES missing-field semantics)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from webindex.config import IndexConfig
+    from webindex.serve import shard_salt_bounds
+    from webindex.util import read_json
+
+    bounds = shard_salt_bounds(index_dir, n_shards)
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    salt_lows = np.array([lo for lo, _hi in bounds], dtype=np.int64)
+    shift, sps = cfg.salt_doc_shift, cfg.shards_per_salt
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        salt = (ids >> shift) // sps  # the pinned docID->salt math
+        shard = np.clip(
+            np.searchsorted(salt_lows, salt, side="right") - 1,
+            0, len(bounds) - 1,
+        ).astype(np.int32)
+        return batch.append_column("_shard", pa.array(shard))
+
+    def attach_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("_shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        r = searcher.inner.reader
+        r._load_docvalues(cols)
+        ids = g.column("doc_id").to_numpy()
+        pos = np.searchsorted(r._dl_ids, ids)
+        pos_c = np.minimum(pos, max(r._dl_ids.size - 1, 0))
+        known = (
+            r._dl_ids[pos_c] == ids if r._dl_ids.size
+            else np.zeros(ids.size, dtype=bool)
+        )
+        out = g.drop_columns(["_shard"])
+        for c in cols:
+            arr, valid = r._dv[c]
+            vals = arr.take(pa.array(pos_c, pa.int64()))
+            keep = known & valid[pos_c]
+            vals = pc.if_else(pa.array(keep), vals, pa.nulls(
+                ids.size, arr.type if not isinstance(arr, pa.ChunkedArray)
+                else arr.type
+            ))
+            out = out.append_column(c, vals)
+        return out
+
+    return (
+        runs_ds.map_batches(route, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(attach_shard, batch_format="pyarrow")
+    )
+
+
 def query_plan(queries: list[tuple[str, str]], index_dir: str, *,
                top_k: int = 1000) -> "pd.DataFrame":
     """The ES ``_search?profile`` / explain-routing analog: per query the
