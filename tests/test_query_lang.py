@@ -1113,3 +1113,24 @@ def test_fetch_fields_matches_docvalues(index_dir, oracle, ray_session):
         d = int(row.doc_id)
         assert row.lang == langs[d], d
         assert int(row.n_chars) == nchars[d], d
+
+
+def test_span_first_matches_brute(pos_index_dir, oracle, ray_session):
+    from webindex.positional import span_first_topk
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(pos_index_dir)
+    r.preload()
+    an = oracle.an
+    doc_toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for term, end in (("alpha", 3), ("rare1", 5), ("beta", 1),
+                      ("nosuch", 4)):
+        ids, scores = span_first_topk(r, term, 8, end=end)
+        matched = {
+            d for d, tl in doc_toks.items()
+            if any(t == term for t in tl[:end])
+        }
+        want = _oracle_constrained(oracle, term, 8, allowed=matched)
+        assert ids.tolist() == [d for d, _ in want], (term, end)
+        for g, (_, w) in zip(scores.tolist(), want):
+            assert g == w, (term, end)

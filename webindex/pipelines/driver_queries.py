@@ -4320,6 +4320,71 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+SPANF_TERMS = ["merge", "customer", "window"]
+SPANF_END = 5
+
+
+def q_span_first_top10(sf_dir: str):
+    """ES span_first: docs whose term occurs strictly before position 5
+    (opening-window relevance), scored with the term's own BM25
+    contribution (webindex/positional.py span_first_topk)."""
+    from webindex.positional import span_first_topk
+    from webindex.segments import SegmentReader
+
+    idx = ensure_index(sf_dir, "pos")
+    r = SegmentReader(idx)
+    r.preload()
+    rows = []
+    for term in SPANF_TERMS:
+        ids, _scores = span_first_topk(r, term, TOPK, end=SPANF_END)
+        rows.extend(
+            (term, int(d), i + 1) for i, d in enumerate(ids.tolist())
+        )
+    return pd.DataFrame(rows, columns=["term", "doc_id", "rank"])
+
+
+def _spanf_values_sql() -> str:
+    rows = ", ".join(f"('{t}')" for t in SPANF_TERMS)
+    return f"(VALUES {rows}) AS v(term)"
+
+
+SQL_SPAN_FIRST_TOP10 = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM docs),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+toks AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM pos GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(tl)::BIGINT AS dl FROM dt),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(dl)::BIGINT AS total_tokens FROM dl),
+pm AS (
+  SELECT DISTINCT v.term, pos.doc_id
+  FROM {_spanf_values_sql()} JOIN pos
+    ON pos.term = v.term AND pos.p < {SPANF_END}
+),
+sc AS (
+  SELECT pm.term, pm.doc_id,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * (dl.dl
+          / (s.total_tokens::DOUBLE / s.n_docs))))) AS score
+  FROM pm
+  JOIN toks t ON t.doc_id = pm.doc_id AND t.term = pm.term
+  JOIN dft d ON d.term = pm.term
+  JOIN dl ON dl.doc_id = pm.doc_id
+  CROSS JOIN stats s
+)
+SELECT term, doc_id, rank FROM (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM sc
+) WHERE rank <= {TOPK}
+"""
+
+
 SPAN_SLOP = 2
 SPAN_QUERIES: list[tuple[str, str]] = [
     ("n1", "merge join"),
@@ -5068,6 +5133,7 @@ REGISTRY: dict[str, tuple] = {
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
+    "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),

@@ -126,6 +126,34 @@ def _score_matched(reader: SegmentReader, pls, matched: np.ndarray, k: int,
     return _rank_topk(matched, scores, k)
 
 
+def span_first_topk(reader: SegmentReader, token: str, k: int, *,
+                    end: int = 10, mask: np.ndarray | None = None):
+    """ES/Lucene ``span_first``: docs where ``token`` occurs at a
+    position STRICTLY BEFORE ``end`` (a match within the document's
+    opening window — title-ish relevance without a separate field).
+    Scored like the other positional kernels: the term's own BM25
+    contribution. One posting-list scan + one vectorized positions
+    gather; candidates whose earliest occurrence is late are dropped
+    without touching scores."""
+    if end <= 0:
+        return _EMPTY
+    pl = reader.postings(token)
+    if pl is None:
+        return _EMPTY
+    if pl.pos_blocks is None:
+        raise ValueError(
+            "index has no positions (built without store_positions)"
+        )
+    pos_vals, pos_ends = reader.positions(token)
+    rows = np.arange(pl.ids.size)
+    flat_pos, row_of = _gather_positions(
+        pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+    )
+    hit_rows = np.unique(row_of[flat_pos < end])
+    matched = pl.ids[hit_rows]
+    return _score_matched(reader, [pl], matched, k, mask)
+
+
 def span_near_topk(reader: SegmentReader, tokens: list[str], k: int, *,
                    slop: int = 0, mask: np.ndarray | None = None):
     """ES/Lucene ``span_near(in_order=true, slop=N)`` — exact top-k docs
