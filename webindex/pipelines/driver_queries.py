@@ -4012,6 +4012,80 @@ FROM dt d JOIN src s ON s.source = d.source
 """
 
 
+CUR2_DUP_MAX = 0.7
+CUR2_CONTAM_MAX = 0.05
+
+
+def q_curation_v2(sf_dir: str):
+    """Round-2 curation capstone (the Dolma/RefinedWeb filter chain over
+    the NEW signals): source-level verdict (short-doc share) AND
+    cross-corpus dup-trigram fraction <= 0.7 AND benchmark-contamination
+    overlap <= 0.05 -> per-source surviving doc counts. Every signal is
+    the standalone operator its own entry verifies; the joins are the
+    repo's padded-union hash joins; the composition hash-checks against
+    one SQL expression end to end."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    from webindex.dedup import contamination, cross_doc_dup_ngrams
+    from webindex.relational import hash_join_attach
+    from webindex.textstats import source_level_filter
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    base = source_level_filter(
+        docs, short_tokens=SRC_SHORT_TOKENS,
+        max_short_frac=SRC_MAX_SHORT_FRAC,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "keep_i": t.column("keep").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    d2 = docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    dup = cross_doc_dup_ngrams(d2, n=DUPNG_N, min_count=DUPNG_MIN)
+    ev_rows = d2.sort("doc_id").limit(CONTAM_EVAL_K).take_all()
+    contam = contamination(
+        d2, [(r["doc_id"], r["text"]) for r in ev_rows], n=CONTAM_N
+    )
+
+    rows_types = {"doc_id": _pa.int64(), "source": _pa.string(),
+                  "keep_i": _pa.int64()}
+    j1 = hash_join_attach(
+        base, "doc_id", dup, ["dup_frac"], rows_types=rows_types,
+        val_types={"dup_frac": _pa.float64()}, out_prefix="d_",
+    )
+    rows_types2 = dict(rows_types)
+    rows_types2["d_dup_frac"] = _pa.float64()
+    j2 = hash_join_attach(
+        j1, "doc_id", contam, ["overlap_frac"], rows_types=rows_types2,
+        val_types={"overlap_frac": _pa.float64()}, out_prefix="c_",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = (
+            (batch.column("keep_i").to_numpy(zero_copy_only=False) > 0)
+            & (batch.column("d_dup_frac").to_numpy(zero_copy_only=False)
+               <= CUR2_DUP_MAX)
+            & (batch.column("c_overlap_frac").to_numpy(
+                zero_copy_only=False) <= CUR2_CONTAM_MAX)
+        )
+        return batch.filter(pa.array(ok)).select(["doc_id", "source"])
+
+    kept = j2.map_batches(keep, batch_format="pyarrow")
+    return kept.groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
 SESSION_GAP_US = 300_000_000  # 5 minutes
 
 
@@ -5053,6 +5127,21 @@ SELECT term, cnt, rank FROM (
 """
 
 
+# composed AFTER its component SQL strings exist in module order
+SQL_CURATION_V2 = f"""
+WITH sf AS (SELECT * FROM ({SQL_SOURCE_FILTER})),
+dg AS (SELECT * FROM ({SQL_DUP_NGRAMS})),
+ct AS (SELECT * FROM ({SQL_CONTAMINATION}))
+SELECT sf.source, count(*)::BIGINT AS n_docs
+FROM sf
+JOIN dg ON dg.doc_id = sf.doc_id
+JOIN ct ON ct.doc_id = sf.doc_id
+WHERE sf.keep AND dg.dup_frac <= {CUR2_DUP_MAX!r}
+  AND ct.overlap_frac <= {CUR2_CONTAM_MAX!r}
+GROUP BY sf.source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -5138,6 +5227,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
