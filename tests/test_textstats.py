@@ -638,3 +638,60 @@ def test_textrank_keywords_matches_reimplementation(ray_session):
     # the engineered repeated hub term dominates doc 0
     top0 = out[(out["doc_id"] == 0) & (out["rank"] == 1)]["term"].iloc[0]
     assert top0 == "graph"
+
+
+def test_temperature_mix_matches_brute(ray_session):
+    import hashlib
+    import math
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.relational import temperature_mix
+
+    np_ = __import__("numpy")
+    rng = np_.random.default_rng(13)
+    words = "one two three four five".split()
+    docs = []
+    for i in range(300):
+        src = f"s{i % 4}"
+        # s0 gets much longer docs -> big source, downsampled hardest
+        n = int(rng.integers(40, 80)) if src == "s0" else int(
+            rng.integers(5, 15)
+        )
+        docs.append(
+            (i, " ".join(words[int(j)] for j in rng.integers(0, 5, n)),
+             src)
+        )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs]),
+                "source": pa.array([s for _, _, s in docs]),
+            }
+        )
+    )
+    got = temperature_mix(ds, n_parts=8).to_pandas()
+    kept = set(got["doc_id"].astype(int))
+
+    tok = re.compile(r"[a-z0-9]+")
+    n_by = {}
+    for _d, t, s in docs:
+        n_by[s] = n_by.get(s, 0) + len(tok.findall(t.lower()))
+    n_min = min(n_by.values())
+    want = set()
+    for d, _t, s in docs:
+        frac = math.sqrt(n_min / n_by[s])
+        thr = format(min(int(frac * 16**8), 16**8 - 1), "08x")
+        if hashlib.md5(str(d).encode()).hexdigest()[:8] < thr:
+            want.add(d)
+    assert kept == want
+    # the big source must be downsampled harder than the small ones
+    by_src = got.groupby("source").size()
+    total = {s: sum(1 for _d, _t, x in docs if x == s) for s in n_by}
+    keep_rate = {s: by_src.get(s, 0) / total[s] for s in n_by}
+    assert keep_rate["s0"] < min(
+        v for s, v in keep_rate.items() if s != "s0"
+    )

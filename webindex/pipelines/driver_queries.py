@@ -4012,6 +4012,43 @@ FROM dt d JOIN src s ON s.source = d.source
 """
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based corpus mixing at T=0.5 (the PaLM/GPT data-mix
+    recipe): each source keeps the deterministic md5-prefix fraction
+    sqrt(n_min/n_s) of its docs, flattening source imbalance — sqrt is
+    the one libm op IEEE requires correctly rounded, so the derived
+    thresholds (and hence the sampled SET) are engine-portable
+    (webindex/relational.py temperature_mix)."""
+    import ray.data as rd
+
+    from webindex.relational import temperature_mix
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return temperature_mix(docs)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH dt AS (
+  SELECT doc_id, source, len({_TOK_SQL})::BIGINT AS n_tok FROM documents
+),
+cnts AS (SELECT source, sum(n_tok)::BIGINT AS n FROM dt GROUP BY source),
+mn AS (SELECT min(n) AS nmin FROM cnts),
+th AS (
+  SELECT source,
+         printf('%08x', LEAST(
+           CAST(floor(sqrt(CAST(mn.nmin AS DOUBLE) / n) * 4294967296.0)
+                AS BIGINT), 4294967295)) AS t
+  FROM cnts CROSS JOIN mn
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON th.source = d.source
+WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < th.t
+"""
+
+
 CUR2_DUP_MAX = 0.7
 CUR2_CONTAM_MAX = 0.05
 
@@ -5228,6 +5265,7 @@ REGISTRY: dict[str, tuple] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),

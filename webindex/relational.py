@@ -249,3 +249,76 @@ def hash_join_attach(rows_ds, key_col: str, side_ds, val_cols: list[str],
     return tagged.groupby("_part").map_groups(
         join_group, batch_format="pyarrow"
     )
+
+
+def temperature_mix(docs_ds, *, source_col: str = "source",
+                    text_col: str = "text", key_col: str = "doc_id",
+                    n_parts: int = 64, salt: str = ""):
+    """Temperature-based data mixing at T = 0.5 (the PaLM/GPT corpus-mix
+    recipe, public methodology: sample source s proportionally to
+    ``n_s^T`` so big sources stop drowning small ones). Expected kept
+    tokens ~ sqrt(n_s): each source keeps the deterministic md5-prefix
+    fraction ``sqrt(n_min / n_s)`` (the smallest source keeps ~all).
+
+    T is pinned to 0.5 because sqrt is the one libm operation IEEE-754
+    requires to be correctly rounded — the derived per-source thresholds
+    are bit-identical in numpy, CPython, and DuckDB, so the sampled SET
+    is engine-portable (general ``pow`` is not). Token counts are exact
+    int64 partials (one combiner + one hash-partitioned merge); the
+    per-source table is value-domain-bounded; the filter is the same
+    md5-prefix rule as :func:`deterministic_sample` (stateless, no
+    shuffle, repeatable, monotone across re-mixes)."""
+    import math
+
+    import pandas as pd
+
+    from webindex.textstats import _ASCII_TOK_RE
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.fromiter(
+            (len(_ASCII_TOK_RE.findall((t or "").lower()))
+             for t in df[text_col]),
+            dtype=np.int64, count=len(df),
+        )
+        out = pd.DataFrame(
+            {source_col: df[source_col].to_numpy(), "n": n_tok}
+        )
+        return out.groupby(source_col, sort=False).sum().reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(source_col, sort=False).sum().reset_index()
+
+    counts = hash_partitioned_groupby(
+        docs_ds.map_batches(
+            lambda t: t.select([key_col, text_col, source_col]),
+            batch_format="pyarrow",
+        ),
+        [source_col], partial, final, n_parts=n_parts,
+    ).to_pandas()  # bounded: one row per source
+    n_by_src = dict(zip(counts[source_col], counts["n"].astype(int)))
+    n_min = min(n_by_src.values())
+    fracs = {
+        s: math.sqrt(n_min / n) for s, n in n_by_src.items()
+    }
+    # threshold clamp: frac == 1.0 would format to 9 hex chars and break
+    # the fixed-width string compare — cap at the max 8-char prefix
+    th = {
+        s: format(min(int(f * 16**8), 16**8 - 1), "08x")
+        for s, f in fracs.items()
+    }
+
+    def keep(batch):
+        import pyarrow as pa
+
+        keys = batch.column(key_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        m = [
+            _md5_prefix(str(k), salt) < th.get(s, "00000000")
+            for k, s in zip(keys, srcs)
+        ]
+        return batch.select([key_col, source_col]).filter(pa.array(m))
+
+    return docs_ds.map_batches(
+        lambda t: t.select([key_col, text_col, source_col]),
+        batch_format="pyarrow",
+    ).map_batches(keep, batch_format="pyarrow")
