@@ -4012,6 +4012,67 @@ FROM dt d JOIN src s ON s.source = d.source
 """
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction (the log-pipeline JSON-path op): parse
+    the k field out of the events.props JSON strings in a stateless
+    vectorized map_batches (one stdlib parse per row, schema-on-read),
+    then exact int64 per-event_type aggregates — count, sum, min, max of
+    k, mean as ONE final division."""
+    import json
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (int(json.loads(p)["k"])
+             for p in batch.column("props").to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(ks)}
+        )
+
+    agg = (
+        ev.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sm = batch.column("sum_k").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "mean_k", pa.array(sm / n, pa.float64())
+        )
+
+    return agg.map_batches(add_mean, batch_format="pyarrow")
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT
+         / count(*)::BIGINT AS mean_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-based corpus mixing at T=0.5 (the PaLM/GPT data-mix
     recipe): each source keeps the deterministic md5-prefix fraction
@@ -5266,6 +5327,7 @@ REGISTRY: dict[str, tuple] = {
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "props_stats": (q_props_stats, SQL_PROPS_STATS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
