@@ -5240,12 +5240,147 @@ GROUP BY sf.source
 """
 
 
+# ---------------------------------------------------------------------------
+# pluggable similarity modules  (ES `similarity` setting: LM Dirichlet,
+# LM Jelinek-Mercer, classic TF-IDF, boolean — webindex/similarity.py;
+# the reference's ES invocation point is crossencoder_beir_bm25.ipynb
+# cell 10, where these are drop-in per-field alternatives to BM25)
+# ---------------------------------------------------------------------------
+
+
+def _sql_sim_scores(contrib_expr: str, select: str) -> str:
+    """The bm25_scores CTE skeleton with a pluggable per-term contribution
+    expression (tf.tf, dl.dl, df.df, df.cf, s.n_docs, s.total_tokens in
+    scope). Summation order matches the engine: ascending term, float64."""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+df AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, q.term, {contrib_expr} AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY qid, doc_id
+)
+{select}
+"""
+
+
+_SEL_SCORES_R = "SELECT qid, doc_id, round(score, 6) AS score_r FROM scores"
+
+# expressions mirror webindex/similarity.py's pinned formulas op-for-op
+# (BIGINT/BIGINT divides to DOUBLE in DuckDB = float64 int division)
+_LMD_EXPR = (
+    "greatest(0.0, ln(1.0 + tf.tf / (2000.0 * (df.cf / s.total_tokens)))"
+    " + ln(2000.0 / (dl.dl + 2000.0)))"
+)
+_LMJM_EXPR = (
+    "ln(1.0 + ((1.0 - 0.1) / 0.1) * (tf.tf / dl.dl)"
+    " / (df.cf / s.total_tokens))"
+)
+_TFIDF_EXPR = (
+    "sqrt(tf.tf) * ((1.0 + ln(s.n_docs / (df.df + 1)))"
+    " * (1.0 + ln(s.n_docs / (df.df + 1)))) / sqrt(dl.dl)"
+)
+
+SQL_LMD_SCORES = _sql_sim_scores(_LMD_EXPR, _SEL_SCORES_R)
+SQL_LMJM_SCORES = _sql_sim_scores(_LMJM_EXPR, _SEL_SCORES_R)
+SQL_TFIDF_SCORES = _sql_sim_scores(_TFIDF_EXPR, _SEL_SCORES_R)
+SQL_BOOL_SCORES = _sql_sim_scores(
+    "1.0", "SELECT qid, doc_id, score FROM scores"
+)
+SQL_LMD_TOP10 = _sql_sim_scores(_LMD_EXPR, f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+""")
+
+
+def _q_sim_scores(sf_dir: str, similarity: str):
+    """All matching (qid, doc) scores under the similarity, rounded to
+    6dp at the contract surface (the bm25_scores float-fold precedent)."""
+    from webindex.similarity import similarity_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    out = similarity_search(_queries_ds(), idx, similarity)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_lmd_scores(sf_dir: str):
+    return _q_sim_scores(sf_dir, "lmdirichlet")
+
+
+def q_lmjm_scores(sf_dir: str):
+    return _q_sim_scores(sf_dir, "lmjm")
+
+
+def q_tfidf_scores(sf_dir: str):
+    return _q_sim_scores(sf_dir, "tfidf")
+
+
+def q_bool_scores(sf_dir: str):
+    """Boolean similarity: score = matched unique query terms — exact
+    small-int floats, hash-exact with NO rounding."""
+    from webindex.similarity import similarity_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    return similarity_search(_queries_ds(), idx, "boolean").map_batches(
+        lambda t: t.select(["qid", "doc_id", "score"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lmd_top10(sf_dir: str):
+    """Ranked top-10 under LM Dirichlet (rank-identity check: unrounded
+    engine floats vs unrounded SQL floats must order identically)."""
+    from webindex.similarity import similarity_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    return similarity_search(
+        _queries_ds(), idx, "lmdirichlet", top_k=TOPK
+    ).map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
     "term_df": (q_term_df, SQL_TERM_DF),
     "bm25_top10": (q_bm25_top10, SQL_BM25_TOP10),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
+    "lmd_scores": (q_lmd_scores, SQL_LMD_SCORES),
+    "lmd_top10": (q_lmd_top10, SQL_LMD_TOP10),
+    "lmjm_scores": (q_lmjm_scores, SQL_LMJM_SCORES),
+    "tfidf_scores": (q_tfidf_scores, SQL_TFIDF_SCORES),
+    "bool_scores": (q_bool_scores, SQL_BOOL_SCORES),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
