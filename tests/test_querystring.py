@@ -1,0 +1,197 @@
+"""Lucene query_string parser + two-backend evaluation
+(webindex/querystring.py): grammar shapes, error handling, and
+bit-identity of the boolean-tree kernel with the dedicated single-feature
+search paths it subsumes (plain OR match, AND match, must_not, boosts,
+phrases, wildcards), plus shard-count invariance."""
+
+import dataclasses
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webindex.analyze import Analyzer
+from webindex.build import build_index
+from webindex.config import SQL_SAFE_ANALYZER, IndexConfig
+from webindex.querystring import (Bool, Nothing, Phrase, QueryStringError,
+                                  Term, Wildcard, bind, parse_query_string,
+                                  query_string_search)
+
+CFG = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=8, block_size=32)
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "rare1 rare2").split()
+N_DOCS = 160
+
+
+def _make_docs():
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(N_DOCS):
+        n = int(rng.integers(8, 40))
+        words = [VOCAB[int(j)] for j in rng.integers(0, 10, size=n)]
+        if i % 13 == 0:
+            words.append("rare1")
+        if i % 29 == 0:
+            words.append("rare2")
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    return rows
+
+
+DOCS = _make_docs()
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("qsidx") / "idx")
+    tab = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+        "text": pa.array([d["text"] for d in DOCS]),
+    })
+    # positions on: phrase leaves run the positional kernel
+    build_index(rd.from_arrow(tab), out,
+                dataclasses.replace(CFG, store_positions=True))
+    return out
+
+
+_AN = Analyzer(SQL_SAFE_ANALYZER)
+
+
+def _b(q):
+    return bind(parse_query_string(q), _AN)
+
+
+# -- parser -----------------------------------------------------------------
+
+
+def test_parse_shapes():
+    assert _b("alpha") == Term("alpha")
+    n = _b("alpha AND beta^2")
+    assert n == Bool([("must", Term("alpha")), ("must", Term("beta", 2.0))])
+    n = _b("alpha -beta")
+    assert n == Bool([("should", Term("alpha")), ("must_not", Term("beta"))])
+    n = _b('"alpha beta"~2^1.5')
+    assert n == Phrase(["alpha", "beta"], slop=2, boost=1.5)
+    n = _b("al*a")
+    assert n == Wildcard("al*a")
+    # a word that analyzes to nothing is a match-nothing leaf
+    assert isinstance(_b("alpha OR '"), Bool)
+
+
+def test_parse_errors():
+    for bad in ["", "(alpha", "alpha)", "AND", "alpha AND", "-alpha",
+                "NOT alpha", "^2"]:
+        with pytest.raises(QueryStringError):
+            _b(bad)
+
+
+def test_not_requires_positive_sibling():
+    n = _b("alpha AND NOT beta")
+    assert n == Bool([("must", Term("alpha")), ("must_not", Term("beta"))])
+
+
+# -- kernel bit-identity with the dedicated paths ----------------------------
+
+
+def _runs(ds):
+    rows = ds.take_all()
+    return sorted((r["qid"], r["rank"], r["doc_id"], r["score"])
+                  for r in rows)
+
+
+def _search(index_dir, text, k=10, **kw):
+    import ray.data as rd
+
+    from webindex.search import search_queries
+
+    qds = rd.from_arrow(pa.table({"qid": ["x"], "text": [text]}))
+    return _runs(search_queries(qds, index_dir, top_k=k, **kw).map_batches(
+        lambda t: t.select(["qid", "doc_id", "score", "rank"]),
+        batch_format="pyarrow",
+    ))
+
+
+def test_or_equals_plain_match(index_dir):
+    got = _runs(query_string_search([("x", "alpha beta")], index_dir))
+    assert got == _search(index_dir, "alpha beta")
+
+
+def test_and_equals_and_match(index_dir):
+    got = _runs(query_string_search([("x", "alpha AND rare1")], index_dir))
+    assert got == _search(index_dir, "alpha rare1", match="and")
+
+
+def test_must_not_equals_must_not(index_dir):
+    got = _runs(query_string_search([("x", "rare1 -beta")], index_dir))
+    assert got == _search(index_dir, "rare1", must_not=["beta"])
+
+
+def test_boost_equals_boosts(index_dir):
+    got = _runs(query_string_search([("x", "alpha^2.0 rare2")], index_dir))
+    assert got == _search(index_dir, "alpha rare2",
+                          boosts={"alpha": 2.0})
+
+
+def test_phrase_equals_positional_phrase(index_dir):
+    got = _runs(query_string_search([("x", '"alpha beta"')], index_dir))
+    assert got == _search(index_dir, "alpha beta", query_kind="phrase")
+
+
+def test_wildcard_equals_wildcard_search(index_dir):
+    from webindex.lexicon import wildcard_search
+
+    got = _runs(query_string_search([("x", "rare*")], index_dir))
+    want = _runs(wildcard_search([("x", "rare*")], index_dir,
+                                 top_k=10).map_batches(
+        lambda t: t.select(["qid", "doc_id", "score", "rank"]),
+        batch_format="pyarrow",
+    ))
+    assert got == want
+
+
+def test_group_composition(index_dir):
+    """(rare1 OR rare2) AND alpha: brute per-doc oracle from the pinned
+    spec over the synthetic corpus."""
+    from webindex.oracle import OracleBM25
+
+    o = OracleBM25([(d["doc_id"], d["text"]) for d in DOCS], CFG)
+    want = {}
+    for d, text in [(d["doc_id"], d["text"]) for d in DOCS]:
+        toks = set(text.split())
+        if ("rare1" in toks or "rare2" in toks) and "alpha" in toks:
+            sc = 0.0
+            # engine sum order: source order rare1, rare2, alpha; each a
+            # single-term contribution — order-insensitive here only
+            # because we compare with tolerance
+            for t in ("rare1", "rare2", "alpha"):
+                if t in toks:
+                    sc += dict(o.topk(t, 10**9)).get(d, 0.0)
+            want[d] = sc
+    got = {
+        r["doc_id"]: r["score"]
+        for r in query_string_search(
+            [("x", "(rare1 OR rare2) AND alpha")], index_dir, top_k=10**9
+        ).take_all()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_must_plus_optional_should_scores(index_dir):
+    """+rare1 alpha: matches = rare1 docs; alpha contributes score only."""
+    rows = query_string_search([("x", "+rare1 alpha")], index_dir,
+                               top_k=10**9).take_all()
+    match_set = {r["doc_id"] for r in rows}
+    want = {d["doc_id"] for d in DOCS if "rare1" in d["text"].split()}
+    assert match_set == want
+
+
+def test_shard_count_invariance(index_dir):
+    a = _runs(query_string_search(
+        [("x", "(alpha OR rare1) AND beta -rare2")], index_dir, n_shards=2))
+    b = _runs(query_string_search(
+        [("x", "(alpha OR rare1) AND beta -rare2")], index_dir, n_shards=7))
+    assert a == b and a

@@ -5370,6 +5370,105 @@ def q_lmd_top10(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# query_string (Lucene syntax: AND/OR/NOT, +/-, ^boost, parens) — one AST,
+# two backends: webindex/querystring.py compiles the SAME parse to the
+# numpy shard kernel AND to the SQL below (op-for-op float identity)
+# ---------------------------------------------------------------------------
+
+QS_QUERIES: list[tuple[str, str]] = [
+    ("s1", "merge AND join"),
+    ("s2", "fast OR slow"),
+    ("s3", "table -scan"),
+    ("s4", "+key value"),
+    ("s5", "(merge OR sort) AND join"),
+    ("s6", "query^2 big"),
+    ("s7", "customer AND NOT order"),
+    ("s8", "row group agg"),
+]
+
+_SQL_QS_CTE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf / (tf.tf + {{K1}} * (1.0 - {{B}} + {{B}} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))) AS c
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+qs AS (
+{{BODY}}
+)
+""".replace("{K1}", str(K1)).replace("{B}", str(B))
+
+
+def _sql_qs(select: str) -> str:
+    from webindex.querystring import bind, parse_query_string, to_sql
+
+    body = "\n  UNION ALL\n".join(
+        to_sql(bind(parse_query_string(q), _sql_an), qid)
+        for qid, q in QS_QUERIES
+    )
+    return _SQL_QS_CTE.replace("{BODY}", body) + select
+
+
+SQL_QS_TOP10 = _sql_qs(f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM qs
+) WHERE rank <= {TOPK}
+""")
+SQL_QS_SCORES = _sql_qs(
+    "SELECT qid, doc_id, round(score, 6) AS score_r FROM qs"
+)
+
+
+def q_qs_top10(sf_dir: str):
+    """Lucene query_string top-10: AND/OR/NOT, +must/-must_not clause
+    prefixes, ^boosts, and parenthesized groups over the BM25 index —
+    SQL re-derived from the SAME parsed AST (webindex/querystring.py
+    to_sql), so parser and kernel are both under the hash check."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = query_string_search(QS_QUERIES, idx, top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_qs_scores(sf_dir: str):
+    """Every (query_string, doc) match score, 6dp at the surface."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = query_string_search(QS_QUERIES, idx, top_k=10**9)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return runs.map_batches(rnd, batch_format="pyarrow")
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -5381,6 +5480,8 @@ REGISTRY: dict[str, tuple] = {
     "lmjm_scores": (q_lmjm_scores, SQL_LMJM_SCORES),
     "tfidf_scores": (q_tfidf_scores, SQL_TFIDF_SCORES),
     "bool_scores": (q_bool_scores, SQL_BOOL_SCORES),
+    "qs_top10": (q_qs_top10, SQL_QS_TOP10),
+    "qs_scores": (q_qs_scores, SQL_QS_SCORES),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
