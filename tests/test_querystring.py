@@ -189,6 +189,17 @@ def test_must_plus_optional_should_scores(index_dir):
     assert match_set == want
 
 
+def test_similarity_composition(index_dir):
+    """similarity="boolean" through the boolean tree: score = number of
+    matched scoring terms (must+should), boosts applied per leaf."""
+    rows = query_string_search([("x", "alpha AND rare1")], index_dir,
+                               top_k=10**9, similarity="boolean").take_all()
+    assert rows and all(r["score"] == 2.0 for r in rows)
+    rows = query_string_search([("x", "alpha^3.0 AND rare1")], index_dir,
+                               top_k=10**9, similarity="boolean").take_all()
+    assert rows and all(r["score"] == 4.0 for r in rows)
+
+
 def test_shard_count_invariance(index_dir):
     a = _runs(query_string_search(
         [("x", "(alpha OR rare1) AND beta -rare2")], index_dir, n_shards=2))

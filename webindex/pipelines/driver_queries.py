@@ -5395,12 +5395,10 @@ toks AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+df AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
 contrib AS (
-  SELECT tf.doc_id, tf.term,
-    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-      * (tf.tf / (tf.tf + {{K1}} * (1.0 - {{B}} + {{B}} * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs))))) AS c
+  SELECT tf.doc_id, tf.term, {{CONTRIB}} AS c
   FROM tf
   JOIN df ON df.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id
@@ -5409,17 +5407,26 @@ contrib AS (
 qs AS (
 {{BODY}}
 )
-""".replace("{K1}", str(K1)).replace("{B}", str(B))
+"""
+
+_QS_BM25_EXPR = (
+    "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    f" * (tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B}"
+    " * (dl.dl / (s.total_tokens::DOUBLE / s.n_docs)))))"
+)
 
 
-def _sql_qs(select: str) -> str:
+def _sql_qs(select: str, contrib_expr: str = _QS_BM25_EXPR) -> str:
     from webindex.querystring import bind, parse_query_string, to_sql
 
     body = "\n  UNION ALL\n".join(
         to_sql(bind(parse_query_string(q), _sql_an), qid)
         for qid, q in QS_QUERIES
     )
-    return _SQL_QS_CTE.replace("{BODY}", body) + select
+    return (
+        _SQL_QS_CTE.replace("{CONTRIB}", contrib_expr)
+        .replace("{BODY}", body) + select
+    )
 
 
 SQL_QS_TOP10 = _sql_qs(f"""
@@ -5433,6 +5440,17 @@ SELECT qid, doc_id, rank FROM (
 SQL_QS_SCORES = _sql_qs(
     "SELECT qid, doc_id, round(score, 6) AS score_r FROM qs"
 )
+# composability: the same parsed ASTs scored under LM Dirichlet — the
+# engine threads similarity= through the boolean-tree kernel, the oracle
+# swaps the contrib CTE expression; everything else is shared
+SQL_QS_LMD_TOP10 = _sql_qs(f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM qs
+) WHERE rank <= {TOPK}
+""", _LMD_EXPR)
 
 
 def q_qs_top10(sf_dir: str):
@@ -5469,6 +5487,20 @@ def q_qs_scores(sf_dir: str):
     return runs.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_qs_lmd_top10(sf_dir: str):
+    """query_string x similarity composability: the s1..s8 ASTs ranked
+    under LM Dirichlet instead of BM25."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = query_string_search(
+        QS_QUERIES, idx, top_k=TOPK, similarity="lmdirichlet"
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -5482,6 +5514,7 @@ REGISTRY: dict[str, tuple] = {
     "bool_scores": (q_bool_scores, SQL_BOOL_SCORES),
     "qs_top10": (q_qs_top10, SQL_QS_TOP10),
     "qs_scores": (q_qs_scores, SQL_QS_SCORES),
+    "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),

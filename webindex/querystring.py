@@ -319,7 +319,18 @@ def wildcard_patterns(node) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def _leaf_term(reader, term: str, boost: float, n: int):
+def _contrib(pl, reader, similarity: str) -> np.ndarray:
+    """Per-posting contribution under the similarity. ``"bm25"`` is the
+    pinned default (webindex/scoring.py); any other name routes to the
+    pluggable modules (webindex/similarity.py)."""
+    if similarity == "bm25":
+        return pl.dense_contrib
+    from webindex.similarity import sim_contrib
+
+    return sim_contrib(pl, reader, similarity)
+
+
+def _leaf_term(reader, term: str, boost: float, n: int, similarity: str):
     from webindex.wand import _dense
 
     mask = np.zeros(n, dtype=bool)
@@ -327,7 +338,7 @@ def _leaf_term(reader, term: str, boost: float, n: int):
     pl = reader.postings(term)
     if pl is not None:
         _dense(pl, reader)
-        c = pl.dense_contrib
+        c = _contrib(pl, reader, similarity)
         if boost != 1.0:
             c = c * boost
         mask[pl.dense_pos] = True
@@ -335,12 +346,12 @@ def _leaf_term(reader, term: str, boost: float, n: int):
     return mask, score
 
 
-def eval_node(node, reader):
+def eval_node(node, reader, similarity: str = "bm25"):
     """AST -> (mask: bool[n], score: float64[n]); score is 0 outside the
     mask. n = the reader's resident doclen-table size (shard-bounded)."""
     n = reader._dl_ids.size
     if isinstance(node, Term):
-        return _leaf_term(reader, node.term, node.boost, n)
+        return _leaf_term(reader, node.term, node.boost, n, similarity)
     if isinstance(node, Nothing):
         return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
     if isinstance(node, Wildcard):
@@ -348,29 +359,39 @@ def eval_node(node, reader):
         mask = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
         for t in node.expansions or []:
-            m, s = _leaf_term(reader, t, node.boost, n)
+            m, s = _leaf_term(reader, t, node.boost, n, similarity)
             mask |= m
             score += s
         return mask, score
     if isinstance(node, Phrase):
         from webindex.positional import phrase_topk, span_near_topk
+        from webindex.wand import _dense
+
         fn = span_near_topk if node.slop else phrase_topk
         kw = {"slop": node.slop} if node.slop else {}
-        ids, scores = fn(reader, node.tokens, max(n, 1), **kw)
+        ids, _ = fn(reader, node.tokens, max(n, 1), **kw)
         mask = np.zeros(n, dtype=bool)
         score = np.zeros(n, dtype=np.float64)
         if ids.size:
             pos = np.searchsorted(reader._dl_ids, ids)
-            if node.boost != 1.0:
-                scores = scores * node.boost
             mask[pos] = True
-            score[pos] = scores
+            # match_phrase scoring: ascending-term contribution sum over
+            # the phrase's unique terms at the matching docs (identical
+            # additions to phrase_topk's own BM25 scores; generalizes to
+            # any similarity), one final boost multiply
+            for t in sorted(set(node.tokens)):
+                pl = reader.postings(t)
+                _dense(pl, reader)
+                idx = np.searchsorted(pl.dense_pos, pos)
+                score[pos] += _contrib(pl, reader, similarity)[idx]
+            if node.boost != 1.0:
+                score[pos] = score[pos] * node.boost
         return mask, score
     if isinstance(node, Bool):
         must_m, not_m, should_m = None, None, None
         score = np.zeros(n, dtype=np.float64)
         for role, child in node.clauses:  # source order = summation order
-            m, s = eval_node(child, reader)
+            m, s = eval_node(child, reader, similarity)
             if role == "must":
                 must_m = m if must_m is None else (must_m & m)
                 score += s
@@ -482,7 +503,8 @@ def to_sql(bound_ast, qid: str) -> str:
 
 def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
                         top_k: int = 10, max_expansions: int = 50,
-                        n_shards: int | None = None):
+                        n_shards: int | None = None,
+                        similarity: str = "bm25"):
     """[(qid, query_string)] -> runs Dataset (qid, doc_id, score, rank).
 
     Parsing, analysis, and the wildcard dictionary rewrite happen ONCE on
@@ -541,7 +563,7 @@ def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
         reader = searcher.inner.reader
         qid_out, id_out, sc_out = [], [], []
         for qid in g.column("qid").to_pylist():
-            mask, score = eval_node(bound[qid], reader)
+            mask, score = eval_node(bound[qid], reader, similarity)
             sel = np.flatnonzero(mask)
             ids, scores = _rank_topk(
                 reader._dl_ids[sel], score[sel], top_k
