@@ -5487,6 +5487,94 @@ def q_qs_scores(sf_dir: str):
     return runs.map_batches(rnd, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# ES rescore API (webindex/rescore.py): global top-window re-scored by a
+# secondary query, final = qw * primary + rw * secondary (score_mode=total)
+# ---------------------------------------------------------------------------
+
+RESCORE_QUERIES: list[tuple[str, str, str]] = [
+    ("r1", "merge join", "sort"),
+    ("r2", "fast key", "the slow"),
+    ("r3", "customer order", "line big"),
+    ("r4", "table scan", "hash"),
+]
+RESCORE_WINDOW = 20
+RESCORE_RW = 2.0
+
+
+def _rescore_values(idx: int) -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, *texts in RESCORE_QUERIES
+        for t in sorted(set(_sql_an.tokens(texts[idx])))
+    )
+    return f"(VALUES {rows})"
+
+
+SQL_RESCORE_TOP10 = (
+    _SQL_QS_CTE.replace("{CONTRIB}", _QS_BM25_EXPR)
+    .replace("qs AS (\n{BODY}\n)", f"""pq AS (SELECT * FROM {_rescore_values(0)} pq(qid, term)),
+rq AS (SELECT * FROM {_rescore_values(1)} rq(qid, term)),
+p AS (
+  SELECT pq.qid, c.doc_id, list_sum(list(c.c ORDER BY pq.term)) AS score
+  FROM pq JOIN contrib c ON c.term = pq.term GROUP BY pq.qid, c.doc_id
+),
+w AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS prank
+    FROM p
+  ) WHERE prank <= {RESCORE_WINDOW}
+),
+sec AS (
+  SELECT rq.qid, c.doc_id, list_sum(list(c.c ORDER BY rq.term)) AS score
+  FROM rq JOIN contrib c ON c.term = rq.term GROUP BY rq.qid, c.doc_id
+),
+fin AS (
+  SELECT w.qid, w.doc_id,
+         w.score + {RESCORE_RW!r} * coalesce(sec.score, 0.0) AS score
+  FROM w LEFT JOIN sec ON sec.qid = w.qid AND sec.doc_id = w.doc_id
+)""")
+    + f"""
+SELECT qid, doc_id, rank, score_r FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         round(score, 6) AS score_r
+  FROM fin
+) WHERE rank <= {TOPK}
+"""
+)
+
+
+def q_rescore_top10(sf_dir: str):
+    """ES rescore: primary BM25 global top-{window} per query, re-scored
+    by the secondary query, final = primary + 2.0 * secondary, re-ranked
+    top-10 (webindex/rescore.py; pinned GLOBAL window for determinism —
+    ES's per-shard window makes results shard-count-dependent)."""
+    from webindex.rescore import rescore_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = rescore_queries(
+        RESCORE_QUERIES, idx, top_k=TOPK, window_size=RESCORE_WINDOW,
+        rescore_query_weight=RESCORE_RW,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "rank": t.column("rank"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return runs.map_batches(proj, batch_format="pyarrow")
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -5515,6 +5603,7 @@ REGISTRY: dict[str, tuple] = {
     "qs_top10": (q_qs_top10, SQL_QS_TOP10),
     "qs_scores": (q_qs_scores, SQL_QS_SCORES),
     "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
+    "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
