@@ -142,3 +142,45 @@ def test_paired_bootstrap_properties():
     )
     r4 = paired_bootstrap(c, b, n_boot=2000, seed=7)
     assert r4["p_value"] > 0.01
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mine_hard_negatives(tmp_path):
+    """Negatives are the top-scoring UNjudged docs, in ranked order; a
+    judged doc never appears even when it ranks first."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.build import build_index
+    from webindex.config import SQL_SAFE_ANALYZER, IndexConfig
+    from webindex.eval import mine_hard_negatives
+    from webindex.oracle import OracleBM25
+
+    cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=4)
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta".split()
+    docs = [
+        (i, " ".join(vocab[int(j)] for j in rng.integers(0, 4, size=12)))
+        for i in range(60)
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })), idx, cfg)
+
+    o = OracleBM25(docs, cfg)
+    ranked = [d for d, _ in o.topk("alpha beta", 30)]
+    judged = set(ranked[:3])  # the top 3 are all positives
+    want = [d for d in ranked if d not in judged][:5]
+
+    qds = rd.from_arrow(pa.table({"qid": ["q"], "text": ["alpha beta"]}))
+    qrels = rd.from_arrow(pa.table({
+        "qid": pa.array(["q"] * len(judged)),
+        "doc_id": pa.array(sorted(judged), pa.int64()),
+    }))
+    rows = mine_hard_negatives(qds, qrels, idx, k=5, depth=30).take_all()
+    rows.sort(key=lambda r: r["neg_rank"])
+    assert [r["doc_id"] for r in rows] == want
+    assert not judged & {r["doc_id"] for r in rows}

@@ -206,3 +206,69 @@ def paired_bootstrap(metrics_a: pd.DataFrame, metrics_b: pd.DataFrame, *,
         "p_value": p,
         "n_boot": int(n_boot),
     }
+
+
+def mine_hard_negatives(queries_ds, qrels_ds, index_dir: str, *,
+                        k: int = 10, depth: int = 100,
+                        n_shards: int | None = None):
+    """BM25 hard-negative mining — the training-data prep step of the
+    reference's bi-encoder fine-tuning (SGPT trains on MS MARCO triples
+    whose negatives are BM25 top hits that are NOT judged relevant;
+    /root/reference/biencoder/nli_msmarco trains on exactly such
+    triples): for each query, the ``k`` HIGHEST-BM25 documents that do
+    not appear in qrels.
+
+    queries(qid, text) x qrels(qid, doc_id) -> (qid, doc_id, score,
+    neg_rank). The ranked retrieval is the standard sharded fan-out at
+    ``top_k=depth``; qrels — queries-sized, never corpus-sized — are
+    collected once and broadcast into a stateless anti-join batch filter
+    (ray.put, read per task), then negatives re-rank per qid. ``depth``
+    must exceed ``k`` by at least the max judged docs per query, or a
+    query with many positives can come up short (ES-style fetch-k+1
+    logic, generalized)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from webindex.search import search_queries
+
+    runs = search_queries(
+        queries_ds, index_dir, top_k=depth,
+        **({"n_shards": n_shards} if n_shards else {}),
+    )
+    qrels_tab = (
+        qrels_ds.to_pandas() if hasattr(qrels_ds, "to_pandas")
+        else pd.DataFrame(qrels_ds, columns=["qid", "doc_id"])
+    )
+    # one blob in the object store; every filter task reads it zero-copy
+    judged_ref = ray.put({
+        (q, int(d))
+        for q, d in zip(qrels_tab["qid"], qrels_tab["doc_id"])
+    })
+
+    def drop_judged(t: pa.Table) -> pa.Table:
+        judged = ray.get(judged_ref)
+        qids = t.column("qid").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        keep = np.array(
+            [(q, d) not in judged for q, d in zip(qids, ids)], dtype=bool
+        )
+        return t.filter(pa.array(keep))
+
+    def renumber(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        g["neg_rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "neg_rank"]]
+
+    return (
+        runs.map_batches(
+            lambda t: t.select(["qid", "doc_id", "score"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(drop_judged, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(renumber, batch_format="pandas")
+    )

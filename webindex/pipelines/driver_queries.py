@@ -478,6 +478,55 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_events_calendar(sf_dir: str):
+    """ES date_histogram with calendar_interval=month (calendar buckets
+    are NOT fixed-width — the reason ES distinguishes calendar_interval
+    from fixed_interval): per (event_type, month) event count + exact
+    min/max. Same hash-partitioned combiner/final shape as the hourly
+    fixed-interval entry."""
+    import ray.data as rd
+
+    from webindex.relational import hash_partitioned_groupby
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+        override_num_blocks=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["month"] = df["ts"].values.astype("datetime64[M]")
+        return (
+            df.groupby(["event_type", "month"], sort=False)
+            .agg(n_p=("value", "size"), mn=("value", "min"),
+                 mx=("value", "max"))
+            .reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "month"], sort=False)
+            .agg(
+                n_events=("n_p", "sum"),
+                min_value=("mn", "min"),
+                max_value=("mx", "max"),
+            )
+            .reset_index()
+        )
+
+    return hash_partitioned_groupby(
+        ds, ["event_type", "month"], partial, final
+    )
+
+
+SQL_EVENTS_CALENDAR = """
+SELECT event_type, date_trunc('month', ts) AS month,
+       count(*)::BIGINT AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, date_trunc('month', ts)
+"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join (temporal operator Ray Data lacks; webindex.temporal):
     each event matched to the user's latest order at-or-before the event
@@ -5575,6 +5624,99 @@ def q_rescore_top10(sf_dir: str):
     return runs.map_batches(proj, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# BM25 hard-negative mining (webindex/eval.py mine_hard_negatives): the
+# bi-encoder training-data prep of the reference's ecosystem — top-scoring
+# docs per query that are NOT judged relevant. Judged set here is the
+# portable rule doc_id % 11 == <query index> (reproducible at any sf).
+# ---------------------------------------------------------------------------
+
+HN_DEPTH, HN_K = 30, 10
+
+
+def q_hard_negatives(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.eval import mine_hard_negatives
+
+    idx = ensure_index(sf_dir, "nostem")
+    qnum = {qid: i + 1 for i, (qid, _) in enumerate(DOC_QUERIES)}
+
+    def qrels_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        qs, ds = [], []
+        for qid, i in qnum.items():
+            hit = ids[ids % 11 == i]
+            qs.extend([qid] * hit.size)
+            ds.append(hit)
+        import numpy as np
+
+        return pa.table(
+            {
+                "qid": pa.array(qs, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(ds) if ds else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    qrels = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("text"), "")),
+        batch_format="pyarrow",
+    ).map_batches(qrels_batch, batch_format="pyarrow")
+    out = mine_hard_negatives(
+        _queries_ds(), qrels, idx, k=HN_K, depth=HN_DEPTH
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+                "neg_rank": t.column("neg_rank"),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _hn_qrels_values() -> str:
+    return ", ".join(
+        f"('{qid}', {i + 1})" for i, (qid, _) in enumerate(DOC_QUERIES)
+    )
+
+
+SQL_HARD_NEGATIVES = _sql_bm25_scores() + f"""
+, qrels AS (
+  SELECT q.qid, d.doc_id
+  FROM (VALUES {_hn_qrels_values()}) q(qid, i)
+  JOIN dl d ON d.doc_id % 11 = q.i
+),
+window_rows AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM scores
+  ) WHERE rnk <= {HN_DEPTH}
+),
+neg AS (
+  SELECT w.qid, w.doc_id, w.score
+  FROM window_rows w
+  LEFT JOIN qrels r ON r.qid = w.qid AND r.doc_id = w.doc_id
+  WHERE r.doc_id IS NULL
+)
+SELECT qid, doc_id, score_r, neg_rank FROM (
+  SELECT qid, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS neg_rank
+  FROM neg
+) WHERE neg_rank <= {HN_K}
+"""
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -5604,11 +5746,13 @@ REGISTRY: dict[str, tuple] = {
     "qs_scores": (q_qs_scores, SQL_QS_SCORES),
     "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
     "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_calendar": (q_events_calendar, SQL_EVENTS_CALENDAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
