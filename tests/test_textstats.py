@@ -695,3 +695,65 @@ def test_temperature_mix_matches_brute(ray_session):
     assert keep_rate["s0"] < min(
         v for s, v in keep_rate.items() if s != "s0"
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_weights_hand_oracle():
+    """DSIR log-importance weights vs a from-first-principles recompute
+    on a tiny corpus, plus n_parts partition invariance."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from webindex.textstats import dsir_weights
+
+    docs = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat ate", "en"),
+        (2, "le chat noir le chat", "fr"),
+        (3, "cat mat cat mat", "fr"),
+        (4, "x", "en"),  # single token: no bigrams, absent from output
+    ]
+
+    def grams(t):
+        toks = t.split()
+        return Counter(
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        )
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for did, t, lang in docs:
+        g = grams(t)
+        per_doc[did] = g
+        raw.update(g)
+        if lang == "en":
+            tgt.update(g)
+    t_raw, t_tgt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    want = {}
+    for did, g in per_doc.items():
+        if not g:
+            continue
+        w = 0.0
+        for f in sorted(g):
+            w += g[f] * (math.log((tgt.get(f, 0) + 1) / (t_tgt + v))
+                         - math.log((raw[f] + 1) / (t_raw + v)))
+        want[did] = w
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t, _ in docs]),
+        "lang": pa.array([x for _, _, x in docs]),
+    }))
+    got = {r["doc_id"]: r["dsir_w"]
+           for r in dsir_weights(ds).take_all()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # target docs should score higher than off-target on this corpus
+    assert got[0] > got[2]
+    # partition invariance at 6dp (the contract surface)
+    got7 = {r["doc_id"]: round(r["dsir_w"], 6)
+            for r in dsir_weights(ds, n_parts=7).take_all()}
+    assert got7 == {k: round(x, 6) for k, x in got.items()}

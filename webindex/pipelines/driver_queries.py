@@ -5717,6 +5717,60 @@ SELECT qid, doc_id, score_r, neg_rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights (webindex/textstats.py dsir_weights): data
+# selection by log importance ratio target/raw over bigram features
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.textstats import dsir_weights
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = dsir_weights(docs, target_col="lang", target_value="en")
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dsir_w_r": pa.array(
+                    np.round(batch.column("dsir_w").to_numpy(), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH dt AS (SELECT doc_id, lang, {_TOK_SQL} AS tl FROM documents),
+bg AS (
+  SELECT doc_id, lang, tl[u.p + 1] || ' ' || tl[u.p + 2] AS f
+  FROM dt, unnest(range(len(tl) - 1)) AS u(p)
+),
+docf AS (SELECT doc_id, f, count(*)::BIGINT AS n,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+         FROM bg GROUP BY doc_id, f),
+cnt AS (SELECT f, sum(n)::BIGINT AS c_raw, sum(n_tgt)::BIGINT AS c_tgt
+        FROM docf GROUP BY f),
+tot AS (SELECT sum(c_raw)::BIGINT AS t_raw, sum(c_tgt)::BIGINT AS t_tgt,
+               count(*)::BIGINT AS v FROM cnt),
+contrib AS (
+  SELECT d.doc_id, d.f,
+         d.n * (ln((c.c_tgt + 1) / (t.t_tgt + t.v))
+              - ln((c.c_raw + 1) / (t.t_raw + t.v))) AS w
+  FROM docf d JOIN cnt c ON c.f = d.f CROSS JOIN tot t
+)
+SELECT doc_id, round(list_sum(list(w ORDER BY f)), 6) AS dsir_w_r
+FROM contrib GROUP BY doc_id
+"""
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -5747,6 +5801,7 @@ REGISTRY: dict[str, tuple] = {
     "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
     "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),

@@ -703,3 +703,130 @@ def textrank_keywords(docs_ds, *, window: int = 2, top_k: int = 5,
         )
 
     return docs_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def dsir_weights(docs_ds, *, target_col: str = "lang",
+                 target_value: str = "en", n_parts: int = 64):
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public methodology): per document the log importance ratio between a
+    TARGET distribution (here: the corpus's own ``target_col ==
+    target_value`` slice, e.g. English pages standing in for the
+    high-quality target) and the RAW distribution, over token-bigram
+    features with add-1 smoothing:
+
+        w(doc) = sum over distinct bigrams f (ascending unicode) of
+                 n_f(doc) * ( ln((c_tgt(f)+1) / (T_tgt+V))
+                            - ln((c_raw(f)+1) / (T_raw+V)) )
+
+    where c_*(f) are corpus feature counts, T_* the total feature counts
+    and V the joint distinct-feature count. Selection is then a
+    deterministic top-k by weight (the paper resamples stochastically;
+    pinned deterministic here, like every ranking in this repo).
+
+    Exactness: counts/totals are exact int64; ln is scalar math.log per
+    distinct feature (DuckDB-bit-identical); per-doc fold is the
+    ascending-feature sequential sum; fold order over many features is
+    engine-specific at the last ulp, so the contract rounds to 6dp (the
+    unigram_logprob precedent).
+
+    Scale shape (the unigram_logprob template): per-doc bigram counting
+    is row-local (a doc's text lives in one row); ONE feature-hash
+    shuffle co-locates each bigram's rows so corpus counts are
+    partition-local sums (no vocabulary broadcast — at 100 TB the
+    feature space is bounded by hashing features into buckets upstream
+    if needed); the same partition attaches per-feature logs; ONE
+    doc-hash shuffle folds per-doc sums. Docs with < 2 tokens emit no
+    features and are absent from the output."""
+    import math
+
+    import pandas as pd
+
+    from webindex.relational import hash_partitioned_groupby
+    from webindex.util import stable_hash64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tgt = [
+            v == target_value
+            for v in batch.column(target_col).to_pylist()
+        ]
+        o_id, o_f, o_n, o_nt = [], [], [], []
+        for did, t, is_t in zip(ids, texts, tgt):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            grams = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            for f, n in grams.items():
+                o_id.append(did)
+                o_f.append(f)
+                o_n.append(n)
+                o_nt.append(n if is_t else 0)
+        part = np.fromiter(
+            (stable_hash64(f) % n_parts for f in o_f),
+            dtype=np.int64, count=len(o_f),
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "f": pa.array(o_f, pa.string()),
+                "n": pa.array(o_n, pa.int64()),
+                "n_tgt": pa.array(o_nt, pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    rows = docs_ds.map_batches(explode, batch_format="pyarrow")
+    rows = rows.materialize()  # consumers: totals, V, and the log attach
+
+    t_raw = int(rows.sum("n"))
+    t_tgt = int(rows.sum("n_tgt"))
+
+    def distinct_f(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": [int(g["f"].nunique())]})
+
+    v = int(
+        rows.groupby("part")
+        .map_groups(distinct_f, batch_format="pandas")
+        .sum("v")
+    )
+
+    def attach_w(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a feature are co-located: corpus counts are
+        # partition-local sums; ln per DISTINCT feature with math.log
+        agg = g.groupby("f", sort=False).agg(
+            c_raw=("n", "sum"), c_tgt=("n_tgt", "sum")
+        )
+        lr_map = {
+            f: (math.log((int(ct) + 1) / (t_tgt + v))
+                - math.log((int(cr) + 1) / (t_raw + v)))
+            for f, cr, ct in zip(agg.index, agg["c_raw"], agg["c_tgt"])
+        }
+        lr = g["f"].map(lr_map).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "f": g["f"].to_numpy(),
+                "w": g["n"].to_numpy(np.float64) * lr,
+            }
+        )
+
+    scored = rows.groupby("part").map_groups(
+        attach_w, batch_format="pandas"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "f"], kind="mergesort"
+        ).reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        w = np.add.reduceat(df["w"].to_numpy(np.float64), starts)
+        return pd.DataFrame({"doc_id": ids[starts], "dsir_w": w})
+
+    return hash_partitioned_groupby(
+        scored, ["doc_id"], lambda df: df, fold, n_parts=n_parts
+    )
