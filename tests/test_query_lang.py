@@ -1134,3 +1134,64 @@ def test_span_first_matches_brute(pos_index_dir, oracle, ray_session):
         assert ids.tolist() == [d for d, _ in want], (term, end)
         for g, (_, w) in zip(scores.tolist(), want):
             assert g == w, (term, end)
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+def test_decay_matches_brute_oracle(index_dir, oracle, kind):
+    """function_score decay (search.decay_queries) vs a from-first-
+    principles recompute over the pinned formulas."""
+    import math
+
+    import ray.data as rd
+
+    from webindex.search import decay_queries
+
+    origin, scale, rate, k = 150.0, 80.0, 0.5, 7
+    nc = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    want = {}
+    for qid, text in QUERIES[:3]:
+        scores = _oracle_all_scores(oracle, text)
+        fin = []
+        for did, sc in scores.items():
+            v = float(nc[did])
+            d = max(0.0, abs(v - origin) - 0.0)
+            if kind == "gauss":
+                f = math.exp((math.log(rate) / (scale * scale)) * (d * d))
+            elif kind == "exp":
+                f = math.exp((math.log(rate) / scale) * d)
+            else:
+                s = scale / (1.0 - rate)
+                f = max(0.0, (s - d) / s)
+            fin.append((did, sc * f))
+        fin.sort(key=lambda t: (-t[1], t[0]))
+        want[qid] = fin[:k]
+
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q for q, _ in QUERIES[:3]]),
+        "text": pa.array([t for _, t in QUERIES[:3]]),
+    }))
+    rows = decay_queries(qds, index_dir, "n_chars", origin=origin,
+                         scale=scale, decay=rate, kind=kind,
+                         top_k=k).take_all()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]], qid
+        for (_, a), (_, b) in zip(got[qid], want[qid]):
+            assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_decay_param_validation(index_dir):
+    import ray.data as rd
+
+    from webindex.search import decay_queries
+
+    qds = rd.from_arrow(pa.table({"qid": ["a"], "text": ["alpha"]}))
+    with pytest.raises(ValueError, match="kind"):
+        decay_queries(qds, index_dir, "n_chars", origin=0, scale=1,
+                      kind="triangle")
+    with pytest.raises(ValueError, match="decay"):
+        decay_queries(qds, index_dir, "n_chars", origin=0, scale=1,
+                      decay=1.5)

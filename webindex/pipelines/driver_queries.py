@@ -5771,6 +5771,59 @@ FROM contrib GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ES function_score decay (search.decay_queries): gauss decay on a numeric
+# docvalue multiplying BM25 — the recency/length-proximity boost.
+# DuckDB exp() measured bit-identical to math.exp on this host.
+# ---------------------------------------------------------------------------
+
+DECAY_ORIGIN, DECAY_SCALE, DECAY_RATE = 400.0, 300.0, 0.5
+
+
+def q_decay_top10(sf_dir: str):
+    from webindex.search import decay_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = decay_queries(
+        _queries_ds(), idx, "n_chars", origin=DECAY_ORIGIN,
+        scale=DECAY_SCALE, decay=DECAY_RATE, kind="gauss", top_k=TOPK,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "rank": t.column("rank"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return runs.map_batches(proj, batch_format="pyarrow")
+
+
+_DECAY_D = (
+    f"greatest(0.0, abs(nc.n_chars - {DECAY_ORIGIN!r}) - 0.0)"
+)
+SQL_DECAY_TOP10 = _sql_bm25_scores() + f"""
+, nc AS (SELECT doc_id, n_chars FROM documents),
+dec AS (
+  SELECT s.qid, s.doc_id,
+         s.score * exp((ln({DECAY_RATE!r}) / ({DECAY_SCALE!r} * {DECAY_SCALE!r}))
+                       * ({_DECAY_D} * {_DECAY_D})) AS score
+  FROM scores s JOIN nc ON nc.doc_id = s.doc_id
+)
+SELECT qid, doc_id, rank, score_r FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         round(score, 6) AS score_r
+  FROM dec
+) WHERE rank <= {TOPK}
+"""
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -5802,6 +5855,7 @@ REGISTRY: dict[str, tuple] = {
     "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "decay_top10": (q_decay_top10, SQL_DECAY_TOP10),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),

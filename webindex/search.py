@@ -1651,3 +1651,137 @@ def query_plan(queries: list[tuple[str, str]], index_dir: str, *,
     return pd.DataFrame(
         rows, columns=["qid", "n_terms", "est_candidates", "mode"]
     ).astype({"n_terms": np.int64, "est_candidates": np.int64})
+
+
+def decay_queries(queries_ds, index_dir: str, col: str, *,
+                  origin: float, scale: float, offset: float = 0.0,
+                  decay: float = 0.5, kind: str = "gauss",
+                  top_k: int = 10, match: str = "or", filter_pred=None,
+                  n_shards: int = SEARCH_SHARDS):
+    """ES function_score decay functions (gauss / exp / linear on a
+    numeric docvalue — the recency/proximity boost of web ranking):
+
+        d      = max(0, |value - origin| - offset)
+        gauss  : factor = exp((ln(decay) / (scale * scale)) * (d * d))
+        exp    : factor = exp((ln(decay) / scale) * d)
+        linear : factor = max(0, (s - d) / s),  s = scale / (1 - decay)
+        final  = BM25 * factor      (score_mode=multiply)
+
+    Docs lacking the docvalue keep their BM25 score (factor 1 — the
+    field_value_factor missing->1 convention). Float ops are pinned to
+    the SQL oracle text; ln and exp are evaluated per DISTINCT argument
+    with scalar math.log/math.exp (both measured bit-identical to
+    DuckDB's ln()/exp(); numpy's SIMD variants differ by 1 ulp).
+
+    Exact shard merge: the factor is a per-document property, so
+    per-shard (rescored, local top-k) partials are a superset of the
+    global top-k under the (final desc, docID asc) order."""
+    import math
+
+    import pandas as pd
+
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"kind must be gauss/exp/linear, got {kind!r}")
+    if not 0 < decay < 1:
+        raise ValueError("decay must be in (0, 1)")
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    from webindex.serve import shard_salt_bounds
+
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def _factors(v: np.ndarray) -> np.ndarray:
+        d = np.maximum(0.0, np.abs(v - origin) - offset)
+        if kind == "linear":
+            s = scale / (1.0 - decay)
+            return np.maximum(0.0, (s - d) / s)
+        if kind == "gauss":
+            lam = math.log(decay) / (scale * scale)
+            args = lam * (d * d)
+        else:
+            lam = math.log(decay) / scale
+            args = lam * d
+        uniq, inv = np.unique(args, return_inverse=True)
+        ex = np.fromiter(
+            (math.exp(a) for a in uniq.tolist()), np.float64, uniq.size
+        )
+        return ex[inv]
+
+    def decay_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, sc_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = s.an.tokens(text or "")
+            # full shard ranking: theta bounds are invalid under a
+            # per-doc multiplier (a decayed doc can outrank an undecayed
+            # one WAND would keep), so rescore the whole match set
+            ids, scores = s._ranked(
+                terms, max(int(dl_ids.size), 1), force_exhaustive=True
+            )
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(dl_ids, ids)
+            ok = valid[pos]
+            factor = np.ones(ids.size, dtype=np.float64)
+            factor[ok] = _factors(vals_np[pos[ok]])
+            final = scores * factor
+            from webindex.wand import _rank_topk
+
+            tids, tsc = _rank_topk(ids, final, top_k)
+            qid_out.extend([qid] * tids.size)
+            id_out.append(tids)
+            sc_out.append(tsc)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "rank"]]
+
+    return (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(decay_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )
