@@ -206,3 +206,128 @@ def test_shard_count_invariance(index_dir):
     b = _runs(query_string_search(
         [("x", "(alpha OR rare1) AND beta -rare2")], index_dir, n_shards=7))
     assert a == b and a
+
+
+# -- docvalue leaves (field:value / field:[LO TO HI]) -------------------------
+
+
+LANGS = ["en", "de", "fr"]
+
+
+@pytest.fixture(scope="module")
+def dv_index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("qsdvidx") / "idx")
+    tab = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+        "text": pa.array([d["text"] for d in DOCS]),
+    })
+    dv = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+        "lang": pa.array([LANGS[d["doc_id"] % 3] for d in DOCS]),
+        "n_chars": pa.array([len(d["text"]) for d in DOCS], pa.int64()),
+    })
+    build_index(rd.from_arrow(tab), out, CFG,
+                docvalues_ds=rd.from_arrow(dv))
+    return out
+
+
+def test_parse_dv_shapes():
+    from webindex.querystring import DvRange, DvTerm
+
+    assert _b("lang:en") == DvTerm("lang", "en")
+    assert _b("lang:en^2.5") == DvTerm("lang", "en", 2.5)
+    n = _b("alpha AND n_chars:[100 TO 400]")
+    assert n == Bool([("must", Term("alpha")),
+                      ("must", DvRange("n_chars", 100, 400))])
+    assert _b("n_chars:[* TO 50]") == DvRange("n_chars", None, 50)
+    assert _b("n_chars:[50 TO *]^3") == DvRange("n_chars", 50, None, 3.0)
+    for bad in ["n_chars:[* TO *]", "n_chars:[a TO b]"]:
+        with pytest.raises(QueryStringError):
+            _b(bad)
+
+
+def test_dv_term_filters_and_constant_scores(dv_index_dir):
+    base = {d: s for _, _, d, s in
+            _runs(query_string_search([("x", "rare1")], dv_index_dir,
+                                      top_k=10**9))}
+    got = _runs(query_string_search([("x", "rare1 AND lang:en")],
+                                    dv_index_dir, top_k=10**9))
+    assert got
+    for _, _, did, score in got:
+        assert LANGS[did % 3] == "en"
+        # constant_score 1.0 added by the matching must-clause
+        assert score == pytest.approx(base[did] + 1.0, abs=1e-12)
+    want = {d for d in base if LANGS[d % 3] == "en"}
+    assert {d for _, _, d, _ in got} == want
+
+
+def test_dv_range_and_must_not(dv_index_dir):
+    base = {d: s for _, _, d, s in
+            _runs(query_string_search([("x", "rare1")], dv_index_dir,
+                                      top_k=10**9))}
+    lens = {d["doc_id"]: len(d["text"]) for d in DOCS}
+    got = _runs(query_string_search(
+        [("x", "rare1 AND n_chars:[100 TO *]^2")], dv_index_dir,
+        top_k=10**9))
+    assert got
+    for _, _, did, score in got:
+        assert lens[did] >= 100
+        assert score == pytest.approx(base[did] + 2.0, abs=1e-12)
+    # dv under must_not: filters, never scores
+    got = _runs(query_string_search([("x", "rare1 -lang:de")],
+                                    dv_index_dir, top_k=10**9))
+    assert got
+    assert all(LANGS[d % 3] != "de" for _, _, d, _ in got)
+    assert all(s == pytest.approx(base[d], abs=1e-12)
+               for _, _, d, s in got)
+
+
+def test_dv_shard_count_invariance(dv_index_dir):
+    q = [("x", "(alpha OR rare1) AND lang:fr n_chars:[* TO 300]")]
+    a = _runs(query_string_search(q, dv_index_dir, n_shards=2))
+    b = _runs(query_string_search(q, dv_index_dir, n_shards=7))
+    assert a == b and a
+
+
+def test_dv_to_sql_duckdb_identity(dv_index_dir):
+    """to_sql over documents docvalues == the engine, exactly (DuckDB
+    evaluates the generated per-query SELECT on a handmade contrib/dl)."""
+    import duckdb
+
+    from webindex.oracle import OracleBM25
+    from webindex.querystring import to_sql
+
+    oracle = OracleBM25([(d["doc_id"], d["text"]) for d in DOCS], CFG)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dl (doc_id BIGINT, dl BIGINT)")
+    con.executemany("INSERT INTO dl VALUES (?, ?)",
+                    [(d, int(l)) for d, l in oracle.dl.items()])
+    con.execute("CREATE TABLE contrib (doc_id BIGINT, term TEXT, c DOUBLE)")
+    rows = []
+    for t, plist in oracle.postings.items():
+        idf_t = oracle.idf(t)
+        for d, tf in plist.items():
+            dlv = oracle.dl[d]
+            denom = tf + CFG.k1 * (1.0 - CFG.b + CFG.b * (dlv / oracle.avgdl))
+            rows.append((d, t, idf_t * (tf / denom)))
+    con.executemany("INSERT INTO contrib VALUES (?, ?, ?)", rows)
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, lang TEXT, n_chars BIGINT)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(d["doc_id"], LANGS[d["doc_id"] % 3], len(d["text"]))
+         for d in DOCS])
+    for q in ["rare1 AND lang:en", "rare1 AND n_chars:[100 TO *]^2",
+              "rare1 -lang:de", "lang:fr^2 rare2",
+              "alpha AND (lang:en OR n_chars:[* TO 150])"]:
+        sql = to_sql(_b(q), "x")
+        want = sorted(con.execute(sql).fetchall())
+        rows_e = query_string_search([("x", q)], dv_index_dir,
+                                     top_k=10**9).take_all()
+        got = sorted(("x", r["doc_id"], r["score"]) for r in rows_e)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], q
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12, q
+    con.close()

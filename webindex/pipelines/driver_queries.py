@@ -5824,6 +5824,79 @@ SELECT qid, doc_id, rank, score_r FROM (
 """
 
 
+# query_string docvalue leaves: field:value / field:[LO TO HI] are
+# constant-score predicates over the index's attribute sidecar (lang,
+# source, n_chars) — ES's filter-in-query-context. Same two-backend
+# contract: to_sql renders each distinct predicate as ONE LEFT JOIN
+# against the documents view, match/score CASE-mirrored op for op.
+QS_DV_QUERIES: list[tuple[str, str]] = [
+    ("d1", "merge AND lang:en"),
+    ("d2", "join n_chars:[250 TO 450]^2"),
+    ("d3", "+table -lang:de"),
+    ("d4", "(fast OR slow) AND source:src3"),
+    ("d5", "key lang:fr^1.5 n_chars:[* TO 300]"),
+    ("d6", "scan AND n_chars:[400 TO *] -source:src7"),
+]
+
+
+def _sql_qs_dv(select: str) -> str:
+    from webindex.querystring import bind, parse_query_string, to_sql
+
+    body = "\n  UNION ALL\n".join(
+        to_sql(bind(parse_query_string(q), _sql_an), qid)
+        for qid, q in QS_DV_QUERIES
+    )
+    return (
+        _SQL_QS_CTE.replace("{CONTRIB}", _QS_BM25_EXPR)
+        .replace("{BODY}", body) + select
+    )
+
+
+SQL_QS_DV_TOP10 = _sql_qs_dv(f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM qs
+) WHERE rank <= {TOPK}
+""")
+SQL_QS_DV_SCORES = _sql_qs_dv(
+    "SELECT qid, doc_id, round(score, 6) AS score_r FROM qs"
+)
+
+
+def q_qs_dv_top10(sf_dir: str):
+    """query_string with docvalue leaves, ranked: lang:/source: equality
+    and n_chars:[..] ranges composed under every boolean role."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = query_string_search(QS_DV_QUERIES, idx, top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_qs_dv_scores(sf_dir: str):
+    """Every (dv query_string, doc) match score, 6dp at the surface."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = query_string_search(QS_DV_QUERIES, idx, top_k=10**9)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return runs.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -5852,6 +5925,8 @@ REGISTRY: dict[str, tuple] = {
     "qs_top10": (q_qs_top10, SQL_QS_TOP10),
     "qs_scores": (q_qs_scores, SQL_QS_SCORES),
     "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
+    "qs_dv_top10": (q_qs_dv_top10, SQL_QS_DV_TOP10),
+    "qs_dv_scores": (q_qs_dv_scores, SQL_QS_DV_SCORES),
     "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),

@@ -13,6 +13,7 @@ is famously inconsistent; ours is conventional and documented):
     and    := unary (AND unary)*
     unary  := (NOT | '+' | '-')* atom ('^' NUMBER)?
     atom   := '(' or ')' | '"' words '"' ('~' INT)? | WORD
+            | FIELD ':' VALUE | FIELD ':[' (INT|'*') TO (INT|'*') ']'
 
 and maps it onto the Lucene BooleanQuery model: an OR-group's clauses are
 ``should`` (plus ``must``/``must_not`` for +/-/NOT-prefixed clauses), an
@@ -36,6 +37,14 @@ expansion scored with its own idf, summed in expansion order. Quoted
 phrases run the positional index kernel (webindex/positional.py) and
 score like match_phrase (ascending-term BM25 sum over the phrase's
 unique terms); ``~N`` is span_near slop.
+
+``field:value`` / ``field:[LO TO HI]`` leaves are DOCVALUE predicates
+(the index's attribute sidecar — lang, source, n_chars in the contract
+index), scored as Lucene constant_score: ``boost`` when the predicate
+holds, never matching a doc without docvalues. They compose with every
+boolean role (a ``+lang:en`` must-clause is exactly ES's
+filter-in-query-context). Per-field TEXT search is the multifield
+module, not this syntax.
 
 ``to_sql`` compiles the SAME AST to a DuckDB expression per document —
 the additions and CASE-zeroings mirror the kernel op for op (x + 0.0 and
@@ -92,6 +101,29 @@ class Nothing:
 
 
 @dataclass
+class DvTerm:
+    """``field:value`` — docvalue equality, constant score ``boost`` when
+    matched (the Lucene constant-score filter-in-query-context model;
+    fields are DOCVALUES here — per-field TEXT search is the multifield
+    module). Digit-only values compare as int64."""
+
+    col: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclass
+class DvRange:
+    """``field:[LO TO HI]`` — inclusive int docvalue range (``*`` opens
+    an end), constant score ``boost`` when matched."""
+
+    col: str
+    lo: int | None
+    hi: int | None
+    boost: float = 1.0
+
+
+@dataclass
 class Bool:
     """Lucene BooleanQuery: ordered (role, node) clauses, role in
     {"must", "should", "must_not"}. Order is source order — it pins the
@@ -110,8 +142,14 @@ class Bool:
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lp>\()|(?P<rp>\))'
     r'|(?P<phrase>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)'
+    r"|(?P<range>[A-Za-z_][A-Za-z0-9_]*:\[[^\]]+\](?:\^\d+(?:\.\d+)?)?)"
     r"|(?P<plus>\+)|(?P<minus>-)"
     r'|(?P<word>[^\s()+"]+))'
+)
+_FIELD_RE = re.compile(r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*):(?P<val>.+)$")
+_RANGE_RE = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*):"
+    r"\[(?P<lo>\*|-?\d+) TO (?P<hi>\*|-?\d+)\]$"
 )
 _BOOST_RE = re.compile(r"^(?P<body>.*?)\^(?P<boost>\d+(?:\.\d+)?)$")
 
@@ -129,7 +167,8 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
                 raise QueryStringError(f"cannot tokenize at: {q[i:]!r}")
             break
         i = m.end()
-        for kind in ("lp", "rp", "phrase", "plus", "minus", "word"):
+        for kind in ("lp", "rp", "phrase", "range", "plus", "minus",
+                     "word"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -232,6 +271,20 @@ class _Parser:
                 body, _, s = body.rpartition("~")
                 slop = int(s)
             return ("rawphrase", body[1:-1], slop, boost)
+        if kind == "range":
+            boost = 1.0
+            if not val.endswith("]"):
+                val, _, b = val.rpartition("^")
+                boost = float(b)
+            m = _RANGE_RE.match(val)
+            if m is None:
+                raise QueryStringError(f"malformed range {val!r} "
+                                       "(use field:[LO TO HI])")
+            lo = None if m.group("lo") == "*" else int(m.group("lo"))
+            hi = None if m.group("hi") == "*" else int(m.group("hi"))
+            if lo is None and hi is None:
+                raise QueryStringError("range with both ends open")
+            return DvRange(m.group("col"), lo, hi, boost)
         if kind == "word":
             if val in ("AND", "OR", "NOT"):
                 raise QueryStringError(f"dangling operator {val}")
@@ -241,6 +294,9 @@ class _Parser:
                 val, boost = m.group("body"), float(m.group("boost"))
                 if not val:
                     raise QueryStringError("boost without a term")
+            fm = _FIELD_RE.match(val)
+            if fm:
+                return DvTerm(fm.group("col"), fm.group("val"), boost)
             return ("rawword", val, boost)
         raise QueryStringError(f"unexpected {val!r}")
 
@@ -354,6 +410,22 @@ def eval_node(node, reader, similarity: str = "bm25"):
         return _leaf_term(reader, node.term, node.boost, n, similarity)
     if isinstance(node, Nothing):
         return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
+    if isinstance(node, (DvTerm, DvRange)):
+        if isinstance(node, DvTerm):
+            v = node.value
+            val = int(v) if v.lstrip("-").isdigit() else v
+            pred = ((node.col, "==", val),)
+        else:
+            clauses = []
+            if node.lo is not None:
+                clauses.append((node.col, ">=", node.lo))
+            if node.hi is not None:
+                clauses.append((node.col, "<=", node.hi))
+            pred = tuple(clauses)
+        mask = reader.filter_mask(pred)  # cached bitset: read-only
+        score = np.zeros(n, dtype=np.float64)
+        score[mask] = node.boost  # constant_score
+        return mask, score
     if isinstance(node, Wildcard):
         # expansion order (df desc, term asc) pins the summation order
         mask = np.zeros(n, dtype=bool)
@@ -417,28 +489,60 @@ def eval_node(node, reader, similarity: str = "bm25"):
 
 
 class _SqlCtx:
-    """Allocates one contrib-join alias per (distinct term) and renders
-    match/score expressions for an AST."""
+    """Allocates one contrib-join alias per distinct term (and one
+    documents-join alias per docvalue clause) and renders match/score
+    expressions for an AST."""
 
     def __init__(self):
         self.alias: dict[str, str] = {}
+        self.dv_alias: dict[str, str] = {}
 
     def a(self, term: str) -> str:
         if term not in self.alias:
             self.alias[term] = f"c{len(self.alias)}"
         return self.alias[term]
 
+    def dv(self, cond_tmpl: str) -> str:
+        """``cond_tmpl`` has one ``{a}`` placeholder for the alias; one
+        join per distinct condition (match + score share it)."""
+        al = self.dv_alias.get(cond_tmpl)
+        if al is None:
+            al = self.dv_alias[cond_tmpl] = f"r{len(self.dv_alias)}"
+        return al
+
     def joins(self) -> str:
         return "\n".join(
-            f"  LEFT JOIN contrib {al} ON {al}.doc_id = d.doc_id "
-            f"AND {al}.term = '{t}'"
-            for t, al in self.alias.items()
+            [
+                f"  LEFT JOIN contrib {al} ON {al}.doc_id = d.doc_id "
+                f"AND {al}.term = '{t}'"
+                for t, al in self.alias.items()
+            ]
+            + [
+                f"  LEFT JOIN documents {al} ON {al}.doc_id = d.doc_id "
+                f"AND {tmpl.format(a=al)}"
+                for tmpl, al in self.dv_alias.items()
+            ]
         )
+
+
+def _dv_cond(node) -> str:
+    if isinstance(node, DvTerm):
+        v = node.value
+        val = v if v.lstrip("-").isdigit() else f"'{v}'"
+        return f"{{a}}.{node.col} = {val}"
+    parts = []
+    if node.lo is not None:
+        parts.append(f"{{a}}.{node.col} >= {node.lo}")
+    if node.hi is not None:
+        parts.append(f"{{a}}.{node.col} <= {node.hi}")
+    return " AND ".join(parts)
 
 
 def _sql_match(node, ctx: _SqlCtx) -> str:
     if isinstance(node, Term):
         return f"{ctx.a(node.term)}.doc_id IS NOT NULL"
+    if isinstance(node, (DvTerm, DvRange)):
+        return f"{ctx.dv(_dv_cond(node))}.doc_id IS NOT NULL"
     if isinstance(node, Nothing):
         return "FALSE"
     if isinstance(node, Bool):
@@ -468,6 +572,10 @@ def _sql_score(node, ctx: _SqlCtx) -> str:
         if node.boost != 1.0:
             e = f"({e} * {node.boost!r})"
         return e
+    if isinstance(node, (DvTerm, DvRange)):
+        al = ctx.dv(_dv_cond(node))
+        return (f"(CASE WHEN {al}.doc_id IS NOT NULL "
+                f"THEN {node.boost!r} ELSE 0.0 END)")
     if isinstance(node, Nothing):
         return "0.0"
     if isinstance(node, Bool):

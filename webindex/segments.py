@@ -132,7 +132,7 @@ class SegmentReader:
         bounded by its shard like everything else resident."""
         import pyarrow as pa
 
-        missing = [c for c in cols if c not in self._dv]
+        missing = [c for c in dict.fromkeys(cols) if c not in self._dv]
         if not missing:
             return
         root = os.path.join(self.dir, "docvalues")
