@@ -1195,3 +1195,128 @@ def test_decay_param_validation(index_dir):
     with pytest.raises(ValueError, match="decay"):
         decay_queries(qds, index_dir, "n_chars", origin=0, scale=1,
                       decay=1.5)
+
+
+# ---------------------------------------------------------------------------
+# extended_stats / range / terms+stats sub-agg / composite pagination
+# ---------------------------------------------------------------------------
+
+
+def _match_docs(oracle, query):
+    return sorted(_oracle_all_scores(oracle, query))
+
+
+def test_facet_extended_stats_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_extended_stats
+
+    out = facet_extended_stats(
+        _queries_ds(QUERIES), index_dir, "n_chars"
+    ).to_pandas().set_index("qid")
+    lens = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    seen = set()
+    for qid, text in QUERIES:
+        docs = _match_docs(oracle, text)
+        if not docs:
+            assert qid not in out.index
+            continue
+        seen.add(qid)
+        v = np.array([lens[d] for d in docs], dtype=np.int64)
+        row = out.loc[qid]
+        assert int(row["count"]) == v.size
+        assert int(row["sum"]) == int(v.sum())
+        assert int(row["min"]) == int(v.min())
+        assert int(row["max"]) == int(v.max())
+        assert int(row["sum_sq"]) == int((v * v).sum())
+        c, s, sq = v.size, int(v.sum()), int((v * v).sum())
+        avg = s / c
+        var = max(sq / c - (s / c) * (s / c), 0.0)
+        assert row["avg"] == avg
+        assert row["variance"] == var
+        assert row["std"] == np.sqrt(var)
+    assert set(out.index) == seen
+
+
+def test_facet_range_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_range
+
+    ranges = [(None, 120), (120, 180), (180, None), (100, 200)]  # overlap
+    out = facet_range(
+        _queries_ds(QUERIES), index_dir, "n_chars", ranges
+    ).to_pandas()
+    got = {
+        (r.qid, r.range): int(r.cnt) for r in out.itertuples(index=False)
+    }
+    lens = {d["doc_id"]: d["n_chars"] for d in DOCS}
+    want = {}
+    for qid, text in QUERIES:
+        for d in _match_docs(oracle, text):
+            v = lens[d]
+            for lo, hi in ranges:
+                if (lo is None or v >= lo) and (hi is None or v < hi):
+                    lab = (f"{'*' if lo is None else lo}_"
+                           f"{'*' if hi is None else hi}")
+                    want[(qid, lab)] = want.get((qid, lab), 0) + 1
+    assert got == want
+
+
+def test_facet_stats_by_matches_brute(index_dir, oracle, ray_session):
+    from webindex.search import facet_stats_by
+
+    out = facet_stats_by(
+        _queries_ds(QUERIES), index_dir, "lang", "n_chars"
+    ).to_pandas()
+    by = {d["doc_id"]: (d["lang"], d["n_chars"]) for d in DOCS}
+    want = {}
+    for qid, text in QUERIES:
+        for d in _match_docs(oracle, text):
+            lang, n = by[d]
+            want.setdefault((qid, lang), []).append(n)
+    assert {(r.qid, r.value) for r in out.itertuples(index=False)} == set(
+        want
+    )
+    for r in out.itertuples(index=False):
+        v = np.array(want[(r.qid, r.value)], dtype=np.int64)
+        assert (int(r.count), int(r.sum), int(r.min), int(r.max)) == (
+            v.size, int(v.sum()), int(v.min()), int(v.max())
+        )
+        assert r.avg == int(v.sum()) / v.size
+
+
+def test_composite_buckets_paginates(index_dir, oracle, ray_session):
+    from webindex.search import composite_buckets
+
+    lens = {d["doc_id"]: d["n_chars"] for d in DOCS}
+
+    def brute(text, size, after):
+        from collections import Counter
+
+        c = Counter(lens[d] for d in _match_docs(oracle, text))
+        vals = sorted(v for v in c if after is None or v > after)[:size]
+        return [(v, c[v]) for v in vals]
+
+    # walk q1's buckets in pages of 5: concatenated pages == one big page
+    pages, after = [], None
+    while True:
+        out = composite_buckets(
+            _queries_ds([("q1", QUERIES[0][1])]), index_dir,
+            "n_chars", size=5, after=after,
+        ).to_pandas()
+        if out.empty:
+            break
+        out = out.sort_values("value")
+        pages.extend(
+            (int(v), int(c)) for v, c in zip(out["value"], out["cnt"])
+        )
+        assert len(out) <= 5
+        assert pages == brute(QUERIES[0][1], len(pages), None)
+        after = int(out["value"].max())
+    assert pages == brute(QUERIES[0][1], 10**9, None)
+    # multi-query single page with a cursor
+    out = composite_buckets(
+        _queries_ds(QUERIES), index_dir, "n_chars", size=3, after=100
+    ).to_pandas()
+    for qid, text in QUERIES:
+        g = out[out["qid"] == qid].sort_values("value")
+        assert [
+            (int(v), int(c)) for v, c in zip(g["value"], g["cnt"])
+        ] == brute(text, 3, 100)

@@ -3337,6 +3337,146 @@ GROUP BY h.qid
 """
 
 
+# the shared hits CTE of the stats-family oracles (OR match set per qid)
+_SQL_HITS_CTE = f"""
+WITH docs AS (SELECT doc_id, text, lang, n_chars FROM documents
+              WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qt AS (SELECT * FROM {_query_values_sql()}),
+hits AS (
+  SELECT DISTINCT qt.qid, tk.doc_id
+  FROM qt JOIN toks tk ON tk.term = qt.term
+)
+"""
+
+
+def q_facet_ext_stats(sf_dir: str):
+    """ES extended_stats aggregation: stats + sum_of_squares, population
+    variance and std of n_chars over each query's match set — int64
+    partials, float tail pinned op for op to the SQL (variance =
+    sum_sq/n − (sum/n)², GREATEST 0.0, sqrt correctly rounded)."""
+    from webindex.search import facet_extended_stats
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_extended_stats(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_EXT_STATS = _SQL_HITS_CTE + """
+, agg AS (
+  SELECT h.qid,
+         count(*)::BIGINT AS count,
+         sum(d.n_chars)::BIGINT AS sum,
+         min(d.n_chars)::BIGINT AS min,
+         max(d.n_chars)::BIGINT AS max,
+         sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  GROUP BY h.qid
+)
+SELECT qid, count, sum, min, max, sum_sq,
+       sum / count AS avg,
+       greatest(sum_sq / count - (sum / count) * (sum / count), 0.0)
+         AS variance,
+       sqrt(greatest(sum_sq / count - (sum / count) * (sum / count), 0.0))
+         AS std
+FROM agg
+"""
+
+
+FACET_RANGES: list[tuple[int | None, int | None]] = [
+    (None, 250), (250, 400), (400, None), (200, 450),  # overlapping OK
+]
+
+
+def q_facet_range(sf_dir: str):
+    """ES range aggregation: explicit [from, to) buckets (open ends,
+    overlaps allowed) of n_chars per query match set, min_doc_count=1;
+    string bucket labels so the hash surface is engine-portable."""
+    from webindex.search import facet_range
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_range(_queries_ds(), idx, "n_chars", FACET_RANGES)
+
+
+def _ranges_values_sql() -> str:
+    rows = ", ".join(
+        "('{}_{}', {}, {})".format(
+            "*" if lo is None else lo, "*" if hi is None else hi,
+            "NULL" if lo is None else lo, "NULL" if hi is None else hi,
+        )
+        for lo, hi in FACET_RANGES
+    )
+    return f"(VALUES {rows}) AS r(label, lo, hi)"
+
+
+SQL_FACET_RANGE = _SQL_HITS_CTE + f"""
+SELECT h.qid, r.label AS "range", count(*)::BIGINT AS cnt
+FROM hits h
+JOIN docs d ON d.doc_id = h.doc_id
+JOIN {_ranges_values_sql()}
+  ON (r.lo IS NULL OR d.n_chars >= r.lo)
+ AND (r.hi IS NULL OR d.n_chars < r.hi)
+GROUP BY h.qid, r.label
+"""
+
+
+def q_stats_by_lang(sf_dir: str):
+    """ES terms aggregation with a stats SUB-aggregation: per (query,
+    lang bucket) exact count/sum/min/max/avg of n_chars over the match
+    set — per-shard int64 reduceat kernels, Sum/Min/Max merge by
+    (qid, value), one final division (webindex/search.py
+    facet_stats_by)."""
+    from webindex.search import facet_stats_by
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_stats_by(_queries_ds(), idx, "lang", "n_chars")
+
+
+SQL_STATS_BY_LANG = _SQL_HITS_CTE + """
+SELECT h.qid, d.lang AS value,
+       count(*)::BIGINT AS count,
+       sum(d.n_chars)::BIGINT AS sum,
+       min(d.n_chars)::BIGINT AS min,
+       max(d.n_chars)::BIGINT AS max,
+       sum(d.n_chars)::BIGINT / count(*)::BIGINT AS avg
+FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+GROUP BY h.qid, d.lang
+"""
+
+
+COMPOSITE_SIZE = 5
+COMPOSITE_AFTER = 150
+
+
+def q_composite_page(sf_dir: str):
+    """ES composite aggregation pagination: the first 5 distinct n_chars
+    buckets strictly after the value-150 cursor, ascending, with exact
+    doc counts — per-shard size-smallest distinct partials (proven
+    superset) + Sum merge + exact ascending cut (webindex/search.py
+    composite_buckets)."""
+    from webindex.search import composite_buckets
+
+    idx = ensure_index(sf_dir, "nostem")
+    return composite_buckets(
+        _queries_ds(), idx, "n_chars",
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER,
+    )
+
+
+SQL_COMPOSITE_PAGE = _SQL_HITS_CTE + f"""
+SELECT qid, value, cnt FROM (
+  SELECT h.qid, d.n_chars AS value, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY h.qid
+                            ORDER BY d.n_chars) AS rn
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  WHERE d.n_chars > {COMPOSITE_AFTER}
+  GROUP BY h.qid, d.n_chars
+) WHERE rn <= {COMPOSITE_SIZE}
+"""
+
+
 PREFIX_QUERIES: list[tuple[str, str]] = [
     ("x1", "mer so"),
     ("x2", "wind str"),
@@ -5999,6 +6139,10 @@ REGISTRY: dict[str, tuple] = {
     "sample_docs": (q_sample_docs, SQL_SAMPLE_DOCS),
     "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
     "facet_stats": (q_facet_stats, SQL_FACET_STATS),
+    "facet_ext_stats": (q_facet_ext_stats, SQL_FACET_EXT_STATS),
+    "facet_range": (q_facet_range, SQL_FACET_RANGE),
+    "stats_by_lang": (q_stats_by_lang, SQL_STATS_BY_LANG),
+    "composite_page": (q_composite_page, SQL_COMPOSITE_PAGE),
     "facet_pcts": (q_facet_pcts, SQL_FACET_PCTS),
     "collapse_top5": (q_collapse_top5, SQL_COLLAPSE_TOP5),
     "sig_terms": (q_sig_terms, SQL_SIG_TERMS),

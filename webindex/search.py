@@ -1523,6 +1523,369 @@ def facet_histogram(queries_ds, index_dir: str, col: str, interval: int, *,
     )
 
 
+def _qtext_explode(bounds):
+    """(qid, text) batch -> one copy per salt-range shard (the shared
+    fan-out head of every facet/aggregation pipeline)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    return explode
+
+
+def _match_vals(s, text, col):
+    """Matching docs' docvalues for one query on one shard searcher:
+    (values ndarray restricted to docs that HAVE the docvalue)."""
+    from webindex.wand import match_positions
+
+    s.reader._load_docvalues([col])
+    arr, valid = s.reader._dv[col]
+    vals_np = arr.to_numpy(zero_copy_only=False)
+    sel = match_positions(
+        s.reader, s.an.tokens(text or ""), mask=s._mask(),
+        require_all=s.match == "and",
+    )
+    sel = sel[valid[sel]]
+    return vals_np[sel]
+
+
+def facet_extended_stats(queries_ds, index_dir: str, col: str, *,
+                         match: str = "or", filter_pred=None,
+                         n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, count, sum, min, max, sum_sq, avg,
+    variance, std) of an integer docvalues column over each query's FULL
+    match set — the ES ``extended_stats`` aggregation.
+
+    Partials are exact int64 (count, sum, min, max, sum of squares) per
+    shard, merged with Sum/Min/Max; the float tail is pinned to the SQL
+    oracle op for op: avg = sum/count (one IEEE division of exact ints),
+    variance = sum_sq/count − (sum/count)·(sum/count) (the ES population
+    variance), clamped at 0.0 against rounding (both sides GREATEST), and
+    std = sqrt(variance) — sqrt is correctly rounded, so engine-portable
+    (the temperature_mix precedent). Exactness bound: partials hold while
+    n·max(v)² < 2⁶³; wider columns need per-shard big-int partials."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from webindex.serve import shard_salt_bounds
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def stats_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        rows = {"qid": [], "count_p": [], "sum_p": [], "min_p": [],
+                "max_p": [], "sum_sq_p": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            v = _match_vals(s, text, col).astype(np.int64)
+            if v.size == 0:
+                continue
+            rows["qid"].append(qid)
+            rows["count_p"].append(int(v.size))
+            rows["sum_p"].append(int(v.sum()))
+            rows["min_p"].append(int(v.min()))
+            rows["max_p"].append(int(v.max()))
+            rows["sum_sq_p"].append(int((v * v).sum()))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "count_p": pa.array(rows["count_p"], pa.int64()),
+                "sum_p": pa.array(rows["sum_p"], pa.int64()),
+                "min_p": pa.array(rows["min_p"], pa.int64()),
+                "max_p": pa.array(rows["max_p"], pa.int64()),
+                "sum_sq_p": pa.array(rows["sum_sq_p"], pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(stats_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(
+            Sum("count_p", alias_name="count"),
+            Sum("sum_p", alias_name="sum"),
+            Min("min_p", alias_name="min"),
+            Max("max_p", alias_name="max"),
+            Sum("sum_sq_p", alias_name="sum_sq"),
+        )
+    )
+
+    def add_floats(batch: pa.Table) -> pa.Table:
+        c = batch.column("count").to_numpy().astype(np.int64)
+        sm = batch.column("sum").to_numpy().astype(np.int64)
+        sq = batch.column("sum_sq").to_numpy().astype(np.int64)
+        avg = sm / c
+        var = np.maximum(sq / c - (sm / c) * (sm / c), 0.0)
+        batch = batch.append_column("avg", pa.array(avg, pa.float64()))
+        batch = batch.append_column("variance", pa.array(var, pa.float64()))
+        return batch.append_column("std", pa.array(np.sqrt(var),
+                                                   pa.float64()))
+
+    return merged.map_batches(add_floats, batch_format="pyarrow")
+
+
+def facet_range(queries_ds, index_dir: str, col: str,
+                ranges: list[tuple[int | None, int | None]], *,
+                match: str = "or", filter_pred=None,
+                n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, range, cnt): explicit-edge buckets of
+    an integer docvalues column over each query's FULL match set — the ES
+    ``range`` aggregation (``from`` inclusive, ``to`` exclusive, ends
+    open via None; ranges may overlap, a doc counts in each it falls in).
+
+    ``range`` labels are ``"lo_hi"`` with ``*`` for an open end (string
+    keys hash engine-portably; NULL ints don't). Empty buckets are
+    omitted (the min_doc_count=1 surface, like facet_histogram). One
+    vectorized mask count per (query, range) per shard; Sum-merge."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    labels = [
+        f"{'*' if lo is None else lo}_{'*' if hi is None else hi}"
+        for lo, hi in ranges
+    ]
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def range_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo_s, hi_s = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo_s, hi_s, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        qid_out, r_out, c_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            v = _match_vals(s, text, col).astype(np.int64)
+            if v.size == 0:
+                continue
+            for (lo, hi), label in zip(ranges, labels):
+                m = np.ones(v.size, dtype=bool)
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v < hi
+                n = int(m.sum())
+                if n:
+                    qid_out.append(qid)
+                    r_out.append(label)
+                    c_out.append(n)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "range": pa.array(r_out, pa.string()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(range_shard, batch_format="pyarrow")
+        .groupby(["qid", "range"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
+
+
+def facet_stats_by(queries_ds, index_dir: str, group_col: str,
+                   stat_col: str, *, match: str = "or", filter_pred=None,
+                   n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, value, count, sum, min, max, avg): the
+    ES ``terms`` aggregation with a ``stats`` SUB-aggregation — per query,
+    per distinct ``group_col`` docvalue, exact stats of ``stat_col`` over
+    the match set (the "avg length by language" shape).
+
+    Per-shard: matches grouped by value with one stable argsort +
+    int64 ``reduceat`` kernels (add/min/max — exact on ints, unlike float
+    folds); merged by (qid, value) with Sum/Sum/Min/Max; mean is one
+    final IEEE division of exact ints, bit-matching the SQL oracle. Docs
+    missing EITHER docvalue are excluded (ES missing-field semantics)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def stats_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([group_col, stat_col])
+        g_arr, g_valid = s.reader._dv[group_col]
+        v_arr, v_valid = s.reader._dv[stat_col]
+        gvals = np.asarray(g_arr.to_numpy(zero_copy_only=False))
+        vvals = v_arr.to_numpy(zero_copy_only=False)
+        both = g_valid & v_valid
+        rows = {"qid": [], "value": [], "count_p": [], "sum_p": [],
+                "min_p": [], "max_p": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[both[sel]]
+            if sel.size == 0:
+                continue
+            keys = gvals[sel]
+            vals = vvals[sel].astype(np.int64)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            v_sorted = vals[order]
+            starts = np.searchsorted(inv[order], np.arange(uniq.size))
+            sums = np.add.reduceat(v_sorted, starts)
+            mins = np.minimum.reduceat(v_sorted, starts)
+            maxs = np.maximum.reduceat(v_sorted, starts)
+            cnts = np.bincount(inv, minlength=uniq.size)
+            rows["qid"].extend([qid] * uniq.size)
+            rows["value"].extend(str(u) for u in uniq.tolist())
+            rows["count_p"].extend(cnts.tolist())
+            rows["sum_p"].extend(sums.tolist())
+            rows["min_p"].extend(mins.tolist())
+            rows["max_p"].extend(maxs.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "value": pa.array(rows["value"], pa.string()),
+                "count_p": pa.array(rows["count_p"], pa.int64()),
+                "sum_p": pa.array(rows["sum_p"], pa.int64()),
+                "min_p": pa.array(rows["min_p"], pa.int64()),
+                "max_p": pa.array(rows["max_p"], pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(stats_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(
+            Sum("count_p", alias_name="count"),
+            Sum("sum_p", alias_name="sum"),
+            Min("min_p", alias_name="min"),
+            Max("max_p", alias_name="max"),
+        )
+    )
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        c = batch.column("count").to_numpy().astype(np.int64)
+        sm = batch.column("sum").to_numpy().astype(np.int64)
+        return batch.append_column("avg", pa.array(sm / c, pa.float64()))
+
+    return merged.map_batches(add_avg, batch_format="pyarrow")
+
+
+def composite_buckets(queries_ds, index_dir: str, col: str, *,
+                      size: int = 10, after: int | None = None,
+                      match: str = "or", filter_pred=None,
+                      n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, value, cnt): the first ``size``
+    distinct integer-docvalue buckets STRICTLY AFTER the ``after`` cursor
+    in ascending value order, with exact doc counts — the ES ``composite``
+    aggregation's stateless bucket pagination (walk all buckets of an
+    unbounded-cardinality aggregation in fixed-size pages, no deep
+    bucket-list materialization).
+
+    Per shard: distinct post-cursor values with counts, locally cut to
+    the ``size`` smallest — a proven superset (a value in the global
+    first-``size`` page ranks ≤ size in every shard where it occurs,
+    values being per-doc properties); Sum-merge by (qid, value), then an
+    exact per-qid ascending cut. Page cost is size×shards rows regardless
+    of how many buckets precede the cursor (the search_after argument,
+    applied to aggregation buckets)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+
+    if size <= 0:
+        raise ValueError("size must be positive")
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def page_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        qid_out, v_out, c_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            v = _match_vals(s, text, col).astype(np.int64)
+            if after is not None:
+                v = v[v > after]
+            if v.size == 0:
+                continue
+            uniq, cnts = np.unique(v, return_counts=True)
+            uniq, cnts = uniq[:size], cnts[:size]  # np.unique sorts asc
+            qid_out.extend([qid] * uniq.size)
+            v_out.extend(uniq.tolist())
+            c_out.extend(cnts.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "value": pa.array(v_out, pa.int64()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    def page_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value", kind="mergesort").head(size)
+        return g[["qid", "value", "cnt"]].reset_index(drop=True)
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(page_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+        .groupby("qid")
+        .map_groups(page_cut, batch_format="pandas")
+    )
+
+
 def fetch_fields(runs_ds, index_dir: str, cols: list[str], *,
                  n_shards: int = SEARCH_SHARDS):
     """The ES fetch phase (``docvalue_fields``): attach docvalues columns
