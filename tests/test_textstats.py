@@ -757,3 +757,104 @@ def test_dsir_weights_hand_oracle():
     got7 = {r["doc_id"]: round(r["dsir_w"], 6)
             for r in dsir_weights(ds, n_parts=7).take_all()}
     assert got7 == {k: round(x, 6) for k, x in got.items()}
+
+
+def test_bigram_logprob_matches_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import bigram_logprob
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "completely different words entirely"),
+        (3, ""),
+        (4, "single"),
+        (5, "the the the the"),
+        (6, "cat sat cat sat cat"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    lam = 0.8
+    oml = 1.0 - lam
+    out = (
+        bigram_logprob(ds, lam=lam, n_parts=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    per_doc = {}
+    for d, t in docs:
+        toks = tok.findall(t.lower())
+        cu.update(toks)
+        pairs = Counter(zip(toks, toks[1:]))
+        per_doc[d] = pairs
+        cb.update(pairs)
+    total = sum(cu.values())
+    cp = Counter()
+    for (w1, _), c in cb.items():
+        cp[w1] += c
+    for d, pairs in per_doc.items():
+        if not pairs:
+            assert d not in out.index
+            continue
+        lp, nb = 0.0, 0
+        for (w1, w2) in sorted(pairs):  # ascending (w1, w2) fold
+            n = pairs[(w1, w2)]
+            p = lam * (cb[(w1, w2)] / cp[w1]) + oml * (cu[w2] / total)
+            lp += n * math.log(p)
+            nb += n
+        row = out.loc[d]
+        assert int(row["n_bigrams"]) == nb
+        assert row["logprob"] == pytest.approx(lp, rel=1e-12)
+        assert row["logprob_per_bigram"] == pytest.approx(lp / nb,
+                                                          rel=1e-12)
+    assert set(out.index) == {d for d, p in per_doc.items() if p}
+
+
+def test_bigram_logprob_partition_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import bigram_logprob
+
+    rng = np.random.default_rng(11)
+    vocab = "aa bb cc dd ee ff gg hh".split()
+    docs = [
+        (i, " ".join(vocab[int(j)] for j in rng.integers(0, 8, size=12)))
+        for i in range(40)
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    outs = []
+    for n_parts, n_blocks in [(4, 1), (16, 5)]:
+        ds = rd.from_arrow(tab)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        df = (
+            bigram_logprob(ds, n_parts=n_parts)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    a, b = outs
+    assert a.equals(b)

@@ -3788,6 +3788,84 @@ FROM agg
 """
 
 
+BIGRAM_LAM = 0.8
+# 1-lam computed ONCE and injected as the same float64 literal into both
+# backends (1.0 - 0.8 != 0.2 in float64; two independent computations of
+# "0.2" would hash-mismatch the ln arguments)
+_BIGRAM_OML = 1.0 - BIGRAM_LAM
+
+
+def q_bigram_logprob(sf_dir: str):
+    """KenLM-direction CCNet quality score: per doc the corpus-trained
+    INTERPOLATED BIGRAM log-probability — per adjacent pair
+    p(w2|w1) = lam*(cb/cp) + (1-lam)*(cu/T) over exact int64 counts,
+    ascending-(w1,w2) fold, 6dp surface (fold order is engine-specific,
+    the unigram_logprob precedent). Three bounded shuffles: w1-hash for
+    cb/cp, padded-union join for cu, doc-hash fold
+    (webindex/textstats.py bigram_logprob)."""
+    import ray.data as rd
+
+    from webindex.textstats import bigram_logprob
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = bigram_logprob(docs, lam=BIGRAM_LAM)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": batch.column("n_bigrams"),
+                "logprob_r": pa.array(
+                    np.round(batch.column("logprob").to_numpy(), 6)
+                ),
+                "lpb_r": pa.array(
+                    np.round(
+                        batch.column("logprob_per_bigram").to_numpy(), 6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+toks AS (SELECT doc_id, unnest(tl) AS term,
+                unnest(range(len(tl))) AS pos FROM dt),
+bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+       FROM toks a JOIN toks b
+         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+cp AS (SELECT w1, sum(c)::BIGINT AS c FROM cb GROUP BY w1),
+cu AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS total FROM toks),
+dbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS n
+        FROM bg GROUP BY doc_id, w1, w2),
+contrib AS (
+  SELECT d.doc_id, d.w1, d.w2, d.n,
+         d.n * ln({BIGRAM_LAM!r} * (cb.c / cp.c)
+                  + {_BIGRAM_OML!r} * (cu.c / t.total)) AS c
+  FROM dbg d
+  JOIN cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+  JOIN cp ON cp.w1 = d.w1
+  JOIN cu ON cu.term = d.w2
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+         list_sum(list(c ORDER BY w1, w2)) AS lp
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(lp, 6) AS logprob_r,
+       round(lp / n_bigrams, 6) AS lpb_r
+FROM agg
+"""
+
+
 def q_scan_matches(sf_dir: str):
     """ES scroll / scan export: EVERY (qid, doc_id) match, no scoring,
     no top-k — shard-disjoint docID ranges mean no merge stage at all
@@ -6159,6 +6237,7 @@ REGISTRY: dict[str, tuple] = {
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "props_stats": (q_props_stats, SQL_PROPS_STATS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),

@@ -386,6 +386,177 @@ def unigram_logprob(docs_ds, *, n_parts: int = 64):
     )
 
 
+def bigram_logprob(docs_ds, *, lam: float = 0.8, n_parts: int = 64):
+    """Interpolated bigram language-model score per document — the KenLM
+    direction of the CCNet quality signal (Wenzek et al. 2020 score docs
+    with an n-gram LM; public methodology; here the LM is the corpus's
+    own bigram distribution with unigram interpolation, the
+    Jelinek-Mercer smoothing the LM-JM similarity already pins).
+
+    Per doc with tokens w_1..w_m (SQL-safe ``[a-z0-9]+`` lowercase), the
+    events are the m-1 within-doc adjacent pairs; per distinct pair
+    (ascending (w1, w2) fold, like unigram_logprob):
+
+        p(w2 | w1) = lam * (cb(w1,w2) / cp(w1)) + (1-lam) * (cu(w2) / T)
+
+    with EXACT int64 corpus counts — cb = bigram occurrences, cp =
+    occurrences of w1 as a bigram prefix (= sum over w2 of cb, so the
+    denominator is consistent with the numerator by construction), cu =
+    unigram occurrences, T = total tokens — and the float expression
+    evaluated in exactly the SQL oracle's op order (1-lam is computed
+    ONCE and injected as the same literal both sides; 1.0-0.8 is not
+    0.2 in float64). ln is scalar libm per distinct argument (bit-equal
+    to DuckDB ln; numpy SIMD log is 1 ulp off, measured). The per-doc
+    many-term fold order is engine-specific, so the contract surface
+    rounds to 6dp (the unigram_logprob precedent).
+
+    Scale shape (three bounded shuffles, nothing corpus-sized on the
+    driver): (1) per-doc bigram-count rows hash-partition by w1, making
+    cb AND cp partition-local exact sums; (2) the unigram (term, cf)
+    table — vocab-sized — attaches to the rows by a padded-union hash
+    join on w2; (3) a doc-hash fold computes the per-doc sums. Docs with
+    fewer than two tokens have no events and are omitted. Output:
+    ``(doc_id, n_bigrams, logprob, logprob_per_bigram)``."""
+    import math
+
+    from webindex.relational import (hash_join_attach,
+                                     hash_partitioned_groupby)
+    from webindex.util import stable_hash64
+
+    oml = 1.0 - lam  # pinned once; both backends use this exact literal
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_w1, o_w2, o_n = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            for (w1, w2), n in Counter(zip(toks, toks[1:])).items():
+                o_id.append(did)
+                o_w1.append(w1)
+                o_w2.append(w2)
+                o_n.append(n)
+        part = np.fromiter(
+            (stable_hash64(w) % n_parts for w in o_w1),
+            dtype=np.int64, count=len(o_w1),
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "w1": pa.array(o_w1, pa.string()),
+                "w2": pa.array(o_w2, pa.string()),
+                "n": pa.array(o_n, pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    def explode_unigrams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column("text").to_pylist()
+        c = Counter()
+        for t in texts:
+            c.update(_ASCII_TOK_RE.findall((t or "").lower()))
+        terms = list(c.keys())
+        part = np.fromiter(
+            (stable_hash64(t) % n_parts for t in terms),
+            dtype=np.int64, count=len(terms),
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "cf_p": pa.array([c[t] for t in terms], pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    def merge_cf(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["cf_p"].sum().reset_index()
+        return out.rename(columns={"cf_p": "cf"})
+
+    cu_ds = (
+        docs_ds.map_batches(explode_unigrams, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_cf, batch_format="pandas")
+    ).materialize()  # vocab-sized; consumed twice (total + the join)
+    total = int(cu_ds.sum("cf"))
+
+    def attach_cb_cp(g: pd.DataFrame) -> pd.DataFrame:
+        # every row of a w1 is co-located: cb and cp are partition-local
+        cb = g.groupby(["w1", "w2"], sort=False)["n"].sum()
+        cp = cb.groupby(level="w1", sort=False).sum()
+        idx = pd.MultiIndex.from_arrays([g["w1"], g["w2"]])
+        out = g[["doc_id", "w1", "w2", "n"]].copy()
+        out["cb"] = cb.reindex(idx).to_numpy(np.int64)
+        out["cp"] = cp.reindex(g["w1"]).to_numpy(np.int64)
+        return out
+
+    rows = (
+        docs_ds.map_batches(explode_bigrams, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_cb_cp, batch_format="pandas")
+    )
+
+    rows = hash_join_attach(
+        rows, "w2", cu_ds, ["cf"],
+        rows_types={
+            "doc_id": pa.int64(), "w1": pa.string(), "w2": pa.string(),
+            "n": pa.int64(), "cb": pa.int64(), "cp": pa.int64(),
+        },
+        val_types={"cf": pa.int64()},
+        n_parts=n_parts, side_key="term",
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        cb = batch.column("cb").to_numpy().astype(np.int64)
+        cp = batch.column("cp").to_numpy().astype(np.int64)
+        cu = batch.column("cf").to_numpy().astype(np.int64)
+        n = batch.column("n").to_numpy().astype(np.int64)
+        # the SQL oracle's op tree, op for op:
+        # lam * (cb / cp) + oml * (cu / T)
+        arg = lam * (cb / cp) + oml * (cu / total)
+        cache: dict[float, float] = {}
+        ln = np.fromiter(
+            (cache.get(a) or cache.setdefault(a, math.log(a))
+             for a in arg.tolist()),
+            dtype=np.float64, count=arg.size,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n": batch.column("n"),
+                "c": pa.array(n * ln, pa.float64()),
+            }
+        )
+
+    scored = rows.map_batches(contrib, batch_format="pyarrow")
+
+    def doc_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "w1", "w2"], kind="mergesort"
+        ).reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lp = np.add.reduceat(df["c"].to_numpy(np.float64), starts)
+        nb = np.add.reduceat(df["n"].to_numpy(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[starts],
+                "n_bigrams": nb,
+                "logprob": lp,
+                "logprob_per_bigram": lp / nb,
+            }
+        )
+
+    return hash_partitioned_groupby(
+        scored, ["doc_id"], lambda df: df, doc_fold, n_parts=n_parts
+    )
+
+
 def source_level_filter(docs_ds, *, short_tokens: int = 40,
                         max_short_frac: float = 0.35,
                         source_col: str = "source", n_parts: int = 64):
