@@ -462,3 +462,101 @@ def test_contamination_matches_brute(ray_session):
         assert float(row["overlap_frac"]) == hits / len(gs), d
     assert int(out.loc[3, "n_overlap"]) == 1  # exact containment case
     assert int(out.loc[2, "n_overlap"]) == 0
+
+
+def _brute_dedup_spans(docs, n, min_count):
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    toks = {d: tok.findall(t.lower()) for d, t in docs}
+    counts: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - n + 1):
+            counts[tuple(ts[i: i + n])] += 1
+    out = {}
+    for d, ts in toks.items():
+        m = len(ts)
+        covered = [False] * m
+        for i in range(m - n + 1):
+            if counts[tuple(ts[i: i + n])] >= min_count:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        out[d] = (" ".join(kept), m, m - len(kept))
+    return out
+
+
+def test_dedup_spans_matches_brute(ray_session):
+    import ray.data as rd
+
+    from webindex.dedup import dedup_spans
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon one two"),
+        (1, "zz alpha beta gamma delta epsilon yy"),
+        (2, "red blue green red blue green tail"),  # self-repeat
+        (3, "totally unique words here nothing shared"),
+        (4, "tiny doc"),  # shorter than n: kept whole
+        (5, ""),
+        (6, "alpha beta gamma something else entirely follows"),
+    ]
+    n, min_count = 3, 2
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    out = (
+        dedup_spans(ds, n=n, min_count=min_count, n_parts=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _brute_dedup_spans(docs, n, min_count)
+    assert set(out.index) == set(want)  # EVERY doc appears
+    for d, (ct, nt, rm) in want.items():
+        row = out.loc[d]
+        assert row["clean_text"] == ct, d
+        assert int(row["n_tokens"]) == nt
+        assert int(row["n_removed"]) == rm
+    # sanity: the engineered shared span was actually removed somewhere
+    assert any(v > 0 for v in out["n_removed"])
+    # doc 3 untouched
+    assert out.loc[3, "n_removed"] == 0
+
+
+def test_dedup_spans_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from webindex.dedup import dedup_spans
+
+    rng = np.random.default_rng(7)
+    vocab = "aa bb cc dd ee".split()
+    docs = [
+        (i, " ".join(vocab[int(j)] for j in rng.integers(0, 5, size=15)))
+        for i in range(30)
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    outs = []
+    for n_parts, n_blocks in [(4, 1), (16, 6)]:
+        ds = rd.from_arrow(tab)
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        outs.append(
+            dedup_spans(ds, n=3, min_count=2, n_parts=n_parts)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    a, b = outs
+    assert a.equals(b)
+    assert (a["n_removed"] > 0).any()  # small vocab: repeats guaranteed

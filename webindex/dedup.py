@@ -1259,3 +1259,169 @@ def contamination(docs_ds, eval_texts: list[tuple[int, str]], *,
         )
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def dedup_spans(docs_ds, *, n: int = 5, min_count: int = 2,
+                n_parts: int = 64, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Span-level training-data dedup (Lee et al. 2022's ExactSubstr
+    REMOVAL step, n-gram-windowed): rewrite each document with every
+    token covered by a corpus-duplicated ``n``-gram REMOVED, not just
+    flagged (``cross_doc_dup_ngrams`` is the flag-only signal).
+
+    A shingle is ``n`` consecutive ``[a-z0-9]+`` lowercase tokens; it is
+    duplicated when it occurs >= ``min_count`` times corpus-wide
+    (multiplicity across and within docs). A token is removed when ANY
+    of the <= n shingle windows covering it is duplicated. Output per
+    input doc (ALL docs, including empty and fully-removed ones):
+    ``(doc_id, clean_text, n_tokens, n_removed)`` where ``clean_text``
+    is the KEPT tokens joined by single spaces — the canonical
+    re-tokenized surface (original inter-token whitespace around removed
+    spans is not reconstructible, and the canonical form is what a
+    DuckDB string_agg oracle reproduces exactly; no floats anywhere, so
+    the contract hash is exact).
+
+    Scale shape: pass 1 emits one (doc, pos, shingle-hash) row per
+    shingle POSITION (corpus-token-sized, never wider), ONE pinned hash
+    shuffle co-locates each shingle's rows so corpus totals are a
+    partition-local sort+reduceat, and only DUPLICATED positions — the
+    small side — survive; pass 2 hash-partitions docs and dup-positions
+    together by doc (padded union, one shuffle) and rebuilds each doc
+    with a vectorized interval-coverage cumsum. Shingle identity is the
+    64-bit polynomial hash of ``_ngram_pos_hashes`` (equal strings
+    always collide-equal; a cross-string collision ~2^-64 per pair could
+    remove one extra span — the documented dup_ngrams tradeoff)."""
+    import pandas as pd
+
+    from webindex.textstats import _ASCII_TOK_RE
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def shingle_pos_rows(batch: pa.Table) -> pa.Table:
+        cache = shingle_pos_rows.__dict__.setdefault("_tok_cache", {})
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, pos_parts, h_parts = [], [], []
+        for did, t in zip(ids, texts):
+            acc = _ngram_pos_hashes(t, n, cache)
+            if acc.size == 0:
+                continue
+            o_id.extend([did] * acc.size)
+            pos_parts.append(np.arange(acc.size, dtype=np.int64))
+            h_parts.append(acc)
+        h = np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
+        pos = (
+            np.concatenate(pos_parts) if pos_parts
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "pos": pa.array(pos),
+                "h": pa.array(h),
+                "part": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.uint64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        new_grp = np.empty(hs.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new_grp)
+        totals = np.add.reduceat(np.ones(hs.size, np.int64), starts)
+        dup_row = (totals >= min_count)[np.cumsum(new_grp) - 1]
+        keep = order[dup_row]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64)[keep],
+                "pos": g["pos"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    dup_pos = (
+        docs_ds.map_batches(shingle_pos_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_positions, batch_format="pandas")
+    )
+
+    # pass 2: padded union of docs + dup positions, ONE doc-hash shuffle
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "kind": pa.array(np.zeros(len(ids), np.int8)),
+                text_col: batch.column(text_col),
+                "pos": pa.nulls(len(ids), pa.int64()),
+                "part": pa.array(
+                    (ids.astype(np.uint64) * _SHINGLE_P
+                     >> np.uint64(33)).astype(np.int64) % n_parts
+                ),
+            }
+        )
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "kind": pa.array(np.ones(len(ids), np.int8)),
+                text_col: pa.nulls(len(ids), pa.string()),
+                "pos": batch.column("pos"),
+                "part": pa.array(
+                    (ids.astype(np.uint64) * _SHINGLE_P
+                     >> np.uint64(33)).astype(np.int64) % n_parts
+                ),
+            }
+        )
+
+    tagged = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        dup_pos.map_batches(tag_pos, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["kind"] == 0]
+        pmap: dict[int, list[int]] = {}
+        for did, p in zip(
+            g.loc[g["kind"] == 1, id_col].to_numpy(np.int64),
+            g.loc[g["kind"] == 1, "pos"].to_numpy(np.int64),
+        ):
+            pmap.setdefault(int(did), []).append(int(p))
+        o_id, o_text, o_nt, o_rm = [], [], [], []
+        for did, t in zip(
+            docs[id_col].to_numpy(np.int64), docs[text_col].tolist()
+        ):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            m = len(toks)
+            starts = pmap.get(int(did))
+            if starts:
+                delta = np.zeros(m + 1, np.int64)
+                s = np.asarray(starts, np.int64)
+                np.add.at(delta, s, 1)
+                np.add.at(delta, np.minimum(s + n, m), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                kept = [tok for tok, c in zip(toks, covered) if not c]
+            else:
+                kept = toks
+            o_id.append(did)
+            o_text.append(" ".join(kept))
+            o_nt.append(m)
+            o_rm.append(m - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(o_id, np.int64),
+                "clean_text": o_text,
+                "n_tokens": np.asarray(o_nt, np.int64),
+                "n_removed": np.asarray(o_rm, np.int64),
+            }
+        )
+
+    return tagged.groupby("part").map_groups(
+        rebuild, batch_format="pandas"
+    )

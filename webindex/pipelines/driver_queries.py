@@ -4724,6 +4724,56 @@ GROUP BY sh.doc_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Span-level dedup REMOVAL (Lee et al. 2022 ExactSubstr direction):
+    each doc rewritten with every token covered by a corpus-duplicated
+    trigram removed; output is the canonical space-joined kept-token
+    surface + exact counts, so the hash check is exact string identity
+    (webindex/dedup.py dedup_spans: one shingle-hash shuffle isolates
+    duplicated positions, one doc-hash padded-union rebuild)."""
+    import ray.data as rd
+
+    from webindex.dedup import dedup_spans
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return dedup_spans(docs, n=DUPNG_N, min_count=DUPNG_MIN)
+
+
+SQL_DEDUP_SPANS = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+toks AS (SELECT doc_id, unnest(tl) AS term,
+                unnest(range(len(tl))) AS pos FROM dt),
+sh AS (
+  SELECT doc_id, u.p AS pos,
+         array_to_string(tl[u.p + 1: u.p + {DUPNG_N}], ' ') AS s
+  FROM dt, unnest(range(len(tl) - {DUPNG_N} + 1)) AS u(p)
+),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= {DUPNG_MIN}),
+dpos AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON dup.s = sh.s),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dpos d
+    WHERE d.doc_id = t.doc_id
+      AND t.pos BETWEEN d.pos AND d.pos + {DUPNG_N - 1})
+),
+agg AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT dt.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(dt.tl)::BIGINT AS n_tokens,
+       (len(dt.tl) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM dt LEFT JOIN agg a ON a.doc_id = dt.doc_id
+"""
+
+
 FVF_WEIGHT = 0.01
 
 
@@ -6231,6 +6281,7 @@ REGISTRY: dict[str, tuple] = {
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
