@@ -331,3 +331,147 @@ def test_dv_to_sql_duckdb_identity(dv_index_dir):
         for (_, _, gs), (_, _, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-12, q
     con.close()
+
+
+# -- fielded TEXT terms (field:word scored with the per-field index) ----------
+
+
+@pytest.fixture(scope="module")
+def field_index_dirs(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from webindex.multifield import build_field_indexes
+
+    out = str(tmp_path_factory.mktemp("qsfidx"))
+    tab = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+        "text": pa.array([d["text"] for d in DOCS]),
+    })
+    return build_field_indexes(rd.from_arrow(tab), out, CFG,
+                               combined_dict=False)
+
+
+def _field_oracles():
+    from webindex.multifield import split_fields
+    from webindex.oracle import OracleBM25
+
+    tcorp, bcorp = [], []
+    for d in DOCS:
+        title, body = split_fields(d["text"])
+        if title:
+            tcorp.append((d["doc_id"], title))
+        if body:
+            bcorp.append((d["doc_id"], body))
+    return OracleBM25(tcorp, CFG), OracleBM25(bcorp, CFG)
+
+
+def test_parse_field_shapes_with_text_fields():
+    from webindex.querystring import DvTerm, FieldTerm
+
+    raw = parse_query_string("title:alpha lang:en")
+    n = bind(raw, _AN, text_fields=("title", "body"))
+    assert n == Bool([("should", FieldTerm("title", "alpha")),
+                      ("should", DvTerm("lang", "en"))])
+    # without text_fields the same parse binds to a docvalue predicate
+    assert bind(parse_query_string("title:alpha"), _AN) == DvTerm(
+        "title", "alpha"
+    )
+    with pytest.raises(QueryStringError):
+        bind(parse_query_string("title:alp*"), _AN,
+             text_fields=("title",))
+
+
+def test_field_term_matches_per_field_oracle(index_dir, field_index_dirs):
+    t_oracle, b_oracle = _field_oracles()
+    fd = {"title": field_index_dirs["title"],
+          "body": field_index_dirs["body"]}
+    for field, oracle in (("title", t_oracle), ("body", b_oracle)):
+        got = _runs(query_string_search(
+            [("x", f"{field}:alpha")], index_dir, top_k=10**9,
+            field_dirs=fd,
+        ))
+        want = dict(oracle.topk("alpha", 10**9))
+        assert {d for _, _, d, _ in got} == set(want)
+        for _, _, d, s in got:
+            assert s == pytest.approx(want[d], rel=1e-12), (field, d)
+
+
+def test_field_term_composes_with_default_and_dv(index_dir,
+                                                 field_index_dirs):
+    t_oracle, _ = _field_oracles()
+    from webindex.oracle import OracleBM25
+
+    full = OracleBM25([(d["doc_id"], d["text"]) for d in DOCS], CFG)
+    fd = {"title": field_index_dirs["title"],
+          "body": field_index_dirs["body"]}
+    got = _runs(query_string_search(
+        [("x", "+title:alpha^2 rare1")], index_dir, top_k=10**9,
+        field_dirs=fd,
+    ))
+    t_scores = dict(t_oracle.topk("alpha", 10**9))
+    r_scores = dict(full.topk("rare1", 10**9))
+    assert {d for _, _, d, _ in got} == set(t_scores)  # must-clause
+    for _, _, d, s in got:
+        want = t_scores[d] * 2.0 + r_scores.get(d, 0.0)
+        assert s == pytest.approx(want, rel=1e-12), d
+
+
+def test_field_term_shard_invariance(index_dir, field_index_dirs):
+    fd = {"title": field_index_dirs["title"],
+          "body": field_index_dirs["body"]}
+    q = [("x", "(title:alpha OR body:rare1) beta -title:rare2")]
+    a = _runs(query_string_search(q, index_dir, n_shards=2, field_dirs=fd))
+    b = _runs(query_string_search(q, index_dir, n_shards=7, field_dirs=fd))
+    assert a == b and a
+
+
+def test_field_term_to_sql_duckdb_identity(index_dir, field_index_dirs):
+    """to_sql with contrib_title / contrib_body tables == the engine."""
+    import duckdb
+
+    from webindex.querystring import to_sql
+
+    t_oracle, b_oracle = _field_oracles()
+    from webindex.oracle import OracleBM25
+
+    full = OracleBM25([(d["doc_id"], d["text"]) for d in DOCS], CFG)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dl (doc_id BIGINT, dl BIGINT)")
+    con.executemany("INSERT INTO dl VALUES (?, ?)",
+                    [(d, int(l)) for d, l in full.dl.items()])
+
+    def contrib_rows(oracle):
+        rows = []
+        for t, plist in oracle.postings.items():
+            idf_t = oracle.idf(t)
+            for d, tf in plist.items():
+                dlv = oracle.dl[d]
+                denom = tf + CFG.k1 * (
+                    1.0 - CFG.b + CFG.b * (dlv / oracle.avgdl)
+                )
+                rows.append((d, t, idf_t * (tf / denom)))
+        return rows
+
+    for name, oracle in [("contrib", full), ("contrib_title", t_oracle),
+                         ("contrib_body", b_oracle)]:
+        con.execute(
+            f"CREATE TABLE {name} (doc_id BIGINT, term TEXT, c DOUBLE)"
+        )
+        con.executemany(f"INSERT INTO {name} VALUES (?, ?, ?)",
+                        contrib_rows(oracle))
+    fd = {"title": field_index_dirs["title"],
+          "body": field_index_dirs["body"]}
+    for q in ["title:alpha", "+title:alpha^2 rare1",
+              "(title:alpha OR body:rare1) beta",
+              "body:rare1 -title:rare2"]:
+        ast = bind(parse_query_string(q), _AN,
+                   text_fields=("title", "body"))
+        sql = to_sql(ast, "x")
+        want = sorted(con.execute(sql).fetchall())
+        rows_e = query_string_search([("x", q)], index_dir, top_k=10**9,
+                                     field_dirs=fd).take_all()
+        got = sorted(("x", r["doc_id"], r["score"]) for r in rows_e)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], q
+        for (_, _, gs), (_, _, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12, q
+    con.close()

@@ -6165,6 +6165,132 @@ def q_qs_dv_scores(sf_dir: str):
     return runs.map_batches(rnd, batch_format="pyarrow")
 
 
+# Lucene FIELDED query_string: title:/body: words score with the
+# per-field index's own BM25 statistics (the multifield split), other
+# field: names stay docvalue predicates — one query string composing all
+# three leaf families plus default-field terms.
+QS_FIELD_QUERIES: list[tuple[str, str]] = [
+    ("f1", "title:merge join"),
+    ("f2", "+title:fast body:slow"),
+    ("f3", "body:customer -title:order"),
+    ("f4", "(title:table OR body:scan) lang:en"),
+    ("f5", "title:key^2 value"),
+    ("f6", "body:row AND n_chars:[250 TO *]"),
+]
+
+
+def _qs_field_block(p: str, field: str, docs_cte: str) -> str:
+    tok = "regexp_extract_all(lower(ftext), '[a-z0-9]+')"
+    return f"""
+{p}toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM {docs_cte}, unnest({tok}) AS t(tok)
+),
+{p}tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM {p}toks GROUP BY doc_id, term),
+{p}dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM {docs_cte}),
+{p}df AS (SELECT term, count(*)::BIGINT AS df FROM {p}tf GROUP BY term),
+{p}stats AS (SELECT count(*)::BIGINT AS n_docs,
+                    sum(dl)::BIGINT AS total_tokens FROM {p}dl),
+contrib_{field} AS (
+  SELECT tf.doc_id, tf.term, {_QS_BM25_EXPR} AS c
+  FROM {p}tf tf
+  JOIN {p}df df ON df.term = tf.term
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}stats s
+)"""
+
+
+def _sql_qs_fields(select: str) -> str:
+    from webindex.querystring import bind, parse_query_string, to_sql
+
+    body = "\n  UNION ALL\n".join(
+        to_sql(
+            bind(parse_query_string(q), _sql_an,
+                 text_fields=("title", "body")),
+            qid,
+        )
+        for qid, q in QS_FIELD_QUERIES
+    )
+    head = _SQL_QS_CTE.replace("{CONTRIB}", _QS_BM25_EXPR).replace(
+        "\nqs AS (\n{BODY}\n)",
+        f"""
+rawtok AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS rt
+  FROM documents
+),
+fs AS (
+  SELECT doc_id,
+         coalesce(array_to_string(rt[1:6], ' '), '') AS ftitle,
+         coalesce(array_to_string(rt[7:], ' '), '') AS fbody
+  FROM rawtok
+),
+tdocs AS (SELECT doc_id, ftitle AS ftext FROM fs WHERE ftitle <> ''),
+bdocs AS (SELECT doc_id, fbody AS ftext FROM fs WHERE fbody <> ''),
+{_qs_field_block("t", "title", "tdocs")},
+{_qs_field_block("b", "body", "bdocs")},
+qs AS (
+{body}
+)""",
+    )
+    return head + select
+
+
+SQL_QS_FIELDS_TOP10 = _sql_qs_fields(f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM qs
+) WHERE rank <= {TOPK}
+""")
+SQL_QS_FIELDS_SCORES = _sql_qs_fields(
+    "SELECT qid, doc_id, round(score, 6) AS score_r FROM qs"
+)
+
+
+def q_qs_fields_top10(sf_dir: str):
+    """Fielded query_string, ranked: title:/body: terms score with the
+    per-field indexes' own stats (ES per-field scoring), composed with
+    default-field terms and docvalue predicates in one boolean tree
+    (webindex/querystring.py FieldTerm + field_dirs)."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    fidx = ensure_field_indexes(sf_dir)
+    runs = query_string_search(
+        QS_FIELD_QUERIES, idx, top_k=TOPK,
+        field_dirs={"title": fidx["title"], "body": fidx["body"]},
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_qs_fields_scores(sf_dir: str):
+    """Every (fielded query_string, doc) match score, 6dp surface."""
+    from webindex.querystring import query_string_search
+
+    idx = ensure_index(sf_dir, "nostem")
+    fidx = ensure_field_indexes(sf_dir)
+    runs = query_string_search(
+        QS_FIELD_QUERIES, idx, top_k=10**9,
+        field_dirs={"title": fidx["title"], "body": fidx["body"]},
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return runs.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_qs_lmd_top10(sf_dir: str):
     """query_string x similarity composability: the s1..s8 ASTs ranked
     under LM Dirichlet instead of BM25."""
@@ -6195,6 +6321,8 @@ REGISTRY: dict[str, tuple] = {
     "qs_lmd_top10": (q_qs_lmd_top10, SQL_QS_LMD_TOP10),
     "qs_dv_top10": (q_qs_dv_top10, SQL_QS_DV_TOP10),
     "qs_dv_scores": (q_qs_dv_scores, SQL_QS_DV_SCORES),
+    "qs_fields_top10": (q_qs_fields_top10, SQL_QS_FIELDS_TOP10),
+    "qs_fields_scores": (q_qs_fields_scores, SQL_QS_FIELDS_SCORES),
     "rescore_top10": (q_rescore_top10, SQL_RESCORE_TOP10),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),

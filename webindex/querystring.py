@@ -43,8 +43,14 @@ unique terms); ``~N`` is span_near slop.
 index), scored as Lucene constant_score: ``boost`` when the predicate
 holds, never matching a doc without docvalues. They compose with every
 boolean role (a ``+lang:en`` must-clause is exactly ES's
-filter-in-query-context). Per-field TEXT search is the multifield
-module, not this syntax.
+filter-in-query-context).
+
+When ``query_string_search`` is given ``field_dirs`` (per-field TEXT
+indexes from webindex/multifield.py), ``field:word`` for those fields is
+the Lucene FIELDED query instead: the word analyzes with the shared
+analyzer and scores with THAT field's own BM25 statistics (its own N,
+avgdl, df — ES's per-field scoring), mapped onto the default index's
+doc space; any other ``field:`` name stays a docvalue predicate.
 
 ``to_sql`` compiles the SAME AST to a DuckDB expression per document —
 the additions and CASE-zeroings mirror the kernel op for op (x + 0.0 and
@@ -120,6 +126,20 @@ class DvRange:
     col: str
     lo: int | None
     hi: int | None
+    boost: float = 1.0
+
+
+@dataclass
+class FieldTerm:
+    """``field:word`` where ``field`` is a TEXT field with its own
+    per-field index (webindex/multifield.py build_field_indexes):
+    scored with THAT index's BM25 statistics (its own N, avgdl, df —
+    exactly how ES scores a fielded term), mapped onto the default
+    index's doc space. Produced by ``bind(..., text_fields=...)``; a
+    ``field:`` name not in ``text_fields`` stays a docvalue DvTerm."""
+
+    field: str
+    term: str
     boost: float = 1.0
 
 
@@ -296,7 +316,8 @@ class _Parser:
                     raise QueryStringError("boost without a term")
             fm = _FIELD_RE.match(val)
             if fm:
-                return DvTerm(fm.group("col"), fm.group("val"), boost)
+                return ("rawfield", fm.group("col"), fm.group("val"),
+                        boost)
             return ("rawword", val, boost)
         raise QueryStringError(f"unexpected {val!r}")
 
@@ -314,12 +335,32 @@ def parse_query_string(q: str):
 # ---------------------------------------------------------------------------
 
 
-def bind(node, analyzer, expansions: dict[str, list[str]] | None = None):
+def bind(node, analyzer, expansions: dict[str, list[str]] | None = None,
+         text_fields: tuple[str, ...] = ()):
     """Resolve raw words/phrases into Term/Phrase/Wildcard leaves using
     the index analyzer. ``expansions`` maps a lowercased wildcard pattern
-    to its dictionary expansion list (driver-side rewrite)."""
+    to its dictionary expansion list (driver-side rewrite).
+    ``text_fields`` names the fields with per-field TEXT indexes —
+    ``field:value`` binds to FieldTerm for those (value analyzed with
+    the shared analyzer), DvTerm (docvalue predicate) otherwise."""
     if isinstance(node, tuple):
         kind = node[0]
+        if kind == "rawfield":
+            _, col, val, boost = node
+            if col not in text_fields:
+                return DvTerm(col, val, boost)
+            if "*" in val or "?" in val:
+                raise QueryStringError(
+                    f"wildcards inside text-field terms ({col}:{val}) "
+                    "are not supported"
+                )
+            terms = analyzer.tokens(val)
+            if not terms:
+                return Nothing(boost)
+            if len(terms) == 1:
+                return FieldTerm(col, terms[0], boost)
+            return Bool([("should", FieldTerm(col, t, boost))
+                         for t in terms])
         if kind == "rawword":
             _, word, boost = node
             if "*" in word or "?" in word:
@@ -345,7 +386,7 @@ def bind(node, analyzer, expansions: dict[str, list[str]] | None = None):
         out = Bool()
         has_positive = False
         for role, child in node.clauses:
-            b = bind(child, analyzer, expansions)
+            b = bind(child, analyzer, expansions, text_fields)
             out.clauses.append((role, b))
             if role != "must_not":
                 has_positive = True
@@ -402,12 +443,53 @@ def _leaf_term(reader, term: str, boost: float, n: int, similarity: str):
     return mask, score
 
 
-def eval_node(node, reader, similarity: str = "bm25"):
+def _leaf_field_term(reader, fr, term: str, boost: float, n: int,
+                     similarity: str):
+    """FieldTerm leaf: contributions computed against the FIELD reader's
+    own statistics, scattered onto the DEFAULT reader's doc positions
+    (field corpora are subsets of the text corpus; a field doc missing
+    from the default doclen table fails loudly — the segments.doclen
+    precedent, never a silent neighbor)."""
+    from webindex.wand import _dense
+
+    mask = np.zeros(n, dtype=bool)
+    score = np.zeros(n, dtype=np.float64)
+    pl = fr.postings(term)
+    if pl is not None:
+        _dense(pl, fr)
+        c = _contrib(pl, fr, similarity)
+        if boost != 1.0:
+            c = c * boost
+        ids = fr._dl_ids[pl.dense_pos]
+        pos = np.searchsorted(reader._dl_ids, ids)
+        pos_c = np.minimum(pos, max(reader._dl_ids.size - 1, 0))
+        if ids.size and not np.array_equal(reader._dl_ids[pos_c], ids):
+            raise AssertionError(
+                "field index contains docs absent from the default "
+                "index (build both over the same corpus / docID range)"
+            )
+        mask[pos_c] = True
+        score[pos_c] = c
+    return mask, score
+
+
+def eval_node(node, reader, similarity: str = "bm25", field_readers=None):
     """AST -> (mask: bool[n], score: float64[n]); score is 0 outside the
-    mask. n = the reader's resident doclen-table size (shard-bounded)."""
+    mask. n = the reader's resident doclen-table size (shard-bounded).
+    ``field_readers`` maps a text-field name to its per-field
+    SegmentReader (same docID range as ``reader``)."""
     n = reader._dl_ids.size
     if isinstance(node, Term):
         return _leaf_term(reader, node.term, node.boost, n, similarity)
+    if isinstance(node, FieldTerm):
+        fr = (field_readers or {}).get(node.field)
+        if fr is None:
+            raise QueryStringError(
+                f"no field reader for text field {node.field!r} "
+                "(pass field_dirs= to query_string_search)"
+            )
+        return _leaf_field_term(reader, fr, node.term, node.boost, n,
+                                similarity)
     if isinstance(node, Nothing):
         return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.float64)
     if isinstance(node, (DvTerm, DvRange)):
@@ -463,7 +545,7 @@ def eval_node(node, reader, similarity: str = "bm25"):
         must_m, not_m, should_m = None, None, None
         score = np.zeros(n, dtype=np.float64)
         for role, child in node.clauses:  # source order = summation order
-            m, s = eval_node(child, reader, similarity)
+            m, s = eval_node(child, reader, similarity, field_readers)
             if role == "must":
                 must_m = m if must_m is None else (must_m & m)
                 score += s
@@ -489,18 +571,20 @@ def eval_node(node, reader, similarity: str = "bm25"):
 
 
 class _SqlCtx:
-    """Allocates one contrib-join alias per distinct term (and one
-    documents-join alias per docvalue clause) and renders match/score
-    expressions for an AST."""
+    """Allocates one contrib-join alias per distinct term (per contrib
+    table — the default index's ``contrib`` or a text field's
+    ``contrib_{field}``) and one documents-join alias per docvalue
+    clause, and renders match/score expressions for an AST."""
 
     def __init__(self):
-        self.alias: dict[str, str] = {}
+        self.alias: dict[tuple[str, str], str] = {}
         self.dv_alias: dict[str, str] = {}
 
-    def a(self, term: str) -> str:
-        if term not in self.alias:
-            self.alias[term] = f"c{len(self.alias)}"
-        return self.alias[term]
+    def a(self, term: str, table: str = "contrib") -> str:
+        key = (table, term)
+        if key not in self.alias:
+            self.alias[key] = f"c{len(self.alias)}"
+        return self.alias[key]
 
     def dv(self, cond_tmpl: str) -> str:
         """``cond_tmpl`` has one ``{a}`` placeholder for the alias; one
@@ -513,9 +597,9 @@ class _SqlCtx:
     def joins(self) -> str:
         return "\n".join(
             [
-                f"  LEFT JOIN contrib {al} ON {al}.doc_id = d.doc_id "
+                f"  LEFT JOIN {tab} {al} ON {al}.doc_id = d.doc_id "
                 f"AND {al}.term = '{t}'"
-                for t, al in self.alias.items()
+                for (tab, t), al in self.alias.items()
             ]
             + [
                 f"  LEFT JOIN documents {al} ON {al}.doc_id = d.doc_id "
@@ -541,6 +625,9 @@ def _dv_cond(node) -> str:
 def _sql_match(node, ctx: _SqlCtx) -> str:
     if isinstance(node, Term):
         return f"{ctx.a(node.term)}.doc_id IS NOT NULL"
+    if isinstance(node, FieldTerm):
+        al = ctx.a(node.term, f"contrib_{node.field}")
+        return f"{al}.doc_id IS NOT NULL"
     if isinstance(node, (DvTerm, DvRange)):
         return f"{ctx.dv(_dv_cond(node))}.doc_id IS NOT NULL"
     if isinstance(node, Nothing):
@@ -569,6 +656,12 @@ def _sql_match(node, ctx: _SqlCtx) -> str:
 def _sql_score(node, ctx: _SqlCtx) -> str:
     if isinstance(node, Term):
         e = f"coalesce({ctx.a(node.term)}.c, 0.0)"
+        if node.boost != 1.0:
+            e = f"({e} * {node.boost!r})"
+        return e
+    if isinstance(node, FieldTerm):
+        al = ctx.a(node.term, f"contrib_{node.field}")
+        e = f"coalesce({al}.c, 0.0)"
         if node.boost != 1.0:
             e = f"({e} * {node.boost!r})"
         return e
@@ -609,17 +702,70 @@ def to_sql(bound_ast, qid: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _field_shard_reader(field_dir: str, salt_lo: int, salt_hi: int):
+    """Process-global cache of salt-range-restricted per-field readers
+    (the _shard_searcher / _mf_shard_searcher pattern: Ray reuses worker
+    processes, the subset loads once per worker; keyed on config mtime so
+    a rebuild at the same path invalidates)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from webindex.config import IndexConfig
+    from webindex.segments import SegmentReader
+    from webindex.util import read_json
+
+    mt = os.stat(os.path.join(field_dir, "config.json")).st_mtime_ns
+    key = (field_dir, mt, salt_lo, salt_hi)
+    r = _FIELD_SHARD_READERS.get(key)
+    if r is None:
+        for k in [
+            k for k in _FIELD_SHARD_READERS
+            if k[0] == field_dir and k[1] != mt
+        ]:
+            del _FIELD_SHARD_READERS[k]
+        cfg = IndexConfig.from_dict(
+            read_json(os.path.join(field_dir, "config.json"))
+        )
+        doc_lo = salt_lo * cfg.shards_per_salt << cfg.salt_doc_shift
+        doc_hi = (
+            ((salt_hi + 1) * cfg.shards_per_salt) << cfg.salt_doc_shift
+        ) - 1
+        r = SegmentReader(field_dir, doc_id_range=(doc_lo, doc_hi))
+        seg_root = r._seg_root
+        if os.path.isdir(seg_root):
+            tab = pads.dataset(seg_root).to_table(
+                filter=(pads.field("salt") >= salt_lo)
+                & (pads.field("salt") <= salt_hi)
+            )
+            r.preload(table=tab)
+        else:
+            r.preload()
+        _FIELD_SHARD_READERS[key] = r
+    return r
+
+
+_FIELD_SHARD_READERS: dict = {}
+
+
 def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
                         top_k: int = 10, max_expansions: int = 50,
                         n_shards: int | None = None,
-                        similarity: str = "bm25"):
+                        similarity: str = "bm25",
+                        field_dirs: dict[str, str] | None = None):
     """[(qid, query_string)] -> runs Dataset (qid, doc_id, score, rank).
 
     Parsing, analysis, and the wildcard dictionary rewrite happen ONCE on
     the driver (the rewrite is the shared distributed dict scan); the
     bound ASTs ride into the standard salt-range shard fan-out, where
     each shard evaluates the boolean tree over dense shard-bounded
-    arrays. Exact per-qid merge, (score desc, docID asc)."""
+    arrays. Exact per-qid merge, (score desc, docID asc).
+
+    ``field_dirs`` maps text-field names to per-field index dirs
+    (webindex/multifield.py build_field_indexes over the SAME corpus and
+    salt config): ``field:word`` leaves then score with that field's own
+    BM25 statistics (Lucene fielded query syntax); other ``field:``
+    names remain docvalue predicates."""
     import pandas as pd
     import ray.data as rd
 
@@ -633,7 +779,21 @@ def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
         n_shards = SEARCH_SHARDS
 
     # one probe reader for the analyzer config (no postings loaded)
-    an = Analyzer(SegmentReader(index_dir).cfg.analyzer)
+    main_cfg = SegmentReader(index_dir).cfg
+    an = Analyzer(main_cfg.analyzer)
+    field_dirs = dict(field_dirs or {})
+    for f, d in field_dirs.items():
+        fcfg = SegmentReader(d).cfg
+        if fcfg.analyzer != main_cfg.analyzer:
+            raise ValueError(
+                f"text field {f!r} index uses a different analyzer"
+            )
+        if (fcfg.salt_doc_shift, fcfg.shards_per_salt) != (
+            main_cfg.salt_doc_shift, main_cfg.shards_per_salt
+        ):
+            raise ValueError(
+                f"text field {f!r} index uses a different salt config"
+            )
     raw = {qid: parse_query_string(q) for qid, q in queries}
     pats = sorted({p for r in raw.values() for p in wildcard_patterns(r)})
     expansions: dict[str, list[str]] = {}
@@ -646,7 +806,10 @@ def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
             lambda t, p: res[p].fullmatch(t) is not None, max_expansions,
         )
         expansions = exp.groupby("pattern")["term"].apply(list).to_dict()
-    bound = {qid: bind(r, an, expansions) for qid, r in raw.items()}
+    bound = {
+        qid: bind(r, an, expansions, text_fields=tuple(field_dirs))
+        for qid, r in raw.items()
+    }
 
     bounds = shard_salt_bounds(index_dir, n_shards)
     qids = [qid for qid, _ in queries]
@@ -669,9 +832,14 @@ def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
         lo, hi = bounds[sid]
         searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
         reader = searcher.inner.reader
+        f_readers = {
+            f: _field_shard_reader(d, lo, hi)
+            for f, d in field_dirs.items()
+        }
         qid_out, id_out, sc_out = [], [], []
         for qid in g.column("qid").to_pylist():
-            mask, score = eval_node(bound[qid], reader, similarity)
+            mask, score = eval_node(bound[qid], reader, similarity,
+                                    f_readers)
             sel = np.flatnonzero(mask)
             ids, scores = _rank_topk(
                 reader._dl_ids[sel], score[sel], top_k
