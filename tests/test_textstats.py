@@ -858,3 +858,53 @@ def test_bigram_logprob_partition_invariance(ray_session):
         outs.append(df)
     a, b = outs
     assert a.equals(b)
+
+
+def test_chunk_documents_matches_brute(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import chunk_documents
+
+    docs = [
+        (0, "one two three four five six seven eight nine ten"),
+        (1, "alpha beta"),
+        (2, ""),
+        (3, "x " * 13),  # 13 tokens: windows at 0, 6, 12
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    out = (
+        chunk_documents(ds, max_tokens=8, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    tok = re.compile(r"[a-z0-9]+")
+    want = []
+    for d, t in docs:
+        toks = tok.findall(t.lower())
+        for cid, s in enumerate(range(0, len(toks), 6)):
+            w = toks[s: s + 8]
+            want.append((d, cid, " ".join(w), len(w)))
+    got = [
+        (int(r.doc_id), int(r.chunk_id), r.chunk_text, int(r.n_tokens))
+        for r in out.itertuples(index=False)
+    ]
+    assert got == sorted(want)
+    assert not (out["doc_id"] == 2).any()  # empty doc: no chunks
+    # overlap property: consecutive windows share exactly `overlap` tokens
+    g = out[out["doc_id"] == 0].sort_values("chunk_id")
+    rows = list(g["chunk_text"])
+    assert len(rows) == 2
+    assert rows[0].split()[-2:] == rows[1].split()[:2]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_tokens=8, overlap=8)

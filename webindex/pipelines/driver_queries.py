@@ -3788,6 +3788,38 @@ FROM agg
 """
 
 
+CHUNK_MAX, CHUNK_OVERLAP = 40, 10
+_CHUNK_STRIDE = CHUNK_MAX - CHUNK_OVERLAP
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed-window document chunking with overlap (the pretraining/RAG
+    corpus-prep step): windows of 40 tokens every 30, last window the
+    remainder, canonical space-joined surface — exact string identity
+    vs the SQL list-slice oracle (webindex/textstats.py chunk_documents,
+    stateless map_batches, no shuffle)."""
+    import ray.data as rd
+
+    from webindex.textstats import chunk_documents
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return chunk_documents(docs, max_tokens=CHUNK_MAX,
+                           overlap=CHUNK_OVERLAP)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents)
+SELECT doc_id,
+       (u.s // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+       array_to_string(tl[u.s + 1: u.s + {CHUNK_MAX}], ' ') AS chunk_text,
+       least(len(tl) - u.s, {CHUNK_MAX})::BIGINT AS n_tokens
+FROM dt, unnest(range(0, len(tl), {_CHUNK_STRIDE})) AS u(s)
+"""
+
+
 BIGRAM_LAM = 0.8
 # 1-lam computed ONCE and injected as the same float64 literal into both
 # backends (1.0 - 0.8 != 0.2 in float64; two independent computations of
@@ -6417,6 +6449,7 @@ REGISTRY: dict[str, tuple] = {
     "props_stats": (q_props_stats, SQL_PROPS_STATS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "source_filter": (q_source_filter, SQL_SOURCE_FILTER),
     "scan_matches": (q_scan_matches, SQL_SCAN_MATCHES),
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),

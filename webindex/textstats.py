@@ -1001,3 +1001,56 @@ def dsir_weights(docs_ds, *, target_col: str = "lang",
     return hash_partitioned_groupby(
         scored, ["doc_id"], lambda df: df, fold, n_parts=n_parts
     )
+
+
+def chunk_documents(docs_ds, *, max_tokens: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Fixed-window document chunking with overlap — the pretraining /
+    RAG corpus-prep step (split long docs into model-context-sized
+    pieces; overlapping windows so no span is split across a boundary
+    without context).
+
+    Tokens are the SQL-safe ``[a-z0-9]+`` lowercase stream; windows
+    start every ``stride = max_tokens - overlap`` tokens and take up to
+    ``max_tokens`` (the last window is the remainder, never empty:
+    a start position must satisfy ``start < n_tokens``, so a doc yields
+    ``ceil(max(n - overlap, 1) / stride)`` chunks and a short doc yields
+    exactly one). Output one row per chunk:
+    ``(doc_id, chunk_id, chunk_text, n_tokens)`` where ``chunk_id`` is
+    the 0-based window index, ``chunk_text`` the space-joined window
+    (the canonical re-tokenized surface — exact string identity for the
+    SQL oracle), and ``n_tokens`` the window length. Docs with zero
+    tokens yield no rows.
+
+    Stateless ``map_batches`` — embarrassingly parallel, trivially
+    partition-invariant, no shuffle; the one operator here that is pure
+    fan-out at any corpus size."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_cid, o_text, o_n = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            m = len(toks)
+            for cid, s in enumerate(range(0, m, stride)):
+                w = toks[s: s + max_tokens]
+                o_id.append(did)
+                o_cid.append(cid)
+                o_text.append(" ".join(w))
+                o_n.append(len(w))
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "chunk_id": pa.array(o_cid, pa.int64()),
+                "chunk_text": pa.array(o_text, pa.string()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(chunk, batch_format="pyarrow")
