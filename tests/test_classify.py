@@ -1,0 +1,135 @@
+"""Quality classifier (webindex/classify.py) vs an INDEPENDENT
+single-process IRLS reference (explicit per-doc loops, same fixed-point
+spec), plus partition/batch-size invariance of trained scores and a
+real learning check (it must separate the stopword-style label)."""
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webindex.classify import (GRAD_SCALE, SCORE_SCALE, add_stopword_label,
+                               featurize, quality_classifier_scores,
+                               score_quality, train_quality_classifier)
+
+SF = "/root/testdata/sf0.001"
+TOK = re.compile(r"[a-z0-9]+")
+
+
+def _sig(z):
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    ez = math.exp(z)
+    return ez / (1.0 + ez)
+
+
+def _ref(tab, *, dim, lam, iters, threshold=0.06):
+    """From-scratch sequential IRLS with the same per-doc rounding and
+    fsum-dot spec; features/labels re-derived independently."""
+    from webindex.analyze import LUCENE_STOPWORDS
+    from webindex.util import stable_hash64
+
+    texts = tab.column("text").to_pylist()
+    n = len(texts)
+    feats, ys = [], []
+    for t in texts:
+        toks = TOK.findall((t or "").lower())
+        tf = Counter(toks)
+        m = max(sum(tf.values()), 1)
+        sw = sum(1 for w in toks if w in LUCENE_STOPWORDS)
+        ys.append(1.0 if toks and sw / len(toks) >= threshold else 0.0)
+        pairs = {0: 1.0}
+        for w, c in tf.items():
+            j = 1 + stable_hash64(w) % (dim - 1)
+            pairs[j] = pairs.get(j, 0.0) + c / m
+        ks = sorted(pairs)
+        feats.append((np.array(ks), np.array([pairs[k] for k in ks])))
+    w = np.zeros(dim)
+    for _ in range(iters):
+        G = np.zeros(dim, dtype=np.int64)
+        H = np.zeros((dim, dim), dtype=np.int64)
+        for (ix, xv), y in zip(feats, ys):
+            p = _sig(math.fsum((w[ix] * xv).tolist()))
+            r, s = p - y, p * (1.0 - p)
+            G[ix] += np.rint(r * xv * GRAD_SCALE).astype(np.int64)
+            H[np.ix_(ix, ix)] += np.rint(
+                s * np.outer(xv, xv) * GRAD_SCALE
+            ).astype(np.int64)
+        Gf = G.astype(np.float64) / GRAD_SCALE / n + lam * w
+        Hf = H.astype(np.float64) / GRAD_SCALE / n + lam * np.eye(dim)
+        w = w - np.linalg.solve(Hf, Gf)
+    scores = np.array(
+        [np.rint(_sig(math.fsum((w[ix] * xv).tolist())) * SCORE_SCALE)
+         for ix, xv in feats],
+        dtype=np.int64,
+    )
+    return w, np.array(ys), scores
+
+
+@pytest.fixture(scope="module")
+def docs_tab():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+def test_matches_reference_and_learns(ray_session, docs_tab):
+    import ray.data as rd
+
+    dim, lam, iters = 256, 1e-4, 4
+    feat = featurize(
+        add_stopword_label(rd.from_arrow(docs_tab).repartition(4)),
+        dim=dim,
+    )
+    w = train_quality_classifier(feat, dim=dim, lam=lam, iters=iters)
+    got = (
+        score_quality(feat, w, dim=dim)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w_ref, y_ref, s_ref = _ref(docs_tab, dim=dim, lam=lam, iters=iters)
+    order = np.argsort(docs_tab.column("doc_id").to_numpy())
+    assert np.array_equal(w, w_ref)
+    assert np.array_equal(got["y"].to_numpy(), y_ref[order].astype(np.int64))
+    assert np.array_equal(got["score_micro"].to_numpy(), s_ref[order])
+    # it actually separates the label (IRLS converged)
+    pos = got.loc[got["y"] == 1, "score_micro"].mean()
+    neg = got.loc[got["y"] == 0, "score_micro"].mean()
+    assert pos > neg + 0.2 * SCORE_SCALE
+
+
+def test_partition_and_batch_invariance(ray_session, docs_tab):
+    import ray.data as rd
+
+    outs = []
+    for n_blocks in (1, 7):
+        feat = featurize(
+            add_stopword_label(rd.from_arrow(docs_tab).repartition(n_blocks)),
+            dim=128,
+        )
+        w = train_quality_classifier(feat, dim=128, iters=3)
+        outs.append(
+            score_quality(feat, w, dim=128)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+
+
+def test_sampled_training_is_deterministic(ray_session, docs_tab):
+    import ray.data as rd
+
+    a = quality_classifier_scores(
+        rd.from_arrow(docs_tab), dim=128, iters=2, sample_frac=0.5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = quality_classifier_scores(
+        rd.from_arrow(docs_tab).repartition(5), dim=128, iters=2,
+        sample_frac=0.5,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == docs_tab.num_rows  # scoring covers the full corpus

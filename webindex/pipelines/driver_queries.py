@@ -658,6 +658,148 @@ FROM events
 """
 
 
+def q_bpe_word_counts(sf_dir: str):
+    """Distributed word-frequency table (webindex/bpe.py word_counts) —
+    the bounded-vocabulary input to BPE tokenizer training: per-batch
+    Counter partials, ONE pinned word-hash shuffle, exact int64 sums.
+    SQL oracle is a plain unnest+GROUP BY over the same [a-z0-9]+
+    lowercase stream."""
+    import ray.data as rd
+
+    from webindex.bpe import word_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return word_counts(ds, n_parts=16)
+
+
+SQL_BPE_WORD_COUNTS = """
+SELECT word, COUNT(*)::BIGINT AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents) t
+GROUP BY word
+"""
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """Round-1 BPE pair counts (webindex/bpe.py pair_counts_ds): exact
+    adjacent-symbol-pair counts over the char+'</w>' stream — the table
+    whose deterministic argmax is the first trained merge. The SQL
+    oracle replays the symbol expansion with a lateral generate_series
+    (pair i = (char_i, char_{i+1}), final pair (last char, '</w>'))."""
+    import ray.data as rd
+
+    from webindex.bpe import pair_counts_ds
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return pair_counts_ds(ds, n_parts=16)
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS a,
+         CASE WHEN i = len(w) THEN '</w>' ELSE substr(w, i + 1, 1) END AS b
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+)
+SELECT a, b, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY a, b
+"""
+
+
+def q_bpe_merges(sf_dir: str):
+    """Corpus-trained BPE merge list (webindex/bpe.py train_bpe_from_ds,
+    100 merges): the iterative argmax loop has no SQL form (each round
+    depends on the last), so this is rows-only — gated by the
+    independent stream-based pytest oracle (tests/test_bpe.py) plus the
+    SQL-checked round-1 inputs (bpe_word_counts / bpe_pair_counts)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from webindex.bpe import train_bpe_from_ds
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    merges = train_bpe_from_ds(ds, 100, n_parts=16)
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(len(merges)), dtype="int64"),
+            "a": [a for a, _ in merges],
+            "b": [b for _, b in merges],
+        }
+    )
+
+
+def q_bpe_subword_counts(sf_dir: str):
+    """Corpus-trained BPE encode (webindex/bpe.py bpe_token_counts):
+    train 100 merges, broadcast ranks once via ray.put, stream the
+    corpus through the memoizing actor pool -> (doc_id, n_words,
+    n_bpe_tokens). Rows-only (trained-merge encode has no SQL form);
+    the encode kernel is pytest-gated against a sequential-application
+    reference (tests/test_bpe.py)."""
+    import ray.data as rd
+
+    from webindex.bpe import bpe_token_counts, train_bpe_from_ds
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    merges = train_bpe_from_ds(ds, 100, n_parts=16)
+    return bpe_token_counts(ds, merges, concurrency=(1, 4))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (webindex/pii.py): emails/IPv4s/SSNs/phones ->
+    typed placeholders + per-type counts, stateless vectorized
+    map_batches. Engine kernel and DuckDB oracle are BOTH RE2 over the
+    same pattern strings (single source of truth: pii.PII_PATTERNS /
+    pii.oracle_sql), so redacted text is byte-identical."""
+    import ray.data as rd
+
+    from webindex.pii import redact_pii
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return redact_pii(ds)
+
+
+def _sql_pii_redact() -> str:
+    from webindex.pii import oracle_sql
+
+    return oracle_sql()
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+def q_quality_classifier(sf_dir: str):
+    """GPT-3-style quality filter (webindex/classify.py): hashed
+    bag-of-words logistic regression fit by distributed IRLS with exact
+    int64 fixed-point gradient/Hessian reductions, scored over the full
+    corpus -> (doc_id, y, score_micro). Rows-only (iterative Newton
+    loop has no SQL form); training+scoring are pytest-gated against an
+    independent sequential reference and partition-invariance asserts
+    (tests/test_classify.py)."""
+    import ray.data as rd
+
+    from webindex.classify import quality_classifier_scores
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return quality_classifier_scores(ds, dim=256, iters=4)
+
+
 def q_top_longest_per_lang(sf_dir: str):
     """Grouped top-k (relational.grouped_topk): 3 longest docs per lang.
     Per-batch local top-k per key bounds shuffle traffic at k x #keys rows
@@ -6409,6 +6551,9 @@ REGISTRY: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, SQL_EVENTS_RANGE),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "events_median": (q_events_median, SQL_EVENTS_MEDIAN),
     "top_longest_per_lang": (q_top_longest_per_lang, SQL_TOP_PER_LANG),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
@@ -6484,4 +6629,7 @@ REGISTRY: dict[str, tuple] = {
     "ivfpq_top5": (q_ivfpq_top5, None),
     "openai_search": (q_openai_search, None),
     "media_features": (q_media_features, None),
+    "bpe_merges": (q_bpe_merges, None),
+    "bpe_subword_counts": (q_bpe_subword_counts, None),
+    "quality_classifier": (q_quality_classifier, None),
 }
