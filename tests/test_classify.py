@@ -121,6 +121,50 @@ def test_partition_and_batch_invariance(ray_session, docs_tab):
     assert outs[0].equals(outs[1])
 
 
+def test_naive_bayes_vs_duckdb_and_invariance(ray_session, docs_tab):
+    """naive_bayes_scores must match its DuckDB oracle exactly (rounded
+    surface) and be partition-count-invariant."""
+    import duckdb
+    import ray.data as rd
+
+    from webindex.analyze import LUCENE_STOPWORDS
+    from webindex.classify import naive_bayes_scores, naive_bayes_sql
+
+    outs = []
+    for n_blocks in (1, 7):
+        outs.append(
+            naive_bayes_scores(
+                rd.from_arrow(docs_tab).repartition(n_blocks), n_parts=8
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+
+    con = duckdb.connect()
+    con.register("documents", docs_tab)
+    stop = ", ".join(f"'{w}'" for w in sorted(LUCENE_STOPWORDS))
+    ora = (con.execute(naive_bayes_sql(stoplist_sql=stop)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = outs[0]
+    assert np.array_equal(got["doc_id"].to_numpy(), ora["doc_id"].to_numpy())
+    for c in ("y", "n_tokens", "pred"):
+        assert np.array_equal(got[c].to_numpy(),
+                              ora[c].to_numpy().astype(np.int64)), c
+    assert np.array_equal(got["llr_r"].to_numpy(), ora["llr_r"].to_numpy())
+    # both classes present and the classifier is not degenerate
+    assert 0 < got["pred"].sum() < len(got)
+
+
+def test_naive_bayes_degenerate_training_raises(ray_session):
+    import ray.data as rd
+
+    from webindex.classify import naive_bayes_scores
+
+    tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["the and of is", "the of and with"]})
+    with pytest.raises(ValueError, match="degenerate"):
+        naive_bayes_scores(rd.from_arrow(tab)).materialize()
+
+
 def test_sampled_training_is_deterministic(ray_session, docs_tab):
     import ray.data as rd
 

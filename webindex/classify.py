@@ -233,6 +233,222 @@ def score_quality(feat_ds, w: np.ndarray, *, dim: int = DIM):
     return feat_ds.map_batches(score, batch_format="pyarrow")
 
 
+_DOC_MARKER = "#doc"  # '#' can never appear in an [a-z0-9]+ token
+
+
+def naive_bayes_scores(docs_ds, *, threshold: float = 0.06,
+                       n_parts: int = 64):
+    """Multinomial Naive Bayes quality classifier (Laplace alpha=1) —
+    the closed-form sibling of the IRLS filter, and the SQL-checkable
+    one: training is pure counting, so the whole train+score pipeline
+    has a DuckDB oracle (``naive_bayes_sql``).
+
+    Per doc with >= 1 token: ``llr = ln(N1/N0) + sum over distinct
+    terms (ascending) of tf * w_term`` where ``w_term =
+    ln((cf1+1)/(T1+V)) - ln((cf0+1)/(T0+V))`` — cf_c = class token
+    count of the term, T_c = class total tokens, V = corpus vocabulary
+    size, N_c = class doc count. All counts exact int64; each ln is
+    SCALAR math.log per distinct value (bit-equal to DuckDB ln,
+    measured repo invariant); the per-doc fold is term-sorted reduceat
+    and the contract surface rounds to 6dp (unigram_logprob precedent —
+    fold order is engine-specific). Output: (doc_id, y, n_tokens,
+    llr_r, pred) with pred = 1 iff the ROUNDED llr > 0 (both engines
+    decide on the same rounded value).
+
+    Scale shape (mirrors textstats.unigram_logprob): ONE term-hash
+    shuffle for per-class cf (marker rows ride along to count class
+    docs — no extra pass), vocab-sized weight table computed in place,
+    one padded-union hash join of weights back onto the (doc, term, tf)
+    rows, one doc-hash shuffle for the fold. Nothing corpus-sized
+    touches the driver; the driver holds 5 scalars."""
+    import math
+
+    import pandas as pd
+
+    from webindex.relational import hash_join_attach, hash_partitioned_groupby
+    from webindex.textstats import _ASCII_TOK_RE
+    from webindex.analyze import LUCENE_STOPWORDS
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        o_id, o_y, o_t, o_tf = [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            sw = sum(1 for w in toks if w in LUCENE_STOPWORDS)
+            y = 1 if sw / len(toks) >= threshold else 0
+            tfs = Counter(toks)
+            for term, f in tfs.items():
+                o_id.append(did)
+                o_y.append(y)
+                o_t.append(term)
+                o_tf.append(f)
+            o_id.append(did)  # marker: counts class DOCS through the
+            o_y.append(y)     # same cf shuffle (tf=1, dropped at join)
+            o_t.append(_DOC_MARKER)
+            o_tf.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "y": pa.array(o_y, pa.int64()),
+                "term": pa.array(o_t, pa.string()),
+                "tf": pa.array(o_tf, pa.int64()),
+            }
+        )
+
+    rows = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def cf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "y"], sort=False)["tf"].sum().reset_index()
+        return g
+
+    def cf_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "y"], sort=False)["tf"].sum().reset_index()
+        p = g.pivot_table(index="term", columns="y", values="tf",
+                          aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"term": p.index.to_numpy()})
+        out["cf1"] = (p[1].to_numpy(np.int64) if 1 in p.columns
+                      else np.zeros(len(p), np.int64))
+        out["cf0"] = (p[0].to_numpy(np.int64) if 0 in p.columns
+                      else np.zeros(len(p), np.int64))
+        return out
+
+    cf_ds = hash_partitioned_groupby(
+        rows, ["term"], cf_partial, cf_final, n_parts=n_parts
+    ).materialize()
+
+    # driver scalars: marker row -> class doc counts; rest -> totals
+    def only_marker(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("term"), _DOC_MARKER))
+
+    mark = cf_ds.map_batches(
+        only_marker, batch_format="pyarrow"
+    ).take_all()
+    n1 = int(mark[0]["cf1"]) if mark else 0
+    n0 = int(mark[0]["cf0"]) if mark else 0
+    if n1 == 0 or n0 == 0:
+        raise ValueError(
+            f"naive_bayes_scores: degenerate training set (N1={n1}, "
+            f"N0={n0}); both classes must be present"
+        )
+    v = cf_ds.count() - 1
+    t1 = int(cf_ds.sum("cf1")) - n1
+    t0 = int(cf_ds.sum("cf0")) - n0
+
+    def weights(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.not_equal(batch.column("term"), _DOC_MARKER)
+        )
+        w = [
+            math.log((c1 + 1) / (t1 + v)) - math.log((c0 + 1) / (t0 + v))
+            for c1, c0 in zip(batch.column("cf1").to_pylist(),
+                              batch.column("cf0").to_pylist())
+        ]
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+
+    w_ds = cf_ds.map_batches(weights, batch_format="pyarrow")
+
+    joined = hash_join_attach(
+        rows, "term", w_ds, ["w"],
+        rows_types={"doc_id": pa.int64(), "y": pa.int64(),
+                    "term": pa.string(), "tf": pa.int64()},
+        val_types={"w": pa.float64()},
+        n_parts=n_parts,
+    )
+
+    prior = math.log(n1 / n0)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "term"],
+                            kind="mergesort").reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        contrib = (df["tf"].to_numpy(np.float64)
+                   * df["w"].to_numpy(np.float64))
+        lp = np.add.reduceat(contrib, starts)
+        nt = np.add.reduceat(df["tf"].to_numpy(np.int64), starts)
+        llr_r = np.round(prior + lp, 6)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[starts],
+                "y": df["y"].to_numpy(np.int64)[starts],
+                "n_tokens": nt,
+                "llr_r": llr_r,
+                "pred": (llr_r > 0).astype(np.int64),
+            }
+        )
+
+    def fold_final(df: pd.DataFrame) -> pd.DataFrame:
+        if df["doc_id"].duplicated().any():
+            raise AssertionError(
+                "naive_bayes_scores: a doc's rows were split before the "
+                "term-sorted fold (pinned summation order violated)"
+            )
+        return df
+
+    return hash_partitioned_groupby(
+        joined, ["doc_id"], lambda df: df,
+        lambda df: fold_final(fold(df)), n_parts=n_parts,
+    )
+
+
+def naive_bayes_sql(*, threshold: float = 0.06,
+                    stoplist_sql: str = "") -> str:
+    """DuckDB mirror of naive_bayes_scores (same token stream, same
+    smoothing, same rounded surface). ``stoplist_sql`` is the quoted
+    comma-separated Lucene stopword list (caller supplies it so this
+    module stays SQL-engine-agnostic)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, tl,
+         CASE WHEN len(list_filter(tl, t -> t IN ({stoplist_sql})))::DOUBLE
+                   / len(tl) >= {threshold} THEN 1 ELSE 0 END AS y
+  FROM base WHERE len(tl) > 0
+),
+toks AS (SELECT doc_id, y, unnest(tl) AS term FROM lab),
+tf AS (SELECT doc_id, y, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, y, term),
+cf AS (SELECT term,
+              coalesce(sum(tf) FILTER (y = 1), 0)::BIGINT AS cf1,
+              coalesce(sum(tf) FILTER (y = 0), 0)::BIGINT AS cf0
+       FROM tf GROUP BY term),
+gstats AS (SELECT count(*)::BIGINT AS v, sum(cf1)::BIGINT AS t1,
+                   sum(cf0)::BIGINT AS t0 FROM cf),
+nd AS (SELECT count(*) FILTER (y = 1)::BIGINT AS n1,
+              count(*) FILTER (y = 0)::BIGINT AS n0 FROM lab),
+w AS (SELECT term,
+             ln((cf1 + 1)::DOUBLE / (t1 + v))
+               - ln((cf0 + 1)::DOUBLE / (t0 + v)) AS w
+      FROM cf CROSS JOIN gstats),
+contrib AS (SELECT tf.doc_id, tf.y, tf.term, tf.tf, tf.tf * w.w AS c
+            FROM tf JOIN w ON w.term = tf.term),
+agg AS (SELECT doc_id, y, sum(tf)::BIGINT AS n_tokens,
+               list_sum(list(c ORDER BY term)) AS lp
+        FROM contrib GROUP BY doc_id, y)
+SELECT doc_id, y, n_tokens,
+       round(ln(n1::DOUBLE / n0) + lp, 6) AS llr_r,
+       (CASE WHEN round(ln(n1::DOUBLE / n0) + lp, 6) > 0
+             THEN 1 ELSE 0 END)::BIGINT AS pred
+FROM agg CROSS JOIN nd
+"""
+
+
 def quality_classifier_scores(docs_ds, *, dim: int = DIM,
                               lam: float = 1e-4, iters: int = 6,
                               threshold: float = 0.06,

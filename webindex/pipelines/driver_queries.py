@@ -800,6 +800,31 @@ def q_quality_classifier(sf_dir: str):
     return quality_classifier_scores(ds, dim=256, iters=4)
 
 
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes quality classifier
+    (webindex/classify.py naive_bayes_scores): closed-form train
+    (per-class term counts via ONE term-hash shuffle) + score (weight
+    join + doc-hash fold) -> (doc_id, y, n_tokens, llr_r, pred). Fully
+    SQL-checkable: training is pure counting and every ln is scalar
+    math.log (bit-equal to DuckDB ln, measured); llr rounded to 6dp at
+    the surface per the unigram_logprob fold-order precedent."""
+    import ray.data as rd
+
+    from webindex.classify import naive_bayes_scores
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return naive_bayes_scores(ds)
+
+
+def _sql_naive_bayes() -> str:
+    from webindex.classify import naive_bayes_sql
+
+    return naive_bayes_sql(stoplist_sql=_stopword_sql_list())
+
+
 def q_top_longest_per_lang(sf_dir: str):
     """Grouped top-k (relational.grouped_topk): 3 longest docs per lang.
     Per-batch local top-k per key bounds shuffle traffic at k x #keys rows
@@ -6479,6 +6504,9 @@ def q_qs_lmd_top10(sf_dir: str):
     )
 
 
+SQL_NAIVE_BAYES = _sql_naive_bayes()
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -6617,6 +6645,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_MINHASH_POLY_CLUSTERS),
     "simhash_poly_clusters": (q_simhash_poly_clusters,
                               SQL_SIMHASH_POLY_CLUSTERS),
+    "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
