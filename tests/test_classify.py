@@ -165,6 +165,82 @@ def test_naive_bayes_degenerate_training_raises(ray_session):
         naive_bayes_scores(rd.from_arrow(tab)).materialize()
 
 
+def test_langid_nb_vs_duckdb_and_invariance(ray_session):
+    """langid_nb_scores must match its DuckDB oracle exactly and be
+    partition-count-invariant. (The synthetic corpus's lang labels are
+    uncorrelated with text, so NB converges to the prior here — the
+    learning property is gated by the engineered-vocabulary test.)"""
+    import duckdb
+    import ray.data as rd
+
+    from webindex.classify import langid_nb_scores, langid_nb_sql
+
+    tab = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+    outs = []
+    for n_blocks in (1, 7):
+        outs.append(
+            langid_nb_scores(
+                rd.from_arrow(tab).repartition(n_blocks), n_parts=8
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+
+    con = duckdb.connect()
+    con.register("documents", tab)
+    ora = (con.execute(langid_nb_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = outs[0]
+    assert np.array_equal(got["doc_id"].to_numpy(), ora["doc_id"].to_numpy())
+    for c in ("lang", "lang_pred"):
+        assert np.array_equal(got[c].to_numpy(), ora[c].to_numpy()), c
+    assert np.array_equal(got["correct"].to_numpy(),
+                          ora["correct"].to_numpy().astype(np.int64))
+    assert np.array_equal(got["llh_r"].to_numpy(), ora["llh_r"].to_numpy())
+
+
+def test_langid_nb_learns_separable_vocab(ray_session):
+    """On classes with genuinely distinct vocabularies (the real
+    language-ID situation) the trained NB must be near-perfect."""
+    import ray.data as rd
+
+    from webindex.classify import langid_nb_scores
+
+    vocab = {
+        "aa": ["kal", "mor", "tes", "vun", "ler"],
+        "bb": ["zhu", "qin", "wei", "han", "tao"],
+        "cc": ["pra", "sol", "mar", "ver", "lun"],
+    }
+    ids, langs, texts = [], [], []
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(40):
+            ids.append(i)
+            langs.append(lang)
+            # mostly own vocab + a shared word, deterministic rotation
+            own = [words[(k + j) % 5] for j in range(6)]
+            texts.append(" ".join(own + ["common"]))
+            i += 1
+    tab = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "text": pa.array(texts, pa.string())})
+    got = (langid_nb_scores(rd.from_arrow(tab).repartition(3), n_parts=8)
+           .to_pandas())
+    assert got["correct"].mean() == 1.0
+
+
+def test_langid_nb_single_class_raises(ray_session):
+    import ray.data as rd
+
+    from webindex.classify import langid_nb_scores
+
+    tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "lang": pa.array(["en", "en"], pa.string()),
+                    "text": ["alpha beta", "gamma delta"]})
+    with pytest.raises(ValueError, match="classes"):
+        langid_nb_scores(rd.from_arrow(tab)).materialize()
+
+
 def test_sampled_training_is_deterministic(ray_session, docs_tab):
     import ray.data as rd
 

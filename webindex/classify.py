@@ -449,6 +449,218 @@ FROM agg CROSS JOIN nd
 """
 
 
+def langid_nb_scores(docs_ds, *, n_parts: int = 64):
+    """Corpus-trained multiclass Naive Bayes language identifier — the
+    fastText-direction upgrade of the fixed-profile heuristic
+    (textstats.LangIdStage): train per-language term counts from the
+    corpus's own ``lang`` labels, predict argmax class log-likelihood.
+    Fully SQL-checkable (``langid_nb_sql``) — training is counting,
+    every ln is scalar math.log (bit-equal to DuckDB ln, measured).
+
+    Per labeled doc (>= 1 token): ``llh_c = ln(N_c/N) + sum over the
+    doc's distinct terms (ascending) of tf * ln((cf_{t,c}+1)/(T_c+V))``
+    with Laplace alpha=1 over the GLOBAL vocabulary V (absent (t, c)
+    counts are 0 — the weight table is pivoted wide with fill 0, so
+    every class sums over the same term set). llh rounded to 6dp at
+    the surface (fold order is engine-specific, unigram_logprob
+    precedent); prediction = argmax of the ROUNDED llh, ties broken by
+    ascending class name — both engines decide on identical values.
+    Output: (doc_id, lang, lang_pred, llh_r, correct).
+
+    Scale shape: one bounded pass for the class list + per-class doc
+    counts (per-batch partials, driver holds #classes rows), ONE
+    term-hash shuffle for the per-class cf pivot (vocab-sized, never
+    driver-resident), per-class totals as bounded partials, one
+    padded-union hash join of the wide weight table onto the (doc,
+    term, tf) rows, one doc-hash shuffle for the fold. #classes is
+    assumed small (languages); each adds one float64 column."""
+    import math
+
+    import pandas as pd
+
+    from webindex.relational import hash_join_attach, hash_partitioned_groupby
+    from webindex.textstats import _ASCII_TOK_RE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        o_id, o_lang, o_t, o_tf = [], [], [], []
+        for did, lang, t in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("lang").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _ASCII_TOK_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            for term, f in Counter(toks).items():
+                o_id.append(did)
+                o_lang.append(lang)
+                o_t.append(term)
+                o_tf.append(f)
+            o_id.append(did)  # marker row: counts class docs (pass 0)
+            o_lang.append(lang)
+            o_t.append(_DOC_MARKER)
+            o_tf.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "lang": pa.array(o_lang, pa.string()),
+                "term": pa.array(o_t, pa.string()),
+                "tf": pa.array(o_tf, pa.int64()),
+            }
+        )
+
+    rows = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # pass 0: class list + per-class doc counts (bounded: batches x classes)
+    def class_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch.column("term"), _DOC_MARKER))
+        g = m.group_by("lang").aggregate([("tf", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": g.column("tf_sum")})
+
+    n_by_class: dict[str, int] = {}
+    for r in rows.map_batches(class_partial,
+                              batch_format="pyarrow").take_all():
+        n_by_class[r["lang"]] = n_by_class.get(r["lang"], 0) + int(r["n"])
+    if len(n_by_class) < 2:
+        raise ValueError(
+            f"langid_nb_scores: need >= 2 language classes, got "
+            f"{sorted(n_by_class)}"
+        )
+    classes = sorted(n_by_class)
+    n_total = sum(n_by_class.values())
+
+    # ONE term-hash shuffle -> wide per-class cf table (fill 0)
+    def cf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["term"] != _DOC_MARKER]
+        return (df.groupby(["term", "lang"], sort=False)["tf"]
+                .sum().reset_index())
+
+    def cf_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["term", "lang"], sort=False)["tf"]
+             .sum().reset_index())
+        p = g.pivot_table(index="term", columns="lang", values="tf",
+                          aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"term": p.index.to_numpy()})
+        for c in classes:
+            out["cf_" + c] = (p[c].to_numpy(np.int64) if c in p.columns
+                              else np.zeros(len(p), np.int64))
+        return out
+
+    cf_ds = hash_partitioned_groupby(
+        rows, ["term"], cf_partial, cf_final, n_parts=n_parts
+    ).materialize()
+
+    v = cf_ds.count()
+    t_by_class = {c: int(cf_ds.sum("cf_" + c)) for c in classes}
+
+    def weights(batch: pa.Table) -> pa.Table:
+        cols = {"term": batch.column("term")}
+        for c in classes:
+            denom = t_by_class[c] + v
+            cols["w_" + c] = pa.array(
+                [math.log((cf + 1) / denom)
+                 for cf in batch.column("cf_" + c).to_pylist()],
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    w_ds = cf_ds.map_batches(weights, batch_format="pyarrow")
+
+    w_cols = ["w_" + c for c in classes]
+    joined = hash_join_attach(
+        rows, "term", w_ds, w_cols,
+        rows_types={"doc_id": pa.int64(), "lang": pa.string(),
+                    "term": pa.string(), "tf": pa.int64()},
+        val_types={wc: pa.float64() for wc in w_cols},
+        n_parts=n_parts,
+    )
+
+    priors = {c: math.log(n_by_class[c] / n_total) for c in classes}
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["term"] != _DOC_MARKER]
+        df = df.sort_values(["doc_id", "term"],
+                            kind="mergesort").reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        tf = df["tf"].to_numpy(np.float64)
+        llh = np.empty((len(starts), len(classes)))
+        for j, c in enumerate(classes):
+            contrib = tf * df["w_" + c].to_numpy(np.float64)
+            llh[:, j] = np.round(priors[c] + np.add.reduceat(contrib,
+                                                             starts), 6)
+        # argmax of ROUNDED llh, tie-break ascending class name: classes
+        # is sorted and np.argmax takes the FIRST max.
+        best = np.argmax(llh, axis=1)
+        langs = df["lang"].to_numpy()[starts]
+        pred = np.asarray(classes, dtype=object)[best]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[starts],
+                "lang": langs,
+                "lang_pred": pred,
+                "llh_r": llh[np.arange(len(starts)), best],
+                "correct": (pred == langs).astype(np.int64),
+            }
+        )
+
+    return hash_partitioned_groupby(
+        joined, ["doc_id"], lambda df: df, fold, n_parts=n_parts,
+    )
+
+
+def langid_nb_sql() -> str:
+    """DuckDB mirror of langid_nb_scores (same token stream, smoothing,
+    rounding, and argmax tie-break)."""
+    return """
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+  FROM documents
+),
+lab AS (SELECT doc_id, lang, tl FROM base WHERE len(tl) > 0),
+toks AS (SELECT doc_id, lang, unnest(tl) AS term FROM lab),
+tf AS (SELECT doc_id, lang, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, lang, term),
+cf AS (SELECT lang, term, sum(tf)::BIGINT AS cf
+       FROM tf GROUP BY lang, term),
+classes AS (SELECT lang, count(*)::BIGINT AS n_docs FROM lab GROUP BY lang),
+ntot AS (SELECT sum(n_docs)::BIGINT AS n FROM classes),
+ts AS (SELECT c.lang, coalesce(sum(cf.cf), 0)::BIGINT AS t
+       FROM classes c LEFT JOIN cf ON cf.lang = c.lang GROUP BY c.lang),
+vv AS (SELECT count(DISTINCT term)::BIGINT AS v FROM cf),
+pairs AS (SELECT tf.doc_id, tf.lang AS lang_true, tf.term, tf.tf,
+                 c.lang AS cls
+          FROM tf CROSS JOIN classes c),
+contrib AS (
+  SELECT p.doc_id, p.lang_true, p.cls, p.term,
+         p.tf * ln((coalesce(cf.cf, 0) + 1)::DOUBLE / (ts.t + vv.v)) AS c
+  FROM pairs p
+  LEFT JOIN cf ON cf.lang = p.cls AND cf.term = p.term
+  JOIN ts ON ts.lang = p.cls CROSS JOIN vv
+),
+agg AS (
+  SELECT doc_id, lang_true, cls,
+         round(ln(c2.n_docs::DOUBLE / n.n)
+               + list_sum(list(c ORDER BY term)), 6) AS llh_r
+  FROM contrib JOIN classes c2 ON c2.lang = contrib.cls CROSS JOIN ntot n
+  GROUP BY doc_id, lang_true, cls, c2.n_docs, n.n
+),
+best AS (
+  SELECT doc_id, lang_true, cls, llh_r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY llh_r DESC, cls) AS rn
+  FROM agg
+)
+SELECT doc_id, lang_true AS lang, cls AS lang_pred, llh_r,
+       (CASE WHEN cls = lang_true THEN 1 ELSE 0 END)::BIGINT AS correct
+FROM best WHERE rn = 1
+"""
+
+
 def quality_classifier_scores(docs_ds, *, dim: int = DIM,
                               lam: float = 1e-4, iters: int = 6,
                               threshold: float = 0.06,

@@ -825,6 +825,23 @@ def _sql_naive_bayes() -> str:
     return naive_bayes_sql(stoplist_sql=_stopword_sql_list())
 
 
+def q_langid_nb(sf_dir: str):
+    """Corpus-trained multiclass Naive Bayes language identifier
+    (webindex/classify.py langid_nb_scores) — the fastText-direction
+    upgrade of the heuristic langid entry: per-class term counts from
+    the corpus's own lang labels, argmax class log-likelihood per doc,
+    6dp surface, tie-break ascending class. Fully SQL-checked."""
+    import ray.data as rd
+
+    from webindex.classify import langid_nb_scores
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    return langid_nb_scores(ds)
+
+
 def q_top_longest_per_lang(sf_dir: str):
     """Grouped top-k (relational.grouped_topk): 3 longest docs per lang.
     Per-batch local top-k per key bounds shuffle traffic at k x #keys rows
@@ -6507,6 +6524,15 @@ def q_qs_lmd_top10(sf_dir: str):
 SQL_NAIVE_BAYES = _sql_naive_bayes()
 
 
+def _sql_langid_nb() -> str:
+    from webindex.classify import langid_nb_sql
+
+    return langid_nb_sql()
+
+
+SQL_LANGID_NB = _sql_langid_nb()
+
+
 REGISTRY: dict[str, tuple] = {
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "doclens": (q_doclens, SQL_DOCLENS),
@@ -6646,6 +6672,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_poly_clusters": (q_simhash_poly_clusters,
                               SQL_SIMHASH_POLY_CLUSTERS),
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
+    "langid_nb": (q_langid_nb, SQL_LANGID_NB),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
     "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
     "minhash_clusters": (q_minhash_clusters, None),
