@@ -106,3 +106,64 @@ def test_synth_links_matches_brute(ray_session):
     assert list(zip(got["src"], got["dst"])) == want
     # no dangling nodes by construction
     assert set(got["src"]) == set(range(n))
+
+
+# ---------------- HITS ----------------
+
+
+def _hits_dict(ds) -> dict:
+    df = ds.to_pandas().sort_values("node")
+    return {
+        int(r.node): (int(r.hub_q), int(r.auth_q))
+        for r in df.itertuples(index=False)
+    }
+
+
+def test_hits_matches_reference_both_paths(ray_session):
+    from webindex.graph import hits, hits_reference
+
+    ref = hits_reference(EDGES, iters=7)
+    for mode in ("broadcast", "distributed"):
+        got = _hits_dict(
+            hits(_edges_ds(EDGES), iters=7, n_parts=8, mode=mode)
+        )
+        assert got == ref, mode
+
+
+def test_hits_partition_invariant(ray_session):
+    from webindex.graph import hits
+
+    a = _hits_dict(hits(_edges_ds(EDGES, blocks=1), iters=5, n_parts=3))
+    b = _hits_dict(hits(_edges_ds(EDGES, blocks=7), iters=5, n_parts=16))
+    assert a == b
+
+
+def test_hits_pure_hub_and_authority(ray_session):
+    """A node with only out-edges must have auth 0; only in-edges, hub 0;
+    the strongest hub/authority pair is the engineered one."""
+    from webindex.graph import hits
+
+    # 0,1 point at 3,4; 2 points only at 3; 5 receives only
+    edges = [(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (0, 5)]
+    got = _hits_dict(hits(_edges_ds(edges, blocks=2), iters=6, n_parts=4))
+    assert got[3][0] == 0 and got[4][0] == 0 and got[5][0] == 0
+    assert got[0][1] == 0 and got[1][1] == 0 and got[2][1] == 0
+    assert got[0][0] > got[2][0] > 0  # 0 links to stronger authorities
+    assert got[3][1] > got[4][1] > got[5][1] > 0
+
+
+def test_hits_synth_graph_paths_identical(ray_session):
+    import ray.data as rd
+
+    from webindex.graph import hits, synth_links
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    n = docs.count()
+    ed = synth_links(docs, n)
+    b = _hits_dict(hits(ed, iters=4, n_parts=8, mode="broadcast"))
+    d = _hits_dict(hits(ed, iters=4, n_parts=8, mode="distributed"))
+    assert b == d
+    assert len(b) == n

@@ -438,6 +438,290 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
     )
 
 
+HITS_SCALE = 10**6  # see overflow note in hits() — keeps (r*S) in int64
+
+
+def _norm_div(raw: np.ndarray, total: int) -> np.ndarray:
+    """Exact ``(raw * HITS_SCALE) // total`` without int128: with
+    raw = q*total + r, ``raw*S//total == q*S + (r*S)//total`` (algebraic
+    identity, exact). r < total, so r*S < total*S — int64-safe under the
+    documented ``total * HITS_SCALE < 2**63`` bound."""
+    q = raw // total
+    r = raw - q * total
+    return q * HITS_SCALE + (r * HITS_SCALE) // total
+
+
+def hits(edges_ds, *, iters: int = 10, n_parts: int = 64,
+         mode: str = "auto", broadcast_limit: int = 2_000_000
+         ) -> "ray.data.Dataset":  # noqa: F821
+    """Fixed-point HITS (Kleinberg 1999 hubs & authorities) -> Dataset
+    (node, hub_q, auth_q) in int64 micro-units of L1 mass (HITS_SCALE).
+
+    Update rule (the DuckDB oracle replays it exactly):
+
+        h_q[0]    = HITS_SCALE // N                    (per node)
+        a_raw[v]  = sum over in-edges (u, v) of h_q[u] (exact int64)
+        a_q[v]    = (a_raw[v] * HITS_SCALE) // sum(a_raw)   (L1 norm)
+        h_raw[u]  = sum over out-edges (u, v) of a_q[v]
+        h_q[u]    = (h_raw[u] * HITS_SCALE) // sum(h_raw)
+
+    L1 normalization (not the classical L2) keeps every operation exact
+    integer arithmetic — same determinism contract as :func:`pagerank`:
+    bit-identical across partitionings, CPU counts, and engines. The
+    normalizing division is computed by the int64-safe two-step identity
+    (:func:`_norm_div`); the SQL oracle uses HUGEINT directly.
+
+    Overflow bound: sum(a_raw) = sum_u outdeg(u) * h_q[u]
+    <= outdeg_max * HITS_SCALE, so the identity's r*S term fits int64
+    while outdeg_max (and indeg_max for the hub phase) stays below
+    ~9.2e6 — far above any real page's link count; asserted at runtime.
+
+    Scale shape: per iteration, each phase is one padded-union hash join
+    (state onto edges by the owning endpoint) + one hash-partitioned
+    reduce by the other endpoint; the driver sees only the two
+    normalizing totals (exact int partial sums). States stay SPARSE
+    during iteration (auth rows exist only for nodes with in-edges, hub
+    rows only for edge sources — absent = 0 exactly); the full node
+    table is zero-filled once at emit. Below ``broadcast_limit`` nodes
+    the state vectors live on the driver and edges stream through an
+    integer combiner per batch — bit-identical by integer exactness.
+    """
+    import ray.data as rd
+
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    nodes = _node_table(edges_ds, n_parts).materialize()
+    n = int(nodes.count())
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "hub_q": pa.array([], pa.int64()),
+                      "auth_q": pa.array([], pa.int64())})
+        )
+
+    if mode == "broadcast" or (mode == "auto" and n <= broadcast_limit):
+        return _hits_broadcast(edges_ds, nodes, n=n, iters=iters,
+                               n_parts=n_parts)
+    return _hits_distributed(edges_ds, nodes, n=n, iters=iters,
+                             n_parts=n_parts)
+
+
+def _hits_phase_checks(total: int) -> None:
+    if total * HITS_SCALE >= 2**63:
+        raise OverflowError(
+            "hits: normalizing total exceeds the int64-safe bound "
+            "(outdeg/indeg beyond ~9.2e6); shrink HITS_SCALE"
+        )
+
+
+def _hits_broadcast(edges_ds, nodes, *, n: int, iters: int, n_parts: int):
+    import ray
+    import ray.data as rd
+
+    node_ids = np.sort(
+        np.concatenate(
+            [b.column("node").to_numpy()
+             for b in nodes.iter_batches(batch_format="pyarrow")]
+        ).astype(np.int64)
+    )
+    h = np.full(node_ids.size, HITS_SCALE // n, dtype=np.int64)
+    a = np.zeros(node_ids.size, dtype=np.int64)
+    edges_mat = edges_ds.materialize()
+
+    def sweep(vec: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+        """raw[dst] = sum over edges of vec[src] (exact int combiner)."""
+        ref = ray.put((node_ids, vec))
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            ids, v = ray.get(ref)
+            s = batch.column(src_col).to_numpy().astype(np.int64)
+            d = batch.column(dst_col).to_numpy().astype(np.int64)
+            c = v[np.searchsorted(ids, s)]
+            ud, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(ud.size, dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table(
+                {"node": pa.array(ud, pa.int64()),
+                 "psum": pa.array(sums, pa.int64()),
+                 "part": pa.array(_part_of(ud, n_parts))}
+            )
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["psum"].sum()
+
+        raw = np.zeros(node_ids.size, dtype=np.int64)
+        parts = (
+            edges_mat.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(final, batch_format="pandas")
+        )
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            pos = np.searchsorted(node_ids, b.column("node").to_numpy())
+            raw[pos] = b.column("psum").to_numpy()
+        return raw
+
+    for _ in range(iters):
+        a_raw = sweep(h, "src", "dst")
+        ta = int(a_raw.sum())
+        if ta == 0:
+            a = np.zeros_like(a)
+            h = np.zeros_like(h)
+            break
+        _hits_phase_checks(ta)
+        a = _norm_div(a_raw, ta)
+        h_raw = sweep(a, "dst", "src")
+        th = int(h_raw.sum())
+        _hits_phase_checks(th)
+        h = _norm_div(h_raw, th)
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array(node_ids, pa.int64()),
+                  "hub_q": pa.array(h, pa.int64()),
+                  "auth_q": pa.array(a, pa.int64())})
+    )
+
+
+def _hits_distributed(edges_ds, nodes, *, n: int, iters: int,
+                      n_parts: int):
+    """Sparse-state HITS: two (join + reduce) exchanges per iteration via
+    the repo's padded-union relational helpers; driver sees only the two
+    totals. States carry only nodes that can be nonzero (see hits())."""
+    from webindex.relational import hash_join_attach, hash_partitioned_groupby
+
+    edges_mat = edges_ds.materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"),
+             "v_q": pa.array(
+                 np.full(batch.num_rows, HITS_SCALE // n, np.int64),
+                 pa.int64())}
+        )
+
+    h_state = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def total_of(state) -> int:
+        def part_sum(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"t": pa.array(
+                    [int(pc.sum(batch.column("v_q")).as_py() or 0)],
+                    pa.int64())}
+            )
+
+        return sum(
+            r["t"]
+            for r in state.map_batches(
+                part_sum, batch_format="pyarrow"
+            ).take_all()
+        )
+
+    def sweep(state, key: str, other: str):
+        """state joins edges on ``key``; contributions reduce by ``other``
+        into the next raw state (sum of v_q)."""
+        joined = hash_join_attach(
+            edges_mat, key, state, ["v_q"],
+            rows_types={"src": pa.int64(), "dst": pa.int64()},
+            val_types={"v_q": pa.int64()},
+            n_parts=n_parts, side_key="node",
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # the padded-union join leaves int columns as float64 dtype
+            # (values exact, <= HITS_SCALE << 2^53) — re-pin to int64 so
+            # the next shuffle hashes integer keys, and sums stay int64
+            df = df.astype({other: np.int64, "v_q": np.int64})
+            return df.groupby(other, sort=False)["v_q"].sum().reset_index()
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(other, sort=False)["v_q"].sum().reset_index()
+            return g.rename(columns={other: "node"})
+
+        return hash_partitioned_groupby(
+            joined, [other], partial, final, n_parts=n_parts
+        ).materialize()
+
+    def normalize(state, total: int):
+        def norm(batch: pa.Table) -> pa.Table:
+            raw = batch.column("v_q").to_numpy().astype(np.int64)
+            return pa.table(
+                {"node": batch.column("node"),
+                 "v_q": pa.array(_norm_div(raw, total), pa.int64())}
+            )
+
+        return state.map_batches(norm, batch_format="pyarrow").materialize()
+
+    a_state = None
+    for _ in range(iters):
+        a_raw = sweep(h_state, "src", "dst")
+        ta = total_of(a_raw)
+        if ta == 0:
+            import ray.data as rd
+
+            empty = rd.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "v_q": pa.array([], pa.int64())})
+            )
+            a_state, h_state = empty, empty
+            break
+        _hits_phase_checks(ta)
+        a_state = normalize(a_raw, ta)
+        h_raw = sweep(a_state, "dst", "src")
+        th = total_of(h_raw)
+        _hits_phase_checks(th)
+        h_state = normalize(h_raw, th)
+
+    # zero-fill emit over the full node table (one padded-union groupby)
+    def tag(ds, col):
+        def f(batch: pa.Table, col=col) -> pa.Table:
+            node = batch.column("node").to_numpy().astype(np.int64)
+            zero = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+            v = batch.column("v_q") if "v_q" in batch.column_names else zero
+            return pa.table(
+                {"node": batch.column("node"),
+                 "hub_q": v if col == "hub_q" else zero,
+                 "auth_q": v if col == "auth_q" else zero,
+                 "part": pa.array(_part_of(node, n_parts))}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)[["hub_q", "auth_q"]].sum()
+
+    return (
+        tag(nodes, "none").union(tag(h_state, "hub_q"))
+        .union(tag(a_state, "auth_q"))
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def hits_reference(edges: list[tuple[int, int]], *, iters: int = 10
+                   ) -> dict[int, tuple[int, int]]:
+    """Single-threaded replay of the exact HITS spec (test oracle):
+    node -> (hub_q, auth_q), Python ints (no overflow concerns)."""
+    nodes = sorted({v for e in edges for v in e})
+    n = len(nodes)
+    h = {v: HITS_SCALE // n for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            a_raw[d] += h[s]
+        ta = sum(a_raw.values())
+        if ta == 0:
+            return {v: (0, 0) for v in nodes}
+        a = {v: (a_raw[v] * HITS_SCALE) // ta for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            h_raw[s] += a[d]
+        th = sum(h_raw.values())
+        h = {v: (h_raw[v] * HITS_SCALE) // th for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
 def pagerank_reference(edges: list[tuple[int, int]], *, iters: int = 10
                        ) -> dict[int, int]:
     """Single-threaded replay of the exact fixed-point spec (test oracle)."""

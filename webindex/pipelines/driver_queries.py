@@ -5734,6 +5734,79 @@ FROM pr{iters}
 SQL_PAGERANK = _sql_pagerank(PAGERANK_ITERS)
 
 
+HITS_ITERS = 5
+
+
+def q_hits(sf_dir: str):
+    """Fixed-point HITS hubs & authorities (webindex/graph.py hits) over
+    the same deterministic synthetic link graph as pagerank. L1-normalized
+    int64 micro-unit arithmetic (HITS_SCALE) with an int64-safe exact
+    normalizing division — bit-identical across partitionings and
+    engines; the DuckDB oracle replays the update rule with HUGEINT.
+    Returns (node, hub_q, auth_q, rank) ranked by (auth_q desc, node)."""
+    import ray.data as rd
+
+    from webindex.graph import hits, synth_links
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    n = docs.count()
+    out = hits(
+        synth_links(docs, n), iters=HITS_ITERS, n_parts=16
+    ).to_pandas().sort_values(
+        ["auth_q", "node"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out
+
+
+def _sql_hits(iters: int) -> str:
+    from webindex.graph import HITS_SCALE, LINK_OFFSETS
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    s = HITS_SCALE
+    ctes = [f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id + o.off + n_chars) % (SELECT n FROM cnt) AS dst
+  FROM documents, (VALUES {offs}) o(off)
+  WHERE (doc_id + o.off + n_chars) % (SELECT n FROM cnt) <> doc_id
+),
+h0 AS (SELECT node, ({s} // (SELECT n FROM cnt))::BIGINT AS v FROM nodes)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""
+a{t} AS (
+  SELECT node, ((raw * {s}) // sum(raw) OVER ())::BIGINT AS v
+  FROM (SELECT e.dst AS node, sum(h.v)::HUGEINT AS raw
+        FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY e.dst)
+),
+h{t} AS (
+  SELECT node, ((raw * {s}) // sum(raw) OVER ())::BIGINT AS v
+  FROM (SELECT e.src AS node, sum(a.v)::HUGEINT AS raw
+        FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src)
+)""")
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT n.node, coalesce(h.v, 0)::BIGINT AS hub_q,
+       coalesce(a.v, 0)::BIGINT AS auth_q,
+       row_number() OVER (ORDER BY coalesce(a.v, 0) DESC, n.node
+                          )::INTEGER AS rank
+FROM nodes n
+LEFT JOIN h{iters} h ON h.node = n.node
+LEFT JOIN a{iters} a ON a.node = n.node
+"""
+    )
+
+
+SQL_HITS = _sql_hits(HITS_ITERS)
+
+
 TOP_TERMS_K = 20
 
 
@@ -6617,6 +6690,7 @@ REGISTRY: dict[str, tuple] = {
     "explain_top3": (q_explain_top3, SQL_EXPLAIN_TOP3),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
     "repetition": (q_repetition, SQL_REPETITION),
