@@ -167,3 +167,45 @@ def test_hits_synth_graph_paths_identical(ray_session):
     d = _hits_dict(hits(ed, iters=4, n_parts=8, mode="distributed"))
     assert b == d
     assert len(b) == n
+
+
+# ---------------- personalized PageRank ----------------
+
+
+def test_ppr_matches_reference_both_paths(ray_session):
+    from webindex.graph import pagerank, pagerank_reference
+
+    seeds = np.array([0, 8], dtype=np.int64)
+    ref = pagerank_reference(EDGES, iters=6, seeds={0, 8})
+    for mode in ("broadcast", "distributed"):
+        got = _as_dict(
+            pagerank(_edges_ds(EDGES), iters=6, n_parts=8, mode=mode,
+                     seeds=seeds)
+        )
+        assert got == ref, mode
+
+
+def test_ppr_mass_concentrates_on_seed_neighborhood(ray_session):
+    """Teleporting only to node 8 must rank it (and its targets) above
+    the uniform-teleport ranking's tail."""
+    from webindex.graph import pagerank
+
+    uni = _as_dict(pagerank(_edges_ds(EDGES), iters=8, n_parts=8))
+    ppr = _as_dict(
+        pagerank(_edges_ds(EDGES), iters=8, n_parts=8,
+                 seeds=np.array([8], dtype=np.int64))
+    )
+    # node 8 has no in-links: uniform PR gives it only base mass, the
+    # personalized run makes it the biggest single holder
+    assert ppr[8] > uni[8]
+    assert ppr[8] == max(ppr.values())
+    # total mass stays ~SCALE in both (floor losses only)
+    assert abs(sum(ppr.values()) - SCALE) < 200 * len(ppr)
+
+
+def test_ppr_empty_seeds_raises(ray_session):
+    from webindex.graph import pagerank
+
+    with pytest.raises(ValueError, match="seeds"):
+        pagerank(_edges_ds(EDGES), iters=2,
+                 seeds=np.array([], dtype=np.int64))

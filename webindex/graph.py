@@ -134,7 +134,8 @@ def _node_table(edges_ds, n_parts: int):
 
 def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
              n_nodes: int | None = None, mode: str = "auto",
-             broadcast_limit: int = 2_000_000) -> "ray.data.Dataset":  # noqa: F821,E501
+             broadcast_limit: int = 2_000_000,
+             seeds: "np.ndarray | None" = None) -> "ray.data.Dataset":  # noqa: F821,E501
     """Fixed-point PageRank (damping 17/20) -> Dataset (node, pr_q).
 
     ``pr_q`` is int64 micro-units of probability mass (``SCALE`` = 1e12);
@@ -159,6 +160,20 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
       each iteration is the canonical Pregel exchange — co-locate pr
       with edges by hash(src), emit contributions, reduce by hash(dst).
       Nothing node- or edge-sized ever reaches the driver.
+
+    ``seeds`` (sorted-deduped internally) switches to PERSONALIZED
+    PageRank (TrustRank-style): teleport and dangling mass go only to
+    the seed set, split uniformly over |seeds| —
+
+        base_v    = (3*SCALE) // (20*|seeds|)  if v in seeds else 0
+        pr_q[t+1] = base_v + (17*(sum(contrib by dst)
+                                  + (dm if v in seeds else 0))) // 20
+
+    with ``dm = sum(pr_q[dangling]) // |seeds|``. Initialization stays
+    uniform over all nodes (pinned spec — the oracle replays it). The
+    seed array is broadcast once via ``ray.put`` (personalization sets
+    are small by definition); ``seeds=None`` is byte-identical to the
+    classic rule above.
     """
     import ray
 
@@ -171,14 +186,19 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
             pa.table({"node": pa.array([], pa.int64()),
                       "pr_q": pa.array([], pa.int64())})
         )
-    base = (3 * SCALE) // (_DAMP_DEN * n)
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        if seeds.size == 0:
+            raise ValueError("pagerank: seeds must be non-empty when given")
+    n_t = int(seeds.size) if seeds is not None else n
+    base = (3 * SCALE) // (_DAMP_DEN * n_t)
 
     deg = _outdegrees(edges_ds, n_parts)
 
     if mode == "broadcast" or (mode == "auto" and n <= broadcast_limit):
         return _pagerank_broadcast(
             edges_ds, nodes, deg, n=n, base=base, iters=iters,
-            n_parts=n_parts,
+            n_parts=n_parts, seeds=seeds, n_t=n_t,
         )
 
     # static per-iteration state: (node, pr_q, outdeg) co-partitioned with
@@ -251,13 +271,15 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
         ).iter_batches(batch_format="pyarrow")
     )
 
+    seeds_ref = ray.put(seeds) if seeds is not None else None
+
     for _ in range(iters):
         # dangling mass: exact integer sum (order-free), scalar to driver
         if has_dangling:
             dparts = state.map_batches(
                 dangling_partial, batch_format="pyarrow"
             ).to_pandas()
-            dm = int(dparts["dmass"].sum()) // n
+            dm = int(dparts["dmass"].sum()) // n_t
         else:
             dm = 0
 
@@ -339,7 +361,8 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
                  "part": pa.array(_part_of(node, n_parts))}
             )
 
-        def update(g: pd.DataFrame, base=base, dm=dm) -> pd.DataFrame:
+        def update(g: pd.DataFrame, base=base, dm=dm,
+                   seeds_ref=seeds_ref) -> pd.DataFrame:
             st = g[g["outdeg"].notna()][["node", "outdeg"]]
             cb = g[g["outdeg"].isna()][["node", "contrib"]]
             sums = (
@@ -349,7 +372,20 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
             )
             out = st.merge(sums, on="node", how="left")
             s = out["contrib"].fillna(0).astype(np.int64).to_numpy()
-            pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+            if seeds_ref is None:
+                pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+            else:
+                import ray
+
+                sd = ray.get(seeds_ref)  # zero-copy sorted seed ids
+                node_a = out["node"].to_numpy(np.int64)
+                pos = np.searchsorted(sd, node_a)
+                m = (pos < sd.size) & (
+                    sd[np.minimum(pos, sd.size - 1)] == node_a
+                )
+                pr = (np.where(m, base, 0)
+                      + (_DAMP_NUM * (s + np.where(m, dm, 0)))
+                      // _DAMP_DEN)
             return pd.DataFrame(
                 {"node": out["node"].to_numpy(np.int64),
                  "outdeg": out["outdeg"].to_numpy(np.int64),
@@ -375,7 +411,9 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
 
 
 def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
-                        iters: int, n_parts: int):
+                        iters: int, n_parts: int,
+                        seeds: "np.ndarray | None" = None,
+                        n_t: int | None = None):
     """Broadcast-path PageRank: driver-resident (node, outdeg, pr) vectors
     (<= broadcast_limit rows, 8 B each), integer combiner per edge batch,
     one small hash groupby per iteration. Bit-identical to the
@@ -383,6 +421,7 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
     import ray
     import ray.data as rd
 
+    n_t = n if n_t is None else n_t
     node_ids = np.sort(
         np.concatenate(
             [b.column("node").to_numpy()
@@ -396,11 +435,20 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
         outdeg[pos] = b.column("outdeg").to_numpy()
     dangling = outdeg == 0
     pr = np.full(node_ids.size, SCALE // n, dtype=np.int64)
+    if seeds is None:
+        base_v, dm_m = np.int64(base), np.ones(node_ids.size, np.int64)
+    else:
+        pos = np.searchsorted(seeds, node_ids)
+        m = (pos < seeds.size) & (
+            seeds[np.minimum(pos, seeds.size - 1)] == node_ids
+        )
+        base_v = np.where(m, base, 0).astype(np.int64)
+        dm_m = m.astype(np.int64)
 
     edges_mat = edges_ds.materialize()
 
     for _ in range(iters):
-        dm = int(pr[dangling].sum()) // n
+        dm = int(pr[dangling].sum()) // n_t
         contrib_vec = pr // np.maximum(outdeg, 1)
         ref = ray.put((node_ids, contrib_vec))
 
@@ -430,7 +478,7 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
         for b in sums_ds.iter_batches(batch_format="pyarrow"):
             pos = np.searchsorted(node_ids, b.column("node").to_numpy())
             s[pos] = b.column("psum").to_numpy()
-        pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+        pr = base_v + (_DAMP_NUM * (s + dm * dm_m)) // _DAMP_DEN
 
     return rd.from_arrow(
         pa.table({"node": pa.array(node_ids, pa.int64()),
@@ -722,23 +770,28 @@ def hits_reference(edges: list[tuple[int, int]], *, iters: int = 10
     return {v: (h[v], a[v]) for v in nodes}
 
 
-def pagerank_reference(edges: list[tuple[int, int]], *, iters: int = 10
-                       ) -> dict[int, int]:
-    """Single-threaded replay of the exact fixed-point spec (test oracle)."""
+def pagerank_reference(edges: list[tuple[int, int]], *, iters: int = 10,
+                       seeds: set[int] | None = None) -> dict[int, int]:
+    """Single-threaded replay of the exact fixed-point spec (test oracle);
+    ``seeds`` replays the personalized rule (see :func:`pagerank`)."""
     nodes = sorted({v for e in edges for v in e})
     n = len(nodes)
+    n_t = len(seeds) if seeds is not None else n
     outdeg: dict[int, int] = {}
     inlinks: dict[int, list[int]] = {v: [] for v in nodes}
     for s, d in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
         inlinks[d].append(s)
-    base = (3 * SCALE) // (_DAMP_DEN * n)
+    base = (3 * SCALE) // (_DAMP_DEN * n_t)
     pr = {v: SCALE // n for v in nodes}
     for _ in range(iters):
-        dm = sum(pr[v] for v in nodes if outdeg.get(v, 0) == 0) // n
+        dm = sum(pr[v] for v in nodes if outdeg.get(v, 0) == 0) // n_t
         nxt = {}
         for v in nodes:
             s = sum(pr[u] // outdeg[u] for u in inlinks[v])
-            nxt[v] = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
+            is_seed = seeds is None or v in seeds
+            nxt[v] = ((base if is_seed else 0)
+                      + (_DAMP_NUM * (s + (dm if is_seed else 0)))
+                      // _DAMP_DEN)
         pr = nxt
     return pr

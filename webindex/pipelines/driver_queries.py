@@ -5734,6 +5734,91 @@ FROM pr{iters}
 SQL_PAGERANK = _sql_pagerank(PAGERANK_ITERS)
 
 
+PPR_SEED_MOD = 20
+
+
+def q_ppr_trust(sf_dir: str):
+    """Personalized PageRank (TrustRank direction, Gyongyi et al. 2004):
+    teleport + dangling mass restricted to a deterministic seed set
+    (doc_id % PPR_SEED_MOD == 0) — the link-spam / topical-authority
+    variant of the pagerank entry, same int64 fixed-point arithmetic
+    (webindex/graph.py pagerank(seeds=...)). Oracle replays the seeded
+    update rule. Returns (node, pr_q, rank)."""
+    import ray.data as rd
+
+    from webindex.graph import pagerank, synth_links
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    n = docs.count()
+    seeds = np.arange(0, n, PPR_SEED_MOD, dtype=np.int64)
+    pr = pagerank(
+        synth_links(docs, n), iters=PAGERANK_ITERS, n_parts=16,
+        n_nodes=n, seeds=seeds,
+    )
+    out = pr.to_pandas().sort_values(
+        ["pr_q", "node"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out
+
+
+def _sql_ppr(iters: int) -> str:
+    from webindex.graph import LINK_OFFSETS, SCALE
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    seed = f"(n.node % {PPR_SEED_MOD} = 0)"
+    ctes = [f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+tcnt AS (SELECT count(*)::BIGINT AS t FROM nodes n WHERE {seed}),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id + o.off + n_chars) % (SELECT n FROM cnt) AS dst
+  FROM documents, (VALUES {offs}) o(off)
+  WHERE (doc_id + o.off + n_chars) % (SELECT n FROM cnt) <> doc_id
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, ({SCALE} // (SELECT n FROM cnt))::BIGINT AS pr_q
+        FROM nodes)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""
+dm{t} AS (SELECT coalesce(sum(p.pr_q), 0) // (SELECT t FROM tcnt) AS m
+          FROM pr{p} p LEFT JOIN deg d ON d.src = p.node
+          WHERE d.src IS NULL),
+pr{t} AS (
+  SELECT n.node,
+         ((CASE WHEN {seed}
+                THEN (3 * {SCALE}) // (20 * (SELECT t FROM tcnt))
+                ELSE 0 END)
+          + (17 * (coalesce(s.sq, 0)
+                   + (CASE WHEN {seed} THEN (SELECT m FROM dm{t})
+                      ELSE 0 END))) // 20
+         )::BIGINT AS pr_q
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr_q // d.outdeg) AS sq
+    FROM edges e
+    JOIN pr{p} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT node, pr_q,
+       row_number() OVER (ORDER BY pr_q DESC, node)::INTEGER AS rank
+FROM pr{iters}
+"""
+    )
+
+
+SQL_PPR = _sql_ppr(PAGERANK_ITERS)
+
+
 HITS_ITERS = 5
 
 
@@ -6691,6 +6776,7 @@ REGISTRY: dict[str, tuple] = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
+    "ppr_trust": (q_ppr_trust, SQL_PPR),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
     "repetition": (q_repetition, SQL_REPETITION),
