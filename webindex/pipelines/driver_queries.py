@@ -247,7 +247,8 @@ def q_bm25_top10(sf_dir: str):
 
 def _sql_bm25_scores(values_sql: str | None = None,
                      docs_where: str = "", having: str = "",
-                     boosts_values: dict | None = None) -> str:
+                     boosts_values: dict | None = None,
+                     docs_sql: str | None = None) -> str:
     boost_cte = boost_join = ""
     boost_expr = ""
     if boosts_values:
@@ -260,9 +261,11 @@ def _sql_bm25_scores(values_sql: str | None = None,
         boost_join = "LEFT JOIN boosts b ON b.term = q.term"
         # same float-op order as the engine: (idf * tf_norm) * boost
         boost_expr = " * coalesce(b.boost, 1.0)"
+    docs_sql = docs_sql or (
+        f"SELECT doc_id, text FROM documents WHERE text <> '' {docs_where}"
+    )
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents
-              WHERE text <> '' {docs_where}),
+WITH docs AS ({docs_sql}),
 toks AS (
   SELECT doc_id, t.tok AS term
   FROM docs, unnest({_TOK_SQL}) AS t(tok)
@@ -5734,6 +5737,105 @@ FROM pr{iters}
 SQL_PAGERANK = _sql_pagerank(PAGERANK_ITERS)
 
 
+ANCHOR_TOKENS, ANCHOR_CAP = 4, 2
+
+
+def _anchor_corpus_ds(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.anchor import anchor_corpus
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    return anchor_corpus(docs, docs.count(), n_tokens=ANCHOR_TOKENS,
+                         max_inlinks=ANCHOR_CAP, n_parts=16)
+
+
+def _sql_anchor_docs() -> str:
+    from webindex.graph import LINK_OFFSETS
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    tl = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+SELECT dst AS doc_id, string_agg(anchor, ' ' ORDER BY src) AS text,
+       count(*)::BIGINT AS n_anchors
+FROM (
+  SELECT dst, src, anchor,
+         row_number() OVER (PARTITION BY dst ORDER BY src) AS rn
+  FROM (
+    SELECT DISTINCT sa.src,
+           (sa.src + o.off + sa.n_chars)
+             % (SELECT count(*) FROM documents) AS dst,
+           sa.anchor
+    FROM (SELECT doc_id AS src, n_chars,
+                 array_to_string(list_slice({tl}, 1, {ANCHOR_TOKENS}),
+                                 ' ') AS anchor
+          FROM documents WHERE len({tl}) > 0) sa,
+         (VALUES {offs}) o(off)
+    WHERE (sa.src + o.off + sa.n_chars)
+            % (SELECT count(*) FROM documents) <> sa.src
+  )
+) WHERE rn <= {ANCHOR_CAP}
+GROUP BY dst
+"""
+
+
+def q_anchor_docs(sf_dir: str):
+    """Anchor-text propagation (webindex/anchor.py): each page's ANCHOR
+    field = space-join of its in-links' source snippets (first
+    ANCHOR_TOKENS tokens), ascending src, capped at ANCHOR_CAP in-links
+    by the deterministic lowest-src rule (per-batch superset cut before
+    the one dst-hash shuffle). Hash check is exact string identity."""
+    return _anchor_corpus_ds(sf_dir)
+
+
+SQL_ANCHOR_DOCS = _sql_anchor_docs()
+
+
+def ensure_anchor_index(sf_dir: str) -> str:
+    """Build (once, resumably) the anchor-field index for ``sf_dir``."""
+    from webindex.build import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-anchor")
+    cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    corpus = _anchor_corpus_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    build_index(corpus, out, cfg)
+    return out
+
+
+def q_anchor_top10(sf_dir: str):
+    """BM25 over the anchor field with the FIELD'S OWN statistics (its
+    df/avgdl/N — the Lucene per-field scoring model): the anchor corpus
+    (q_anchor_docs) indexed by the standard builder, searched with the
+    standard query set. The web-ranking signal pipeline end to end."""
+    from webindex.search import search_queries
+
+    idx = ensure_anchor_index(sf_dir)
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, mode="wand", concurrency=2,
+        batch_size=8,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_ANCHOR_TOP10 = _sql_bm25_scores(
+    docs_sql="SELECT doc_id, text FROM (" + SQL_ANCHOR_DOCS + ")"
+) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
 PPR_SEED_MOD = 20
 
 
@@ -6777,6 +6879,8 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hits": (q_hits, SQL_HITS),
     "ppr_trust": (q_ppr_trust, SQL_PPR),
+    "anchor_docs": (q_anchor_docs, SQL_ANCHOR_DOCS),
+    "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
     "repetition": (q_repetition, SQL_REPETITION),
