@@ -5737,6 +5737,131 @@ FROM pr{iters}
 SQL_PAGERANK = _sql_pagerank(PAGERANK_ITERS)
 
 
+URL_CAP = 30  # per-host keep budget (bites at sf0.01: ~38 docs/host)
+
+
+def _messy_url(doc_id: int, lang: str) -> str:
+    """Deterministic messy URL re-derived identically by the oracle."""
+    return (
+        f"HTTPS://WWW.Site{doc_id % 13}.Example.COM:443/Wiki/{lang}/"
+        f"{doc_id}?b={doc_id % 7}&utm_source=feed&a=1&fbclid=x{doc_id}"
+        f"#sec{doc_id % 5}"
+    )
+
+
+def q_url_curation(sf_dir: str):
+    """URL canonicalization + per-domain cap (webindex/urlnorm.py — the
+    C4/RefinedWeb crawl-curation front door): scheme/host lowercase,
+    www./default-port strip, fragment drop, tracking params removed and
+    the rest sorted; then keep the URL_CAP lowest doc_ids per host (the
+    deterministic cap-per-domain rule, per-batch superset cut + one
+    host-hash shuffle). Deterministic messy URLs are re-derived from
+    (doc_id, lang) by BOTH engines; the oracle replays every
+    canonicalization step with string/list functions. Hash check is
+    exact string identity on the canonical URLs."""
+    import ray.data as rd
+
+    from webindex.urlnorm import canonicalize, domain_cap
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls = [
+            _messy_url(d, la)
+            for d, la in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("lang").to_pylist())
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    ).map_batches(synth, batch_format="pyarrow")
+    out = domain_cap(canonicalize(ds), k=URL_CAP, n_parts=16)
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "url_canon", "host", "domain", "path_depth"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_url_curation() -> str:
+    from webindex.urlnorm import TRACKING_KEYS
+
+    tk = ", ".join(f"'{k}'" for k in sorted(TRACKING_KEYS))
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 13)::VARCHAR
+           || '.Example.COM:443/Wiki/' || lang || '/' || doc_id::VARCHAR
+           || '?b=' || (doc_id % 7)::VARCHAR
+           || '&utm_source=feed&a=1&fbclid=x' || doc_id::VARCHAR
+           || '#sec' || (doc_id % 5)::VARCHAR AS url
+  FROM documents
+),
+split1 AS (
+  SELECT doc_id, lower(str_split(url, '://')[1]) AS scheme,
+         str_split(url, '://')[2] AS rest
+  FROM raw
+),
+split2 AS (
+  SELECT *, str_split(rest, '/')[1] AS hp,
+         substr(rest, len(str_split(rest, '/')[1]) + 1) AS tail
+  FROM split1
+),
+split3 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(
+           lower(str_split(hp, ':')[1]), '^(www\\.)+', ''), '\\.$', ''
+         ) AS host,
+         CASE WHEN len(str_split(hp, ':')) > 1
+              THEN str_split(hp, ':')[2] ELSE '' END AS port,
+         str_split(tail, '#')[1] AS path_q
+  FROM split2
+),
+split4 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN (scheme = 'https' AND port = '443')
+                OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE port END AS port,
+         CASE WHEN str_split(path_q, '?')[1] = '' THEN '/'
+              ELSE str_split(path_q, '?')[1] END AS path,
+         CASE WHEN len(str_split(path_q, '?')) > 1
+              THEN str_split(path_q, '?')[2] ELSE NULL END AS query
+  FROM split3
+),
+canon AS (
+  SELECT doc_id, host,
+         scheme || '://' || host
+           || (CASE WHEN port <> '' THEN ':' || port ELSE '' END)
+           || path
+           || (CASE WHEN qcanon IS NOT NULL AND qcanon <> ''
+                    THEN '?' || qcanon ELSE '' END) AS url_canon,
+         array_to_string(
+           list_slice(str_split(host, '.'),
+                      greatest(len(str_split(host, '.')) - 1, 1),
+                      len(str_split(host, '.'))), '.') AS domain,
+         len(list_filter(str_split(path, '/'), s -> s <> ''))::BIGINT
+           AS path_depth
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+             str_split(query, '&'),
+             p -> NOT (starts_with(str_split(p, '=')[1], 'utm_')
+                       OR str_split(p, '=')[1] IN ({tk})))), '&') AS qcanon
+    FROM split4
+  )
+)
+SELECT doc_id, url_canon, host, domain, path_depth FROM (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY doc_id) AS rn
+  FROM canon
+) WHERE rn <= {URL_CAP}
+"""
+
+
+SQL_URL_CURATION = _sql_url_curation()
+
+
 ANCHOR_TOKENS, ANCHOR_CAP = 4, 2
 
 
@@ -6880,6 +7005,7 @@ REGISTRY: dict[str, tuple] = {
     "hits": (q_hits, SQL_HITS),
     "ppr_trust": (q_ppr_trust, SQL_PPR),
     "anchor_docs": (q_anchor_docs, SQL_ANCHOR_DOCS),
+    "url_curation": (q_url_curation, SQL_URL_CURATION),
     "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
