@@ -330,17 +330,34 @@ def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
 
     bs = cfg.block_size
     starts = np.arange(0, n, bs)
-    # gaps, with absolute docID at every block start
-    gaps = np.empty(n, dtype=np.int64)
-    gaps[0] = ids[0]
-    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-    gaps[starts] = ids[starts]
-    id_bytes = _varbyte_sizes(gaps)
+    if cfg.codec == "ef":
+        # Elias-Fano blocks are self-contained over ABSOLUTE ids (EF is
+        # monotone-only and not byte-sliceable) — per-block encode, each
+        # call vectorized (webindex.compress.ef_encode)
+        from webindex.compress import ef_encode
+
+        id_blobs = [
+            ef_encode(ids[starts[j]: min(starts[j] + bs, n)])
+            for j in range(starts.size)
+        ]
+    elif cfg.codec == "varbyte":
+        # gaps, with absolute docID at every block start
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        gaps[starts] = ids[starts]
+        id_bytes = _varbyte_sizes(gaps)
+        id_buf = varbyte_encode(gaps)
+        id_ends = np.concatenate(([0], np.cumsum(id_bytes)))
+        id_blobs = [
+            id_buf[id_ends[starts[j]]: id_ends[min(starts[j] + bs, n)]]
+            for j in range(starts.size)
+        ]
+    else:
+        raise ValueError(f"unknown codec {cfg.codec!r}")
     tfs_i = tfs.astype(np.int64)
     tf_bytes = _varbyte_sizes(tfs_i)
-    id_buf = varbyte_encode(gaps)
     tf_buf = varbyte_encode(tfs_i)
-    id_ends = np.concatenate(([0], np.cumsum(id_bytes)))
     tf_ends = np.concatenate(([0], np.cumsum(tf_bytes)))
     block_max = np.maximum.reduceat(tf_norm, starts)
     last_ids = ids[np.minimum(starts + bs, n) - 1]
@@ -363,10 +380,7 @@ def encode_run(term: str, salt: int, ids: np.ndarray, tfs: np.ndarray,
         "block_id": np.arange(nblocks, dtype=np.int32),
         "n": np.minimum(starts + bs, n).astype(np.int32) - starts.astype(np.int32),
         "last_doc_id": last_ids,
-        "doc_ids": [
-            id_buf[id_ends[starts[j]]: id_ends[min(starts[j] + bs, n)]]
-            for j in range(nblocks)
-        ],
+        "doc_ids": id_blobs,
         "tfs": [
             tf_buf[tf_ends[starts[j]]: tf_ends[min(starts[j] + bs, n)]]
             for j in range(nblocks)

@@ -86,6 +86,12 @@ class IndexConfig:
     # the position-free engine answers phrases by lazy verification
     # (webindex.phrase).
     store_positions: bool = False
+    # docID-stream codec: "varbyte" (delta+LEB128, byte-sliceable whole-run
+    # encode, joint concat decode — the latency default) or "ef"
+    # (Elias-Fano per block: ~n*(2+log2(u/n)) bits, wins once average gaps
+    # drop under ~64 — the space profile; tf/position streams stay varbyte
+    # in both). Proven rank-identical in tests/test_compress.py.
+    codec: str = "varbyte"
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
     def to_dict(self) -> dict:

@@ -110,18 +110,27 @@ def _check_bucket(batch: pa.Table, index_dir: str, cfg_dict: dict,
                         f"contiguous-from-0: {run_bids.tolist()[:8]}"
                     )
                 run_ns = ns[s:j].astype(np.int64)
-                gaps = varbyte_decode(b"".join(idbufs[s:j]))
-                if gaps.size != int(run_ns.sum()):
-                    errors.append(
-                        f"term {t!r} salt {salt}: decoded "
-                        f"{gaps.size} ids, metadata says {run_ns.sum()}"
-                    )
-                    break
                 starts = np.concatenate(([0], np.cumsum(run_ns)[:-1]))
-                csum = np.cumsum(gaps)
-                shift = np.zeros(run_ns.size, dtype=np.int64)
-                shift[1:] = csum[starts[1:] - 1]
-                ids = csum - np.repeat(shift, run_ns)
+                if getattr(cfg, "codec", "varbyte") == "ef":
+                    from webindex.compress import ef_decode_concat
+
+                    try:
+                        ids = ef_decode_concat(idbufs[s:j], run_ns)
+                    except ValueError as e:
+                        errors.append(f"term {t!r} salt {salt}: {e}")
+                        break
+                else:
+                    gaps = varbyte_decode(b"".join(idbufs[s:j]))
+                    if gaps.size != int(run_ns.sum()):
+                        errors.append(
+                            f"term {t!r} salt {salt}: decoded "
+                            f"{gaps.size} ids, metadata says {run_ns.sum()}"
+                        )
+                        break
+                    csum = np.cumsum(gaps)
+                    shift = np.zeros(run_ns.size, dtype=np.int64)
+                    shift[1:] = csum[starts[1:] - 1]
+                    ids = csum - np.repeat(shift, run_ns)
                 tfs = varbyte_decode(b"".join(tfbufs[s:j]))
                 if tfs.size != ids.size:
                     errors.append(

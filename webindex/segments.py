@@ -378,17 +378,24 @@ class SegmentReader:
             posbufs = (
                 [b[7] for b in blocks] if blocks[0][7] is not None else None
             )
-        # joint decode: ONE varbyte pass over the concatenated buffers
-        # (a per-block decode loop cost ~50us x thousands of 128-posting
-        # blocks on stopword-scale lists), then a segmented cumsum turns
-        # block-local gaps into absolute docIDs (each block's first value
-        # is stored absolute)
         starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
-        gaps = varbyte_decode(b"".join(idbufs))
-        csum = np.cumsum(gaps)
-        shift = np.zeros(ns.size, dtype=np.int64)
-        shift[1:] = csum[starts[1:] - 1]
-        ids = csum - np.repeat(shift, ns)
+        if getattr(self.cfg, "codec", "varbyte") == "ef":
+            # EF blocks are self-contained absolute ids (per-block decode,
+            # vectorized within — the documented space-profile tradeoff)
+            from webindex.compress import ef_decode_concat
+
+            ids = ef_decode_concat(idbufs, ns)
+        else:
+            # joint decode: ONE varbyte pass over the concatenated buffers
+            # (a per-block decode loop cost ~50us x thousands of
+            # 128-posting blocks on stopword-scale lists), then a
+            # segmented cumsum turns block-local gaps into absolute docIDs
+            # (each block's first value is stored absolute)
+            gaps = varbyte_decode(b"".join(idbufs))
+            csum = np.cumsum(gaps)
+            shift = np.zeros(ns.size, dtype=np.int64)
+            shift[1:] = csum[starts[1:] - 1]
+            ids = csum - np.repeat(shift, ns)
         tfs = varbyte_decode(b"".join(tfbufs))
         idf_t = _idf(self.N, dfe[0])
         block_max = idf_t * maxes
