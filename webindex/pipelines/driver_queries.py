@@ -5961,6 +5961,99 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+WEB_RANK_ANCHOR_W, WEB_RANK_PR_W = 0.5, 2.0
+
+
+def q_web_rank_top10(sf_dir: str):
+    """The classic web-ranking composite (Brin & Page 1998): per query,
+    score = body_bm25 + 0.5 * anchor_bm25 + 2.0 * pagerank_norm over the
+    UNION of body and anchor match sets, where pagerank_norm =
+    pr_q * N / SCALE (mean 1.0, exact int numerator < 2^53 so the one
+    float division is engine-portable). Float op order pinned
+    left-to-right; 6dp surface; rank on the ROUNDED score (ties by
+    doc_id) so both engines cut the same top-10. Composes three
+    independently-verified entries (bm25_scores, anchor_top10,
+    pagerank); at scale the merge is a runs-table outer join + a pr
+    broadcast — here the 80-query contract set uses the resident
+    searcher loop (mf_best_fields_scores precedent)."""
+    from webindex.graph import SCALE, pagerank, synth_links
+    from webindex.search import SearcherActor
+
+    import ray.data as rd
+
+    body = SearcherActor(ensure_index(sf_dir, "nostem"), top_k=10**9,
+                         mode="exhaustive")
+    anch = SearcherActor(ensure_anchor_index(sf_dir), top_k=10**9,
+                         mode="exhaustive")
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    n = docs.count()
+    pr = pagerank(synth_links(docs, n), iters=PAGERANK_ITERS, n_parts=16,
+                  n_nodes=n).to_pandas()
+    pr_norm = dict(zip(pr["node"].astype(int),
+                       (pr["pr_q"].astype(object) * n) / SCALE))
+
+    rows = []
+    for qid, text in DOC_QUERIES:
+        b_ids, b_sc = body.search_one(qid, text)
+        a_ids, a_sc = anch.search_one(qid, text)
+        bd = dict(zip(b_ids.tolist(), b_sc.tolist()))
+        ad = dict(zip(a_ids.tolist(), a_sc.tolist()))
+        scored = []
+        for d in set(bd) | set(ad):
+            s = (bd.get(d, 0.0) + WEB_RANK_ANCHOR_W * ad.get(d, 0.0)
+                 + WEB_RANK_PR_W * pr_norm[d])
+            scored.append((d, round(s, 6)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        rows.extend(
+            (qid, d, s, r + 1) for r, (d, s) in enumerate(scored[:TOPK])
+        )
+    out = pd.DataFrame(rows, columns=["qid", "doc_id", "score_r", "rank"])
+    out["rank"] = out["rank"].astype(np.int32)
+    return out
+
+
+def _sql_web_rank() -> str:
+    from webindex.graph import SCALE
+
+    body_sel = (_sql_bm25_scores()
+                + "SELECT qid, doc_id, score FROM scores")
+    anch_sel = (_sql_bm25_scores(
+        docs_sql="SELECT doc_id, text FROM (" + SQL_ANCHOR_DOCS + ")"
+    ) + "SELECT qid, doc_id, score FROM scores")
+    pr_sel = _sql_pagerank(PAGERANK_ITERS)
+    return f"""
+WITH body AS (SELECT * FROM ({body_sel})),
+anch AS (SELECT * FROM ({anch_sel})),
+pr AS (SELECT node, pr_q FROM ({pr_sel})),
+cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+comb AS (
+  SELECT coalesce(b.qid, a.qid) AS qid,
+         coalesce(b.doc_id, a.doc_id) AS doc_id,
+         round(coalesce(b.score, 0.0)
+               + {WEB_RANK_ANCHOR_W} * coalesce(a.score, 0.0)
+               + {WEB_RANK_PR_W} * ((pr.pr_q * cnt.n)::DOUBLE / {SCALE}),
+               6) AS score_r
+  FROM body b
+  FULL OUTER JOIN anch a ON a.qid = b.qid AND a.doc_id = b.doc_id
+  JOIN pr ON pr.node = coalesce(b.doc_id, a.doc_id)
+  CROSS JOIN cnt
+)
+SELECT qid, doc_id, score_r, rank FROM (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_r DESC, doc_id)::INTEGER AS rank
+  FROM comb
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_WEB_RANK = _sql_web_rank()
+
+
 PPR_SEED_MOD = 20
 
 
@@ -7006,6 +7099,7 @@ REGISTRY: dict[str, tuple] = {
     "ppr_trust": (q_ppr_trust, SQL_PPR),
     "anchor_docs": (q_anchor_docs, SQL_ANCHOR_DOCS),
     "url_curation": (q_url_curation, SQL_URL_CURATION),
+    "web_rank_top10": (q_web_rank_top10, SQL_WEB_RANK),
     "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
