@@ -294,6 +294,28 @@ def run_bench() -> dict:
     extra["pagerank_nodes"] = m
     extra["pagerank_edges"] = int(keep.sum())
 
+    # HITS over the same synthetic graph (two sweeps + two normalizations
+    # per iteration — the L1 fixed-point machinery of webindex.graph.hits)
+    from webindex.graph import hits
+
+    t0 = time.time()
+    hits(edges, iters=5, n_parts=64).count()
+    timings["hits"] = time.time() - t0
+
+    # anchor-text propagation over the documents table: one stateless
+    # edge+snippet emit, per-batch cap cut, one dst-hash concat shuffle
+    from webindex.anchor import anchor_corpus
+
+    docs_tab = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    n_docs_t = docs_tab.count()
+    t0 = time.time()
+    ac = anchor_corpus(docs_tab, n_docs_t, n_parts=64)
+    extra["anchor_docs"] = ac.count()
+    timings["anchor"] = time.time() - t0
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)
