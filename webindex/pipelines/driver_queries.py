@@ -5961,6 +5961,148 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+RM3_FB_DOCS, RM3_EXP_TERMS, RM3_LAMBDA = 5, 3, 0.4
+
+
+def q_rm3_top10(sf_dir: str):
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 direction;
+    Lucene/Anserini's standard query-expansion baseline): pass 1 BM25 ->
+    top RM3_FB_DOCS feedback docs -> candidate terms scored
+    w(t) = sum over fb docs (ascending doc_id) of tf * idf, rounded to
+    6dp -> top RM3_EXP_TERMS expansions not in the analyzed query
+    (w_r desc, term asc) -> final = pass1 + RM3_LAMBDA * BM25(expansion
+    terms) over the union match set, 6dp, rank on the rounded score.
+    BM25's per-term additivity makes pass 2 exactly two full-set scores
+    composed with one multiply-add — both engines pin that op order.
+    At scale the fb-doc gather is the rerank join (J2) and term stats
+    come from the dictionary actor (lexicon); the 80-query contract set
+    uses the resident-searcher loop (mf_best_fields_scores precedent)."""
+    import glob as _glob
+    import json as _json
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from webindex.search import SearcherActor
+
+    idx = ensure_index(sf_dir, "nostem")
+    s = SearcherActor(idx, top_k=10**9, mode="exhaustive")
+    dfs: dict[str, int] = {}
+    for f in _glob.glob(os.path.join(idx, "dict", "**", "*.parquet"),
+                        recursive=True):
+        t = pq.read_table(f, columns=["term", "df"])
+        dfs.update(zip(t.column("term").to_pylist(),
+                       t.column("df").to_pylist()))
+    with open(os.path.join(idx, "stats.json")) as fh:
+        n_docs = _json.load(fh)["N"]
+    idf = {t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+           for t, d in dfs.items()}
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    text_of = dict(zip(texts.column("doc_id").to_pylist(),
+                       texts.column("text").to_pylist()))
+    tok = re.compile(r"[a-z0-9]+")
+
+    rows = []
+    for qid, text in DOC_QUERIES:
+        ids, scores = s.search_one(qid, text)
+        fb = sorted(ids[:RM3_FB_DOCS].tolist())
+        qset = set(tok.findall(text.lower()))
+        w: dict[str, float] = defaultdict(float)
+        for d in fb:  # ascending doc_id fold, pinned
+            for t, f in Counter(tok.findall(text_of[d].lower())).items():
+                w[t] += f * idf[t]
+        cand = sorted(
+            ((round(v, 6), t) for t, v in w.items() if t not in qset),
+            key=lambda x: (-x[0], x[1]),
+        )
+        exp_terms = [t for _, t in cand[:RM3_EXP_TERMS]]
+        base = dict(zip(ids.tolist(), scores.tolist()))
+        if exp_terms:
+            e_ids, e_sc = s.search_one(qid, " ".join(exp_terms))
+            ed = dict(zip(e_ids.tolist(), e_sc.tolist()))
+        else:
+            ed = {}
+        comb = sorted(
+            ((d, round(base.get(d, 0.0) + RM3_LAMBDA * ed.get(d, 0.0), 6))
+             for d in set(base) | set(ed)),
+            key=lambda x: (-x[1], x[0]),
+        )
+        rows.extend(
+            (qid, d, sc, r + 1) for r, (d, sc) in enumerate(comb[:TOPK])
+        )
+    out = pd.DataFrame(rows, columns=["qid", "doc_id", "score_r", "rank"])
+    out["rank"] = out["rank"].astype(np.int32)
+    return out
+
+
+def _sql_rm3() -> str:
+    idf = "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    tfn = (f"(tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * "
+           f"(dl.dl / (s.total_tokens::DOUBLE / s.n_docs)))))")
+    return _sql_bm25_scores() + f""",
+fb AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {RM3_FB_DOCS}
+),
+cand AS (
+  SELECT f.qid, tf.term,
+         round(list_sum(list(tf.tf * {idf} ORDER BY tf.doc_id)), 6) AS w_r
+  FROM fb f
+  JOIN tf ON tf.doc_id = f.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats s
+  GROUP BY f.qid, tf.term
+),
+expn AS (
+  SELECT qid, term FROM (
+    SELECT c.qid, c.term,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY c.w_r DESC, c.term) AS rn
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                      WHERE q.qid = c.qid AND q.term = c.term)
+  ) WHERE rn <= {RM3_EXP_TERMS}
+),
+contrib2 AS (
+  SELECT e.qid, tf.doc_id, e.term, {idf} * {tfn} AS c
+  FROM expn e
+  JOIN tf ON tf.term = e.term
+  JOIN df ON df.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+exps AS (
+  SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+  FROM contrib2 GROUP BY qid, doc_id
+),
+comb AS (
+  SELECT coalesce(p.qid, e.qid) AS qid,
+         coalesce(p.doc_id, e.doc_id) AS doc_id,
+         round(coalesce(p.score, 0.0)
+               + {RM3_LAMBDA} * coalesce(e.score, 0.0), 6) AS score_r
+  FROM scores p
+  FULL OUTER JOIN exps e ON e.qid = p.qid AND e.doc_id = p.doc_id
+)
+SELECT qid, doc_id, score_r, rank FROM (
+  SELECT qid, doc_id, score_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_r DESC, doc_id)::INTEGER AS rank
+  FROM comb
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_RM3 = _sql_rm3()
+
+
 WEB_RANK_ANCHOR_W, WEB_RANK_PR_W = 0.5, 2.0
 
 
@@ -7100,6 +7242,7 @@ REGISTRY: dict[str, tuple] = {
     "anchor_docs": (q_anchor_docs, SQL_ANCHOR_DOCS),
     "url_curation": (q_url_curation, SQL_URL_CURATION),
     "web_rank_top10": (q_web_rank_top10, SQL_WEB_RANK),
+    "rm3_top10": (q_rm3_top10, SQL_RM3),
     "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
