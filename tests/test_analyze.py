@@ -72,3 +72,37 @@ def test_term_freqs():
 def test_max_token_len_filter():
     a = Analyzer(AnalyzerConfig(max_token_len=5))
     assert a.tokens("short verylongtoken ok") == ["short", "ok"]
+
+
+def test_index_time_synonyms_append_post_filter():
+    from webindex.analyze import Analyzer
+    from webindex.config import AnalyzerConfig
+
+    cfg = AnalyzerConfig(
+        remove_stopwords=False, stem=False, ascii_only=True,
+        synonyms=(("slow", ("fast",)), ("scan", ("query", "lookup"))),
+    )
+    a = Analyzer(cfg)
+    # each mapped token emits its synonyms, appended after the stream;
+    # unmapped tokens pass through; synonyms count toward doclen
+    assert a.tokens("slow scan slow") == [
+        "slow", "scan", "slow", "fast", "query", "lookup", "fast",
+    ]
+    assert a.tokens("table merge") == ["table", "merge"]
+
+
+def test_synonyms_config_roundtrip_and_positions_guard():
+    from webindex.build import build_index
+    from webindex.config import AnalyzerConfig, IndexConfig
+
+    cfg = IndexConfig(
+        analyzer=AnalyzerConfig(synonyms=[["slow", ["fast"]]]),
+        store_positions=True,
+    )
+    # JSON-roundtripped lists normalize to tuples
+    assert cfg.analyzer.synonyms == (("slow", ("fast",)),)
+    assert IndexConfig.from_dict(cfg.to_dict()) == cfg
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="synonyms"):
+        build_index(None, "/tmp/never-built", cfg)

@@ -198,6 +198,7 @@ class Analyzer:
     def __init__(self, cfg: AnalyzerConfig | None = None):
         self.cfg = cfg or AnalyzerConfig()
         self._stem_cache: dict[str, str] = {}
+        self._syn = {t: list(s) for t, s in self.cfg.synonyms}
 
     def tokens(self, text: str) -> list[str]:
         """Analyze one document/query string into index terms."""
@@ -230,6 +231,12 @@ class Analyzer:
                 # tokens (digits, non-ASCII) pass through unchanged.
                 cache[t] = porter_stem(t) if _ASCII_ALPHA_RE.match(t) else t
             raw = [cache[t] for t in raw]
+        if self._syn:
+            # index-time synonym injection: mapped synonyms appended
+            # verbatim (post-filter, counted in doclen — pinned spec, see
+            # AnalyzerConfig.synonyms)
+            syn = self._syn
+            raw = raw + [s for t in raw if t in syn for s in syn[t]]
         return raw
 
     def term_freqs(self, text: str) -> Counter:

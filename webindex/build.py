@@ -664,6 +664,12 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
     # cache), which scale elastically and skip actor-pool startup.
     del tokenize_concurrency
     cfg = cfg or IndexConfig()
+    if cfg.store_positions and cfg.analyzer.synonyms:
+        raise ValueError(
+            "store_positions does not compose with index-time synonyms: "
+            "appended synonym tokens would take tail positions, not "
+            "Lucene's same-position semantics (AnalyzerConfig.synonyms)"
+        )
     runner = StageRunner(out_dir)
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")

@@ -30,6 +30,22 @@ class AnalyzerConfig:
     ascii_only: bool = False
     min_token_len: int = 1
     max_token_len: int = 64
+    # index-time synonym injection (the ES synonym token-filter analog):
+    # ((term, (syn, ...)), ...) — each analyzed token additionally emits
+    # its mapped synonyms, appended verbatim after the stream (they bypass
+    # the stopword/stem filters and COUNT toward doclen; pinned spec the
+    # SQL oracle replays). Incompatible with store_positions (appended
+    # tokens would take tail positions, not Lucene's same-position
+    # semantics — build_index refuses the combination).
+    synonyms: tuple = ()
+
+    def __post_init__(self):
+        # normalize (e.g. JSON-roundtripped lists) to nested tuples so the
+        # frozen config stays hashable and cache_key is stable
+        object.__setattr__(
+            self, "synonyms",
+            tuple((str(t), tuple(s)) for t, s in self.synonyms),
+        )
 
     def cache_key(self) -> str:
         return "-".join(f"{k}={v}" for k, v in sorted(asdict(self).items()))

@@ -95,6 +95,16 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
     out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-{variant}")
     if variant == "nostem":
         cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    elif variant == "synidx":
+        from webindex.config import AnalyzerConfig
+
+        cfg = IndexConfig(
+            analyzer=AnalyzerConfig(
+                remove_stopwords=False, stem=False, ascii_only=True,
+                synonyms=SYNIDX_MAP,
+            ),
+            num_buckets=16,
+        )
     elif variant == "pos":
         # positional postings: index-only phrase queries (webindex.positional)
         cfg = IndexConfig(
@@ -248,7 +258,8 @@ def q_bm25_top10(sf_dir: str):
 def _sql_bm25_scores(values_sql: str | None = None,
                      docs_where: str = "", having: str = "",
                      boosts_values: dict | None = None,
-                     docs_sql: str | None = None) -> str:
+                     docs_sql: str | None = None,
+                     tok_expr: str | None = None) -> str:
     boost_cte = boost_join = ""
     boost_expr = ""
     if boosts_values:
@@ -264,14 +275,15 @@ def _sql_bm25_scores(values_sql: str | None = None,
     docs_sql = docs_sql or (
         f"SELECT doc_id, text FROM documents WHERE text <> '' {docs_where}"
     )
+    tok_expr = tok_expr or _TOK_SQL
     return f"""
 WITH docs AS ({docs_sql}),
 toks AS (
   SELECT doc_id, t.tok AS term
-  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+  FROM docs, unnest({tok_expr}) AS t(tok)
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+dl AS (SELECT doc_id, len({tok_expr})::BIGINT AS dl FROM docs),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens FROM dl),
 {boost_cte}qterms AS (SELECT * FROM {values_sql or _query_values_sql()}),
@@ -5961,6 +5973,62 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+SYNIDX_MAP = (("slow", ("fast",)), ("scan", ("query", "lookup")))
+
+
+def q_bm25_synidx_top10(sf_dir: str):
+    """BM25 over an index built with INDEX-TIME synonym injection (the ES
+    synonym token-filter analog, AnalyzerConfig.synonyms): every doc
+    token additionally emits its mapped synonyms, so df/tf/doclen — and
+    therefore idf and length norms — all shift; a query for 'fast' now
+    matches docs that only said 'slow'. The oracle replays the expanded
+    token stream with list_transform/flatten in SQL. Queries run
+    pre-tokenized WITHOUT expansion — the standard ES pairing (index
+    analyzer with the synonym filter, search_analyzer without)."""
+    import ray.data as rd
+
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "synidx")
+    tok = re.compile(r"[a-z0-9]+")
+    qrows = [
+        (qid, " ".join(dict.fromkeys(tok.findall(text.lower()))))
+        for qid, text in DOC_QUERIES
+    ]
+    qds = rd.from_items([{"qid": q, "text": t} for q, t in qrows])
+    runs = search_queries(
+        qds, idx, top_k=TOPK, mode="wand", concurrency=2,
+        batch_size=8, pre_tokenized=True,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _sql_synidx_tok_expr() -> str:
+    arms = " ".join(
+        "WHEN t = '{0}' THEN [{1}]".format(
+            term, ", ".join(f"'{s}'" for s in syns)
+        )
+        for term, syns in SYNIDX_MAP
+    )
+    return (
+        f"list_concat({_TOK_SQL}, flatten(list_transform({_TOK_SQL}, "
+        f"t -> CASE {arms} ELSE []::VARCHAR[] END)))"
+    )
+
+
+SQL_BM25_SYNIDX_TOP10 = _sql_bm25_scores(
+    tok_expr=_sql_synidx_tok_expr()
+) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
 RM3_FB_DOCS, RM3_EXP_TERMS, RM3_LAMBDA = 5, 3, 0.4
 
 
@@ -7243,6 +7311,7 @@ REGISTRY: dict[str, tuple] = {
     "url_curation": (q_url_curation, SQL_URL_CURATION),
     "web_rank_top10": (q_web_rank_top10, SQL_WEB_RANK),
     "rm3_top10": (q_rm3_top10, SQL_RM3),
+    "bm25_synidx_top10": (q_bm25_synidx_top10, SQL_BM25_SYNIDX_TOP10),
     "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),
