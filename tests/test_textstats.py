@@ -908,3 +908,30 @@ def test_chunk_documents_matches_brute(ray_session):
     assert rows[0].split()[-2:] == rows[1].split()[:2]
     with pytest.raises(ValueError):
         chunk_documents(ds, max_tokens=8, overlap=8)
+
+
+def test_gopher_rules_hand_cases(ray_session):
+    import ray.data as rd
+
+    from webindex.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and that dog "
+            "has to be with all of our friends every single day ") * 3
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            good,                       # passes everything
+            "short text the of",        # < 50 words
+            ("#" * 30 + " ") * 60,      # symbol ratio 1.0, no alpha
+            "",                         # token-less
+        ], pa.string()),
+    })
+    got = (gopher_rules(rd.from_arrow(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0, "keep"] == 1
+    assert got.loc[0, "n_stop_hits"] >= 2
+    assert got.loc[1, "keep"] == 0 and got.loc[1, "n_words"] == 4
+    assert got.loc[2, "keep"] == 0
+    assert got.loc[2, "symbol_ratio_r"] > 0.1
+    assert got.loc[2, "alpha_frac_r"] == 0.0
+    assert (got.loc[3, ["n_words", "keep"]] == 0).all()

@@ -5973,6 +5973,75 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule filter (Rae et al. 2021 — the canonical
+    LLM-corpus rule set; webindex/textstats.py gopher_rules): word
+    count / mean word length / symbol ratio / alpha-word fraction /
+    required-stopword hits, keep = AND of the published thresholds.
+    Each ratio is one int/int IEEE division, so thresholds and the keep
+    verdict are engine-portable without rounding tricks."""
+    from webindex.textstats import gopher_rules
+
+    return gopher_rules(_docs(sf_dir))
+
+
+def _sql_gopher_rules() -> str:
+    from webindex.textstats import (GOPHER_MAX_MWL, GOPHER_MAX_SYMBOL_RATIO,
+                                    GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_FRAC,
+                                    GOPHER_MIN_MWL, GOPHER_MIN_STOP_HITS,
+                                    GOPHER_MIN_WORDS, GOPHER_STOPSET)
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPSET)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[^ \t\n\f\r]+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws, x -> len(x))), 0)::BIGINT
+           AS n_chars_w,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+           AS n_alpha,
+         len(list_distinct(list_filter(
+           list_transform(ws, x -> lower(x)),
+           x -> x IN ({stops}))))::BIGINT AS n_stop_hits,
+         (length(text) - length(replace(text, '#', '')))::BIGINT
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           AS n_sym
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words, n_stop_hits,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE n_chars_w::DOUBLE / n_words END AS mwl,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE n_sym::DOUBLE / n_words END AS sym,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE n_alpha::DOUBLE / n_words END AS alpha
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len_r,
+       round(sym, 6) AS symbol_ratio_r,
+       round(alpha, 6) AS alpha_frac_r,
+       n_stop_hits,
+       (CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                  AND n_words <= {GOPHER_MAX_WORDS}
+                  AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}
+                  AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
+                  AND alpha >= {GOPHER_MIN_ALPHA_FRAC}
+                  AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM r
+"""
+
+
+SQL_GOPHER_RULES = _sql_gopher_rules()
+
+
 SYNIDX_MAP = (("slow", ("fast",)), ("scan", ("query", "lookup")))
 
 
@@ -7312,6 +7381,7 @@ REGISTRY: dict[str, tuple] = {
     "web_rank_top10": (q_web_rank_top10, SQL_WEB_RANK),
     "rm3_top10": (q_rm3_top10, SQL_RM3),
     "bm25_synidx_top10": (q_bm25_synidx_top10, SQL_BM25_SYNIDX_TOP10),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "anchor_top10": (q_anchor_top10, SQL_ANCHOR_TOP10),
     "bm25_page2": (q_bm25_page2, SQL_BM25_PAGE2),
     "termvectors": (q_termvectors, SQL_TERMVECTORS),

@@ -1054,3 +1054,77 @@ def chunk_documents(docs_ds, *, max_tokens: int = 128, overlap: int = 32,
         )
 
     return docs_ds.map_batches(chunk, batch_format="pyarrow")
+
+
+GOPHER_STOPSET = ("and", "be", "have", "of", "that", "the", "to", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+_WS_SPLIT_RE = re.compile(r"[^ \t\n\f\r]+")
+_ALPHA_ANY_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_rules(docs_ds):
+    """Gopher quality-rule filter (Rae et al. 2021 App. A1 subset — the
+    canonical LLM-corpus rule set): per doc the raw-whitespace word
+    count, mean word length, #/ellipsis symbol-to-word ratio, fraction
+    of words containing an alphabetic character, and DISTINCT hits in
+    the 8-word required-stopword set; ``keep`` ANDs the published
+    thresholds. Every ratio is ONE int/int IEEE division (bit-identical
+    across engines — repetition_signals precedent), thresholds compare
+    the UNROUNDED division results, reported ratios are 6dp-rounded.
+    Token-less docs report zero ratios and keep=0 (pinned). Stateless
+    map_batches — no shuffle; the 100-TB shape is embarrassingly
+    parallel."""
+
+    stopset = set(GOPHER_STOPSET)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        o_id, o_nw, o_mwl, o_sym, o_alpha, o_stop, o_keep = (
+            [], [], [], [], [], [], []
+        )
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            t = t or ""
+            words = _WS_SPLIT_RE.findall(t)
+            nw = len(words)
+            o_id.append(did)
+            o_nw.append(nw)
+            if nw == 0:
+                o_mwl.append(0.0)
+                o_sym.append(0.0)
+                o_alpha.append(0.0)
+                o_stop.append(0)
+                o_keep.append(0)
+                continue
+            mwl = sum(len(w) for w in words) / nw
+            n_sym = t.count("#") + t.count("...")
+            sym = n_sym / nw
+            alpha = sum(1 for w in words if _ALPHA_ANY_RE.search(w)) / nw
+            stop_hits = len({w.lower() for w in words} & stopset)
+            keep = (GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+                    and GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL
+                    and sym <= GOPHER_MAX_SYMBOL_RATIO
+                    and alpha >= GOPHER_MIN_ALPHA_FRAC
+                    and stop_hits >= GOPHER_MIN_STOP_HITS)
+            o_mwl.append(round(mwl, 6))
+            o_sym.append(round(sym, 6))
+            o_alpha.append(round(alpha, 6))
+            o_stop.append(stop_hits)
+            o_keep.append(int(keep))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "n_words": pa.array(o_nw, pa.int64()),
+                "mean_word_len_r": pa.array(o_mwl, pa.float64()),
+                "symbol_ratio_r": pa.array(o_sym, pa.float64()),
+                "alpha_frac_r": pa.array(o_alpha, pa.float64()),
+                "n_stop_hits": pa.array(o_stop, pa.int64()),
+                "keep": pa.array(o_keep, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(rules, batch_format="pyarrow")
