@@ -895,6 +895,71 @@ def test_span_near_matches_brute(pos_index_dir, oracle, ray_session):
         assert got[qid] == want, qid
 
 
+def _brute_span_unordered(tokens, doc_tokens, slop):
+    """Any-order window: exists one position per (distinct) token with
+    (max - min) - (m-1) <= slop. Exhaustive over ALL combinations."""
+    from itertools import product
+
+    m = len(tokens)
+    occ = [
+        [i for i, t in enumerate(doc_tokens) if t == tok] for tok in tokens
+    ]
+    for combo in product(*occ):
+        if (max(combo) - min(combo)) - (m - 1) <= slop:
+            return True
+    return False
+
+
+def test_span_near_unordered_matches_brute(pos_index_dir, oracle,
+                                           ray_session):
+    from webindex.search import search_queries
+
+    an = oracle.an
+    toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for qid, text, slop in SPANS:
+        tokens = an.tokens(text)
+        if len(set(tokens)) != len(tokens):
+            continue  # distinct-clause requirement (s4)
+        runs = search_queries(
+            _queries_ds([(qid, text)]), pos_index_dir, top_k=8,
+            query_kind="phrase", slop=slop, in_order=False,
+        )
+        matched = {
+            d for d, tl in toks.items()
+            if tokens and _brute_span_unordered(tokens, tl, slop)
+        }
+        want = _oracle_constrained(oracle, text, 8, allowed=matched,
+                                   require_all=True)
+        df = runs.to_pandas()
+        if not want:
+            assert df.empty, qid
+            continue
+        got = {
+            q: [(int(d), float(s)) for d, s in zip(g["doc_id"], g["score"])]
+            for q, g in df.sort_values(["qid", "rank"]).groupby("qid")
+        }
+        assert got[qid] == want, qid
+
+
+def test_span_unordered_superset_of_ordered(pos_index_dir, oracle):
+    from webindex.positional import span_near_topk, span_near_unordered_topk
+    from webindex.segments import SegmentReader
+
+    r = SegmentReader(pos_index_dir)
+    r.preload()
+    for qid, text, slop in SPANS:
+        tokens = oracle.an.tokens(text)
+        if len(set(tokens)) != len(tokens):
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="distinct"):
+                span_near_unordered_topk(r, tokens, 10, slop=slop)
+            continue
+        o_ids, _ = span_near_topk(r, tokens, 10**6, slop=slop)
+        u_ids, _ = span_near_unordered_topk(r, tokens, 10**6, slop=slop)
+        assert set(o_ids.tolist()) <= set(u_ids.tolist()), qid
+
+
 def test_span_near_slop0_is_exact_phrase(pos_index_dir, oracle):
     from webindex.positional import phrase_topk, span_near_topk
     from webindex.segments import SegmentReader

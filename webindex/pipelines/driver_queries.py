@@ -5188,6 +5188,59 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+def q_span_unordered_top10(sf_dir: str):
+    """ES/Lucene span_near(in_order=false, slop=2): all tokens in ANY
+    order within the span-extent window — the window-existence kernel
+    vectorized over every occurrence as the candidate window minimum
+    (webindex/positional.py span_near_unordered_topk). Matches a
+    superset of the ordered entry on the same queries."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pos")
+    runs = search_queries(
+        _span_queries_ds(), idx, top_k=TOPK, query_kind="phrase",
+        slop=SPAN_SLOP, in_order=False,
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _span_unordered_match_sql(qid: str, text: str, slop: int) -> str:
+    """Exists-within-window (any order) as an m-way position self-join:
+    greatest - least over one position per distinct term <= m-1+slop."""
+    ts = _sql_an.tokens(text)
+    m = len(ts)
+    joins = "".join(
+        f" JOIN pos t{i} ON t{i}.doc_id = t0.doc_id" for i in range(1, m)
+    )
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(ts)]
+    ps = ", ".join(f"t{i}.p" for i in range(m))
+    conds.append(f"greatest({ps}) - least({ps}) <= {m - 1 + slop}")
+    return (
+        f"SELECT DISTINCT '{qid}' AS qid, t0.doc_id FROM pos t0{joins} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+
+
+SQL_SPAN_UNORDERED_TOP10 = _sql_bm25_scores(_span_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_span_unordered_match_sql(q, t, SPAN_SLOP)
+                      for q, t in SPAN_QUERIES)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -7403,6 +7456,8 @@ REGISTRY: dict[str, tuple] = {
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
+    "span_unordered_top10": (q_span_unordered_top10,
+                             SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),

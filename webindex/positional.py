@@ -224,3 +224,73 @@ def span_near_topk(reader: SegmentReader, tokens: list[str], k: int, *,
     if ranks.size == 0:
         return _EMPTY
     return _score_matched(reader, pls, cand[ranks], k, mask)
+
+
+def span_near_unordered_topk(reader: SegmentReader, tokens: list[str],
+                             k: int, *, slop: int = 0,
+                             mask: np.ndarray | None = None):
+    """ES/Lucene ``span_near(in_order=false, slop=N)`` — exact top-k docs
+    containing ALL tokens in ANY order within a window of extent
+    ``(max_pos - min_pos) - (m - 1) <= slop`` (the same span-extent slop
+    as the ordered kernel). Clause terms must be DISTINCT (each token
+    position holds one term, so position-distinctness of the matched set
+    is automatic); scored like the other positional kernels.
+
+    Kernel: window-existence test vectorized over every occurrence of
+    every term as the candidate window MINIMUM. A valid unordered match
+    with min position p implies the anchor at p succeeds, and any anchor
+    that succeeds exhibits a valid match — so doc matches iff some
+    anchor passes "every term has an occurrence in [p, p + W]" with
+    ``W = m - 1 + slop``: one ``np.searchsorted`` per term over that
+    term's (doc << 32 | pos) key array, no per-doc loop. Cost: m rounds
+    over the total occurrence count of the candidate docs — same order
+    as the ordered kernel's chain."""
+    if not tokens:
+        return _EMPTY
+    uniq = sorted(set(tokens))
+    if len(uniq) != len(tokens):
+        raise ValueError(
+            "span_near(in_order=false) requires distinct clause terms"
+        )
+    pls = []
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY
+        if pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions)"
+            )
+        pls.append(pl)
+    cand = pls[0].ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    keys: dict[str, np.ndarray] = {}
+    for t, pl in zip(uniq, pls):
+        pos_vals, pos_ends = reader.positions(t)
+        rows = np.searchsorted(pl.ids, cand)
+        flat_pos, row_of = _gather_positions(
+            pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+        )
+        keys[t] = (row_of.astype(np.int64) << 32) | flat_pos
+
+    w = len(tokens) - 1 + slop
+    anchors = np.concatenate([keys[t] for t in uniq])
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in uniq:
+        b = keys[t]
+        if b.size == 0:
+            return _EMPTY
+        idx = np.searchsorted(b, anchors)
+        valid = idx < b.size
+        nxt = b[np.minimum(idx, b.size - 1)]
+        ok &= valid
+        ok &= (nxt >> 32) == (anchors >> 32)
+        ok &= (nxt & 0xFFFFFFFF) <= (anchors & 0xFFFFFFFF) + w
+    ranks = np.unique(anchors[ok] >> 32)
+    if ranks.size == 0:
+        return _EMPTY
+    return _score_matched(reader, pls, cand[ranks], k, mask)

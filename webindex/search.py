@@ -69,6 +69,7 @@ class SearcherActor:
                  must_not: list[str] | None = None,
                  neg_boost: tuple[list[str], float] | None = None,
                  slop: int = 0,
+                 in_order: bool = True,
                  field_factor: tuple[str, float] | None = None,
                  dis_max: float | None = None,
                  request_cache: bool = True):
@@ -99,6 +100,7 @@ class SearcherActor:
                              min_match=min_match, boosts=boosts,
                              pre_tokenized=pre_tokenized, must_not=must_not,
                              neg_boost=neg_boost, slop=slop,
+                             in_order=in_order,
                              field_factor=field_factor, dis_max=dis_max)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
@@ -109,6 +111,7 @@ class SearcherActor:
                         must_not: list[str] | None = None,
                         neg_boost: tuple[list[str], float] | None = None,
                         slop: int = 0,
+                        in_order: bool = True,
                         field_factor: tuple[str, float] | None = None,
                         dis_max: float | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
@@ -163,6 +166,7 @@ class SearcherActor:
         if slop < 0:
             raise ValueError("slop must be >= 0")
         self.slop = int(slop)
+        self.in_order = bool(in_order)
         # ES function_score field_value_factor: (docvalues col, weight)
         self.field_factor = None
         if field_factor is not None:
@@ -275,6 +279,12 @@ class SearcherActor:
 
             mask = self._mask()
             if self.slop:
+                if not self.in_order:
+                    from webindex.positional import span_near_unordered_topk
+
+                    return span_near_unordered_topk(
+                        self.reader, terms, k, slop=self.slop, mask=mask
+                    )
                 return span_near_topk(
                     self.reader, terms, k, slop=self.slop, mask=mask
                 )
@@ -431,6 +441,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    must_not: list[str] | None = None,
                    neg_boost: tuple[list[str], float] | None = None,
                    slop: int = 0,
+                   in_order: bool = True,
                    field_factor: tuple[str, float] | None = None,
                    dis_max: float | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
@@ -483,7 +494,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             batch_size=batch_size, filter_pred=filter_pred, match=match,
             query_kind=query_kind, min_match=min_match, boosts=boosts,
             pre_tokenized=pre_tokenized, must_not=must_not,
-            neg_boost=neg_boost, slop=slop, field_factor=field_factor,
+            neg_boost=neg_boost, slop=slop, in_order=in_order,
+            field_factor=field_factor,
             dis_max=dis_max,
         )
 
@@ -519,7 +531,9 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                                        pre_tokenized=pre_tokenized,
                                        must_not=must_not,
                                        neg_boost=neg_boost, slop=slop,
-                             field_factor=field_factor, dis_max=dis_max)
+                                       in_order=in_order,
+                                       field_factor=field_factor,
+                                       dis_max=dis_max)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -579,6 +593,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          must_not: list[str] | None = None,
                          neg_boost: tuple[list[str], float] | None = None,
                          slop: int = 0,
+                         in_order: bool = True,
                          field_factor: tuple[str, float] | None = None,
                          dis_max: float | None = None):
     """Resident actor-pool path: every actor holds the whole index
@@ -612,6 +627,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             filter_pred=filter_pred, match=match, query_kind=query_kind,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
             must_not=must_not, neg_boost=neg_boost, slop=slop,
+            in_order=in_order,
             field_factor=field_factor, dis_max=dis_max,
         ),
         batch_format="pyarrow",
