@@ -276,3 +276,41 @@ def test_compaction_positional_index(ray_session, tmp_path_factory):
         assert sa.tolist() == sb.tolist(), text
         n_hits += ia.size
     assert n_hits > 0, "no phrase ever matched — fixture too narrow"
+
+
+def test_delete_by_query_tombstones_full_match_set(ray_session, tmp_path):
+    import ray.data as rd
+
+    from webindex.build import build_index
+    from webindex.config import IndexConfig, SQL_SAFE_ANALYZER
+    from webindex.lifecycle import delete_by_query, read_deletes
+    from webindex.search import SearcherActor, scan_matches
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([
+            "red apple", "green apple pie", "red wall", "blue sky",
+            "apple apple core", "plain text", "sky red", "green field",
+        ]),
+    })
+    out = str(tmp_path / "dbq")
+    build_index(rd.from_arrow(docs), out,
+                IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=4))
+    s_before = SearcherActor(out, top_k=100, mode="exhaustive")
+    ids_b, sc_b = s_before.search_one("q", "sky")
+    n = delete_by_query(out, "apple")
+    assert n == 3
+    assert set(read_deletes(out).tolist()) == {0, 1, 4}
+    # matches vanish immediately...
+    m = scan_matches(
+        rd.from_items([{"qid": "q", "text": "apple"}]), out
+    ).to_pandas()
+    assert m.empty
+    # ...survivor scores untouched (liveDocs semantics)
+    s_after = SearcherActor(out, top_k=100, mode="exhaustive")
+    ids_a, sc_a = s_after.search_one("q", "sky")
+    assert ids_a.tolist() == ids_b.tolist()
+    assert sc_a.tolist() == sc_b.tolist()
+    # idempotent re-run: same tombstone set
+    delete_by_query(out, "apple")
+    assert set(read_deletes(out).tolist()) == {0, 1, 4}

@@ -217,3 +217,29 @@ def compact_index(index_dir: str, out_dir: str,
         runner.run(sidecar, stage_sidecar)
 
     return read_json(stats_path)
+
+
+def delete_by_query(index_dir: str, text: str, *, match: str = "or") -> int:
+    """ES ``_delete_by_query``: tombstone EVERY document matching the
+    analyzed query. The match set comes from the scan export
+    (webindex.search.scan_matches — shard-parallel, no scoring, no
+    merge); each matched block appends its own tombstone file (the
+    reader unions all files), so no id list ever concentrates on the
+    driver. Returns the number of docs tombstoned. Same liveDocs
+    semantics as :func:`delete_docs`: matches vanish immediately,
+    survivor scores are untouched until compaction."""
+    import ray.data as rd
+
+    from webindex.search import scan_matches
+
+    matches = scan_matches(
+        rd.from_items([{"qid": "dbq", "text": text}]), index_dir,
+        match=match,
+    )
+
+    def tombstone(batch: pa.Table) -> pa.Table:
+        n = delete_docs(index_dir, batch.column("doc_id").to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = matches.map_batches(tombstone, batch_format="pyarrow")
+    return int(sum(r["n"] for r in parts.take_all()))

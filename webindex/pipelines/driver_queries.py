@@ -3019,6 +3019,56 @@ SELECT qid, doc_id, rank FROM (
 ) WHERE rank <= {TOPK}
 """
 
+DBQ_TEXT = "slow"
+
+
+def _ensure_dbq_index(sf_dir: str) -> str:
+    """Own index copy + one _delete_by_query('slow') pass, marker-gated
+    (the shared nostem cache must stay tombstone-free)."""
+    from webindex.build import build_index
+    from webindex.lifecycle import delete_by_query
+    from webindex.pipelines.corpus import corpus_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-dbq")
+    build_index(corpus_from_documents(_docs(sf_dir)), out,
+                IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16))
+    marker = os.path.join(out, "dbq.done")
+    if not os.path.exists(marker):
+        delete_by_query(out, DBQ_TEXT)
+        with open(marker, "w") as f:
+            f.write(DBQ_TEXT)
+    return out
+
+
+def q_bm25_dbq_top10(sf_dir: str):
+    """ES _delete_by_query (webindex/lifecycle.py delete_by_query): every
+    doc matching the query 'slow' tombstoned via the shard-parallel scan
+    export, tombstone files written per matched block (never a
+    driver-side id list); then standard BM25 over the survivors —
+    liveDocs semantics, so survivor scores use the UNCOMPACTED stats and
+    the oracle just excludes matching docs from the result set."""
+    from webindex.search import search_queries
+
+    idx = _ensure_dbq_index(sf_dir)
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+SQL_BM25_DBQ_TOP10 = _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '{DBQ_TEXT}')
+) WHERE rank <= {TOPK}
+"""
+
+
 # compacted semantics: the surviving docs ARE the corpus
 SQL_BM25_COMPACTED_TOP10 = _sql_bm25_scores(
     docs_where="AND doc_id % 7 <> 0"
@@ -7391,6 +7441,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_min2_top10": (q_bm25_min2_top10, SQL_BM25_MIN2_TOP10),
     "bm25_boosted_top10": (q_bm25_boosted_top10, SQL_BM25_BOOSTED_TOP10),
     "bm25_deleted_top10": (q_bm25_deleted_top10, SQL_BM25_DELETED_TOP10),
+    "bm25_dbq_top10": (q_bm25_dbq_top10, SQL_BM25_DBQ_TOP10),
     "bm25_compacted_top10": (q_bm25_compacted_top10,
                              SQL_BM25_COMPACTED_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
