@@ -493,6 +493,86 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_events_pipeline_aggs(sf_dir: str):
+    """ES PIPELINE aggregations (cumulative_sum / derivative / moving_avg
+    as sibling pipeline aggs over a date_histogram): the monthly
+    per-event_type histogram is the distributed combiner/final pass
+    (events_calendar machinery); the pipeline transforms then run over
+    the BUCKET ARRAY — exactly where ES runs them (coordinating node,
+    bucket-count-sized data). deriv = n - lag(n) (first bucket 0),
+    cum_n = running int sum, mavg = trailing-3 window mean — one int/int
+    IEEE division per bucket (bit-exact cross-engine, events_sliding
+    precedent)."""
+    import ray.data as rd
+
+    from webindex.relational import hash_partitioned_groupby
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+        override_num_blocks=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(month=df["ts"].values.astype("datetime64[M]"))
+        return (
+            df.groupby(["event_type", "month"], sort=False)
+            .size().rename("n_p").reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "month"], sort=False)["n_p"]
+            .sum().rename("n_events").reset_index()
+        )
+
+    hist = hash_partitioned_groupby(
+        ds, ["event_type", "month"], partial, final
+    ).to_pandas().sort_values(["event_type", "month"],
+                              kind="mergesort").reset_index(drop=True)
+
+    out = []
+    for et, g in hist.groupby("event_type", sort=False):
+        n = g["n_events"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        deriv = np.zeros_like(n)
+        deriv[1:] = n[1:] - n[:-1]
+        s1 = np.zeros_like(n)
+        s1[1:] = n[:-1]
+        s2 = np.zeros_like(n)
+        s2[2:] = n[:-2]
+        wsum = n + s1 + s2
+        wcnt = np.minimum(np.arange(1, n.size + 1), 3)
+        out.append(pd.DataFrame({
+            "event_type": et,
+            "month": g["month"].to_numpy(),
+            "n_events": n,
+            "cum_n": cum,
+            "deriv": deriv,
+            "mavg": wsum / wcnt,
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
+SQL_EVENTS_PIPELINE_AGGS = """
+WITH m AS (
+  SELECT event_type, date_trunc('month', ts) AS month,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, date_trunc('month', ts)
+)
+SELECT event_type, month, n_events,
+       (sum(n_events) OVER w_cum)::BIGINT AS cum_n,
+       coalesce(n_events - lag(n_events) OVER w, 0)::BIGINT AS deriv,
+       (sum(n_events) OVER w3)::DOUBLE / (count(*) OVER w3) AS mavg
+FROM m
+WINDOW w AS (PARTITION BY event_type ORDER BY month),
+       w_cum AS (PARTITION BY event_type ORDER BY month
+                 ROWS UNBOUNDED PRECEDING),
+       w3 AS (PARTITION BY event_type ORDER BY month
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_calendar(sf_dir: str):
     """ES date_histogram with calendar_interval=month (calendar buckets
     are NOT fixed-width — the reason ES distinguishes calendar_interval
@@ -7442,6 +7522,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_boosted_top10": (q_bm25_boosted_top10, SQL_BM25_BOOSTED_TOP10),
     "bm25_deleted_top10": (q_bm25_deleted_top10, SQL_BM25_DELETED_TOP10),
     "bm25_dbq_top10": (q_bm25_dbq_top10, SQL_BM25_DBQ_TOP10),
+    "events_pipeline_aggs": (q_events_pipeline_aggs,
+                             SQL_EVENTS_PIPELINE_AGGS),
     "bm25_compacted_top10": (q_bm25_compacted_top10,
                              SQL_BM25_COMPACTED_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
