@@ -1185,6 +1185,33 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_hnsw_top5(sf_dir: str):
+    """ES/Lucene dense_vector kNN (HNSW graph, webindex.hnsw): 4 pinned
+    hash shards, one deterministic graph each (seeded levels, id-sorted
+    insertion), scatter-gather exact merge.  ef_search=512 >= every
+    shard's size at contract scale, so the beam covers each shard
+    exhaustively and the result equals exact cosine top-5 — gated by the
+    SAME SQL oracle as ann_top5; tests/test_hnsw.py gates recall at
+    sub-exhaustive beams and shard-count invariance."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webindex.hnsw import hnsw_build, hnsw_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path)
+    vid = np.asarray(tab.column("vec_id").to_pylist())
+    order = np.argsort(vid)
+    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+        order[:3]
+    ]
+    idx = hnsw_build(rd.read_parquet(path), n_shards=4, m=8,
+                     ef_construction=64, seed=0)
+    out = hnsw_topk(idx, [0, 1, 2], qvecs, 5, ef_search=512).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
 SQL_ANN_TOP5 = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
@@ -7504,6 +7531,7 @@ REGISTRY: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
+    "hnsw_top5": (q_hnsw_top5, SQL_ANN_TOP5),
     "ann_filtered_top5": (q_ann_filtered_top5, SQL_ANN_FILTERED_TOP5),
     "distinct_langs": (q_distinct_langs, SQL_DISTINCT_LANGS),
     "simulate_rerank": (q_simulate_rerank, SQL_SIMULATE_RERANK),
