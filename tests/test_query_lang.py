@@ -760,6 +760,61 @@ def test_facet_cardinality_matches_brute(index_dir, oracle, ray_session):
         ), qid
 
 
+def test_facet_multi_terms_matches_brute(index_dir, oracle, ray_session):
+    """ES multi_terms: composite (lang, source) buckets over the match
+    set; a doc missing either key field joins no bucket."""
+    from collections import Counter
+
+    from webindex.search import facet_multi_terms
+
+    out = facet_multi_terms(
+        _queries_ds(QUERIES), index_dir, ["lang", "n_chars"]
+    ).to_pandas()
+    an = oracle.an
+    for qid, text in QUERIES:
+        terms = set(an.tokens(text))
+        want = Counter(
+            (d["lang"], str(d["n_chars"])) for d in DOCS
+            if terms & set(an.tokens(d["text"]))
+        )
+        sub = out[out["qid"] == qid]
+        got = {
+            (r.lang, r.n_chars): int(r.cnt) for r in sub.itertuples()
+        }
+        assert got == dict(want), qid
+
+
+def test_facet_rare_terms_matches_brute(index_dir, oracle, ray_session):
+    """ES rare_terms: only buckets with global count <= max_doc_count
+    survive; the cut runs after the cross-shard merge."""
+    from collections import Counter
+
+    from webindex.search import facet_rare_terms
+
+    for mdc in (1, 2, 40):
+        out = facet_rare_terms(
+            _queries_ds(QUERIES), index_dir, "lang", max_doc_count=mdc
+        ).to_pandas()
+        an = oracle.an
+        any_want = False
+        for qid, text in QUERIES:
+            terms = set(an.tokens(text))
+            cnt = Counter(
+                d["lang"] for d in DOCS
+                if terms & set(an.tokens(d["text"]))
+            )
+            want = {v: c for v, c in cnt.items() if c <= mdc}
+            any_want = any_want or bool(want)
+            if out.empty:
+                assert want == {}, (qid, mdc)
+                continue
+            sub = out[out["qid"] == qid]
+            got = dict(zip(sub["value"], sub["cnt"].astype(int)))
+            assert got == want, (qid, mdc)
+        if mdc == 40:
+            assert any_want  # the permissive cut must keep buckets
+
+
 def test_facet_histogram_matches_brute(index_dir, oracle, ray_session):
     from webindex.search import facet_histogram
 

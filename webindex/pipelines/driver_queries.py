@@ -573,6 +573,84 @@ WINDOW w AS (PARTITION BY event_type ORDER BY month),
 """
 
 
+def q_events_bucket_pipeline(sf_dir: str):
+    """The other half of the ES pipeline-agg family — serial_diff
+    (lag=2), bucket_selector, and bucket_sort over a DAILY
+    date_histogram. ES order of operations: serial_diff is a sibling
+    pipeline agg computed over the FULL bucket array; bucket_selector
+    then drops buckets (n_events >= 60 here, both branches live at
+    sf0.01 where daily counts span 47-86); bucket_sort finally orders
+    the survivors (n_events desc, day asc) and keeps the top 5 per
+    event_type. The histogram is the distributed combiner/final pass;
+    the pipeline transforms run over the bucket array on the driver —
+    exactly where ES runs them (coordinating node, bucket-count-sized
+    data)."""
+    import ray.data as rd
+
+    from webindex.relational import hash_partitioned_groupby
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+        override_num_blocks=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].values.astype("datetime64[D]"))
+        return (
+            df.groupby(["event_type", "day"], sort=False)
+            .size().rename("n_p").reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "day"], sort=False)["n_p"]
+            .sum().rename("n_events").reset_index()
+        )
+
+    hist = hash_partitioned_groupby(
+        ds, ["event_type", "day"], partial, final
+    ).to_pandas().sort_values(["event_type", "day"],
+                              kind="mergesort").reset_index(drop=True)
+
+    out = []
+    for et, g in hist.groupby("event_type", sort=False):
+        n = g["n_events"].to_numpy(np.int64)
+        sdiff = np.zeros_like(n)
+        sdiff[2:] = n[2:] - n[:-2]
+        b = pd.DataFrame({
+            "event_type": et,
+            "day": g["day"].to_numpy(),
+            "n_events": n,
+            "sdiff": sdiff,
+        })
+        b = b[b["n_events"] >= 60]
+        b = b.sort_values(["n_events", "day"],
+                          ascending=[False, True],
+                          kind="mergesort").head(5)
+        out.append(b)
+    return pd.concat(out, ignore_index=True)
+
+
+SQL_EVENTS_BUCKET_PIPELINE = """
+WITH m AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), d AS (
+  SELECT event_type, day, n_events,
+         coalesce(n_events - lag(n_events, 2) OVER
+                  (PARTITION BY event_type ORDER BY day), 0)::BIGINT
+           AS sdiff
+  FROM m
+)
+SELECT event_type, day, n_events, sdiff FROM d
+WHERE n_events >= 60
+QUALIFY row_number() OVER
+  (PARTITION BY event_type ORDER BY n_events DESC, day) <= 5
+"""
+
+
 def q_events_calendar(sf_dir: str):
     """ES date_histogram with calendar_interval=month (calendar buckets
     are NOT fixed-width — the reason ES distinguishes calendar_interval
@@ -2851,6 +2929,69 @@ SELECT qid, count(DISTINCT d.lang)::BIGINT AS cardinality
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY qid
 """
+
+
+def q_facet_multi_terms(sf_dir: str):
+    """ES multi_terms aggregation: buckets keyed by the (lang, source)
+    COMPOSITE over each query's full match set; docs missing either key
+    field join no bucket (ES semantics). Per-shard vectorized composite
+    codes + exact Sum-merge (webindex/search.py facet_multi_terms)."""
+    from webindex.search import facet_multi_terms
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_multi_terms(_queries_ds(), idx, ["lang", "source"])
+
+
+SQL_FACET_MULTI_TERMS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term)
+SELECT qid, d.lang::VARCHAR AS lang, d.source::VARCHAR AS source,
+       count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY qid, d.lang, d.source
+"""
+
+
+RARE_MAX_DOC_COUNT = 23
+
+
+def q_facet_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation: only source buckets whose GLOBAL
+    match-set count is <= max_doc_count survive (long-tail complement of
+    terms). ES documents this as approximate (CuckooFilter); exact here —
+    post-merge streaming cut over facet_counts, so the SQL HAVING oracle
+    hash-matches (webindex/search.py facet_rare_terms). max_doc_count=23
+    keeps both branches live at sf0.01 (source counts span 21-25)."""
+    from webindex.search import facet_rare_terms
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_rare_terms(
+        _queries_ds(), idx, "source", max_doc_count=RARE_MAX_DOC_COUNT
+    )
+
+
+SQL_FACET_RARE_TERMS = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+qterms AS (SELECT * FROM {_query_values_sql()}),
+m AS (SELECT DISTINCT q.qid, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term)
+SELECT qid, 'source' AS facet, d.source::VARCHAR AS value,
+       count(*)::BIGINT AS cnt
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY qid, d.source
+HAVING count(*) <= {{RARE_MAX_DOC_COUNT}}
+""".replace("{RARE_MAX_DOC_COUNT}", str(RARE_MAX_DOC_COUNT))
 
 
 HIST_INTERVAL = 100
@@ -7552,11 +7693,15 @@ REGISTRY: dict[str, tuple] = {
     "bm25_dbq_top10": (q_bm25_dbq_top10, SQL_BM25_DBQ_TOP10),
     "events_pipeline_aggs": (q_events_pipeline_aggs,
                              SQL_EVENTS_PIPELINE_AGGS),
+    "events_bucket_pipeline": (q_events_bucket_pipeline,
+                               SQL_EVENTS_BUCKET_PIPELINE),
     "bm25_compacted_top10": (q_bm25_compacted_top10,
                              SQL_BM25_COMPACTED_TOP10),
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_cardinality": (q_facet_cardinality, SQL_FACET_CARDINALITY),
+    "facet_multi_terms": (q_facet_multi_terms, SQL_FACET_MULTI_TERMS),
+    "facet_rare_terms": (q_facet_rare_terms, SQL_FACET_RARE_TERMS),
     "top_hits_per_lang": (q_top_hits_per_lang, SQL_TOP_HITS_PER_LANG),
     "facet_histogram": (q_facet_histogram, SQL_FACET_HISTOGRAM),
     "facet_counts_filtered": (q_facet_counts_filtered,

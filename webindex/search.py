@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from webindex.analyze import Analyzer
 from webindex.segments import SegmentReader
@@ -1455,6 +1456,134 @@ def facet_cardinality(queries_ds, index_dir: str, col: str, *,
         .groupby("qid")
         .aggregate(Count(alias_name="cardinality"))
     )
+
+
+def facet_multi_terms(queries_ds, index_dir: str, cols: list[str], *,
+                      match: str = "or", filter_pred=None,
+                      n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, <col1>, <col2>, ..., cnt): value counts
+    of the TUPLE of docvalues columns over each query's FULL match set —
+    the ES ``multi_terms`` aggregation (buckets keyed by the composite
+    value). ES semantics preserved: a doc missing ANY of the key fields
+    joins no bucket.
+
+    Same exact-merge shape as :func:`facet_counts`: counting is per-doc,
+    so per-shard partial tuple counts compose exactly under the
+    (qid, *cols) Sum-merge; nothing corpus-sized moves.
+    """
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+    cols = list(cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        shard = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "qid": pa.concat_arrays(
+                    [batch.column("qid").combine_chunks()] * len(bounds)
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * len(bounds)
+                ),
+            }
+        )
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues(cols)
+        vals, valids = [], []
+        for c in cols:
+            arr, valid = s.reader._dv[c]
+            vals.append(arr.to_numpy(zero_copy_only=False))
+            valids.append(valid)
+        qid_out = []
+        col_out: list[list] = [[] for _ in cols]
+        cnt_out: list[int] = []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            ok = np.ones(sel.size, dtype=bool)
+            for valid in valids:
+                ok &= valid[sel]
+            sel = sel[ok]
+            if sel.size == 0:
+                continue
+            # Composite bucket key: per-column codes combined into one
+            # int64, counted in a single bincount-equivalent pass.
+            uniqs, code = [], np.zeros(sel.size, dtype=np.int64)
+            for v in vals:
+                u, inv = np.unique(v[sel].astype(str), return_inverse=True)
+                uniqs.append(u)
+                code = code * len(u) + inv
+            ucode, cnts = np.unique(code, return_counts=True)
+            parts = []
+            rem = ucode
+            for u in reversed(uniqs):
+                parts.append(u[rem % len(u)])
+                rem = rem // len(u)
+            parts.reverse()
+            qid_out.extend([qid] * ucode.size)
+            for i, p in enumerate(parts):
+                col_out[i].extend(p.tolist())
+            cnt_out.extend(cnts.tolist())
+        tbl = {"qid": pa.array(qid_out, pa.string())}
+        for c, v in zip(cols, col_out):
+            tbl[c] = pa.array(v, pa.string())
+        tbl["cnt_p"] = pa.array(cnt_out, pa.int64())
+        return pa.table(tbl)
+
+    partial = (
+        queries_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(count_shard, batch_format="pyarrow")
+    )
+    return partial.groupby(["qid", *cols]).aggregate(
+        Sum("cnt_p", alias_name="cnt")
+    )
+
+
+def facet_rare_terms(queries_ds, index_dir: str, col: str, *,
+                     max_doc_count: int = 1, match: str = "or",
+                     filter_pred=None, n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, facet, value, cnt): the ES
+    ``rare_terms`` aggregation — the long-tail complement of ``terms``:
+    only buckets whose GLOBAL match-set doc count is <= ``max_doc_count``
+    survive. ES implements this with a CuckooFilter and documents it as
+    approximate; per-doc docvalues make the exact answer one streaming
+    filter over the exact Sum-merged counts, so the SQL HAVING oracle
+    hash-matches.
+
+    The cut must happen AFTER the global merge (a term rare in one shard
+    may be common corpus-wide) — it composes :func:`facet_counts` with a
+    distributed post-merge filter; nothing leaves the Dataset.
+    """
+    counts = facet_counts(
+        queries_ds, index_dir, [col], match=match,
+        filter_pred=filter_pred, n_shards=n_shards,
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("cnt"), max_doc_count)
+        return batch.filter(keep)
+
+    return counts.map_batches(cut, batch_format="pyarrow")
 
 
 def facet_histogram(queries_ds, index_dir: str, col: str, interval: int, *,
