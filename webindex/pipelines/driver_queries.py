@@ -2340,6 +2340,79 @@ SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC sink + source round-trip (webindex/warc.py — the Common
+    Crawl storage format, ISO 28500): documents become response records
+    (url carries the doc_id, payload = utf-8 text bytes, warc_ts =
+    doc_id microseconds) written as gzip-member part-*.warc.gz with
+    PINNED url-hash sharding, then stream back through the incremental
+    WarcDatasource parser. Byte-identity of the text (and the exact
+    payload byte count) proves writer + gzip member framing + parser
+    end to end; the oracle is a plain SELECT over documents."""
+    import ray.data as rd
+
+    from webindex.warc import read_warc, write_warc
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-warc")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        docs = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://docs.example/{int(i)}" for i in ids]
+                    ),
+                    "warc_ts": pa.array(ids, pa.int64()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [(x or "").encode("utf-8") for x in texts],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"), out,
+            n_files=8,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def back_to_docs(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()
+                ),
+                "text": pa.array(
+                    [h.decode("utf-8") for h in htmls], pa.string()
+                ),
+                "n_bytes": pa.array(
+                    [len(h) for h in htmls], pa.int64()
+                ),
+            }
+        )
+
+    return read_warc(out).map_batches(back_to_docs, batch_format="pyarrow")
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query language: filtered search (docvalues predicate), conjunctive AND
 # match, and phrase queries — the ES bool/match_phrase query surface the
@@ -7708,6 +7781,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_FACET_COUNTS_FILTERED),
     "snippets_top10": (q_snippets_top10, SQL_SNIPPETS_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "dense_top5": (q_dense_top5, None),
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
     "langid": (q_langid, SQL_LANGID),
