@@ -2413,6 +2413,106 @@ FROM documents
 """
 
 
+ROBOTS_TXT = (
+    "User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"
+)
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt compliance filter (RFC 9309, webindex/robots.py): urls
+    derive from documents (https://<source>.example/doc/<doc_id>);
+    even-ending source domains publish a robots.txt whose prefix rules
+    exercise longest-match-wins AND allow-beats-disallow-on-tie
+    (Disallow /doc/1 vs the longer Allow /doc/12); odd-ending domains
+    have no robots.txt => default allow. Rules parse once on the
+    driver (bounded by domain count — a crawler's robots cache),
+    broadcast via ray.put; pages stream through a stateless
+    map_batches with per-domain vectorized prefix matching. The SQL
+    oracle re-derives the RFC precedence with a window over matching
+    rules (length DESC, allow DESC)."""
+    import ray.data as rd
+
+    from webindex.robots import robots_filter
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "domain": pa.array(
+                    [f"{s}.example" for s in srcs], pa.string()
+                ),
+                "path": pa.array(
+                    [f"/doc/{int(i)}" for i in ids], pa.string()
+                ),
+                "url": pa.array(
+                    [
+                        f"https://{s}.example/doc/{int(i)}"
+                        for s, i in zip(srcs, ids)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    pages = docs.map_batches(to_urls, batch_format="pyarrow")
+    sources = sorted(docs.unique("source"))
+    robots_tab = pa.table(
+        {
+            "domain": pa.array(
+                [
+                    f"{s}.example" for s in sources
+                    if s[-1] in "02468"
+                ]
+            ),
+            "robots_txt": pa.array(
+                [ROBOTS_TXT for s in sources if s[-1] in "02468"]
+            ),
+        }
+    )
+    out = robots_filter(pages, robots_tab, user_agent="webindex")
+    return out.select_columns(["doc_id", "domain", "path"])
+
+
+SQL_ROBOTS_FILTER = """
+WITH urls AS (
+  SELECT doc_id, source || '.example' AS domain,
+         '/doc/' || doc_id::VARCHAR AS path
+  FROM documents
+),
+rob AS (
+  SELECT DISTINCT source || '.example' AS domain FROM documents
+  WHERE right(source, 1) IN ('0','2','4','6','8')
+),
+rules AS (
+  SELECT domain, false AS is_allow, '/doc/1' AS prefix FROM rob
+  UNION ALL
+  SELECT domain, true AS is_allow, '/doc/12' AS prefix FROM rob
+),
+m AS (
+  SELECT u.doc_id, r.is_allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC
+         ) AS rn
+  FROM urls u
+  JOIN rules r
+    ON u.domain = r.domain AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id, u.domain, u.path
+FROM urls u
+LEFT JOIN (SELECT doc_id, is_allow FROM m WHERE rn = 1) v
+  USING (doc_id)
+WHERE coalesce(v.is_allow, true)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query language: filtered search (docvalues predicate), conjunctive AND
 # match, and phrase queries — the ES bool/match_phrase query surface the
@@ -7782,6 +7882,7 @@ REGISTRY: dict[str, tuple] = {
     "snippets_top10": (q_snippets_top10, SQL_SNIPPETS_TOP10),
     "beir_roundtrip": (q_beir_roundtrip, SQL_BEIR_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "dense_top5": (q_dense_top5, None),
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
     "langid": (q_langid, SQL_LANGID),
