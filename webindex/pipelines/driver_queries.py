@@ -335,6 +335,73 @@ SELECT qid, doc_id, round(score, 6) AS score_r FROM scores
 
 
 # ---------------------------------------------------------------------------
+# 4b. alias search over time-partitioned indices (webindex.rollover)
+# ---------------------------------------------------------------------------
+
+
+def ensure_alias(sf_dir: str) -> str:
+    """Three member indices partitioning the documents table (doc_id mod 3
+    — the pinned stand-in for calendar buckets), behind an alias manifest.
+    Cached/resumable like ensure_index."""
+    from webindex.rollover import build_alias, read_alias
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-alias")
+    if len(read_alias(root)["indices"]) == 3:
+        return root
+    cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+
+    def part(r):
+        def keep(t: pa.Table, r=r) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            mask = pc.and_(
+                pa.array(ids % 3 == r), pc.not_equal(t.column("text"), "")
+            )
+            return t.filter(mask)
+
+        return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+    build_alias(root, {f"idx-m{r}": part(r) for r in range(3)}, cfg)
+    return root
+
+
+def q_alias_top10(sf_dir: str):
+    """ES alias search with search_type=dfs_query_then_fetch (the
+    reference's ES setting, SURVEY.md §2.5 A8): three time-partition
+    member indices score with cross-index-merged statistics, so the
+    result — and hence the whole-corpus SQL oracle — is EXACTLY the
+    single-index BM25 ranking."""
+    from webindex.rollover import alias_search
+
+    root = ensure_alias(sf_dir)
+    runs = alias_search(_queries_ds(), root, top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_alias_scores(sf_dir: str):
+    """Every matching (qid, doc) score via the alias path, 6dp — the
+    value-level proof that the dfs stats merge reproduces whole-corpus
+    BM25 bit-for-bit (rounding only guards the contract hash)."""
+    from webindex.rollover import alias_search
+
+    root = ensure_alias(sf_dir)
+    runs = alias_search(_queries_ds(), root, top_k=10**9)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pc.round(t.column("score"), 6),
+            }
+        )
+
+    return runs.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # 5. rerank join  (SURVEY.md §2.4 J2: top-k gather join + pair scoring)
 # ---------------------------------------------------------------------------
 
@@ -7854,6 +7921,8 @@ REGISTRY: dict[str, tuple] = {
     "rerank_scored": (q_rerank_scored, SQL_RERANK_SCORED),
     "lineitem_pricing": (q_lineitem_pricing, SQL_LINEITEM_PRICING),
     "sharded_bm25_top10": (q_sharded_bm25_top10, SQL_BM25_TOP10),
+    "alias_top10": (q_alias_top10, SQL_BM25_TOP10),
+    "alias_scores": (q_alias_scores, SQL_BM25_SCORES),
     "bm25_filtered_top10": (q_bm25_filtered_top10, SQL_BM25_FILTERED_TOP10),
     "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),

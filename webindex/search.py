@@ -73,9 +73,13 @@ class SearcherActor:
                  in_order: bool = True,
                  field_factor: tuple[str, float] | None = None,
                  dis_max: float | None = None,
-                 request_cache: bool = True):
+                 request_cache: bool = True,
+                 global_stats: dict | None = None):
         self.request_cache = bool(request_cache)
         self.reader = SegmentReader(index_dir, doc_id_range=doc_id_range)
+        if global_stats is not None:
+            # dfs_query_then_fetch: score with cross-index-merged stats
+            self.reader.set_stats_override(global_stats)
         if preload:
             # resident segments (T4): per-query latency pays decode + score,
             # never cold parquet scans. When the pool driver put the
@@ -204,6 +208,16 @@ class SearcherActor:
         return live if m is None else (m & live)
 
     _REQ_CACHE_CAP = 1024
+
+    def set_stats_override(self, stats: dict | None):
+        """dfs_query_then_fetch statistics swap (webindex.rollover):
+        delegates to the reader; a CHANGE also drops the request cache
+        (ranked arrays bake idf), same wholesale rule as constraint
+        swaps. None restores index-local stats."""
+        from collections import OrderedDict as _OD
+
+        if self.reader.set_stats_override(stats):
+            self._req_cache = _OD()
 
     def _live_version(self):
         """Tombstone version for cache keys: the deletes sidecar's mtime
@@ -402,7 +416,8 @@ _SHARD_SEARCHERS: dict = {}
 
 
 def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
-                    top_k: int, mode: str, self_hit: bool):
+                    top_k: int, mode: str, self_hit: bool,
+                    global_stats: dict | None = None):
     import os
 
     from webindex.serve import _ShardSearcherImpl
@@ -422,6 +437,12 @@ def _shard_searcher(index_dir: str, salt_lo: int, salt_hi: int,
             self_hit_filter=self_hit,
         )
     s.inner.top_k = top_k
+    # dfs_query_then_fetch stats are applied (or RESTORED to index-local,
+    # the default) here, at the cache boundary: a cached searcher must
+    # never leak an alias search's merged stats into a plain query on the
+    # same worker. No-op when the override key is unchanged, so repeat
+    # alias msearch calls keep their warm resident postings.
+    s.inner.set_stats_override(global_stats)
     return s
 
 
@@ -444,7 +465,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    slop: int = 0,
                    in_order: bool = True,
                    field_factor: tuple[str, float] | None = None,
-                   dis_max: float | None = None):
+                   dis_max: float | None = None,
+                   global_stats: dict | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
     ``impl="sharded"`` (the default above ``SHARDED_MIN_SEGMENT_BYTES``
@@ -472,6 +494,12 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
     term) apply the same constraints on both impls — per-shard masks
     compose exactly with the scatter-gather merge because filtering and
     conjunction are per-document properties.
+
+    ``global_stats`` (``{"N", "avgdl", "dfs": {term: df}}``) scores with
+    cross-index-merged statistics instead of this index's own — the ES
+    ``dfs_query_then_fetch`` phase used by alias search over
+    time-partitioned indices (webindex.rollover). Identical on both impls
+    (the override is per-document arithmetic, so shard partials compose).
     """
     filter_pred = (
         tuple(tuple(c) for c in filter_pred) if filter_pred else None
@@ -498,6 +526,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             neg_boost=neg_boost, slop=slop, in_order=in_order,
             field_factor=field_factor,
             dis_max=dis_max,
+            global_stats=global_stats,
         )
 
     import pandas as pd
@@ -525,7 +554,8 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
         sid = g.column("shard")[0].as_py()
         lo, hi = bounds[sid]
         searcher = _shard_searcher(
-            index_dir, lo, hi, top_k, mode, self_hit_filter
+            index_dir, lo, hi, top_k, mode, self_hit_filter,
+            global_stats=global_stats,
         )
         searcher.inner.set_constraints(filter_pred, match, query_kind,
                                        min_match=min_match, boosts=boosts,
@@ -596,7 +626,8 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          slop: int = 0,
                          in_order: bool = True,
                          field_factor: tuple[str, float] | None = None,
-                         dis_max: float | None = None):
+                         dis_max: float | None = None,
+                         global_stats: dict | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
     import os
@@ -630,6 +661,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             must_not=must_not, neg_boost=neg_boost, slop=slop,
             in_order=in_order,
             field_factor=field_factor, dis_max=dis_max,
+            global_stats=global_stats,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -60,6 +60,10 @@ class SegmentReader:
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
         self.N = self.stats["N"]
         self.avgdl = self.stats["avgdl"]
+        # dfs_query_then_fetch (webindex.rollover): cross-index-merged
+        # statistics override the local ones; see set_stats_override
+        self._df_override: dict[str, int] | None = None
+        self._stats_override_key = None
         # doclens: kind=1 rows of postings_raw (predicate pushdown at the
         # read); parallel sorted arrays for searchsorted lookup
         dl_filter = pads.field("kind") == 1
@@ -338,6 +342,34 @@ class SegmentReader:
         self._bucket_cache[bucket] = rows
         return rows
 
+    def set_stats_override(self, stats: dict | None):
+        """Swap in cross-index-merged statistics (the ES
+        ``dfs_query_then_fetch`` phase, webindex.rollover): ``stats`` is
+        ``{"N": int, "avgdl": float, "dfs": {term: global_df}}`` or None
+        to restore the index-local values. Resident posting lists bake
+        idf and block-max bounds, so a CHANGE of override drops the
+        postings cache (no-op when the key is unchanged — cached shard
+        searchers serve repeat msearch calls warm)."""
+        key = None
+        if stats is not None:
+            key = (
+                int(stats["N"]), float(stats["avgdl"]),
+                tuple(sorted(stats.get("dfs", {}).items())),
+            )
+        if key == self._stats_override_key:
+            return False
+        self._stats_override_key = key
+        self._postings.clear()
+        if stats is None:
+            self.N = self.stats["N"]
+            self.avgdl = self.stats["avgdl"]
+            self._df_override = None
+        else:
+            self.N = int(stats["N"])
+            self.avgdl = float(stats["avgdl"])
+            self._df_override = dict(stats.get("dfs", {}))
+        return True
+
     def postings(self, term: str) -> PostingList | None:
         pl = self._postings.get(term)
         if pl is not None:
@@ -397,11 +429,23 @@ class SegmentReader:
             shift[1:] = csum[starts[1:] - 1]
             ids = csum - np.repeat(shift, ns)
         tfs = varbyte_decode(b"".join(tfbufs))
-        idf_t = _idf(self.N, dfe[0])
+        df_eff = dfe[0]
+        if self._df_override is not None:
+            df_eff = self._df_override.get(term, df_eff)
+        idf_t = _idf(self.N, df_eff)
         block_max = idf_t * maxes
+        if self._df_override is not None:
+            # stored per-block max_tf_norm was computed with the LOCAL
+            # avgdl; under a larger global avgdl tf_norm grows by at most
+            # avgdl_g/avgdl_l (denominator shrink is bounded by the
+            # dl-term shrink), so scale the bound to stay a valid upper
+            # bound — pruning stays exact, only marginally looser
+            ratio = self.avgdl / self.stats["avgdl"]
+            if ratio > 1.0:
+                block_max = block_max * ratio
         pl = PostingList(
             term=term,
-            df=dfe[0],
+            df=df_eff,
             idf=idf_t,
             ids=ids,
             tfs=tfs,
