@@ -436,6 +436,116 @@ def test_facet_counts_matches_brute(index_dir, oracle):
         assert dict(zip(g["value"], g["cnt"])) == want, qid
 
 
+def _match_doc_rows(oracle, query):
+    """Brute OR match set: docs containing any analyzed query term."""
+    an = oracle.an
+    terms = sorted(set(an.tokens(query)))
+    return [
+        d for d in DOCS
+        if any(t in set(an.tokens(d["text"])) for t in terms)
+    ]
+
+
+def test_facet_weighted_avg_matches_brute(index_dir, oracle):
+    """ES weighted_avg: n_chars weighted by doc token length over the
+    match set — exact int sums, one float division."""
+    from webindex.search import facet_weighted_avg
+
+    an = oracle.an
+    got = facet_weighted_avg(
+        _queries_ds(QUERIES), index_dir, "n_chars"
+    ).to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid]
+        assert len(g) == (1 if m else 0), qid
+        if not m:
+            continue
+        sum_vw = sum(d["n_chars"] * len(an.tokens(d["text"])) for d in m)
+        sum_w = sum(len(an.tokens(d["text"])) for d in m)
+        assert int(g["sum_vw"].iloc[0]) == sum_vw, qid
+        assert int(g["sum_w"].iloc[0]) == sum_w, qid
+        assert float(g["weighted_avg"].iloc[0]) == sum_vw / sum_w, qid
+
+
+def test_facet_percentile_ranks_matches_brute(index_dir, oracle):
+    """ES percentile_ranks, exact: % of matches with n_chars <= probe."""
+    from webindex.search import facet_percentile_ranks
+
+    probes = [60, 120, 200]
+    got = facet_percentile_ranks(
+        _queries_ds(QUERIES), index_dir, "n_chars", probes
+    ).to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid].sort_values("value")
+        assert len(g) == (len(probes) if m else 0), qid
+        if not m:
+            continue
+        for probe, pct in zip(g["value"], g["pct"]):
+            le = sum(1 for d in m if d["n_chars"] <= probe)
+            assert float(pct) == (100.0 * le) / len(m), (qid, probe)
+
+
+FILTERS = {
+    "en": (("lang", "==", "en"),),
+    "big": (("n_chars", ">=", 100),),
+    "both": (("lang", "==", "fr"), ("n_chars", "<", 100)),
+}
+
+
+def _filter_fns():
+    return {
+        "en": lambda d: d["lang"] == "en",
+        "big": lambda d: d["n_chars"] >= 100,
+        "both": lambda d: d["lang"] == "fr" and d["n_chars"] < 100,
+    }
+
+
+def test_facet_filters_matches_brute(index_dir, oracle):
+    """ES filters agg: every named bucket returned, zeros included."""
+    from webindex.search import facet_filters
+
+    fns = _filter_fns()
+    got = facet_filters(_queries_ds(QUERIES), index_dir, FILTERS).to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid]
+        # the bucket set is caller-fixed: always all names, even with no
+        # matches at all
+        assert sorted(g["filter"]) == sorted(FILTERS), qid
+        for name, fn in fns.items():
+            want = sum(1 for d in m if fn(d))
+            assert int(g[g["filter"] == name]["cnt"].iloc[0]) == want, (
+                qid, name,
+            )
+
+
+def test_adjacency_matrix_matches_brute(index_dir, oracle):
+    """ES adjacency_matrix: singles + 'a&b' pairwise intersections over
+    the match set; empty buckets omitted."""
+    from webindex.search import adjacency_matrix
+
+    fns = _filter_fns()
+    names = sorted(fns)
+    got = adjacency_matrix(
+        _queries_ds(QUERIES), index_dir, FILTERS
+    ).to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        want = {}
+        for i, na in enumerate(names):
+            n = sum(1 for d in m if fns[na](d))
+            if n:
+                want[na] = n
+            for nb in names[i + 1:]:
+                n2 = sum(1 for d in m if fns[na](d) and fns[nb](d))
+                if n2:
+                    want[f"{na}&{nb}"] = n2
+        g = got[got["qid"] == qid]
+        assert dict(zip(g["key"], (int(c) for c in g["cnt"]))) == want, qid
+
+
 def test_best_window_unit():
     from webindex.snippet import best_window
 

@@ -4122,6 +4122,208 @@ FROM agg
 """
 
 
+def q_facet_weighted_avg(sf_dir: str):
+    """ES weighted_avg aggregation: n_chars weighted by document token
+    length over each query's match set — exact int64 Σ(v·dl)/Σ(dl)
+    partials per shard, Sum-merge, ONE float division
+    (webindex/search.py facet_weighted_avg)."""
+    from webindex.search import facet_weighted_avg
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_weighted_avg(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_WEIGHTED_AVG = _SQL_HITS_CTE + f"""
+, dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs)
+SELECT h.qid,
+       sum(d.n_chars * dl.dl)::BIGINT AS sum_vw,
+       sum(dl.dl)::BIGINT AS sum_w,
+       sum(d.n_chars * dl.dl)::BIGINT / sum(dl.dl)::BIGINT AS weighted_avg
+FROM hits h
+JOIN docs d ON d.doc_id = h.doc_id
+JOIN dl ON dl.doc_id = h.doc_id
+GROUP BY h.qid
+"""
+
+
+PCT_RANK_VALUES = [150, 306, 450]
+
+
+def q_facet_pct_ranks(sf_dir: str):
+    """ES percentile_ranks aggregation, EXACT: per probe value, the
+    percentage of each query's matches with n_chars <= value — the
+    facet_percentiles inverse; float tail pinned (100.0·cnt)/total."""
+    from webindex.search import facet_percentile_ranks
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_percentile_ranks(
+        _queries_ds(), idx, "n_chars", PCT_RANK_VALUES
+    )
+
+
+SQL_FACET_PCT_RANKS = _SQL_HITS_CTE + f"""
+, probes AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in PCT_RANK_VALUES)}) p(value))
+SELECT h.qid, p.value::BIGINT AS value,
+       (100.0 * count(*) FILTER (d.n_chars <= p.value)) / count(*) AS pct
+FROM hits h
+JOIN docs d ON d.doc_id = h.doc_id
+CROSS JOIN probes p
+GROUP BY h.qid, p.value
+"""
+
+
+# named predicates shared by the filters / adjacency_matrix entries
+# (ascending-name pair keys: big < en < web)
+AGG_FILTERS = {
+    "en": (("lang", "==", "en"),),
+    "big": (("n_chars", ">=", 306),),
+    "web": (("source", "in", ("src1", "src2", "src3")),),
+}
+_F_EN = "d.lang = 'en'"
+_F_BIG = "d.n_chars >= 306"
+_F_WEB = "d.source IN ('src1', 'src2', 'src3')"
+
+# hits CTE variant carrying the source docvalue (the shared one doesn't)
+_SQL_HITS_SRC_CTE = f"""
+WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+              WHERE text <> ''),
+toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM docs, unnest({_TOK_SQL}) AS t(tok)
+),
+qt AS (SELECT * FROM {_query_values_sql()}),
+hits AS (
+  SELECT DISTINCT qt.qid, tk.doc_id
+  FROM qt JOIN toks tk ON tk.term = qt.term
+)
+"""
+
+
+def q_facet_filters(sf_dir: str):
+    """ES filters aggregation: per NAMED docvalues predicate, how many of
+    each query's matches satisfy it; all named buckets returned, zeros
+    included (the caller-fixed bucket set, unlike terms/range)."""
+    from webindex.search import facet_filters
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_filters(_queries_ds(), idx, AGG_FILTERS)
+
+
+SQL_FACET_FILTERS = _SQL_HITS_SRC_CTE + f"""
+, c AS (
+  SELECT h.qid,
+         count(*) FILTER ({_F_EN})::BIGINT AS en,
+         count(*) FILTER ({_F_BIG})::BIGINT AS big,
+         count(*) FILTER ({_F_WEB})::BIGINT AS web
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  GROUP BY h.qid
+)
+SELECT q.qid, f.filter,
+       coalesce(CASE f.filter WHEN 'en' THEN c.en WHEN 'big' THEN c.big
+                ELSE c.web END, 0)::BIGINT AS cnt
+FROM (SELECT DISTINCT qid FROM qt) q
+CROSS JOIN (VALUES ('en'), ('big'), ('web')) f(filter)
+LEFT JOIN c ON c.qid = q.qid
+"""
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation: counts for every named predicate
+    and every pairwise intersection ("a&b", ascending names) over each
+    query's match set; empty buckets omitted."""
+    from webindex.search import adjacency_matrix
+
+    idx = ensure_index(sf_dir, "nostem")
+    return adjacency_matrix(_queries_ds(), idx, AGG_FILTERS)
+
+
+SQL_ADJACENCY_MATRIX = _SQL_HITS_SRC_CTE + f"""
+, c AS (
+  SELECT h.qid,
+         count(*) FILTER ({_F_EN})::BIGINT AS en,
+         count(*) FILTER ({_F_BIG})::BIGINT AS big,
+         count(*) FILTER ({_F_WEB})::BIGINT AS web,
+         count(*) FILTER ({_F_BIG} AND {_F_EN})::BIGINT AS big_en,
+         count(*) FILTER ({_F_BIG} AND {_F_WEB})::BIGINT AS big_web,
+         count(*) FILTER ({_F_EN} AND {_F_WEB})::BIGINT AS en_web
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+  GROUP BY h.qid
+)
+SELECT qid, key, cnt FROM (
+  SELECT qid, 'en' AS key, en AS cnt FROM c
+  UNION ALL SELECT qid, 'big', big FROM c
+  UNION ALL SELECT qid, 'web', web FROM c
+  UNION ALL SELECT qid, 'big&en', big_en FROM c
+  UNION ALL SELECT qid, 'big&web', big_web FROM c
+  UNION ALL SELECT qid, 'en&web', en_web FROM c
+) WHERE cnt > 0
+"""
+
+
+def q_events_bucket_stats(sf_dir: str):
+    """ES *_bucket sibling pipeline aggregations (stats_bucket =
+    avg/min/max/sum/count_bucket in one) over the monthly date_histogram:
+    the histogram is the distributed combiner/final pass
+    (events_pipeline_aggs machinery); the bucket-array reduction runs on
+    bucket-count-sized data exactly where ES runs it (coordinating
+    node). avg_bucket is one int/int IEEE division."""
+    import ray.data as rd
+
+    from webindex.relational import hash_partitioned_groupby
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+        override_num_blocks=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(month=df["ts"].values.astype("datetime64[M]"))
+        return (
+            df.groupby(["event_type", "month"], sort=False)
+            .size().rename("n_p").reset_index()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "month"], sort=False)["n_p"]
+            .sum().rename("n_events").reset_index()
+        )
+
+    hist = hash_partitioned_groupby(
+        ds, ["event_type", "month"], partial, final
+    ).to_pandas()
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=False):
+        n = g["n_events"].to_numpy(np.int64)
+        rows.append({
+            "event_type": et,
+            "n_buckets": int(n.size),
+            "sum_bucket": int(n.sum()),
+            "min_bucket": int(n.min()),
+            "max_bucket": int(n.max()),
+            "avg_bucket": n.sum() / n.size,
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_BUCKET_STATS = """
+WITH m AS (
+  SELECT event_type, date_trunc('month', ts) AS month,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, date_trunc('month', ts)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_buckets,
+       sum(n)::BIGINT AS sum_bucket,
+       min(n)::BIGINT AS min_bucket,
+       max(n)::BIGINT AS max_bucket,
+       sum(n)::BIGINT / count(*)::BIGINT AS avg_bucket
+FROM m GROUP BY event_type
+"""
+
+
 FACET_RANGES: list[tuple[int | None, int | None]] = [
     (None, 250), (250, 400), (400, None), (200, 450),  # overlapping OK
 ]
@@ -7923,6 +8125,11 @@ REGISTRY: dict[str, tuple] = {
     "sharded_bm25_top10": (q_sharded_bm25_top10, SQL_BM25_TOP10),
     "alias_top10": (q_alias_top10, SQL_BM25_TOP10),
     "alias_scores": (q_alias_scores, SQL_BM25_SCORES),
+    "facet_weighted_avg": (q_facet_weighted_avg, SQL_FACET_WEIGHTED_AVG),
+    "facet_pct_ranks": (q_facet_pct_ranks, SQL_FACET_PCT_RANKS),
+    "facet_filters": (q_facet_filters, SQL_FACET_FILTERS),
+    "adjacency_matrix": (q_adjacency_matrix, SQL_ADJACENCY_MATRIX),
+    "events_bucket_stats": (q_events_bucket_stats, SQL_EVENTS_BUCKET_STATS),
     "bm25_filtered_top10": (q_bm25_filtered_top10, SQL_BM25_FILTERED_TOP10),
     "bm25_and_top10": (q_bm25_and_top10, SQL_BM25_AND_TOP10),
     "bm25_phrase_top10": (q_bm25_phrase_top10, SQL_BM25_PHRASE_TOP10),

@@ -1892,6 +1892,307 @@ def facet_range(queries_ds, index_dir: str, col: str,
     )
 
 
+def facet_weighted_avg(queries_ds, index_dir: str, col: str, *,
+                       match: str = "or", filter_pred=None,
+                       n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, sum_vw, sum_w, weighted_avg): the ES
+    ``weighted_avg`` aggregation of an integer docvalues column over each
+    query's FULL match set, weighted by document token length (the dl the
+    reader already holds resident — "big documents count more", the
+    field-length weighting ES examples use).
+
+    Per-shard partials are exact int64 Σ(v·dl) and Σ(dl) over matches
+    that HAVE the docvalue; Sum-merged, then ONE IEEE division — the
+    facet_stats float recipe, so the SQL oracle matches bit for bit.
+    Exactness bound: Σ v·dl < 2⁶³."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def wavg_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        dl = s.reader._dl
+        qid_out, vw_out, w_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = vals_np[sel].astype(np.int64)
+            w = dl[sel].astype(np.int64)
+            qid_out.append(qid)
+            vw_out.append(int((v * w).sum()))
+            w_out.append(int(w.sum()))
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "sum_vw_p": pa.array(vw_out, pa.int64()),
+                "sum_w_p": pa.array(w_out, pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(wavg_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(
+            Sum("sum_vw_p", alias_name="sum_vw"),
+            Sum("sum_w_p", alias_name="sum_w"),
+        )
+    )
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        vw = batch.column("sum_vw").to_numpy().astype(np.int64)
+        w = batch.column("sum_w").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "weighted_avg", pa.array(vw / w, pa.float64())
+        )
+
+    return merged.map_batches(add_avg, batch_format="pyarrow")
+
+
+def facet_percentile_ranks(queries_ds, index_dir: str, col: str,
+                           values: list[int], *, match: str = "or",
+                           filter_pred=None,
+                           n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, value, pct): for each probe value, the
+    percentage of the query's matched docs whose docvalue is <= value —
+    the ES ``percentile_ranks`` aggregation, EXACT instead of
+    t-digest-approximate (the facet_percentiles inverse).
+
+    Per-shard partials per (qid, value) are exact int64 (count <= value,
+    total); Sum-merged; the float tail is pinned to the SQL op for op:
+    pct = (100.0 · cnt_le) / total — multiply THEN divide, one of each."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    values = sorted(set(int(v) for v in values))
+    if not values:
+        raise ValueError("values must be non-empty")
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def ranks_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        qid_out, v_out, le_out, n_out = [], [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = np.sort(vals_np[sel].astype(np.int64))
+            # one vectorized searchsorted answers every probe at once
+            les = np.searchsorted(v, np.array(values, np.int64),
+                                  side="right")
+            for probe, le in zip(values, les.tolist()):
+                qid_out.append(qid)
+                v_out.append(probe)
+                le_out.append(int(le))
+                n_out.append(int(v.size))
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "value": pa.array(v_out, pa.int64()),
+                "cnt_le_p": pa.array(le_out, pa.int64()),
+                "total_p": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(ranks_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(
+            Sum("cnt_le_p", alias_name="cnt_le"),
+            Sum("total_p", alias_name="total"),
+        )
+    )
+
+    def add_pct(batch: pa.Table) -> pa.Table:
+        le = batch.column("cnt_le").to_numpy().astype(np.int64)
+        n = batch.column("total").to_numpy().astype(np.int64)
+        pct = (100.0 * le) / n  # multiply then divide — the SQL op order
+        t = batch.select(["qid", "value"])
+        return t.append_column("pct", pa.array(pct, pa.float64()))
+
+    return merged.map_batches(add_pct, batch_format="pyarrow")
+
+
+def facet_filters(queries_ds, index_dir: str, filters: dict, *,
+                  match: str = "or", filter_pred=None,
+                  n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, filter, cnt): the ES ``filters``
+    aggregation — per NAMED docvalues predicate (each a conjunctive
+    ``(col, op, value)`` clause tuple), how many of the query's matches
+    satisfy it. Every named bucket is returned, zero counts included
+    (ES filters-agg semantics — unlike terms/range, the bucket set is
+    caller-fixed), so per-shard partials always emit all names and the
+    Sum-merge preserves the full bucket set."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    named = sorted(
+        (name, tuple(tuple(c) for c in pred))
+        for name, pred in filters.items()
+    )
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def filters_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        masks = [(name, s.reader.filter_mask(pred)) for name, pred in named]
+        qid_out, f_out, c_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            for name, m in masks:
+                qid_out.append(qid)
+                f_out.append(name)
+                c_out.append(int(m[sel].sum()) if sel.size else 0)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "filter": pa.array(f_out, pa.string()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(filters_shard, batch_format="pyarrow")
+        .groupby(["qid", "filter"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
+
+
+def adjacency_matrix(queries_ds, index_dir: str, filters: dict, *,
+                     match: str = "or", filter_pred=None,
+                     n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, key, cnt): the ES ``adjacency_matrix``
+    aggregation — over the query's match set, counts for every named
+    docvalues predicate AND every pairwise intersection (key ``"a&b"``
+    in ascending name order, the ES separator). Buckets that end up
+    EMPTY after the cross-shard Sum-merge are dropped (ES omits empty
+    intersections); intersection is a per-doc property, so shard
+    partials compose exactly."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    named = sorted(
+        (name, tuple(tuple(c) for c in pred))
+        for name, pred in filters.items()
+    )
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def adj_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        masks = [(name, s.reader.filter_mask(pred)) for name, pred in named]
+        qid_out, k_out, c_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            if sel.size == 0:
+                continue
+            hit = [(name, m[sel]) for name, m in masks]
+            for i, (na, ma) in enumerate(hit):
+                n = int(ma.sum())
+                if n:
+                    qid_out.append(qid)
+                    k_out.append(na)
+                    c_out.append(n)
+                for nb, mb in hit[i + 1:]:
+                    n2 = int((ma & mb).sum())
+                    if n2:
+                        qid_out.append(qid)
+                        k_out.append(f"{na}&{nb}")
+                        c_out.append(n2)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "key": pa.array(k_out, pa.string()),
+                "cnt_p": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(adj_shard, batch_format="pyarrow")
+        .groupby(["qid", "key"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
+
+
 def facet_stats_by(queries_ds, index_dir: str, group_col: str,
                    stat_col: str, *, match: str = "or", filter_pred=None,
                    n_shards: int = SEARCH_SHARDS):
