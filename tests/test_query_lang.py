@@ -1550,3 +1550,127 @@ def test_composite_buckets_paginates(index_dir, oracle, ray_session):
         assert [
             (int(v), int(c)) for v, c in zip(g["value"], g["cnt"])
         ] == brute(text, 3, 100)
+
+
+def _nearest_rank_brute(sorted_vals, p):
+    n = len(sorted_vals)
+    k = min(max(-(-p * n // 100), 1), n)
+    return sorted_vals[k - 1]
+
+
+def test_facet_boxplot_matches_brute(index_dir, oracle):
+    """ES boxplot (exact): min/q1/q2/q3/max of n_chars over the match
+    set, quartiles by the nearest-rank rule."""
+    from webindex.search import facet_boxplot
+
+    got = facet_boxplot(_queries_ds(QUERIES), index_dir, "n_chars").to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid]
+        assert len(g) == (1 if m else 0), qid
+        if not m:
+            continue
+        vals = sorted(d["n_chars"] for d in m)
+        r = g.iloc[0]
+        assert int(r["min"]) == vals[0] and int(r["max"]) == vals[-1], qid
+        for col, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+            assert int(r[col]) == _nearest_rank_brute(vals, p), (qid, col)
+
+
+def test_facet_mad_matches_brute(index_dir, oracle):
+    """ES median_absolute_deviation (exact): nearest-rank median, then
+    nearest-rank median of |v - median|."""
+    from webindex.search import facet_mad
+
+    got = facet_mad(_queries_ds(QUERIES), index_dir, "n_chars").to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid]
+        assert len(g) == (1 if m else 0), qid
+        if not m:
+            continue
+        vals = sorted(d["n_chars"] for d in m)
+        med = _nearest_rank_brute(vals, 50)
+        devs = sorted(abs(v - med) for v in vals)
+        assert int(g["median"].iloc[0]) == med, qid
+        assert int(g["mad"].iloc[0]) == _nearest_rank_brute(devs, 50), qid
+
+
+def test_facet_t_test_matches_brute(index_dir, oracle):
+    """ES t_test (Welch) of n_chars between the en and fr lang buckets:
+    exact int partials, pinned float tail replayed here op for op."""
+    import math
+
+    from webindex.search import facet_t_test
+
+    buckets = {"a_en": (("lang", "==", "en"),),
+               "b_fr": (("lang", "==", "fr"),)}
+    got = facet_t_test(
+        _queries_ds(QUERIES), index_dir, "n_chars", buckets
+    ).to_pandas()
+
+    def welch(xs, ys):
+        na, nb = len(xs), len(ys)
+        if na < 2 or nb < 2:
+            return None
+        ma, mb = sum(xs) / na, sum(ys) / nb
+        ea = sum(x * x for x in xs) / na
+        eb = sum(y * y for y in ys) / nb
+        va = max(0.0, ea - ma * ma) * (na / (na - 1.0))
+        vb = max(0.0, eb - mb * mb) * (nb / (nb - 1.0))
+        d = va / na + vb / nb
+        if d <= 0.0:
+            return None
+        return na, nb, ma, mb, (ma - mb) / math.sqrt(d)
+
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        xs = [d["n_chars"] for d in m if d["lang"] == "en"]
+        ys = [d["n_chars"] for d in m if d["lang"] == "fr"]
+        want = welch(xs, ys)
+        g = got[got["qid"] == qid]
+        assert len(g) == (0 if want is None else 1), qid
+        if want is None:
+            continue
+        r = g.iloc[0]
+        assert (int(r["n_a"]), int(r["n_b"])) == want[:2], qid
+        assert float(r["mean_a"]) == want[2], qid
+        assert float(r["mean_b"]) == want[3], qid
+        assert float(r["t"]) == want[4], qid
+
+
+def test_facet_matrix_stats_matches_brute(index_dir, oracle):
+    """ES matrix_stats between n_chars (x) and doc token length (y):
+    exact int64 moment partials, pinned float tail replayed op for op."""
+    import math
+
+    from webindex.search import facet_matrix_stats
+
+    an = oracle.an
+    got = facet_matrix_stats(
+        _queries_ds(QUERIES), index_dir, "n_chars"
+    ).to_pandas()
+    for qid, text in QUERIES:
+        m = _match_doc_rows(oracle, text)
+        g = got[got["qid"] == qid]
+        if not m:
+            assert g.empty, qid
+            continue
+        xs = [d["n_chars"] for d in m]
+        ys = [len(an.tokens(d["text"])) for d in m]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        var_x = max(0.0, sum(x * x for x in xs) / n - mx * mx)
+        var_y = max(0.0, sum(y * y for y in ys) / n - my * my)
+        cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+        if var_x <= 0.0 or var_y <= 0.0:
+            assert g.empty, qid
+            continue
+        corr = cov / (math.sqrt(var_x) * math.sqrt(var_y))
+        r = g.iloc[0]
+        assert int(r["n"]) == n, qid
+        assert float(r["mean_x"]) == mx and float(r["mean_y"]) == my, qid
+        assert float(r["var_x"]) == var_x, qid
+        assert float(r["var_y"]) == var_y, qid
+        assert float(r["covariance"]) == cov, qid
+        assert float(r["correlation"]) == corr, qid

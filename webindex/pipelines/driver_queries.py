@@ -4172,6 +4172,157 @@ GROUP BY h.qid, p.value
 """
 
 
+def q_facet_boxplot(sf_dir: str):
+    """ES boxplot aggregation, EXACT (ES approximates with t-digest):
+    min/q1/q2/q3/max of n_chars over each query's match set — quartiles
+    by the nearest-rank rule (ceil(p·n/100), the facet_percentiles rule)
+    off the per-(qid, value) histogram partials (webindex/search.py
+    facet_boxplot)."""
+    from webindex.search import facet_boxplot
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_boxplot(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_BOXPLOT = _SQL_HITS_CTE + """
+SELECT h.qid,
+       min(d.n_chars)::BIGINT AS min,
+       list(d.n_chars ORDER BY d.n_chars)
+           [CAST(ceil(count(*) * 25.0 / 100) AS BIGINT)]::BIGINT AS q1,
+       list(d.n_chars ORDER BY d.n_chars)
+           [CAST(ceil(count(*) * 50.0 / 100) AS BIGINT)]::BIGINT AS q2,
+       list(d.n_chars ORDER BY d.n_chars)
+           [CAST(ceil(count(*) * 75.0 / 100) AS BIGINT)]::BIGINT AS q3,
+       max(d.n_chars)::BIGINT AS max
+FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+GROUP BY h.qid
+"""
+
+
+def q_facet_mad(sf_dir: str):
+    """ES median_absolute_deviation aggregation, EXACT: nearest-rank
+    median of n_chars over the match set, then nearest-rank median of
+    |v − median| — two exact histogram passes, pass-one medians
+    broadcast via ray.put (webindex/search.py facet_mad)."""
+    from webindex.search import facet_mad
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_mad(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_MAD = _SQL_HITS_CTE + """
+, vals AS (
+  SELECT h.qid, d.n_chars AS v
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+),
+med AS (
+  SELECT qid,
+         list(v ORDER BY v)
+             [CAST(ceil(count(*) * 50.0 / 100) AS BIGINT)]::BIGINT
+             AS median
+  FROM vals GROUP BY qid
+)
+SELECT m.qid, m.median,
+       list(abs(v.v - m.median) ORDER BY abs(v.v - m.median))
+           [CAST(ceil(count(*) * 50.0 / 100) AS BIGINT)]::BIGINT AS mad
+FROM vals v JOIN med m ON v.qid = m.qid
+GROUP BY m.qid, m.median
+"""
+
+
+# the two t_test buckets (ascending names: a_en < b_fr)
+TTEST_BUCKETS = {
+    "a_en": (("lang", "==", "en"),),
+    "b_fr": (("lang", "==", "fr"),),
+}
+
+
+def q_facet_t_test(sf_dir: str):
+    """ES t_test aggregation (Welch, ES's heteroscedastic default) of
+    n_chars between the en and fr lang buckets over each query's match
+    set — exact int64 (n, Σv, Σv²) partials per (qid, side), float tail
+    pinned op for op to the SQL (webindex/search.py facet_t_test)."""
+    from webindex.search import facet_t_test
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_t_test(_queries_ds(), idx, "n_chars", TTEST_BUCKETS)
+
+
+SQL_FACET_TTEST = _SQL_HITS_CTE + """
+, vals AS (
+  SELECT h.qid, d.n_chars AS v, d.lang
+  FROM hits h JOIN docs d ON d.doc_id = h.doc_id
+),
+sides AS (
+  SELECT qid,
+         count(*) FILTER (lang = 'en')::BIGINT AS na,
+         sum(v)   FILTER (lang = 'en')::BIGINT AS sa,
+         sum(v*v) FILTER (lang = 'en')::BIGINT AS qa,
+         count(*) FILTER (lang = 'fr')::BIGINT AS nb,
+         sum(v)   FILTER (lang = 'fr')::BIGINT AS sb,
+         sum(v*v) FILTER (lang = 'fr')::BIGINT AS qb
+  FROM vals GROUP BY qid
+),
+-- float tail pinned op for op to facet_t_test: m = Σv/n; e = Σv²/n;
+-- var = greatest(0, e − m·m) · (n/(n−1)); t = (ma−mb)/sqrt(va/na+vb/nb)
+tail AS (
+  SELECT qid, na, nb,
+         sa / na AS mean_a,
+         sb / nb AS mean_b,
+         greatest(0.0, qa / na - (sa / na) * (sa / na)) * (na / (na - 1))
+             AS va,
+         greatest(0.0, qb / nb - (sb / nb) * (sb / nb)) * (nb / (nb - 1))
+             AS vb
+  FROM sides WHERE na >= 2 AND nb >= 2
+)
+SELECT qid, na AS n_a, nb AS n_b, mean_a, mean_b,
+       (mean_a - mean_b) / sqrt(va / na + vb / nb) AS t
+FROM tail WHERE va / na + vb / nb > 0.0
+"""
+
+
+def q_facet_matrix_stats(sf_dir: str):
+    """ES matrix_stats aggregation between n_chars (x) and document
+    token length dl (y) over each query's match set — exact int64
+    moment partials (n, Σx, Σy, Σx², Σy², Σxy), population variances /
+    covariance / Pearson correlation with the float tail pinned op for
+    op to the SQL (webindex/search.py facet_matrix_stats)."""
+    from webindex.search import facet_matrix_stats
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_matrix_stats(_queries_ds(), idx, "n_chars")
+
+
+SQL_FACET_MATRIX = _SQL_HITS_CTE + f"""
+, dl AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM docs),
+moms AS (
+  SELECT h.qid,
+         count(*)::BIGINT AS n,
+         sum(d.n_chars)::BIGINT AS sx,
+         sum(dl.dl)::BIGINT AS sy,
+         sum(d.n_chars * d.n_chars)::BIGINT AS sxx,
+         sum(dl.dl * dl.dl)::BIGINT AS syy,
+         sum(d.n_chars * dl.dl)::BIGINT AS sxy
+  FROM hits h
+  JOIN docs d ON d.doc_id = h.doc_id
+  JOIN dl ON dl.doc_id = h.doc_id
+  GROUP BY h.qid
+),
+tail AS (
+  SELECT qid, n,
+         sx / n AS mean_x,
+         sy / n AS mean_y,
+         greatest(0.0, sxx / n - (sx / n) * (sx / n)) AS var_x,
+         greatest(0.0, syy / n - (sy / n) * (sy / n)) AS var_y,
+         sxy / n - (sx / n) * (sy / n) AS covariance
+  FROM moms WHERE n > 0
+)
+SELECT qid, n, mean_x, mean_y, var_x, var_y, covariance,
+       covariance / (sqrt(var_x) * sqrt(var_y)) AS correlation
+FROM tail WHERE var_x > 0.0 AND var_y > 0.0
+"""
+
+
 # named predicates shared by the filters / adjacency_matrix entries
 # (ascending-name pair keys: big < en < web)
 AGG_FILTERS = {
@@ -8203,6 +8354,10 @@ REGISTRY: dict[str, tuple] = {
     "packed_seqs": (q_packed_seqs, SQL_PACKED_SEQS),
     "facet_stats": (q_facet_stats, SQL_FACET_STATS),
     "facet_ext_stats": (q_facet_ext_stats, SQL_FACET_EXT_STATS),
+    "facet_boxplot": (q_facet_boxplot, SQL_FACET_BOXPLOT),
+    "facet_mad": (q_facet_mad, SQL_FACET_MAD),
+    "facet_t_test": (q_facet_t_test, SQL_FACET_TTEST),
+    "facet_matrix_stats": (q_facet_matrix_stats, SQL_FACET_MATRIX),
     "facet_range": (q_facet_range, SQL_FACET_RANGE),
     "stats_by_lang": (q_stats_by_lang, SQL_STATS_BY_LANG),
     "composite_page": (q_composite_page, SQL_COMPOSITE_PAGE),

@@ -1336,6 +1336,430 @@ def facet_percentiles(queries_ds, index_dir: str, col: str,
     return merged.groupby("qid").map_groups(pcts, batch_format="pandas")
 
 
+def _value_hist(queries_ds, index_dir: str, col: str, *, match: str,
+                filter_pred, n_shards: int, center_ref=None):
+    """Merged per-(qid, value) match-count histogram of an integer
+    docvalues column — the shared partial shape of the exact
+    percentile-family aggregations (the :func:`facet_percentiles`
+    recipe: per-shard ``np.unique`` partials bounded by the column's
+    distinct-value domain, one exact Sum merge).
+
+    With ``center_ref`` (a ``ray.put`` ObjectRef of ``{qid: int}``),
+    each match histograms as ``|v - center[qid]|`` instead — the second
+    pass of the median-absolute-deviation aggregation. Queries whose qid
+    is absent from the center map are skipped (they had no matches in
+    pass one). Returns a Dataset ``(qid, value, cnt)``."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def hist_shard(g: pa.Table) -> pa.Table:
+        import ray
+
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        center = ray.get(center_ref) if center_ref is not None else None
+        qs, vs, cs = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            if center is not None and qid not in center:
+                continue
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            v = vals_np[sel].astype(np.int64)
+            if center is not None:
+                v = np.abs(v - np.int64(center[qid]))
+            u, c = np.unique(v, return_counts=True)
+            qs.extend([qid] * u.size)
+            vs.extend(u.tolist())
+            cs.extend(c.astype(np.int64).tolist())
+        return pa.table(
+            {"qid": pa.array(qs, pa.string()),
+             "value": pa.array(vs, pa.int64()),
+             "cnt_p": pa.array(cs, pa.int64())}
+        )
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(hist_shard, batch_format="pyarrow")
+        .groupby(["qid", "value"])
+        .aggregate(Sum("cnt_p", alias_name="cnt"))
+    )
+
+
+def _nearest_rank(vals: np.ndarray, cum: np.ndarray, p: int) -> int:
+    """ceil(p·n/100)-th smallest (1-based) off a sorted value histogram —
+    the exact nearest-rank rule shared with :func:`facet_percentiles`."""
+    n = int(cum[-1])
+    k = min(max(-(-p * n // 100), 1), n)
+    return int(vals[np.searchsorted(cum, k)])
+
+
+def facet_boxplot(queries_ds, index_dir: str, col: str, *,
+                  match: str = "or", filter_pred=None,
+                  n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, min, q1, q2, q3, max): the ES
+    ``boxplot`` aggregation over each query's FULL match set, EXACT
+    (ES approximates with t-digest) — q1/q2/q3 are nearest-rank
+    (ceil(p·n/100), the :func:`facet_percentiles` rule, = DuckDB
+    ``quantile_disc``), min/max read off the histogram ends.
+
+    Scale shape identical to facet_percentiles: per-shard per-(qid,
+    value) count partials bounded by the column's distinct-value domain,
+    one exact Sum merge, one vectorized cumsum readoff per qid."""
+    hist = _value_hist(queries_ds, index_dir, col, match=match,
+                       filter_pred=filter_pred, n_shards=n_shards)
+
+    def box(g):
+        import pandas as pd
+
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        return pd.DataFrame(
+            {
+                "qid": [g["qid"].iloc[0]],
+                "min": np.array([vals[0]], np.int64),
+                "q1": np.array([_nearest_rank(vals, cum, 25)], np.int64),
+                "q2": np.array([_nearest_rank(vals, cum, 50)], np.int64),
+                "q3": np.array([_nearest_rank(vals, cum, 75)], np.int64),
+                "max": np.array([vals[-1]], np.int64),
+            }
+        )
+
+    return hist.groupby("qid").map_groups(box, batch_format="pandas")
+
+
+def facet_mad(queries_ds, index_dir: str, col: str, *,
+              match: str = "or", filter_pred=None,
+              n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, median, mad): the ES
+    ``median_absolute_deviation`` aggregation over each query's FULL
+    match set, EXACT (ES approximates with t-digest): median = exact
+    nearest-rank 50th percentile, mad = nearest-rank median of
+    |v − median|.
+
+    Two histogram passes: pass one is the facet_percentiles shape and
+    yields one median row per query (bounded by the query count — the
+    same driver-resident budget as the query table itself), which
+    broadcasts via ``ray.put`` into pass two's |v − median| histogram.
+    Both passes are exact integer counts, so the result is
+    partition-independent and SQL-reproducible."""
+    import ray
+
+    hist = _value_hist(queries_ds, index_dir, col, match=match,
+                       filter_pred=filter_pred, n_shards=n_shards)
+
+    def readoff(g, out_col):
+        import pandas as pd
+
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        return pd.DataFrame(
+            {"qid": [g["qid"].iloc[0]],
+             out_col: np.array([_nearest_rank(vals, cum, 50)], np.int64)}
+        )
+
+    med_pd = (
+        hist.groupby("qid")
+        .map_groups(lambda g: readoff(g, "median"), batch_format="pandas")
+        .to_pandas()  # one row per query with matches — driver-bounded
+    )
+    centers = dict(
+        zip(med_pd["qid"].tolist(), med_pd["median"].astype(int).tolist())
+    )
+    center_ref = ray.put(centers)
+    dev = _value_hist(queries_ds, index_dir, col, match=match,
+                      filter_pred=filter_pred, n_shards=n_shards,
+                      center_ref=center_ref)
+    mad = dev.groupby("qid").map_groups(
+        lambda g: readoff(g, "mad"), batch_format="pandas"
+    )
+
+    def attach_median(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(center_ref)
+        med = [c[q] for q in batch.column("qid").to_pylist()]
+        return batch.append_column("median", pa.array(med, pa.int64()))
+
+    out = mad.map_batches(attach_median, batch_format="pyarrow")
+    return out.select_columns(["qid", "median", "mad"])
+
+
+def facet_t_test(queries_ds, index_dir: str, col: str, buckets: dict, *,
+                 match: str = "or", filter_pred=None,
+                 n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, n_a, n_b, mean_a, mean_b, t): the ES
+    ``t_test`` aggregation (heteroscedastic / Welch, ES's default) of an
+    integer docvalues column between two NAMED conjunctive docvalues
+    predicates (the ES two-filter form), over each query's FULL match
+    set.
+
+    ``buckets`` maps exactly two names to predicates; the
+    lexicographically smaller name is side a. Per-shard partials are
+    exact int64 (n, Σv, Σv²) per (qid, side) — the facet_stats recipe —
+    merged with Sum; the float tail is pinned op for op so the SQL
+    oracle matches bit for bit:
+        m = Σv/n;  e = Σv²/n;  var = max(0, e − m·m) · (n/(n−1))
+        t = (m_a − m_b) / sqrt(var_a/n_a + var_b/n_b)
+    Queries where either side has n < 2, or where both variances are 0,
+    produce no row (a t-statistic is undefined there). Exactness bound:
+    Σv² < 2⁶³."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    if len(buckets) != 2:
+        raise ValueError("t_test needs exactly two named buckets")
+    named = sorted(
+        (name, tuple(tuple(c) for c in pred))
+        for name, pred in buckets.items()
+    )
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def ttest_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        masks = [(name, s.reader.filter_mask(pred)) for name, pred in named]
+        rows = {"qid": [], "side": [], "n_p": [], "sum_p": [], "sumsq_p": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            for name, m in masks:
+                v = vals_np[sel[m[sel]]].astype(np.int64)
+                if v.size == 0:
+                    continue
+                rows["qid"].append(qid)
+                rows["side"].append(name)
+                rows["n_p"].append(int(v.size))
+                rows["sum_p"].append(int(v.sum()))
+                rows["sumsq_p"].append(int((v * v).sum()))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "side": pa.array(rows["side"], pa.string()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "sum_p": pa.array(rows["sum_p"], pa.int64()),
+                "sumsq_p": pa.array(rows["sumsq_p"], pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(ttest_shard, batch_format="pyarrow")
+        .groupby(["qid", "side"])
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sum_p", alias_name="sum"),
+            Sum("sumsq_p", alias_name="sumsq"),
+        )
+    )
+    name_a, name_b = named[0][0], named[1][0]
+
+    def welch(g):
+        import math
+
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype=str),
+             "n_a": pd.Series([], dtype=np.int64),
+             "n_b": pd.Series([], dtype=np.int64),
+             "mean_a": pd.Series([], dtype=np.float64),
+             "mean_b": pd.Series([], dtype=np.float64),
+             "t": pd.Series([], dtype=np.float64)}
+        )
+        by = {r["side"]: r for _, r in g.iterrows()}
+        if name_a not in by or name_b not in by:
+            return empty
+        a, b = by[name_a], by[name_b]
+        na, nb = int(a["n"]), int(b["n"])
+        if na < 2 or nb < 2:
+            return empty
+        ma = int(a["sum"]) / na
+        mb = int(b["sum"]) / nb
+        ea = int(a["sumsq"]) / na
+        eb = int(b["sumsq"]) / nb
+        va = max(0.0, ea - ma * ma) * (na / (na - 1.0))
+        vb = max(0.0, eb - mb * mb) * (nb / (nb - 1.0))
+        denom_sq = va / na + vb / nb
+        if denom_sq <= 0.0:
+            return empty
+        t = (ma - mb) / math.sqrt(denom_sq)
+        return pd.DataFrame(
+            {"qid": [g["qid"].iloc[0]],
+             "n_a": np.array([na], np.int64),
+             "n_b": np.array([nb], np.int64),
+             "mean_a": np.array([ma], np.float64),
+             "mean_b": np.array([mb], np.float64),
+             "t": np.array([t], np.float64)}
+        )
+
+    return merged.groupby("qid").map_groups(welch, batch_format="pandas")
+
+
+def facet_matrix_stats(queries_ds, index_dir: str, col: str, *,
+                       match: str = "or", filter_pred=None,
+                       n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> per-query count, means, population
+    variances, covariance and Pearson correlation between an integer
+    docvalues column (x) and document token length dl (y, resident in
+    the reader — the facet_weighted_avg weight) over the FULL match set:
+    the ES ``matrix_stats`` aggregation on two fields.
+
+    Per-shard partials are exact int64 (n, Σx, Σy, Σx², Σy², Σxy) —
+    merged with Sum, so the moment matrix is partition-independent. The
+    float tail is pinned op for op (the facet_extended_stats recipe):
+        mx = Σx/n;  var_x = max(0, Σx²/n − mx·mx)   (population)
+        cov = Σxy/n − mx·my;   corr = cov / (sqrt(var_x)·sqrt(var_y))
+    Queries with n = 0 or a zero variance on either field produce no
+    row (correlation undefined). ES's skewness/kurtosis are omitted:
+    their Σx³/Σx⁴ partials overflow int64 at corpus scale, and this
+    module's exactness contract forbids float partials (summation order
+    is engine- and partition-specific, measured — CLAUDE.md). Exactness
+    bound: Σx², Σxy < 2⁶³."""
+    from ray.data.aggregate import Sum
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import match_positions
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def moments_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        dl = s.reader._dl
+        rows = {"qid": [], "n_p": [], "sx_p": [], "sy_p": [],
+                "sxx_p": [], "syy_p": [], "sxy_p": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            x = vals_np[sel].astype(np.int64)
+            y = dl[sel].astype(np.int64)
+            rows["qid"].append(qid)
+            rows["n_p"].append(int(x.size))
+            rows["sx_p"].append(int(x.sum()))
+            rows["sy_p"].append(int(y.sum()))
+            rows["sxx_p"].append(int((x * x).sum()))
+            rows["syy_p"].append(int((y * y).sum()))
+            rows["sxy_p"].append(int((x * y).sum()))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "n_p": pa.array(rows["n_p"], pa.int64()),
+                "sx_p": pa.array(rows["sx_p"], pa.int64()),
+                "sy_p": pa.array(rows["sy_p"], pa.int64()),
+                "sxx_p": pa.array(rows["sxx_p"], pa.int64()),
+                "syy_p": pa.array(rows["syy_p"], pa.int64()),
+                "sxy_p": pa.array(rows["sxy_p"], pa.int64()),
+            }
+        )
+
+    merged = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(moments_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sx"),
+            Sum("sy_p", alias_name="sy"),
+            Sum("sxx_p", alias_name="sxx"),
+            Sum("syy_p", alias_name="syy"),
+            Sum("sxy_p", alias_name="sxy"),
+        )
+    )
+
+    def tail(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        sx = batch.column("sx").to_numpy().astype(np.int64)
+        sy = batch.column("sy").to_numpy().astype(np.int64)
+        sxx = batch.column("sxx").to_numpy().astype(np.int64)
+        syy = batch.column("syy").to_numpy().astype(np.int64)
+        sxy = batch.column("sxy").to_numpy().astype(np.int64)
+        mx = sx / n
+        my = sy / n
+        var_x = np.maximum(0.0, sxx / n - mx * mx)
+        var_y = np.maximum(0.0, syy / n - my * my)
+        cov = sxy / n - mx * my
+        keep = (n > 0) & (var_x > 0.0) & (var_y > 0.0)
+        corr = np.zeros(len(n), np.float64)
+        corr[keep] = cov[keep] / (np.sqrt(var_x[keep]) * np.sqrt(var_y[keep]))
+        out = pa.table(
+            {
+                "qid": batch.column("qid"),
+                "n": pa.array(n, pa.int64()),
+                "mean_x": pa.array(mx, pa.float64()),
+                "mean_y": pa.array(my, pa.float64()),
+                "var_x": pa.array(var_x, pa.float64()),
+                "var_y": pa.array(var_y, pa.float64()),
+                "covariance": pa.array(cov, pa.float64()),
+                "correlation": pa.array(corr, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return merged.map_batches(tail, batch_format="pyarrow")
+
+
 def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
                  match: str = "or", filter_pred=None,
                  n_shards: int = SEARCH_SHARDS):
