@@ -1674,3 +1674,164 @@ def test_facet_matrix_stats_matches_brute(index_dir, oracle):
         assert float(r["var_y"]) == var_y, qid
         assert float(r["covariance"]) == cov, qid
         assert float(r["correlation"]) == corr, qid
+
+
+SPAN_NOTS = [
+    # (qid, include phrase, exclude, pre, post)
+    ("sn1", "alpha beta", "gamma", 0, 0),
+    ("sn2", "alpha beta", "gamma", 1, 1),
+    ("sn3", "gamma delta", "alpha", 0, 2),
+    ("sn4", "alpha beta", "nosuchterm", 0, 0),
+]
+
+
+def _brute_span_not(phrase, exclude, pre, post, toks):
+    m = len(phrase)
+    for i in range(len(toks) - m + 1):
+        if toks[i:i + m] != phrase:
+            continue
+        lo, hi = max(i - pre, 0), i + m - 1 + post
+        if not any(t == exclude for t in toks[lo:hi + 1]):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_span_not_matches_brute(pos_index_dir, oracle, impl):
+    from webindex.search import search_queries
+
+    an = oracle.an
+    doc_toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for qid, text, ex, pre, post in SPAN_NOTS:
+        phrase = an.tokens(text)
+        runs = search_queries(
+            _queries_ds([(qid, text)]), pos_index_dir, top_k=8,
+            query_kind="phrase", impl=impl,
+            span=("not", ex, pre, post),
+        )
+        matched = {
+            d for d, tl in doc_toks.items()
+            if _brute_span_not(phrase, ex, pre, post, tl)
+        }
+        want = _oracle_constrained(oracle, text, 8, allowed=matched,
+                                   require_all=True)
+        df = runs.to_pandas()
+        if not want:
+            assert df.empty, qid
+            continue
+        got = [
+            (int(d), float(s))
+            for d, s in zip(
+                df.sort_values("rank")["doc_id"], df.sort_values("rank")["score"]
+            )
+        ]
+        assert got == want, qid
+
+
+SPAN_CONTAINING = [
+    # (qid, big pair text, little, slop)
+    ("sc1", "alpha beta", "gamma", 3),
+    ("sc2", "alpha gamma", "beta", 2),
+    ("sc3", "gamma epsilon", "delta", 4),
+    ("sc4", "alpha beta", "nosuchterm", 5),
+]
+
+
+def _brute_span_containing(a, b, little, slop, toks):
+    pas = [i for i, t in enumerate(toks) if t == a]
+    pbs = [i for i, t in enumerate(toks) if t == b]
+    qs = [i for i, t in enumerate(toks) if t == little]
+    return any(
+        pa < pb and (pb - pa) - 1 <= slop and pa <= q <= pb
+        for pa in pas for pb in pbs for q in qs
+    )
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_span_containing_matches_brute(pos_index_dir, oracle, impl):
+    from webindex.search import search_queries
+
+    an = oracle.an
+    doc_toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for qid, text, little, slop in SPAN_CONTAINING:
+        a, b = an.tokens(text)
+        runs = search_queries(
+            _queries_ds([(qid, text)]), pos_index_dir, top_k=8,
+            query_kind="phrase", impl=impl, slop=slop,
+            span=("containing", little),
+        )
+        matched = {
+            d for d, tl in doc_toks.items()
+            if _brute_span_containing(a, b, little, slop, tl)
+        }
+        want = _oracle_constrained(
+            oracle, f"{text} {little}", 8, allowed=matched, require_all=True
+        )
+        df = runs.to_pandas()
+        if not want:
+            assert df.empty, qid
+            continue
+        df = df.sort_values("rank")
+        got = [(int(d), float(s)) for d, s in zip(df["doc_id"], df["score"])]
+        assert got == want, qid
+
+
+SPAN_OR_NEARS = [
+    ("so1", "alpha|beta gamma", 1),
+    ("so2", "alpha|gamma delta|epsilon", 2),
+    ("so3", "rare1|rare2 alpha", 3),
+    ("so4", "alpha nosuchterm|beta", 1),
+    ("so5", "alpha nosucha|nosuchb", 2),
+]
+
+
+def _brute_span_or_near(slots, slop, toks):
+    from itertools import product
+
+    m = len(slots)
+    occ = []
+    for alts in slots:
+        o = [i for i, t in enumerate(toks) if t in alts]
+        if not o:
+            return False
+        occ.append(o)
+    for combo in product(*occ):
+        if all(combo[i] > combo[i - 1] for i in range(1, m)) and (
+            (combo[-1] - combo[0]) - (m - 1) <= slop
+        ):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("impl", ["pool", "sharded"])
+def test_span_or_near_matches_brute(pos_index_dir, oracle, impl):
+    from webindex.search import search_queries
+
+    an = oracle.an
+    doc_toks = {d["doc_id"]: an.tokens(d["text"]) for d in DOCS}
+    for qid, text, slop in SPAN_OR_NEARS:
+        slots = [
+            [t for alt in slot.split("|") for t in an.tokens(alt)]
+            for slot in text.split()
+        ]
+        runs = search_queries(
+            _queries_ds([(qid, text)]), pos_index_dir, top_k=8,
+            query_kind="phrase", impl=impl, slop=slop,
+            span=("or_near",),
+        )
+        matched = {
+            d for d, tl in doc_toks.items()
+            if _brute_span_or_near(slots, slop, tl)
+        }
+        # OR-style scoring over the union of slot terms: only terms the
+        # doc contains contribute
+        flat = " ".join(t for s in slots for t in s)
+        want = _oracle_constrained(oracle, flat, 8, allowed=matched,
+                                   require_all=False)
+        df = runs.to_pandas()
+        if not want:
+            assert df.empty, qid
+            continue
+        df = df.sort_values("rank")
+        got = [(int(d), float(s)) for d, s in zip(df["doc_id"], df["score"])]
+        assert got == want, qid

@@ -6132,6 +6132,265 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+# span_not: include phrase, exclusion term, pre/post window widening
+SPAN_NOT_QUERIES: list[tuple[str, str, str, int, int]] = [
+    ("x1", "merge join", "fast", 1, 1),
+    ("x2", "customer order", "table", 0, 2),
+    ("x3", "fast key", "value", 0, 0),
+]
+
+
+def q_span_not_top10(sf_dir: str):
+    """ES/Lucene span_not: the include phrase matches only where its
+    span, widened by pre/post, contains NO occurrence of the exclusion
+    term — vectorized interval-emptiness test over the exclusion's
+    position keys (webindex/positional.py span_not_topk). Scored like
+    the phrase kernels (include clause only)."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pos")
+    outs = []
+    for qid, text, ex, pre, post in SPAN_NOT_QUERIES:
+        runs = search_queries(
+            _queries_ds_of([(qid, text)]), idx, top_k=TOPK,
+            query_kind="phrase", span=("not", ex, pre, post),
+        )
+        outs.append(runs.map_batches(
+            lambda t: t.select(["qid", "doc_id", "rank"]),
+            batch_format="pyarrow",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _queries_ds_of(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array([q for q, _ in pairs]),
+                "text": pa.array([t for _, t in pairs]),
+            }
+        )
+    )
+
+
+def _span_not_match_sql(qid: str, text: str, ex: str, pre: int,
+                        post: int) -> str:
+    """Exists a consecutive phrase start whose [start-pre, end+post]
+    window holds no exclusion occurrence."""
+    ts = _sql_an.tokens(text)
+    m = len(ts)
+    ex_t = _sql_an.tokens(ex)[0]
+    joins = "".join(
+        f" JOIN pos t{i} ON t{i}.doc_id = t0.doc_id" for i in range(1, m)
+    )
+    conds = [f"t{i}.term = '{t}'" for i, t in enumerate(ts)]
+    conds += [f"t{i}.p = t0.p + {i}" for i in range(1, m)]
+    conds.append(
+        f"NOT EXISTS (SELECT 1 FROM pos e WHERE e.doc_id = t0.doc_id "
+        f"AND e.term = '{ex_t}' "
+        f"AND e.p BETWEEN t0.p - {pre} AND t0.p + {m - 1 + post})"
+    )
+    return (
+        f"SELECT DISTINCT '{qid}' AS qid, t0.doc_id FROM pos t0{joins} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+
+
+def _span_not_terms_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text, _ex, _pre, _post in SPAN_NOT_QUERIES
+        for t in sorted(set(_sql_an.tokens(text)))
+    )
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+SQL_SPAN_NOT_TOP10 = _sql_bm25_scores(_span_not_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_span_not_match_sql(q, t, e, pr, po)
+                      for q, t, e, pr, po in SPAN_NOT_QUERIES)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
+# span_containing: (big a, big b, little, slop)
+SPAN_CONTAINING_QUERIES: list[tuple[str, str, str, int]] = [
+    ("c1", "merge join", "fast", 6),
+    ("c2", "customer order", "value", 4),
+    ("c3", "scan table", "key", 8),
+]
+
+
+def q_span_containing_top10(sf_dir: str):
+    """ES/Lucene span_containing: matches of the two-term big span
+    (span_near in_order, slop) that CONTAIN an occurrence of the little
+    term — vectorized tightest-pair test anchored at every little
+    occurrence (webindex/positional.py span_containing_topk); scored
+    over all three clause terms."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pos")
+    outs = []
+    for qid, big, little, slop in SPAN_CONTAINING_QUERIES:
+        runs = search_queries(
+            _queries_ds_of([(qid, big)]), idx, top_k=TOPK,
+            query_kind="phrase", slop=slop, span=("containing", little),
+        )
+        outs.append(runs.map_batches(
+            lambda t: t.select(["qid", "doc_id", "rank"]),
+            batch_format="pyarrow",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _span_containing_match_sql(qid: str, big: str, little: str,
+                               slop: int) -> str:
+    a, b = _sql_an.tokens(big)
+    lt = _sql_an.tokens(little)[0]
+    return (
+        f"SELECT DISTINCT '{qid}' AS qid, ta.doc_id FROM pos ta "
+        f"JOIN pos tb ON tb.doc_id = ta.doc_id "
+        f"JOIN pos tq ON tq.doc_id = ta.doc_id "
+        f"WHERE ta.term = '{a}' AND tb.term = '{b}' AND tq.term = '{lt}' "
+        f"AND ta.p < tb.p AND (tb.p - ta.p) - 1 <= {slop} "
+        f"AND tq.p BETWEEN ta.p AND tb.p"
+    )
+
+
+def _span_containing_terms_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, big, little, _slop in SPAN_CONTAINING_QUERIES
+        for t in sorted(set(_sql_an.tokens(big) + _sql_an.tokens(little)))
+    )
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+SQL_SPAN_CONTAINING_TOP10 = (
+    _sql_bm25_scores(_span_containing_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_span_containing_match_sql(q, bg, lt, sl)
+                      for q, bg, lt, sl in SPAN_CONTAINING_QUERIES)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+)
+
+
+# span_or_near: slot syntax "a|x b" (alternatives per proximity slot)
+SPAN_OR_QUERIES: list[tuple[str, str, int]] = [
+    ("o1", "merge|hash join", 2),
+    ("o2", "customer|supplier order", 3),
+    ("o3", "fast|slow scan|key", 1),
+]
+
+
+def q_span_or_near_top10(sf_dir: str):
+    """ES/Lucene span_near whose clauses are span_or alternatives
+    ("a|x b" slot syntax): in-order proximity where each slot accepts
+    any of its terms — per-slot merged position-key arrays through the
+    greedy chain (webindex/positional.py span_or_near_topk); scored
+    OR-style over the union of slot terms."""
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pos")
+    outs = []
+    for qid, text, slop in SPAN_OR_QUERIES:
+        runs = search_queries(
+            _queries_ds_of([(qid, text)]), idx, top_k=TOPK,
+            query_kind="phrase", slop=slop, span=("or_near",),
+        )
+        outs.append(runs.map_batches(
+            lambda t: t.select(["qid", "doc_id", "rank"]),
+            batch_format="pyarrow",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _span_or_slots(text: str) -> list[list[str]]:
+    return [
+        [t for alt in slot.split("|") for t in _sql_an.tokens(alt)]
+        for slot in text.split()
+    ]
+
+
+def _span_or_match_sql(qid: str, text: str, slop: int) -> str:
+    slots = _span_or_slots(text)
+    m = len(slots)
+    joins = "".join(
+        f" JOIN pos t{i} ON t{i}.doc_id = t0.doc_id" for i in range(1, m)
+    )
+    conds = [
+        "t{}.term IN ({})".format(
+            i, ", ".join(f"'{t}'" for t in sorted(set(s)))
+        )
+        for i, s in enumerate(slots)
+    ]
+    conds += [f"t{i}.p > t{i - 1}.p" for i in range(1, m)]
+    conds.append(f"(t{m - 1}.p - t0.p) - {m - 1} <= {slop}")
+    return (
+        f"SELECT DISTINCT '{qid}' AS qid, t0.doc_id FROM pos t0{joins} "
+        f"WHERE {' AND '.join(conds)}"
+    )
+
+
+def _span_or_terms_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text, _slop in SPAN_OR_QUERIES
+        for t in sorted({t for s in _span_or_slots(text) for t in s})
+    )
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+SQL_SPAN_OR_NEAR_TOP10 = _sql_bm25_scores(_span_or_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_span_or_match_sql(q, t, sl)
+                      for q, t, sl in SPAN_OR_QUERIES)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -8371,6 +8630,10 @@ REGISTRY: dict[str, tuple] = {
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
+    "span_not_top10": (q_span_not_top10, SQL_SPAN_NOT_TOP10),
+    "span_containing_top10": (q_span_containing_top10,
+                              SQL_SPAN_CONTAINING_TOP10),
+    "span_or_near_top10": (q_span_or_near_top10, SQL_SPAN_OR_NEAR_TOP10),
     "bm25_fvf_top10": (q_bm25_fvf_top10, SQL_BM25_FVF_TOP10),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),

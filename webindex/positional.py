@@ -294,3 +294,270 @@ def span_near_unordered_topk(reader: SegmentReader, tokens: list[str],
     if ranks.size == 0:
         return _EMPTY
     return _score_matched(reader, pls, cand[ranks], k, mask)
+
+
+def _term_keys_over(reader: SegmentReader, token: str,
+                    cand: np.ndarray) -> np.ndarray:
+    """Ascending ``cand_rank << 32 | position`` keys of ``token``'s
+    occurrences within the candidate docs. The token need NOT cover
+    every candidate (unlike the conjunctive kernels): absent docs simply
+    contribute no keys. Empty array when the term is unindexed."""
+    pl = reader.postings(token)
+    if pl is None:
+        return np.empty(0, np.int64)
+    if pl.pos_blocks is None:
+        raise ValueError(
+            "index has no positions (built without store_positions)"
+        )
+    pos_in = np.searchsorted(pl.ids, cand)
+    present = pos_in < pl.ids.size
+    present[present] &= pl.ids[np.minimum(pos_in, pl.ids.size - 1)][
+        present
+    ] == cand[present]
+    ranks = np.nonzero(present)[0]
+    if ranks.size == 0:
+        return np.empty(0, np.int64)
+    rows = pos_in[present]
+    pos_vals, pos_ends = reader.positions(token)
+    flat_pos, row_of = _gather_positions(
+        pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+    )
+    # rows follow cand order, positions ascend within each row -> keys
+    # are already ascending
+    return (ranks[row_of].astype(np.int64) << 32) | flat_pos
+
+
+def span_not_topk(reader: SegmentReader, phrase_tokens: list[str],
+                  exclude: str, k: int, *, pre: int = 0, post: int = 0,
+                  mask: np.ndarray | None = None):
+    """ES/Lucene ``span_not`` with the ``pre``/``dist`` window: docs
+    where the include phrase occurs at some position whose span
+    ``[start − pre, start + m − 1 + post]`` contains NO occurrence of
+    ``exclude`` (Lucene rejects include spans overlapping the exclusion,
+    widened by pre/post; pre = post = 0 is plain span overlap for a
+    one-term exclusion). Scored like ``phrase_topk`` — the include
+    clause's unique terms (Lucene scores the include spans; the
+    exclusion is match-only).
+
+    Kernel: the exact-phrase survivor keys (start positions, one
+    ``intersect1d`` round per term-offset like phrase_topk), then ONE
+    vectorized interval-emptiness test per surviving start — two
+    ``searchsorted`` calls over the exclusion term's ascending
+    ``rank << 32 | pos`` keys."""
+    if not phrase_tokens:
+        return _EMPTY
+    uniq = sorted(set(phrase_tokens))
+    pls = []
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY
+        if pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions)"
+            )
+        pls.append(pl)
+    cand = pls[0].ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    offsets: dict[str, list[int]] = {}
+    for j, t in enumerate(phrase_tokens):
+        offsets.setdefault(t, []).append(j)
+    survivors = None
+    for t, pl in zip(uniq, pls):
+        pos_vals, pos_ends = reader.positions(t)
+        rows = np.searchsorted(pl.ids, cand)
+        flat_pos, row_of = _gather_positions(
+            pos_vals, pos_ends, pl.tfs.astype(np.int64), rows
+        )
+        for off in offsets[t]:
+            ok = flat_pos >= off
+            keys = (row_of[ok].astype(np.int64) << 32) | (flat_pos[ok] - off)
+            survivors = (
+                keys if survivors is None
+                else np.intersect1d(survivors, keys, assume_unique=True)
+            )
+            if survivors.size == 0:
+                return _EMPTY
+
+    ex_keys = _term_keys_over(reader, exclude, cand)
+    if ex_keys.size:
+        m = len(phrase_tokens)
+        ranks = survivors >> 32
+        starts = survivors & 0xFFFFFFFF
+        lo = (ranks << 32) | np.maximum(starts - pre, 0)
+        hi = (ranks << 32) | (starts + (m - 1) + post)
+        n_ex = (
+            np.searchsorted(ex_keys, hi, side="right")
+            - np.searchsorted(ex_keys, lo, side="left")
+        )
+        survivors = survivors[n_ex == 0]
+    if survivors.size == 0:
+        return _EMPTY
+    matched = cand[np.unique(survivors >> 32)]
+    return _score_matched(reader, pls, matched, k, mask)
+
+
+def span_containing_topk(reader: SegmentReader, big: tuple[str, str],
+                         little: str, k: int, *, slop: int = 0,
+                         mask: np.ndarray | None = None):
+    """ES/Lucene ``span_containing``: docs with a match of the big span
+    — ``span_near(in_order=true, slop)`` over the two-term clause
+    ``big = (a, b)`` — that CONTAINS an occurrence of ``little``
+    (a < little-position < b within the big span; Lucene containment is
+    big.start <= little.start and little.end <= big.end). The three
+    terms must be distinct. Scored over all three clause terms
+    (conjunctive — every matched doc contains them all), ascending
+    unicode order, bit-identical to the match paths.
+
+    Kernel: vectorized tightest-pair test anchored at every ``little``
+    occurrence q — the closest ``a`` at-or-before q and closest ``b``
+    at-or-after q minimize the enclosing extent, so q is contained in
+    SOME valid big span iff the tightest pair satisfies the slop
+    (exchange argument). One ``searchsorted`` per side over ascending
+    per-term key arrays; no per-doc loop."""
+    a, b = big
+    if len({a, b, little}) != 3:
+        raise ValueError("span_containing clause terms must be distinct")
+    uniq = sorted({a, b, little})
+    pls = []
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is None:
+            return _EMPTY
+        if pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions)"
+            )
+        pls.append(pl)
+    cand = pls[0].ids
+    for pl in pls[1:]:
+        cand = np.intersect1d(cand, pl.ids, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+    keys_a = _term_keys_over(reader, a, cand)
+    keys_b = _term_keys_over(reader, b, cand)
+    keys_l = _term_keys_over(reader, little, cand)
+    if min(keys_a.size, keys_b.size, keys_l.size) == 0:
+        return _EMPTY
+
+    ia = np.searchsorted(keys_a, keys_l, side="right") - 1
+    ok = ia >= 0
+    pa_ = keys_a[np.maximum(ia, 0)]
+    ok &= (pa_ >> 32) == (keys_l >> 32)  # an `a` at-or-before q, same doc
+    ib = np.searchsorted(keys_b, keys_l, side="left")
+    okb = ib < keys_b.size
+    pb = keys_b[np.minimum(ib, keys_b.size - 1)]
+    ok &= okb & ((pb >> 32) == (keys_l >> 32))  # a `b` at-or-after q
+    p0 = pa_ & 0xFFFFFFFF
+    p1 = pb & 0xFFFFFFFF
+    ok &= (p1 > p0) & ((p1 - p0) - 1 <= slop)
+    ranks = np.unique(keys_l[ok] >> 32)
+    if ranks.size == 0:
+        return _EMPTY
+    return _score_matched(reader, pls, cand[ranks], k, mask)
+
+
+def _score_matched_or(reader: SegmentReader, pls, matched: np.ndarray,
+                      k: int, mask: np.ndarray | None):
+    """OR-style exact scores: each posting list contributes only to the
+    matched docs it CONTAINS (the scatter-add semantics of the match
+    path) — for kernels whose matched docs need not hold every term
+    (span_or alternatives). Callers pass ``pls`` ascending by term."""
+    if mask is not None:
+        pos_in_dl = np.searchsorted(reader._dl_ids, matched)
+        matched = matched[mask[pos_in_dl]]
+    if matched.size == 0:
+        return _EMPTY
+    scores = np.zeros(matched.size, dtype=np.float64)
+    for pl in pls:
+        _dense(pl, reader)
+        idx = np.searchsorted(pl.ids, matched)
+        present = idx < pl.ids.size
+        present[present] &= pl.ids[np.minimum(idx, pl.ids.size - 1)][
+            present
+        ] == matched[present]
+        scores[present] += pl.dense_contrib[idx[present]]
+    return _rank_topk(matched, scores, k)
+
+
+def span_or_near_topk(reader: SegmentReader, slots: list[list[str]],
+                      k: int, *, slop: int = 0,
+                      mask: np.ndarray | None = None):
+    """ES/Lucene ``span_near(in_order=true, slop)`` whose clauses are
+    ``span_or`` alternatives: slot i matches ANY of ``slots[i]``'s terms,
+    slots must match at strictly increasing positions with span extent
+    ``(p_last − p_first) − (m − 1) <= slop``. This is the composition
+    Lucene builds span_or for — an OR of terms inside a proximity
+    clause. Scored OR-style over the union of all slot terms, each term
+    contributing only to docs that contain it (ascending unicode order,
+    bit-identical to the match path's scatter-add).
+
+    Kernel: per slot, one ascending key array = sorted union of the
+    member terms' ``rank << 32 | pos`` keys; then the span_near greedy
+    chain (one ``searchsorted`` per slot), which stays exact because
+    greedily minimizing the chain end is alternative-agnostic."""
+    if not slots or any(not s for s in slots):
+        return _EMPTY
+    uniq = sorted({t for s in slots for t in s})
+    by_term = {}
+    for t in uniq:
+        pl = reader.postings(t)
+        if pl is not None and pl.pos_blocks is None:
+            raise ValueError(
+                "index has no positions (built without store_positions)"
+            )
+        by_term[t] = pl
+    # candidates: docs holding >=1 alternative of EVERY slot
+    cand = None
+    for s in slots:
+        ids = [by_term[t].ids for t in set(s) if by_term[t] is not None]
+        if not ids:
+            return _EMPTY
+        u = ids[0]
+        for arr in ids[1:]:
+            u = np.union1d(u, arr)
+        cand = u if cand is None else np.intersect1d(
+            cand, u, assume_unique=True
+        )
+        if cand.size == 0:
+            return _EMPTY
+
+    term_keys = {
+        t: _term_keys_over(reader, t, cand)
+        for t in uniq if by_term[t] is not None
+    }
+    slot_keys = []
+    for s in slots:
+        parts = [term_keys[t] for t in sorted(set(s)) if t in term_keys]
+        merged = (
+            np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64)
+        )
+        if merged.size == 0:
+            return _EMPTY
+        slot_keys.append(merged)
+
+    m = len(slots)
+    cur = slot_keys[0]
+    start_pos = cur & 0xFFFFFFFF
+    for b in slot_keys[1:]:
+        if cur.size == 0:
+            return _EMPTY
+        idx = np.searchsorted(b, cur + 1)
+        ok = idx < b.size
+        nxt = b[np.minimum(idx, max(b.size - 1, 0))]
+        ok &= (nxt >> 32) == (cur >> 32)
+        cur, start_pos, nxt = cur[ok], start_pos[ok], nxt[ok]
+        cur = nxt
+    if cur.size == 0:
+        return _EMPTY
+    within = ((cur & 0xFFFFFFFF) - start_pos) <= (m - 1 + slop)
+    ranks = np.unique(cur[within] >> 32)
+    if ranks.size == 0:
+        return _EMPTY
+    pls = [by_term[t] for t in uniq if by_term[t] is not None]
+    return _score_matched_or(reader, pls, cand[ranks], k, mask)

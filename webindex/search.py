@@ -73,6 +73,7 @@ class SearcherActor:
                  in_order: bool = True,
                  field_factor: tuple[str, float] | None = None,
                  dis_max: float | None = None,
+                 span: tuple | None = None,
                  request_cache: bool = True,
                  global_stats: dict | None = None):
         self.request_cache = bool(request_cache)
@@ -106,7 +107,8 @@ class SearcherActor:
                              pre_tokenized=pre_tokenized, must_not=must_not,
                              neg_boost=neg_boost, slop=slop,
                              in_order=in_order,
-                             field_factor=field_factor, dis_max=dis_max)
+                             field_factor=field_factor, dis_max=dis_max,
+                             span=span)
 
     def set_constraints(self, filter_pred=None, match: str = "or",
                         query_kind: str = "match",
@@ -118,7 +120,8 @@ class SearcherActor:
                         slop: int = 0,
                         in_order: bool = True,
                         field_factor: tuple[str, float] | None = None,
-                        dis_max: float | None = None):
+                        dis_max: float | None = None,
+                        span: tuple | None = None):
         """Swap the query constraints on a live (preloaded) searcher —
         cheap: predicate bitsets are cached per-predicate on the reader,
         so the cached shard searchers of the batch path serve any mix of
@@ -172,6 +175,44 @@ class SearcherActor:
             raise ValueError("slop must be >= 0")
         self.slop = int(slop)
         self.in_order = bool(in_order)
+        # span-family clause (query_kind="phrase" only):
+        #   ("not", exclude_text, pre, post) — span_not: the analyzed
+        #     query is the include phrase, spans overlapping the analyzed
+        #     exclusion term (window widened by pre/post) are rejected;
+        #   ("containing", little_text) — span_containing: the analyzed
+        #     query must be a two-term big span (span_near, self.slop),
+        #     matches only where it contains the little term;
+        #   ("or_near",) — span_near whose clauses are span_or
+        #     alternatives: the RAW query text is slot syntax
+        #     "a|x b c|y" (whitespace-separated slots, '|'-separated
+        #     alternatives, each alternative analyzed independently).
+        self.span = None
+        if span is not None:
+            if query_kind != "phrase":
+                raise ValueError("span clauses require query_kind='phrase'")
+            kind = span[0]
+            if kind == "not":
+                _, ex_text, pre, post = span
+                ex = self.an.tokens(ex_text or "")
+                if len(ex) != 1:
+                    raise ValueError(
+                        "span_not exclusion must analyze to one term"
+                    )
+                if pre < 0 or post < 0:
+                    raise ValueError("span_not pre/post must be >= 0")
+                self.span = ("not", ex[0], int(pre), int(post))
+            elif kind == "containing":
+                _, little_text = span
+                lt = self.an.tokens(little_text or "")
+                if len(lt) != 1:
+                    raise ValueError(
+                        "span_containing little must analyze to one term"
+                    )
+                self.span = ("containing", lt[0])
+            elif kind == "or_near":
+                self.span = ("or_near",)
+            else:
+                raise ValueError(f"unknown span kind {kind!r}")
         # ES function_score field_value_factor: (docvalues col, weight)
         self.field_factor = None
         if field_factor is not None:
@@ -231,11 +272,24 @@ class SearcherActor:
         except FileNotFoundError:
             return None
 
-    def search_one(self, qid: str, text: str):
-        terms = (
+    def _terms(self, text: str):
+        """Analyzed query terms; for span_or_near, the slot syntax
+        "a|x b c|y" parses to a tuple of alternative-term tuples (each
+        alternative analyzed independently; stopword-analyzed
+        alternatives drop out)."""
+        if self.span is not None and self.span[0] == "or_near":
+            return tuple(
+                tuple(t for alt in slot.split("|")
+                      for t in self.an.tokens(alt))
+                for slot in (text or "").split()
+            )
+        return (
             (text or "").split() if self.pre_tokenized
             else self.an.tokens(text or "")
         )
+
+    def search_one(self, qid: str, text: str):
+        terms = self._terms(text)
         # self-hit anti-join (SURVEY.md §2.4 J4): fetch k+1 then drop did==qid
         k = self.top_k + 1 if self.self_hit else self.top_k
         # ES shard request cache: identical (terms, k) under the same
@@ -293,6 +347,32 @@ class SearcherActor:
             from webindex.positional import phrase_topk, span_near_topk
 
             mask = self._mask()
+            if self.span is not None:
+                kind = self.span[0]
+                if kind == "or_near":
+                    from webindex.positional import span_or_near_topk
+
+                    return span_or_near_topk(
+                        self.reader, [list(s) for s in terms], k,
+                        slop=self.slop, mask=mask,
+                    )
+                if kind == "not":
+                    from webindex.positional import span_not_topk
+
+                    return span_not_topk(
+                        self.reader, list(terms), self.span[1], k,
+                        pre=self.span[2], post=self.span[3], mask=mask,
+                    )
+                if len(terms) != 2:
+                    raise ValueError(
+                        "span_containing needs a two-term big clause"
+                    )
+                from webindex.positional import span_containing_topk
+
+                return span_containing_topk(
+                    self.reader, (terms[0], terms[1]), self.span[1], k,
+                    slop=self.slop, mask=mask,
+                )
             if self.slop:
                 if not self.in_order:
                     from webindex.positional import span_near_unordered_topk
@@ -466,6 +546,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                    in_order: bool = True,
                    field_factor: tuple[str, float] | None = None,
                    dis_max: float | None = None,
+                   span: tuple | None = None,
                    global_stats: dict | None = None):
     """queries(qid, text) Dataset -> runs Dataset.
 
@@ -526,6 +607,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
             neg_boost=neg_boost, slop=slop, in_order=in_order,
             field_factor=field_factor,
             dis_max=dis_max,
+            span=span,
             global_stats=global_stats,
         )
 
@@ -564,7 +646,7 @@ def search_queries(queries_ds, index_dir: str, *, top_k: int = 1000,
                                        neg_boost=neg_boost, slop=slop,
                                        in_order=in_order,
                                        field_factor=field_factor,
-                                       dis_max=dis_max)
+                                       dis_max=dis_max, span=span)
         has_cursor = "after_score" in g.column_names
         a_scores = g.column("after_score").to_pylist() if has_cursor else None
         a_docs = g.column("after_doc").to_pylist() if has_cursor else None
@@ -627,6 +709,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
                          in_order: bool = True,
                          field_factor: tuple[str, float] | None = None,
                          dis_max: float | None = None,
+                         span: tuple | None = None,
                          global_stats: dict | None = None):
     """Resident actor-pool path: every actor holds the whole index
     (preloaded from one shared ``ray.put`` of the segments table)."""
@@ -660,7 +743,7 @@ def _search_queries_pool(queries_ds, index_dir: str, *, top_k: int = 1000,
             min_match=min_match, boosts=boosts, pre_tokenized=pre_tokenized,
             must_not=must_not, neg_boost=neg_boost, slop=slop,
             in_order=in_order,
-            field_factor=field_factor, dis_max=dis_max,
+            field_factor=field_factor, dis_max=dis_max, span=span,
             global_stats=global_stats,
         ),
         batch_format="pyarrow",
