@@ -1835,3 +1835,37 @@ def test_span_or_near_matches_brute(pos_index_dir, oracle, impl):
         df = df.sort_values("rank")
         got = [(int(d), float(s)) for d, s in zip(df["doc_id"], df["score"])]
         assert got == want, qid
+
+
+@pytest.mark.parametrize("cap", [None, 2])
+def test_sampler_terms_matches_brute(index_dir, oracle, cap):
+    """ES sampler / diversified_sampler + terms sub-agg: value counts
+    over the pinned global top-shard_size sample (per-value cap for the
+    diversified variant), replayed here by a sequential walk."""
+    from collections import Counter
+
+    from webindex.search import sampler_terms
+
+    shard_size = 12
+    langs = {d["doc_id"]: d["lang"] for d in DOCS}
+    got = sampler_terms(
+        _queries_ds(QUERIES), index_dir, "lang",
+        shard_size=shard_size, max_docs_per_value=cap,
+    ).to_pandas()
+    for qid, text in QUERIES:
+        ranking = sorted(
+            _oracle_all_scores(oracle, text).items(),
+            key=lambda e: (-e[1], e[0]),
+        )
+        kept, per_v = [], Counter()
+        for doc_id, _sc in ranking:
+            v = langs[doc_id]
+            if cap is not None and per_v[v] >= cap:
+                continue
+            kept.append(v)
+            per_v[v] += 1
+            if len(kept) >= shard_size:
+                break
+        want = dict(Counter(kept))
+        g = got[got["qid"] == qid]
+        assert dict(zip(g["value"], g["cnt"])) == want, (qid, cap)

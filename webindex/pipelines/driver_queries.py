@@ -6391,6 +6391,79 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+SAMPLER_SIZE = 25
+SAMPLER_CAP = 5
+
+
+def q_sampler_terms(sf_dir: str):
+    """ES sampler aggregation + terms sub-agg: lang value counts over
+    each query's pinned GLOBAL top-25 best-scoring matches (ES samples
+    per shard — shard-count-dependent; the global sample is
+    deterministic, the rescore-window precedent). Per-shard top-25
+    partials are a proven superset (webindex/search.py sampler_terms)."""
+    from webindex.search import sampler_terms
+
+    idx = ensure_index(sf_dir, "nostem")
+    return sampler_terms(
+        _queries_ds(), idx, "lang", shard_size=SAMPLER_SIZE
+    )
+
+
+def q_diversified_terms(sf_dir: str):
+    """ES diversified_sampler + terms sub-agg: the sampler walk keeps at
+    most 5 docs per lang (de-biasing the sample) — equivalent to the
+    non-recursive "value-rank <= cap, then first 25 by global order"
+    rule both engines replay; per-shard per-value top-cap partials are
+    the top_hits superset (webindex/search.py sampler_terms)."""
+    from webindex.search import sampler_terms
+
+    idx = ensure_index(sf_dir, "nostem")
+    return sampler_terms(
+        _queries_ds(), idx, "lang", shard_size=SAMPLER_SIZE,
+        max_docs_per_value=SAMPLER_CAP,
+    )
+
+
+SQL_SAMPLER_TERMS = _sql_bm25_scores() + f"""
+, sv AS (
+  SELECT s.qid, s.doc_id, s.score, d.lang AS value
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+kept AS (
+  SELECT qid, value,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rg
+  FROM sv
+)
+SELECT qid, value, count(*)::BIGINT AS cnt
+FROM kept WHERE rg <= {SAMPLER_SIZE}
+GROUP BY qid, value
+"""
+
+
+SQL_DIVERSIFIED_TERMS = _sql_bm25_scores() + f"""
+, sv AS (
+  SELECT s.qid, s.doc_id, s.score, d.lang AS value
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+rv AS (
+  SELECT qid, doc_id, score, value,
+         row_number() OVER (PARTITION BY qid, value
+                            ORDER BY score DESC, doc_id) AS r_val
+  FROM sv
+),
+kept AS (
+  SELECT qid, value,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rg
+  FROM rv WHERE r_val <= {SAMPLER_CAP}
+)
+SELECT qid, value, count(*)::BIGINT AS cnt
+FROM kept WHERE rg <= {SAMPLER_SIZE}
+GROUP BY qid, value
+"""
+
+
 SIG_FG_K = 20
 SIG_TOP_N = 10
 
@@ -8630,6 +8703,8 @@ REGISTRY: dict[str, tuple] = {
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
+    "sampler_terms": (q_sampler_terms, SQL_SAMPLER_TERMS),
+    "diversified_terms": (q_diversified_terms, SQL_DIVERSIFIED_TERMS),
     "span_not_top10": (q_span_not_top10, SQL_SPAN_NOT_TOP10),
     "span_containing_top10": (q_span_containing_top10,
                               SQL_SPAN_CONTAINING_TOP10),

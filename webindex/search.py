@@ -1097,6 +1097,134 @@ def collapse_queries(queries_ds, index_dir: str, collapse_col: str, *,
     return partial.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+def sampler_terms(queries_ds, index_dir: str, facet_col: str, *,
+                  shard_size: int = 100,
+                  max_docs_per_value: int | None = None,
+                  match: str = "or", filter_pred=None,
+                  n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> (qid, value, cnt): the ES ``sampler`` (and,
+    with ``max_docs_per_value``, ``diversified_sampler``) aggregation
+    with a ``terms`` sub-aggregation — value counts of a docvalues
+    column over the top-``shard_size`` BEST-SCORING matches per query
+    instead of the full match set.
+
+    Sample semantics are pinned GLOBAL (the rescore-window precedent):
+    walk the global ranking (score desc, docID asc), keep at most
+    ``max_docs_per_value`` docs per facet value (the diversified
+    de-bias), stop after ``shard_size`` kept. ES samples per shard,
+    which makes results shard-count-dependent; the global sample is
+    deterministic and SQL-reproducible. The walk is equivalent to the
+    non-recursive rule "value-rank <= max_docs_per_value, then first
+    shard_size by global order", which is what the SQL oracle replays
+    with two window functions.
+
+    Scale shape: per-shard partials are that shard's per-value
+    top-``max_docs_per_value`` rows (diversified; the top_hits superset
+    proof: a doc in the global sample has value-rank < cap within its
+    own shard too) or its top-``shard_size`` rows (plain sampler), so
+    the per-qid merge sees at most values x cap (or shard_size) rows
+    per shard — never the match count. Docs lacking the docvalue are
+    omitted (ES missing-field semantics)."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+    cap = max_docs_per_value
+
+    def sample_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, shard_size, "auto",
+                                   False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([facet_col])
+        arr, valid = s.reader._dv[facet_col]
+        keys_np = pc.cast(arr, pa.string()).to_numpy(zero_copy_only=False)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, sc_out, key_out = [], [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = s.an.tokens(text or "")
+            # full shard ranking (exhaustive: the diversified cut needs
+            # every value's best rows, which theta pruning may drop)
+            ids, scores = s._ranked(
+                terms, max(int(dl_ids.size), 1), force_exhaustive=True
+            )
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(dl_ids, ids)
+            ok = valid[pos]
+            ids, scores, pos = ids[ok], scores[ok], pos[ok]
+            if ids.size == 0:
+                continue
+            keys = keys_np[pos]
+            if cap is None:
+                take = np.arange(min(ids.size, shard_size))
+            else:
+                # rows arrive (score desc, docID asc): per-value rank =
+                # occurrence index of the value seen so far
+                order = np.argsort(keys, kind="stable")
+                ranks = np.empty(ids.size, np.int64)
+                grp_starts = np.flatnonzero(
+                    np.concatenate(([True], keys[order][1:]
+                                    != keys[order][:-1]))
+                )
+                within = np.arange(ids.size) - np.repeat(
+                    grp_starts,
+                    np.diff(np.concatenate((grp_starts, [ids.size])))
+                )
+                ranks[order] = within
+                take = np.flatnonzero(ranks < cap)
+            qid_out.extend([qid] * take.size)
+            id_out.append(ids[take])
+            sc_out.append(scores[take])
+            key_out.extend(keys[take].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+                "value": pa.array(key_out, pa.string()),
+            }
+        )
+
+    def sample_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        if cap is not None:
+            g = g[g.groupby("value", sort=False).cumcount() < cap]
+        g = g.head(shard_size)
+        out = (
+            g.groupby("value", sort=False).size().reset_index(name="cnt")
+        )
+        out.insert(0, "qid", g["qid"].iloc[0] if len(g) else "")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[out["cnt"] > 0]
+
+    partial = (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sample_shard, batch_format="pyarrow")
+    )
+    return partial.groupby("qid").map_groups(
+        sample_merge, batch_format="pandas"
+    )
+
+
 def top_hits(queries_ds, index_dir: str, group_col: str, *,
              per_group_k: int = 3, match: str = "or", filter_pred=None,
              n_shards: int = SEARCH_SHARDS):
