@@ -273,3 +273,58 @@ def test_session_windows_matches_brute(ray_session):
     got = got[want.columns].astype(want.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, want)
     assert (want["n_events"] > 1).any() and (want["session_id"] > 1).any()
+
+
+def test_pick_auto_interval_rule():
+    """auto_date_histogram ladder choice: smallest rung whose bucket
+    bound fits; coarsest-rung fallback."""
+    from webindex.temporal import AUTO_DH_LADDER_US, pick_auto_interval
+
+    m = 60_000_000
+    # 30-minute span, target 50 -> 1m gives 31 buckets
+    assert pick_auto_interval(0, 30 * m, 50) == ("1m", m)
+    # same span, target 10 -> 5m (7 buckets)
+    assert pick_auto_interval(0, 30 * m, 10) == ("5m", 5 * m)
+    # bucket bound counts rung-aligned edges, not span/iv: a span
+    # crossing one 1m edge needs 2 buckets
+    assert pick_auto_interval(m - 1, m + 1, 2) == ("1m", m)
+    # absurd target falls back to the coarsest rung
+    lbl, iv = pick_auto_interval(0, 10**18, 1)
+    assert (lbl, iv) == AUTO_DH_LADDER_US[-1]
+
+
+def test_auto_date_histogram_and_date_range(ray_session):
+    """Engine replay over a tiny deterministic series: interval choice,
+    bucket counts, named-range counts incl. open ends and empty-kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.temporal import auto_date_histogram, date_range_agg
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [base + np.timedelta64(i * 137, "s") for i in range(400)]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(list(ts))}))
+    # span ~15.2h; target 20 -> 1h rung (16 buckets)
+    out = auto_date_histogram(ds, "ts", target_buckets=20).to_pandas()
+    assert set(out["interval"]) == {"1h"}
+    us = np.array([t.astype("int64") for t in ts])
+    import collections
+
+    want = collections.Counter((us // 3_600_000_000) * 3_600_000_000)
+    got = {
+        int(b.astype("datetime64[us]").astype("int64")): int(n)
+        for b, n in zip(out["bucket"].to_numpy(), out["n_events"])
+    }
+    assert got == dict(want)
+
+    ranges = [
+        ("early", "2024-03-01", "2024-03-01 05:00:00"),
+        ("all", "", ""),
+        ("none", "2030-01-01", ""),
+    ]
+    rout = date_range_agg(ds, "ts", ranges).to_pandas()
+    by = dict(zip(rout["range"], rout["n_events"]))
+    lo = np.datetime64("2024-03-01T05:00:00", "us").astype("int64")
+    assert by["early"] == int((us < lo).sum())
+    assert by["all"] == 400
+    assert by["none"] == 0

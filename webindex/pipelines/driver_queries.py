@@ -6391,6 +6391,101 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+AUTO_DH_TARGET = 50
+
+
+def q_events_auto_histogram(sf_dir: str):
+    """ES auto_date_histogram: the engine picks the interval from a
+    pinned ladder (smallest rung whose bucket-count bound fits the
+    target), then runs the fixed-interval histogram at that rung — exact
+    int64 min/max pass + the hash-partitioned combiner/final shape
+    (webindex/temporal.py auto_date_histogram). The interval CHOICE is
+    part of the verified contract: the SQL oracle re-derives it with the
+    same integer arithmetic over the same ladder."""
+    import ray.data as rd
+
+    from webindex.temporal import auto_date_histogram
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"],
+        override_num_blocks=16,
+    )
+    return auto_date_histogram(ds, "ts", target_buckets=AUTO_DH_TARGET)
+
+
+def _sql_auto_dh() -> str:
+    from webindex.temporal import AUTO_DH_LADDER_US
+
+    iv_case = " ".join(
+        f"WHEN (hi // {iv}) - (lo // {iv}) + 1 <= {AUTO_DH_TARGET} "
+        f"THEN {iv}"
+        for _label, iv in AUTO_DH_LADDER_US
+    )
+    lb_case = " ".join(
+        f"WHEN (hi // {iv}) - (lo // {iv}) + 1 <= {AUTO_DH_TARGET} "
+        f"THEN '{label}'"
+        for label, iv in AUTO_DH_LADDER_US
+    )
+    last_iv = AUTO_DH_LADDER_US[-1][1]
+    last_lb = AUTO_DH_LADDER_US[-1][0]
+    return f"""
+WITH us AS (SELECT epoch_us(ts)::BIGINT AS us FROM events),
+mm AS (SELECT min(us) AS lo, max(us) AS hi FROM us),
+iv AS (
+  SELECT CASE {iv_case} ELSE {last_iv} END AS iv,
+         CASE {lb_case} ELSE '{last_lb}' END AS label
+  FROM mm
+)
+SELECT i.label AS interval,
+       make_timestamp((e.us // i.iv) * i.iv) AS bucket,
+       count(*)::BIGINT AS n_events
+FROM us e, iv i
+GROUP BY i.label, make_timestamp((e.us // i.iv) * i.iv)
+"""
+
+
+DATE_RANGES: list[tuple[str, str, str]] = [
+    ("week1", "2024-01-01", "2024-01-08"),
+    ("mid", "2024-01-08", "2024-01-20"),
+    ("tail", "2024-01-20", ""),
+    ("all", "", ""),
+    ("empty", "2030-01-01", "2030-02-01"),
+]
+
+
+def q_events_date_range(sf_dir: str):
+    """ES date_range aggregation: NAMED half-open [from, to) timestamp
+    buckets with open ends, overlaps allowed, empty named buckets kept
+    at 0 (the caller-fixed bucket set, like the filters aggregation) —
+    per-batch vectorized membership counts + one tiny Sum groupby
+    (webindex/temporal.py date_range_agg)."""
+    import ray.data as rd
+
+    from webindex.temporal import date_range_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"],
+        override_num_blocks=16,
+    )
+    return date_range_agg(ds, "ts", DATE_RANGES)
+
+
+def _sql_date_range() -> str:
+    parts = []
+    for name, lo, hi in DATE_RANGES:
+        conds = []
+        if lo:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        filt = f" FILTER ({' AND '.join(conds)})" if conds else ""
+        parts.append(
+            f"SELECT '{name}' AS range, "
+            f"coalesce(count(*){filt}, 0)::BIGINT AS n_events FROM events"
+        )
+    return " UNION ALL ".join(parts)
+
+
 SAMPLER_SIZE = 25
 SAMPLER_CAP = 5
 
@@ -8703,6 +8798,8 @@ REGISTRY: dict[str, tuple] = {
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
+    "events_auto_histogram": (q_events_auto_histogram, _sql_auto_dh()),
+    "events_date_range": (q_events_date_range, _sql_date_range()),
     "sampler_terms": (q_sampler_terms, SQL_SAMPLER_TERMS),
     "diversified_terms": (q_diversified_terms, SQL_DIVERSIFIED_TERMS),
     "span_not_top10": (q_span_not_top10, SQL_SPAN_NOT_TOP10),

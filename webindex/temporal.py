@@ -420,3 +420,130 @@ def session_windows(ds, *, key: str, ts_col: str, gap_us: int):
         ]
 
     return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
+
+
+# ES auto_date_histogram interval ladder (fixed intervals, microseconds;
+# pinned — shared by the engine and the generated SQL oracle so the
+# interval CHOICE is part of the verified contract)
+AUTO_DH_LADDER_US: tuple[tuple[str, int], ...] = (
+    ("1m", 60_000_000),
+    ("5m", 300_000_000),
+    ("30m", 1_800_000_000),
+    ("1h", 3_600_000_000),
+    ("3h", 10_800_000_000),
+    ("12h", 43_200_000_000),
+    ("1d", 86_400_000_000),
+    ("7d", 604_800_000_000),
+)
+
+
+def pick_auto_interval(min_us: int, max_us: int,
+                       target_buckets: int) -> tuple[str, int]:
+    """The pinned auto_date_histogram rule: the SMALLEST ladder interval
+    whose bucket-count upper bound ``floor(max/iv) − floor(min/iv) + 1``
+    fits ``target_buckets`` (ES coarsens from fine until the bucket
+    count fits). Falls back to the coarsest rung when nothing fits —
+    integer arithmetic only, so both engines agree exactly."""
+    for label, iv in AUTO_DH_LADDER_US:
+        if (max_us // iv) - (min_us // iv) + 1 <= target_buckets:
+            return label, iv
+    return AUTO_DH_LADDER_US[-1]
+
+
+def auto_date_histogram(ds, ts_col: str, *, target_buckets: int = 50,
+                        n_parts: int = 64):
+    """(interval, bucket, n_events) — the ES ``auto_date_histogram``
+    aggregation: the engine picks the bucketing interval from a pinned
+    ladder so the bucket count stays within ``target_buckets``, then
+    runs the ordinary fixed-interval date_histogram at that rung.
+
+    Two passes: an exact int64 (min, max) of the epoch-microsecond
+    timestamp (per-batch partials + one tiny reduce — the only
+    driver-resident values are two scalars), then the hash-partitioned
+    combiner/final histogram (the events_hourly shape). Empty buckets
+    are omitted (min_doc_count=1, like the histogram facet)."""
+    from webindex.relational import hash_partitioned_groupby
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"us": df[ts_col].astype("datetime64[us]").astype("int64")}
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.map_batches(to_us, batch_format="pandas").aggregate(
+        Min("us"), Max("us")
+    )
+    lo, hi = int(mm["min(us)"]), int(mm["max(us)"])
+    label, iv = pick_auto_interval(lo, hi, target_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype("int64")
+        bucket = (us // iv) * iv
+        out = (
+            pd.DataFrame({"bucket": bucket.values.astype("datetime64[us]")})
+            .groupby("bucket", sort=False).size().reset_index(name="n_p")
+        )
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("bucket", sort=False)
+            .agg(n_events=("n_p", "sum")).reset_index()
+        )
+        out.insert(0, "interval", label)
+        return out
+
+    return hash_partitioned_groupby(
+        ds, ["bucket"], partial, final, n_parts=n_parts
+    )
+
+
+def date_range_agg(ds, ts_col: str, ranges: list[tuple[str, str, str]], *,
+                   n_parts: int = 16):
+    """(range, n_events) — the ES ``date_range`` aggregation: NAMED
+    half-open ``[from, to)`` timestamp buckets; open ends allowed
+    (``""``), overlaps allowed (an event counts in every bucket that
+    holds it), empty named buckets kept at count 0 (the caller-fixed
+    bucket set, like the filters aggregation). ``ranges`` rows are
+    ``(name, from_iso, to_iso)``.
+
+    Per-batch vectorized membership counts (one comparison pair per
+    bucket) summed by one tiny groupby — nothing row-sized leaves the
+    map stage."""
+    names = [r[0] for r in ranges]
+    bounds = []
+    for _name, lo, hi in ranges:
+        lo_us = (
+            np.datetime64(lo, "us").astype("int64") if lo else None
+        )
+        hi_us = (
+            np.datetime64(hi, "us").astype("int64") if hi else None
+        )
+        bounds.append((lo_us, hi_us))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        cnts = []
+        for lo_us, hi_us in bounds:
+            m = np.ones(us.size, dtype=bool)
+            if lo_us is not None:
+                m &= us >= lo_us
+            if hi_us is not None:
+                m &= us < hi_us
+            cnts.append(int(m.sum()))
+        return pd.DataFrame(
+            {"range": names, "n_p": np.array(cnts, np.int64)}
+        )
+
+    import ray.data  # noqa: F401  (Dataset API)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("range")
+        .sum("n_p")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(n_p)": "n_events"}),
+            batch_format="pandas",
+        )
+    )
