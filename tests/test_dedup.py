@@ -560,3 +560,63 @@ def test_dedup_spans_partition_invariance(ray_session):
     a, b = outs
     assert a.equals(b)
     assert (a["n_removed"] > 0).any()  # small vocab: repeats guaranteed
+
+
+def test_paragraph_dedup_matches_brute(ray_session):
+    """Dolma paragraph dedup: engineered duplicate windows, brute
+    first-wins replay, every doc present, partition invariance."""
+    import ray.data as rd
+
+    from webindex.dedup import paragraph_dedup
+    from webindex.textstats import _ASCII_TOK_RE
+
+    P = 4
+    shared = "alpha beta gamma delta"          # one exact paragraph
+    docs = [
+        (0, f"{shared} one two three four"),
+        (1, f"{shared} five six seven eight"),  # dup of doc 0's para 0
+        (2, "five six seven eight " + shared),  # dup appears at para 1
+        (3, shared),                             # fully duplicated doc
+        (4, ""),                                 # empty doc
+        (5, "unique tokens only here yes"),
+    ]
+
+    def brute():
+        paras = []
+        for did, t in docs:
+            toks = _ASCII_TOK_RE.findall(t.lower())
+            for pid, s in enumerate(range(0, len(toks), P)):
+                paras.append((did, pid, " ".join(toks[s:s + P])))
+        first = {}
+        for did, pid, pt in sorted(paras):
+            first.setdefault(pt, (did, pid))
+        out = {}
+        for did, t in docs:
+            toks = _ASCII_TOK_RE.findall(t.lower())
+            kept = [
+                " ".join(toks[s:s + P])
+                for pid, s in enumerate(range(0, len(toks), P))
+                if first[" ".join(toks[s:s + P])] == (did, pid)
+            ]
+            n_paras = -(-len(toks) // P)
+            out[did] = (" ".join(kept), len(kept), n_paras)
+        return out
+
+    want = brute()
+    for blocks in (1, 4):
+        tab = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+        ds = rd.from_arrow(tab).repartition(blocks)
+        got = paragraph_dedup(ds, para_tokens=P, n_parts=8).to_pandas()
+        assert len(got) == len(docs)
+        for _, r in got.iterrows():
+            w = want[int(r["doc_id"])]
+            assert (r["text"], int(r["n_kept"]), int(r["n_paras"])) == w, (
+                r["doc_id"], blocks,
+            )
+    # the engineered duplicates actually dedup
+    assert want[1][1] < want[1][2] and want[3][0] == ""

@@ -1425,3 +1425,109 @@ def dedup_spans(docs_ds, *, n: int = 5, min_count: int = 2,
     return tagged.groupby("part").map_groups(
         rebuild, batch_format="pandas"
     )
+
+
+_PARA_SHIFT = 20  # para_id < 2^20 (a doc would need P * 2^20 tokens)
+
+
+def paragraph_dedup(docs_ds, *, para_tokens: int = 20,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_parts: int = 64):
+    """Dolma-style PARAGRAPH-level exact deduplication: split every doc
+    into non-overlapping ``para_tokens``-token paragraphs (this corpus
+    has no newline structure, so the paragraph rule is pinned to fixed
+    token windows — the chunk_documents convention), keep each distinct
+    paragraph's GLOBALLY FIRST occurrence (min (doc_id, para_id)), and
+    REWRITE every doc as the space-join of its kept paragraphs.
+
+    Output: ``(doc_id, text, n_kept, n_paras)`` — every input doc
+    appears; fully-duplicated docs come back with ``text = ''``.
+
+    Scale shape (the dedup_spans recipe): one stateless chunk pass, ONE
+    paragraph-text hash shuffle whose partials are per-batch min-key
+    combiners (first-wins is a min — commutative, so the shuffle moves
+    one row per distinct paragraph per batch, not every occurrence),
+    then one doc-hash shuffle to reassemble docs. The winner key packs
+    (doc_id << 20 | para_id) into one int64 — the same composite min
+    the SQL oracle takes, exact while para_id < 2^20."""
+    from webindex.relational import hash_partitioned_groupby
+    from webindex.textstats import chunk_documents
+
+    paras = chunk_documents(
+        docs_ds, max_tokens=para_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df[id_col].to_numpy(np.int64) << _PARA_SHIFT
+        ) | df["chunk_id"].to_numpy(np.int64)
+        out = pd.DataFrame({"chunk_text": df["chunk_text"], "k": k})
+        return (
+            out.groupby("chunk_text", sort=False)["k"].min().reset_index()
+        )
+
+    def win_final(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("chunk_text", sort=False)["k"].min().reset_index()
+        w[id_col] = (w["k"].to_numpy(np.int64) >> _PARA_SHIFT)
+        w["para_id"] = (
+            w["k"].to_numpy(np.int64) & ((1 << _PARA_SHIFT) - 1)
+        )
+        return w[[id_col, "para_id", "chunk_text"]]
+
+    winners = hash_partitioned_groupby(
+        paras, ["chunk_text"], win_partial, win_final, n_parts=n_parts
+    )
+
+    def markers(batch: pa.Table) -> pa.Table:
+        from webindex.textstats import _ASCII_TOK_RE
+
+        texts = batch.column(text_col).to_pylist()
+        n_paras = [
+            -(-len(_ASCII_TOK_RE.findall((t or "").lower()))
+              // para_tokens)
+            for t in texts
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "para_id": pa.array([-1] * len(texts), pa.int64()),
+                "chunk_text": pa.array([""] * len(texts), pa.string()),
+                "n_paras": pa.array(n_paras, pa.int64()),
+            }
+        )
+
+    marker_ds = docs_ds.map_batches(markers, batch_format="pyarrow")
+
+    def as_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_paras"] = np.int64(0)
+        return df[[id_col, "para_id", "chunk_text", "n_paras"]]
+
+    union = winners.map_batches(as_rows, batch_format="pandas").union(
+        marker_ds
+    )
+
+    def rebuild_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        o_id, o_text, o_kept, o_np = [], [], [], []
+        for did, sub in g.groupby(id_col, sort=False):
+            kept = sub[sub["para_id"] >= 0].sort_values("para_id")
+            o_id.append(did)
+            o_text.append(" ".join(kept["chunk_text"].tolist()))
+            o_kept.append(len(kept))
+            o_np.append(int(sub["n_paras"].max()))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(o_id, np.int64),
+                text_col: o_text,
+                "n_kept": np.asarray(o_kept, np.int64),
+                "n_paras": np.asarray(o_np, np.int64),
+            }
+        )
+
+    return hash_partitioned_groupby(
+        union, [id_col], rebuild_partial, rebuild, n_parts=n_parts
+    )

@@ -6391,6 +6391,53 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+PARA_TOKENS = 20
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Dolma-style paragraph-level exact dedup: docs split into pinned
+    20-token paragraphs, each distinct paragraph keeps only its globally
+    FIRST occurrence (min (doc_id, para_id)), docs REWRITTEN from their
+    kept paragraphs — one paragraph-hash shuffle with min-key combiners
+    + one doc-hash rebuild (webindex/dedup.py paragraph_dedup). Exact
+    string identity vs the SQL list-slice + window-min oracle."""
+    import ray.data as rd
+
+    from webindex.dedup import paragraph_dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return paragraph_dedup(docs, para_tokens=PARA_TOKENS)
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+paras AS (
+  SELECT doc_id, (u.s // {PARA_TOKENS})::BIGINT AS para_id,
+         array_to_string(tl[u.s + 1: u.s + {PARA_TOKENS}], ' ') AS ptext
+  FROM dt, unnest(range(0, len(tl), {PARA_TOKENS})) AS u(s)
+),
+win AS (
+  SELECT ptext, min(doc_id * 1048576 + para_id) AS k
+  FROM paras GROUP BY ptext
+),
+kept AS (
+  SELECT p.doc_id, p.para_id, p.ptext
+  FROM paras p JOIN win w
+    ON w.ptext = p.ptext AND p.doc_id * 1048576 + p.para_id = w.k
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.ptext, ' ' ORDER BY k.para_id), '') AS text,
+       count(k.ptext)::BIGINT AS n_kept,
+       ((len(d.tl) + {PARA_TOKENS} - 1) // {PARA_TOKENS})::BIGINT
+           AS n_paras
+FROM dt d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, len(d.tl)
+"""
+
+
 AUTO_DH_TARGET = 50
 
 
@@ -8798,6 +8845,7 @@ REGISTRY: dict[str, tuple] = {
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "events_auto_histogram": (q_events_auto_histogram, _sql_auto_dh()),
     "events_date_range": (q_events_date_range, _sql_date_range()),
     "sampler_terms": (q_sampler_terms, SQL_SAMPLER_TERMS),
