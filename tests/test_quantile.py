@@ -133,3 +133,48 @@ def test_grouped_median_heavy_tail_converges():
     out = grouped_median(_ds(df, 2), "event_type", "value",
                          pull_threshold=0)
     assert float(out["median"].iloc[0]) == 1.5
+
+
+def test_grouped_quantile_disc_matches_brute(ray_session):
+    """Nearest-rank quantile selection vs numpy brute, both code paths
+    (bounded pull and bit-bisection with a tiny pull_threshold)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    keys, vals = [], []
+    sizes = {"a": 1, "b": 2, "c": 97, "d": 1000}
+    for k, n in sizes.items():
+        keys += [k] * n
+        vals += rng.normal(size=n).tolist()
+    # duplicate-heavy group (exercises the adjacency fixpoint)
+    keys += ["e"] * 500
+    vals += [1.5] * 400 + [2.5] * 100
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    ).repartition(8)
+
+    from webindex.quantile import grouped_quantile_disc
+
+    def brute(q_num, q_den):
+        out = {}
+        import collections
+
+        by = collections.defaultdict(list)
+        for k, v in zip(keys, vals):
+            by[k].append(v)
+        for k, vs in by.items():
+            vs = sorted(vs)
+            rank = -(-(len(vs) * q_num) // q_den)
+            out[k] = vs[rank - 1]
+        return out
+
+    for frac in ((1, 3), (2, 3), (1, 2), (9, 10)):
+        for thr in (65536, 4):
+            got = grouped_quantile_disc(
+                ds, "k", "v", frac, pull_threshold=thr
+            )
+            want = brute(*frac)
+            assert len(got) == len(want)
+            for _, r in got.iterrows():
+                assert float(r["value"]) == want[r["k"]], (frac, thr, r["k"])

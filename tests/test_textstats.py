@@ -935,3 +935,71 @@ def test_gopher_rules_hand_cases(ray_session):
     assert got.loc[2, "symbol_ratio_r"] > 0.1
     assert got.loc[2, "alpha_frac_r"] == 0.0
     assert (got.loc[3, ["n_words", "keep"]] == 0).all()
+
+
+def test_perplexity_buckets_matches_brute(ray_session):
+    """CCNet tercile bucketing: replay unigram lpt + nearest-rank
+    per-lang cutoffs in plain Python; every doc assigned, terciles
+    balanced within nearest-rank rounding."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.textstats import _ASCII_TOK_RE, perplexity_buckets
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "rare"]
+    docs = []
+    for i in range(90):
+        n = int(rng.integers(5, 30))
+        words = [vocab[int(j)] for j in rng.integers(0, 6, size=n)]
+        if i % 9 == 0:
+            words.append("rare")
+        docs.append((i, " ".join(words), ["en", "fr"][i % 2]))
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs]),
+            "lang": pa.array([la for _, _, la in docs]),
+        }
+    )
+    got = perplexity_buckets(
+        rd.from_arrow(tab).repartition(4), n_parts=8
+    ).to_pandas()
+
+    # brute: unigram lpt per doc, 6dp round, per-lang nearest-rank cuts
+    cf = collections.Counter()
+    toks = {}
+    for did, t, _la in docs:
+        toks[did] = _ASCII_TOK_RE.findall(t.lower())
+        cf.update(toks[did])
+    total = sum(cf.values())
+    lpt = {}
+    for did, _t, _la in docs:
+        tf = collections.Counter(toks[did])
+        lp = sum(
+            c * math.log(cf[w] / total) for w, c in sorted(tf.items())
+        )
+        lpt[did] = round(lp / len(toks[did]), 6)
+    by_lang = collections.defaultdict(list)
+    for did, _t, la in docs:
+        by_lang[la].append(lpt[did])
+    want = {}
+    for did, _t, la in docs:
+        vs = sorted(by_lang[la])
+        n = len(vs)
+        c1 = vs[-(-n // 3) - 1]
+        c2 = vs[-(-2 * n // 3) - 1]
+        v = lpt[did]
+        want[did] = "tail" if v <= c1 else ("middle" if v <= c2 else "head")
+
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        assert r["bucket"] == want[int(r["doc_id"])], r["doc_id"]
+    # all three buckets non-empty per lang on this fixture
+    for la in ("en", "fr"):
+        seen = set(got[got["lang"] == la]["bucket"])
+        assert seen == {"head", "middle", "tail"}, la

@@ -6391,6 +6391,61 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.2): per LANGUAGE the corpus cuts into terciles of the unigram-LM
+    per-token log-probability (6dp contract surface so the cutoffs are
+    engine-portable); tercile cutoffs by exact distributed nearest-rank
+    selection (webindex/quantile.py grouped_quantile_disc), assignment
+    one stateless pass (webindex/textstats.py perplexity_buckets)."""
+    import ray.data as rd
+
+    from webindex.textstats import perplexity_buckets
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return perplexity_buckets(docs)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents),
+toks AS (SELECT doc_id, unnest(tl) AS term FROM dt),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::BIGINT AS total FROM cf),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(cf.cf / t.total) AS c
+  FROM tf JOIN cf ON cf.term = tf.term CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         list_sum(list(c ORDER BY term)) AS lp
+  FROM contrib GROUP BY doc_id
+),
+scored AS (
+  SELECT a.doc_id, d.lang, round(a.lp / a.n_tokens, 6) AS lpt_r
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+),
+cuts AS (
+  SELECT lang,
+         list(lpt_r ORDER BY lpt_r)
+             [CAST(ceil(count(*) / 3.0) AS BIGINT)] AS c1,
+         list(lpt_r ORDER BY lpt_r)
+             [CAST(ceil(count(*) * 2 / 3.0) AS BIGINT)] AS c2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lpt_r,
+       CASE WHEN s.lpt_r <= c.c1 THEN 'tail'
+            WHEN s.lpt_r <= c.c2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored s JOIN cuts c ON c.lang = s.lang
+"""
+
+
 PARA_TOKENS = 20
 
 
@@ -8846,6 +8901,7 @@ REGISTRY: dict[str, tuple] = {
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "events_auto_histogram": (q_events_auto_histogram, _sql_auto_dh()),
     "events_date_range": (q_events_date_range, _sql_date_range()),
     "sampler_terms": (q_sampler_terms, SQL_SAMPLER_TERMS),

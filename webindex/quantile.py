@@ -303,3 +303,142 @@ def grouped_median(ds, key: str, value_col: str, *,
 
     out = st[[key, "median"]].copy()
     return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_quantile_disc(ds, key: str, value_col: str,
+                          frac: tuple[int, int], *,
+                          pull_threshold: int = 65536,
+                          max_rounds: int = 80):
+    """Exact per-key NEAREST-RANK quantile: the ``ceil(num·n/den)``-th
+    smallest value (1-based) of each key's non-NaN values — the discrete
+    quantile (DuckDB ``quantile_disc``, the facet_percentiles rule),
+    selected distributedly by the same ordered-bit rank-selection rounds
+    as :func:`grouped_median` (one counting pass per round, a bounded
+    final pull). ``frac = (num, den)`` keeps the target rank in exact
+    integer arithmetic (``(1, 3)`` = lower tercile) so both engines
+    agree on the rank itself. Returns pandas ``(key, value)``; empty
+    groups yield NaN. Unlike the median there is no two-rank averaging:
+    a bracket that degenerates to adjacent floats resolves to ``hi``."""
+    num, den = frac
+    if not (0 < num < den):
+        raise ValueError("frac must satisfy 0 < num < den")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": batch.column(key).to_pandas(),
+                "v": batch.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("k", sort=False).agg(
+            n=("v", "count"), mn=("v", "min"), mx=("v", "max")
+        ).reset_index()
+        return pa.table(
+            {key: pa.array(g["k"]),
+             "n": pa.array(g["n"], pa.int64()),
+             "mn": pa.array(g["mn"], pa.float64()),
+             "mx": pa.array(g["mx"], pa.float64())}
+        )
+
+    st = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(key, sort=False)
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .reset_index()
+    )
+    st["k1"] = -(-(st["n"] * num) // den)  # 1-based target rank
+    st["lo"] = np.nextafter(st["mn"].to_numpy(), -np.inf)
+    st["hi"] = st["mx"]
+    st["value"] = np.nan
+    st["pull"] = False
+    st["done"] = st["n"] == 0
+    one = st["mn"] == st["mx"]
+    st.loc[one & ~st["done"], "value"] = st.loc[one & ~st["done"], "mn"]
+    st.loc[one, "done"] = True
+
+    for _ in range(max_rounds):
+        live = st[~st["done"]].copy()
+        if live.empty:
+            break
+        live["mid"] = [
+            _bit_mid(lo, hi) for lo, hi in zip(live["lo"], live["hi"])
+        ]
+        fix = live["mid"] <= live["lo"]
+        if fix.any():
+            idx = live.index[fix]
+            st.loc[idx, "value"] = st.loc[idx, "hi"]
+            st.loc[idx, "done"] = True
+            live = live[~fix]
+            if live.empty:
+                continue
+        counts = _count_pass(
+            ds, key, value_col, live.set_index(key)[["mid", "lo", "hi"]]
+        )
+        cm = counts.set_index(key)["c_mid"]
+        ci = counts.set_index(key)["c_in"]
+        for idx, row in live.iterrows():
+            kname = row[key]
+            c = int(cm.get(kname, 0))
+            n_in = int(ci.get(kname, 0))
+            k1 = int(row["k1"])
+            if n_in <= pull_threshold:
+                st.loc[idx, "pull"] = True
+                st.loc[idx, "done"] = True
+                continue
+            # invariant: cnt(<= lo) <= k1 - 1 and cnt(<= hi) >= k1
+            if c <= k1 - 1:
+                st.loc[idx, "lo"] = row["mid"]
+            else:
+                st.loc[idx, "hi"] = row["mid"]
+
+    if (~st["done"]).any():
+        stuck = st.loc[~st["done"], key].tolist()
+        raise RuntimeError(
+            f"grouped_quantile_disc: no convergence for keys {stuck} "
+            f"within max_rounds={max_rounds}"
+        )
+
+    pulls = st[st["pull"]]
+    if not pulls.empty:
+        bounds = pulls.set_index(key)[["lo", "hi"]]
+        lod, hid = bounds["lo"].to_dict(), bounds["hi"].to_dict()
+
+        def window(batch: pa.Table) -> pa.Table:
+            df = _kv_frame(batch, key, value_col)
+            df = df[df["k"].isin(lod)]
+            if df.empty:
+                return pa.table(
+                    {key: _empty_key_array(batch, key),
+                     "v": pa.array([], pa.float64())}
+                )
+            lo = df["k"].map(lod)
+            hi = df["k"].map(hid)
+            df = df[(df["v"] > lo) & (df["v"] <= hi)]
+            return pa.table(
+                {key: pa.array(df["k"]),
+                 "v": pa.array(df["v"], pa.float64())}
+            )
+
+        vals = ds.map_batches(window, batch_format="pyarrow").to_pandas()
+        grouped = (
+            dict(tuple(vals.groupby(key, sort=False)))
+            if not vals.empty else {}
+        )
+        lo_state = pulls.set_index(key)[["lo"]].copy()
+        lo_state["mid"] = lo_state["lo"]
+        lo_state["hi"] = lo_state["lo"]
+        counts_below = _count_pass(ds, key, value_col, lo_state)
+        cb = (
+            counts_below.set_index(key)["c_mid"]
+            if not counts_below.empty else pd.Series(dtype=np.int64)
+        )
+        for idx, row in pulls.iterrows():
+            kname = row[key]
+            g = grouped.get(kname)
+            v = np.sort(g["v"].to_numpy()) if g is not None else np.empty(0)
+            below = int(cb.get(kname, 0))
+            st.loc[idx, "value"] = float(v[int(row["k1"]) - below - 1])
+
+    out = st[[key, "value"]].copy()
+    return out.sort_values(key).reset_index(drop=True)

@@ -1128,3 +1128,69 @@ def gopher_rules(docs_ds):
         )
 
     return docs_ds.map_batches(rules, batch_format="pyarrow")
+
+
+def perplexity_buckets(docs_ds, *, n_parts: int = 64):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.2: per LANGUAGE, rank documents by LM score and cut the
+    corpus into equal thirds — head = best third, used to select
+    training data): per-doc unigram log-probability per token
+    (:func:`unigram_logprob`, rounded to the contract's 6dp surface so
+    the tercile CUTOFFS are engine-portable), per-lang tercile cutoffs
+    c1 = Q_disc(1/3), c2 = Q_disc(2/3) (nearest-rank, exact distributed
+    rank selection — webindex/quantile.py grouped_quantile_disc), then
+    ``tail if lpt <= c1 else middle if lpt <= c2 else head``.
+
+    Scale shape: the unigram-LM passes (one term-hash shuffle + one
+    doc-hash fold), ONE doc-hash join to attach lang, O(rounds) counting
+    passes per tercile (counts cross the wire, never rows; per-lang
+    state is driver-resident — lang cardinality-sized), one stateless
+    assign. Output: ``(doc_id, lang, lpt_r, bucket)``."""
+    import pyarrow as pa
+    import ray
+
+    from webindex.quantile import grouped_quantile_disc
+    from webindex.relational import hash_join_attach
+
+    lp = unigram_logprob(docs_ds, n_parts=n_parts)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "lpt_r": df["logprob_per_token"].round(6),
+            }
+        )
+
+    lpt = lp.map_batches(project, batch_format="pandas")
+    with_lang = hash_join_attach(
+        lpt, "doc_id", docs_ds.select_columns(["doc_id", "lang"]),
+        ["lang"],
+        rows_types={"doc_id": pa.int64(), "lpt_r": pa.float64()},
+        val_types={"lang": pa.string()},
+        n_parts=n_parts,
+    )
+    # iterative rank selection re-executes its input per round: keep the
+    # (doc_id, lpt_r, lang) projection materialized (3 small columns)
+    with_lang = with_lang.materialize()
+    c1 = grouped_quantile_disc(with_lang, "lang", "lpt_r", (1, 3))
+    c2 = grouped_quantile_disc(with_lang, "lang", "lpt_r", (2, 3))
+    cuts = {
+        lang: (float(v1), float(v2))
+        for lang, v1, v2 in zip(c1["lang"], c1["value"], c2["value"])
+    }
+    cuts_ref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        langs = batch.column("lang").to_pylist()
+        lpt_v = batch.column("lpt_r").to_numpy(zero_copy_only=False)
+        buckets = []
+        for lang, v in zip(langs, lpt_v):
+            lo, hi = c[lang]
+            buckets.append(
+                "tail" if v <= lo else ("middle" if v <= hi else "head")
+            )
+        return batch.append_column("bucket", pa.array(buckets, pa.string()))
+
+    return with_lang.map_batches(assign, batch_format="pyarrow")
