@@ -6391,6 +6391,133 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+CHILD_TOKENS = 20
+_CHILD_PACK = 1 << 12
+
+
+def ensure_child_index(sf_dir: str) -> str:
+    """Build (once, resumably) the parent-child join-field child index:
+    documents chunked into 20-token children, child docID packs
+    parent << 12 | chunk_id (co-location invariant, webindex/joinfield)."""
+    import ray.data as rd
+
+    from webindex.build import build_index
+    from webindex.joinfield import child_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-children")
+    cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    kids = child_corpus(docs, chunk_tokens=CHILD_TOKENS)
+    build_index(
+        kids.select_columns(["doc_id", "text"]), out, cfg,
+        docvalues_ds=kids.select_columns(["doc_id", "parent_id"]),
+    )
+    return out
+
+
+def q_has_child_top10(sf_dir: str):
+    """ES has_child(score_mode=max): parents ranked by the best BM25
+    score among their matching children (documents chunked to 20-token
+    child docs; child co-location is structural — webindex/joinfield.py
+    has_child_topk)."""
+    from webindex.joinfield import has_child_topk
+
+    idx = ensure_child_index(sf_dir)
+    return has_child_topk(_queries_ds(), idx, k=TOPK, score_mode="max")
+
+
+def q_has_child_sum_top10(sf_dir: str):
+    """ES has_child(score_mode=sum): parents ranked by the SUM of their
+    matching children's scores — sequential ascending-child-docID fold,
+    6dp surface, ranked on the rounded value in both engines."""
+    from webindex.joinfield import has_child_topk
+
+    idx = ensure_child_index(sf_dir)
+    return has_child_topk(_queries_ds(), idx, k=TOPK, score_mode="sum")
+
+
+_CHILD_DOCS_SQL = f"""
+SELECT d.doc_id * {_CHILD_PACK} + (u.s // {CHILD_TOKENS}) AS doc_id,
+       array_to_string(d.tl[u.s + 1: u.s + {CHILD_TOKENS}], ' ') AS text
+FROM (SELECT doc_id, {_TOK_SQL} AS tl FROM documents) d,
+     unnest(range(0, len(d.tl), {CHILD_TOKENS})) AS u(s)
+"""
+
+
+def _sql_has_child(mode_expr: str) -> str:
+    return _sql_bm25_scores(docs_sql=_CHILD_DOCS_SQL) + f"""
+, combined AS (
+  SELECT qid, doc_id // {_CHILD_PACK} AS parent_id,
+         {mode_expr} AS score,
+         count(*)::BIGINT AS n_children
+  FROM scores GROUP BY qid, doc_id // {_CHILD_PACK}
+)
+SELECT qid, parent_id, score, n_children, rank FROM (
+  SELECT qid, parent_id, score, n_children,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, parent_id)::INTEGER
+             AS rank
+  FROM combined
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_HAS_CHILD_TOP10 = _sql_has_child("round(max(score), 6)")
+SQL_HAS_CHILD_SUM_TOP10 = _sql_has_child(
+    "round(list_sum(list(score ORDER BY doc_id)), 6)"
+)
+
+
+HAS_PARENT_K = 5
+
+
+def q_has_parent_children(sf_dir: str):
+    """ES has_parent(score=true): every child of each query's top-5
+    matching parents, carrying the parent's (6dp) BM25 score, ranked
+    (parent score desc, child docID asc) — parent runs broadcast once,
+    the child corpus streams through one stateless semi-join
+    (webindex/joinfield.py has_parent_children)."""
+    import ray.data as rd
+
+    from webindex.joinfield import has_parent_children
+
+    idx = ensure_index(sf_dir, "nostem")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return has_parent_children(
+        _queries_ds(), idx, docs, parent_k=HAS_PARENT_K,
+        chunk_tokens=CHILD_TOKENS,
+    )
+
+
+SQL_HAS_PARENT_CHILDREN = _sql_bm25_scores() + f"""
+, parents AS (
+  SELECT qid, doc_id AS parent_id, round(score, 6) AS parent_score
+  FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS r
+    FROM scores
+  ) WHERE r <= {HAS_PARENT_K}
+),
+kids AS ({_CHILD_DOCS_SQL})
+SELECT qid, doc_id, parent_id, parent_score, rank FROM (
+  SELECT p.qid, k.doc_id, p.parent_id, p.parent_score,
+         row_number() OVER (PARTITION BY p.qid
+                            ORDER BY p.parent_score DESC,
+                                     k.doc_id)::INTEGER AS rank
+  FROM parents p
+  JOIN kids k ON k.doc_id // {_CHILD_PACK} = p.parent_id
+)
+"""
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     §4.2): per LANGUAGE the corpus cuts into terciles of the unigram-LM
@@ -8902,6 +9029,11 @@ REGISTRY: dict[str, tuple] = {
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "has_child_top10": (q_has_child_top10, SQL_HAS_CHILD_TOP10),
+    "has_child_sum_top10": (q_has_child_sum_top10,
+                            SQL_HAS_CHILD_SUM_TOP10),
+    "has_parent_children": (q_has_parent_children,
+                            SQL_HAS_PARENT_CHILDREN),
     "events_auto_histogram": (q_events_auto_histogram, _sql_auto_dh()),
     "events_date_range": (q_events_date_range, _sql_date_range()),
     "sampler_terms": (q_sampler_terms, SQL_SAMPLER_TERMS),
