@@ -367,3 +367,67 @@ def test_ivfpq_matches_brute_python(ray_session):
         have = [(int(x), float(s))
                 for x, s in zip(sub_df["vec_id"], sub_df["sim"])]
         assert have == want, qid
+
+
+def test_sq8_quantize_rescore(ray_session):
+    """int8 scalar quantization: encode error bound, exact-rescore
+    guarantee, near-perfect recall at 8 bits, partition invariance."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.ann import (_batch_vecs, _normalize, brute_topk,
+                              sq8_encode, sq8_topk, sq8_train)
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d))
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(),
+                                  pa.list_(pa.float64(), d)),
+        }
+    )
+    qids = [0, 7]
+    qvecs = mat[qids]
+
+    ds = rd.from_arrow(tab)
+    params = sq8_train(ds)
+    lo = params["lo"]
+    span = params["hi"] - lo
+    codes_pd = sq8_encode(ds, params).to_pandas()
+    codes = np.array(codes_pd.sort_values("vec_id")["sq8_code"].tolist())
+    normed = _normalize(mat.astype(np.float64))
+    dec = lo + codes * (span / 255.0)
+    # quantization error bounded by half a step per dimension
+    assert np.all(np.abs(dec - normed) <= span / 255.0 / 2 + 1e-12)
+
+    want = brute_topk(ds, qids, qvecs, 5).to_pandas()
+    for parts in (1, 4):
+        got = sq8_topk(
+            sq8_encode(ds.repartition(parts), params),
+            ds.repartition(parts), params, qids, qvecs, 5, oversample=4,
+        ).to_pandas()
+        for qid in qids:
+            g = got[got["query_id"] == qid].sort_values("rank")
+            w = want[want["query_id"] == qid].sort_values("rank")
+            # exact rescore: returned sims are the exact cosines
+            exact = {
+                int(v): float(s) for v, s in zip(w["vec_id"], w["sim"])
+            }
+            hits = 0
+            for v, s in zip(g["vec_id"], g["sim"]):
+                if int(v) in exact:
+                    hits += 1
+                    assert abs(float(s) - exact[int(v)]) < 1e-12
+            assert hits >= 4, (qid, parts)  # recall@5 >= 0.8 at 8 bits
+        # partition invariance: identical frame at 1 and 4 blocks
+        if parts == 1:
+            base = got.sort_values(["query_id", "rank"]).reset_index(
+                drop=True
+            )
+        else:
+            cur = got.sort_values(["query_id", "rank"]).reset_index(
+                drop=True
+            )
+            assert base.equals(cur)

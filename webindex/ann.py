@@ -796,3 +796,169 @@ def ivfpq_topk(codes_ds, cents: np.ndarray, books: np.ndarray,
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )
+
+
+def sq8_train(emb_ds, *, vec_col: str = "embedding") -> dict:
+    """Scalar-quantization params for int8 vector compression (the ES
+    ``dense_vector`` ``int8`` quantization direction): EXACT global
+    per-dimension (min, max) of the L2-NORMALIZED vectors — min/max are
+    order-free, so the params are partition-independent. One streaming
+    pass; only per-batch (lo, hi) vector pairs leave the workers.
+    Returns ``{"lo": (d,), "hi": (d,)}`` float64."""
+    def mm(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        if mat.shape[0] == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "lo": pa.array([mat.min(axis=0).tolist()]),
+                "hi": pa.array([mat.max(axis=0).tolist()]),
+            }
+        )
+
+    parts = emb_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.array(parts["lo"].tolist(), np.float64), axis=0)
+    hi = np.max(np.array(parts["hi"].tolist(), np.float64), axis=0)
+    return {"lo": lo, "hi": hi}
+
+
+def _sq8_scale(params: dict) -> tuple[np.ndarray, np.ndarray]:
+    lo = np.asarray(params["lo"], np.float64)
+    span = np.asarray(params["hi"], np.float64) - lo
+    return lo, span
+
+
+def sq8_encode(emb_ds, params: dict, *, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Normalized vectors -> ``(id, sq8_code list<uint8, d>)``:
+    ``code = floor((v − lo) / span · 255 + 0.5)`` clipped to [0, 255]
+    (floor(x + 0.5) is the one rounding both engines agree on for
+    non-negative x; numpy round() is half-even, SQL round() half-away —
+    measured divergence class). Zero-span dimensions encode 0. An 8x
+    memory cut over float64 — the piece that keeps a 100x-scale
+    embedding table resident."""
+    lo, span = _sq8_scale(params)
+    safe = np.where(span > 0, span, 1.0)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        x = (mat - lo) / safe * 255.0
+        codes = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+        codes[:, span <= 0] = 0
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "sq8_code": pa.array(
+                    codes.tolist(), pa.list_(pa.uint8(), codes.shape[1])
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def sq8_topk(codes_ds, emb_ds, params: dict, query_ids: list[int],
+             query_vecs: np.ndarray, k: int, *, oversample: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=4, batch_size: int = 4096):
+    """Quantized-scan + exact-rescore top-k (the ES int8 dense_vector
+    query path): the uint8 code table is scanned for approximate sims
+    ``q · (lo + code · span/255)`` (decoded vectors, NOT re-normalized —
+    pinned), the global top ``k · oversample`` candidates per query
+    survive, and ONLY those rows are re-scored with exact cosine against
+    the float table (broadcast candidate-id semi-join — rescore cost is
+    queries x k x oversample rows, never the corpus).
+
+    Returns ``(query_id, vec_id, sim, rank)`` with EXACT sims: the
+    quantization affects recall only, never the correctness of returned
+    scores — tests gate recall and rescore exactness separately."""
+    import ray
+
+    lo, span = _sq8_scale(params)
+    step = span / 255.0
+    qmat = _normalize(np.asarray(query_vecs, np.float64))
+    ref = ray.put({"qids": list(query_ids), "qmat": qmat,
+                   "lo": lo, "step": step})
+    kk = k * oversample
+
+    def approx(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        vids = batch.column(id_col).to_numpy()
+        codes = np.array(
+            batch.column("sq8_code").to_pylist(), dtype=np.float64
+        )
+        dec = st["lo"] + codes * st["step"]
+        sims = st["qmat"] @ dec.T
+        kb = min(kk, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        if kb:
+            kth = -np.partition(-sims, kb - 1, axis=1)[:, kb - 1]
+            for qi, qid in enumerate(st["qids"]):
+                sel = np.flatnonzero(sims[qi] >= kth[qi])
+                out_q.extend([qid] * sel.size)
+                out_v.extend(vids[sel].tolist())
+                out_s.extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "asim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def cand_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["asim", "vec_id"], ascending=[False, True]
+        ).head(kk)
+        return g[["query_id", "vec_id"]]
+
+    cands = (
+        codes_ds.map_batches(approx, batch_format="pyarrow",
+                             batch_size=batch_size,
+                             concurrency=concurrency)
+        .groupby("query_id")
+        .map_groups(cand_merge, batch_format="pandas")
+        .to_pandas()  # queries x k x oversample rows — broadcast-sized
+    )
+    by_vec: dict[int, list[int]] = {}
+    for qid, vid in zip(cands["query_id"], cands["vec_id"]):
+        by_vec.setdefault(int(vid), []).append(int(qid))
+    cref = ray.put({"by_vec": by_vec, "qids": list(query_ids),
+                    "qmat": qmat})
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        st = ray.get(cref)
+        vids = batch.column(id_col).to_numpy()
+        keep = np.array([int(v) in st["by_vec"] for v in vids], bool)
+        if not keep.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sub = batch.filter(pa.array(keep))
+        svids = sub.column(id_col).to_numpy()
+        mat = _normalize(_batch_vecs(sub, vec_col))
+        sims = st["qmat"] @ mat.T
+        qpos = {q: i for i, q in enumerate(st["qids"])}
+        out_q, out_v, out_s = [], [], []
+        for ci, vid in enumerate(svids):
+            for qid in st["by_vec"][int(vid)]:
+                out_q.append(qid)
+                out_v.append(int(vid))
+                out_s.append(float(sims[qpos[qid], ci]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(rescore, batch_format="pyarrow",
+                           batch_size=batch_size)
+        .groupby("query_id")
+        .map_groups(_merge_topk_factory(k), batch_format="pandas")
+    )

@@ -6391,6 +6391,97 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+SQ8_K, SQ8_OVERSAMPLE = 5, 4
+
+
+def q_ann_sq8_top5(sf_dir: str):
+    """ES dense_vector int8 scalar quantization + exact rescore: the
+    uint8 code table (exact global per-dim min/max of the normalized
+    vectors, floor(x+0.5) rounding — the rounding both engines share)
+    is scanned for approximate sims, the global top k*4 candidates
+    rescore with exact cosine (broadcast candidate semi-join), exact
+    top-5 out (webindex/ann.py sq8_train/encode/topk)."""
+    import ray.data as rd
+
+    from webindex.ann import sq8_encode, sq8_topk, sq8_train
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas()
+    qids = qdf["vec_id"].tolist()
+    qvecs = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    params = sq8_train(emb)
+    codes = sq8_encode(emb, params)
+    out = sq8_topk(codes, emb, params, qids, qvecs, SQ8_K,
+                   oversample=SQ8_OVERSAMPLE)
+
+    def round_sim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sim_r"] = df["sim"].round(6)
+        return df[["query_id", "vec_id", "sim_r", "rank"]]
+
+    return out.map_batches(round_sim, batch_format="pandas")
+
+
+SQL_ANN_SQ8_TOP5 = f"""
+WITH nrm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             AS nv
+  FROM embeddings
+),
+el AS (
+  SELECT n.vec_id, g.i, n.v[g.i] / n.nv AS x
+  FROM nrm n, unnest(generate_series(1, len(n.v))) AS g(i)
+),
+params AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i
+),
+codes AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN p.hi - p.lo <= 0 THEN 0
+              ELSE least(greatest(
+                  floor((e.x - p.lo) / (p.hi - p.lo) * 255.0 + 0.5),
+                  0), 255)
+         END AS code
+  FROM el e JOIN params p ON p.i = e.i
+),
+dec AS (
+  SELECT c.vec_id, c.i,
+         p.lo + c.code * ((p.hi - p.lo) / 255.0) AS d
+  FROM codes c JOIN params p ON p.i = c.i
+),
+q AS (SELECT vec_id AS query_id, i, x AS qx FROM el WHERE vec_id IN (0, 1, 2)),
+asim AS (
+  SELECT q.query_id, d.vec_id, sum(q.qx * d.d) AS a
+  FROM q JOIN dec d ON d.i = q.i
+  GROUP BY q.query_id, d.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY a DESC, vec_id) AS r
+    FROM asim
+  ) WHERE r <= {SQ8_K * SQ8_OVERSAMPLE}
+),
+exact AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(qe.embedding::DOUBLE[],
+                                ve.embedding::DOUBLE[]) AS sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ve ON ve.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id)::INTEGER AS rank
+  FROM exact
+) WHERE rank <= {SQ8_K}
+"""
+
+
 CHILD_TOKENS = 20
 _CHILD_PACK = 1 << 12
 
@@ -9029,6 +9120,7 @@ REGISTRY: dict[str, tuple] = {
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "ann_sq8_top5": (q_ann_sq8_top5, SQL_ANN_SQ8_TOP5),
     "has_child_top10": (q_has_child_top10, SQL_HAS_CHILD_TOP10),
     "has_child_sum_top10": (q_has_child_sum_top10,
                             SQL_HAS_CHILD_SUM_TOP10),
