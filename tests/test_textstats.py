@@ -580,14 +580,15 @@ def test_pmi_collocations_matches_brute(ray_session):
 
 
 def test_textrank_keywords_matches_reimplementation(ray_session):
+    """Fixed-point TextRank: independent integer replay of the pinned
+    update rule (SCALE=1e12, damping 17/20, per-edge floor division)."""
     import re
 
     import pyarrow as pa
     import ray.data as rd
 
-    from webindex.textstats import textrank_keywords
+    from webindex.textstats import TEXTRANK_SCALE, textrank_keywords
 
-    np_ = __import__("numpy")
     docs = [
         (0, "graph rank graph node edge rank graph walk node graph"),
         (1, "single"),
@@ -602,12 +603,10 @@ def test_textrank_keywords_matches_reimplementation(ray_session):
             }
         )
     )
-    w, k, d_, iters = 2, 4, 0.85, 20
-    out = (
-        textrank_keywords(ds, window=w, top_k=k, damping=d_, iters=iters)
-        .to_pandas()
-    )
+    w, k, iters = 2, 4, 20
+    out = textrank_keywords(ds, window=w, top_k=k, iters=iters).to_pandas()
     tok = re.compile(r"[a-z0-9]+")
+    S = TEXTRANK_SCALE
     for did, text in docs:
         toks = tok.findall(text.lower())
         sub = out[out["doc_id"] == did].sort_values("rank")
@@ -617,24 +616,32 @@ def test_textrank_keywords_matches_reimplementation(ray_session):
         vocab = sorted(set(toks))
         vi = {x: i for i, x in enumerate(vocab)}
         v = len(vocab)
-        wm = np_.zeros((v, v))
+        # pure-Python integer replay (no numpy: independent arithmetic)
+        wm = [[0] * v for _ in range(v)]
         for i in range(len(toks)):
             for j in range(i + 1, min(i + w + 1, len(toks))):
                 a, b = vi[toks[i]], vi[toks[j]]
                 if a != b:
-                    wm[a, b] += 1.0
-                    wm[b, a] += 1.0
-        deg = wm.sum(axis=1)
-        m = wm / np_.where(deg > 0, deg, 1.0)[:, None]
-        p = np_.full(v, 1.0 / v)
+                    wm[a][b] += 1
+                    wm[b][a] += 1
+        deg = [sum(row) for row in wm]
+        p = [S // v] * v
+        base = (3 * S) // (20 * v)
         for _ in range(iters):
-            p = (1.0 - d_) / v + d_ * (m.T @ p)
-        order = np_.lexsort((np_.array(vocab), -p))[:k]
+            nxt = []
+            for a in range(v):
+                c = sum(
+                    (wm[a][b] * p[b]) // deg[b]
+                    for b in range(v) if wm[a][b]
+                )
+                nxt.append(base + (17 * c) // 20)
+            p = nxt
+        order = sorted(range(v), key=lambda i: (-p[i], vocab[i]))[:k]
         want = [(vocab[i], p[i]) for i in order]
-        got = list(zip(sub["term"], sub["score"]))
+        got = list(zip(sub["term"], sub["score_q"]))
         assert [t for t, _ in got] == [t for t, _ in want], did
         for (_, gs), (_, ws) in zip(got, want):
-            assert gs == ws, did
+            assert int(gs) == ws, did
     # the engineered repeated hub term dominates doc 0
     top0 = out[(out["doc_id"] == 0) & (out["rank"] == 1)]["term"].iloc[0]
     assert top0 == "graph"

@@ -5062,10 +5062,12 @@ def q_sig_test(sf_dir: str):
 
 def q_textrank_keywords(sf_dir: str):
     """Per-doc TextRank keywords (Mihalcea & Tarau 2004): PageRank over
-    each doc's own co-occurrence graph, fixed 20 power iterations, top-5
-    by (score desc, term asc). Iterative float math is not
-    SQL-expressible -> rows-only; the math is pytest-gated against an
-    independent reimplementation (webindex/textstats.py
+    each doc's own weighted co-occurrence graph in int64 FIXED-POINT
+    micro-units (the webindex.graph pagerank convention — float power
+    iterations are neither partition-independent nor engine-portable,
+    measured), 20 rounds, top-5 by (score desc, term asc). Exact
+    integers make the whole iteration SQL-expressible: the oracle
+    replays all 20 rounds in a recursive CTE (webindex/textstats.py
     textrank_keywords — stateless per-doc map_batches, trivially
     partition-invariant)."""
     import ray.data as rd
@@ -5076,11 +5078,66 @@ def q_textrank_keywords(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
-    out = textrank_keywords(docs, window=2, top_k=5)
-    return out.map_batches(
-        lambda t: t.select(["doc_id", "term", "rank"]),
-        batch_format="pyarrow",
-    )
+    return textrank_keywords(docs, window=2, top_k=5)
+
+
+def _sql_textrank() -> str:
+    from webindex.textstats import TEXTRANK_SCALE as S
+
+    return f"""
+WITH RECURSIVE
+dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents
+       WHERE len({_TOK_SQL}) > 0),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pairs AS (
+  SELECT t1.doc_id, t1.term AS a, t2.term AS b
+  FROM pos t1 JOIN pos t2 ON t2.doc_id = t1.doc_id
+   AND t2.p > t1.p AND t2.p <= t1.p + 2 AND t2.term <> t1.term
+),
+edges AS (
+  SELECT doc_id, a, b, count(*)::BIGINT AS w FROM (
+    SELECT doc_id, a, b FROM pairs
+    UNION ALL
+    SELECT doc_id, b AS a, a AS b FROM pairs
+  ) GROUP BY doc_id, a, b
+),
+deg AS (
+  SELECT doc_id, a AS term, sum(w)::BIGINT AS deg
+  FROM edges GROUP BY doc_id, a
+),
+vcnt AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS v
+  FROM pos GROUP BY doc_id
+),
+pr AS (
+  SELECT 0 AS it, n.doc_id, n.term, ({S} // v.v)::BIGINT AS pq
+  FROM (SELECT DISTINCT doc_id, term FROM pos) n
+  JOIN vcnt v ON v.doc_id = n.doc_id
+  UNION ALL
+  SELECT p.it + 1, p.doc_id, p.term,
+         ((3 * {S}) // (20 * v.v)
+          + (17 * coalesce(c.contrib, 0)) // 20)::BIGINT
+  FROM pr p
+  JOIN vcnt v ON v.doc_id = p.doc_id
+  LEFT JOIN (
+    SELECT e.doc_id, e.a AS term,
+           sum((e.w * p2.pq) // d.deg)::BIGINT AS contrib
+    FROM pr p2
+    JOIN edges e ON e.doc_id = p2.doc_id AND e.b = p2.term
+    JOIN deg d ON d.doc_id = e.doc_id AND d.term = e.b
+    GROUP BY e.doc_id, e.a
+  ) c ON c.doc_id = p.doc_id AND c.term = p.term
+  WHERE p.it < 20
+)
+SELECT doc_id, term, score_q, rank FROM (
+  SELECT doc_id, term, pq AS score_q,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY pq DESC, term)::INTEGER AS rank
+  FROM pr WHERE it = 20
+) WHERE rank <= 5
+"""
 
 
 def q_fetch_top10(sf_dir: str):
@@ -9150,7 +9207,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_dismax_top10": (q_bm25_dismax_top10, SQL_BM25_DISMAX_TOP10),
     "hybrid_rrf_top10": (q_hybrid_rrf_top10, SQL_HYBRID_RRF_TOP10),
     "pmi_top20": (q_pmi_top20, SQL_PMI_TOP20),
-    "textrank_keywords": (q_textrank_keywords, None),
+    "textrank_keywords": (q_textrank_keywords, _sql_textrank()),
     "sig_test": (q_sig_test, None),
     "query_plan": (q_query_plan, SQL_QUERY_PLAN),
     "fetch_top10": (q_fetch_top10, SQL_FETCH_TOP10),

@@ -815,21 +815,39 @@ def pmi_collocations(docs_ds, *, window: int = 3, min_count: int = 5,
     return out
 
 
+TEXTRANK_SCALE = 10**12
+
+
 def textrank_keywords(docs_ds, *, window: int = 2, top_k: int = 5,
-                      damping: float = 0.85, iters: int = 20):
+                      iters: int = 20):
     """Per-document keyword extraction via TextRank (Mihalcea & Tarau
     2004, public paper): PageRank over the doc's own token co-occurrence
-    graph (undirected, +/-``window``), a FIXED ``iters`` power
-    iterations in float64, top-``top_k`` terms by (score desc, term asc).
+    graph (undirected, +/-``window``, edge weight = co-occurrence
+    count), in int64 FIXED-POINT micro-units — the webindex.graph
+    pagerank convention (float power iterations are neither partition-
+    independent nor engine-portable, measured), which makes the scores
+    exact integers a recursive-CTE SQL oracle replays bit for bit.
+
+    Pinned update rule (SCALE = 10^12, damping 17/20, ``iters`` rounds):
+
+        p_q[0][a]   = SCALE // v                        (v distinct terms)
+        contrib[a]  = sum over neighbors b of
+                      (w_ab * p_q[b]) // deg_b          (per-edge floor)
+        p_q[t+1][a] = (3*SCALE) // (20*v)
+                    + (17 * contrib[a]) // 20
+
+    with ``deg_b = sum_a w_ab`` (isolated terms — single-token docs —
+    keep base mass only). Top-``top_k`` terms by (p_q desc, term asc).
+    Overflow bound: w * p_q <= tokens_per_doc * SCALE << 2^63.
 
     Entirely per-document — a stateless vectorized ``map_batches`` with
-    one dense (v x v) matrix per doc (v = distinct tokens, small by
-    construction) — so the operator is trivially partition-invariant and
-    embarrassingly parallel at any corpus size. Iterative float math is
-    not SQL-expressible -> rows-only contract entry; pytest gates the
-    math against an independent reimplementation. Output:
-    ``(doc_id, term, score, rank)``."""
+    one dense (v x v) int64 matrix per doc (v = distinct tokens, small
+    by construction) — trivially partition-invariant and embarrassingly
+    parallel at any corpus size. Output:
+    ``(doc_id, term, score_q, rank)``."""
     import pandas as pd  # noqa: F401
+
+    S = TEXTRANK_SCALE
 
     def extract(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -842,31 +860,33 @@ def textrank_keywords(docs_ds, *, window: int = 2, top_k: int = 5,
             vocab = sorted(set(toks))
             vi = {w: i for i, w in enumerate(vocab)}
             v = len(vocab)
-            w_mat = np.zeros((v, v), dtype=np.float64)
+            w_mat = np.zeros((v, v), dtype=np.int64)
             for i in range(len(toks)):
                 a = vi[toks[i]]
                 for j in range(i + 1, min(i + window + 1, len(toks))):
                     b = vi[toks[j]]
                     if a != b:
-                        w_mat[a, b] += 1.0
-                        w_mat[b, a] += 1.0
+                        w_mat[a, b] += 1
+                        w_mat[b, a] += 1
             deg = w_mat.sum(axis=1)
-            safe = np.where(deg > 0, deg, 1.0)
-            m = w_mat / safe[:, None]  # row-stochastic over neighbors
-            p = np.full(v, 1.0 / v)
-            base = (1.0 - damping) / v
+            safe = np.maximum(deg, 1)
+            p = np.full(v, S // v, dtype=np.int64)
+            base = (3 * S) // (20 * v)
             for _ in range(iters):
-                p = base + damping * (m.T @ p)
+                contrib = (
+                    (w_mat * p[None, :]) // safe[None, :]
+                ).sum(axis=1)
+                p = base + (17 * contrib) // 20
             order = np.lexsort((np.array(vocab), -p))[:top_k]
             o_id.extend([did] * order.size)
             o_t.extend(vocab[i] for i in order)
-            o_s.extend(p[i] for i in order)
+            o_s.extend(int(p[i]) for i in order)
             o_r.extend(range(1, order.size + 1))
         return pa.table(
             {
                 "doc_id": pa.array(o_id, pa.int64()),
                 "term": pa.array(o_t, pa.string()),
-                "score": pa.array(o_s, pa.float64()),
+                "score_q": pa.array(o_s, pa.int64()),
                 "rank": pa.array(
                     np.asarray(o_r, dtype=np.int32)
                 ),
