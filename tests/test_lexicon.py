@@ -464,3 +464,43 @@ def test_phrase_suggest_matches_brute(index_dir, oracle):
         assert int(row["n_corrected"]) == fixed, qid
     assert int(out.loc["ps1", "n_corrected"]) >= 1
     assert out.loc["ps3", "suggestion"].startswith("qqqqzz")
+
+
+def test_match_bool_prefix_matches_brute(index_dir, oracle, ray_session):
+    """ES match_bool_prefix: base-term OR BM25 + constant 1.0 for any
+    prefix expansion present, replayed against the explicit-term
+    oracle + a plain-Python dictionary rewrite."""
+    from webindex.lexicon import match_bool_prefix
+
+    an = oracle.an
+    queries = [("m1", "merge jo"), ("m2", "sort ste"), ("m3", "pri")]
+    got = match_bool_prefix(
+        queries, index_dir, top_k=6, max_expansions=3
+    ).to_pandas()
+
+    dfs = {t: len(pl) for t, pl in oracle.postings.items()}
+    doc_terms = {
+        d["doc_id"]: set(an.tokens(d["text"])) for d in DOCS
+    }
+    for qid, text in queries:
+        toks = an.tokens(text)
+        base, pre = toks[:-1], toks[-1]
+        exps = sorted(
+            (t for t in dfs if t.startswith(pre)),
+            key=lambda t: (-dfs[t], t),
+        )[:3]
+        scores = dict(_score_terms(oracle, set(base), 10**9))
+        rows = {}
+        for did, terms in doc_terms.items():
+            s = scores.get(did, 0.0)
+            hit_base = did in scores
+            hit_pre = any(e in terms for e in exps)
+            if hit_pre:
+                s = s + 1.0
+            if hit_base or hit_pre:
+                rows[did] = s
+        want = sorted(rows.items(), key=lambda e: (-e[1], e[0]))[:6]
+        g = got[got["qid"] == qid].sort_values("rank")
+        assert [
+            (int(d), float(s)) for d, s in zip(g["doc_id"], g["score"])
+        ] == want, qid

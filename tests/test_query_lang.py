@@ -1869,3 +1869,33 @@ def test_sampler_terms_matches_brute(index_dir, oracle, cap):
         want = dict(Counter(kept))
         g = got[got["qid"] == qid]
         assert dict(zip(g["value"], g["cnt"])) == want, (qid, cap)
+
+
+def test_terms_set_matches_brute(index_dir, oracle):
+    """ES terms_set: per-doc required distinct-match count from the
+    n_chars docvalue ((v % 3) + 1), OR-scored over present terms."""
+    from webindex.search import terms_set_queries
+
+    an = oracle.an
+    got = terms_set_queries(
+        _queries_ds(QUERIES), index_dir, "n_chars", top_k=8
+    ).to_pandas()
+    req = {d["doc_id"]: (d["n_chars"] % 3) + 1 for d in DOCS}
+    doc_terms = {d["doc_id"]: set(an.tokens(d["text"])) for d in DOCS}
+    for qid, text in QUERIES:
+        terms = sorted(set(an.tokens(text)))
+        scores = _oracle_all_scores(oracle, text)
+        rows = [
+            (did, sc) for did, sc in scores.items()
+            if sum(t in doc_terms[did] for t in terms) >= req[did]
+        ]
+        rows.sort(key=lambda e: (-e[1], e[0]))
+        want = rows[:8]
+        g = got[got["qid"] == qid]
+        if not want:
+            assert g.empty, qid
+            continue
+        g = g.sort_values("rank")
+        assert [
+            (int(d), float(s)) for d, s in zip(g["doc_id"], g["score"])
+        ] == want, qid

@@ -934,3 +934,140 @@ def explain_scores(queries: list[tuple[str, str]], index_dir: str, *,
     return out.sort_values(
         ["qid", "doc_id", "term"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def match_bool_prefix(queries: list[tuple[str, str]], index_dir: str, *,
+                      top_k: int = 10, max_expansions: int = 50,
+                      n_shards: int = 8):
+    """ES ``match_bool_prefix`` (search-as-you-type's bool sibling): the
+    LAST analyzed term is a prefix; a doc matches when it contains ANY
+    base term OR ANY of the prefix's top-``max_expansions`` dictionary
+    expansions (df desc, term asc — the shared Lucene rewrite). Score =
+    OR-match BM25 sum over the base terms (ascending unicode, only
+    doc-present terms contribute) PLUS a constant 1.0 when any expansion
+    is present — Lucene's PrefixQuery CONSTANT_SCORE rewrite inside the
+    bool: the open-ended prefix clause gets no idf (unlike
+    match_phrase_prefix, where each expansion completes a positional
+    phrase and scores with its own statistics).
+
+    Execution: one distributed dict scan for the expansions, then the
+    standard salt-range shard fan-out — per shard one scatter-add over
+    the union candidate set + one membership test, per-shard top-k
+    partials, exact (score desc, docID asc) merge."""
+    import ray.data as rd
+
+    from webindex.config import IndexConfig
+    from webindex.search import _qtext_explode, _shard_searcher
+    from webindex.serve import shard_salt_bounds
+    from webindex.util import read_json
+    from webindex.wand import _dense, _rank_topk
+
+    cfg = IndexConfig.from_dict(
+        read_json(os.path.join(index_dir, "config.json"))
+    )
+    an = Analyzer(cfg.analyzer)
+    plan: dict[str, tuple[list[str], str]] = {}
+    for qid, text in queries:
+        toks = an.tokens(text or "")
+        if not toks:
+            continue
+        plan[qid] = (sorted(set(toks[:-1])), toks[-1])
+    if not plan:
+        return rd.from_arrow(_EMPTY_RUNS)
+    prefixes = sorted({p for _, p in plan.values()})
+    exp = _rewrite_expand(
+        index_dir, prefixes, lambda t, p: t.startswith(p), max_expansions
+    )
+    by_pre: dict[str, list[str]] = (
+        exp.groupby("pattern")["term"].apply(list).to_dict()
+    )
+    full = {
+        qid: (base, sorted(set(by_pre.get(pre, ()))))
+        for qid, (base, pre) in plan.items()
+    }
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def mbp_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        reader = searcher.inner.reader
+        q_out, id_out, sc_out = [], [], []
+        for qid in g.column("qid").to_pylist():
+            base_terms, exps = full.get(qid, ((), ()))
+            pls_base = [
+                (t, reader.postings(t)) for t in base_terms
+            ]
+            pls_base = [(t, pl) for t, pl in pls_base if pl is not None]
+            pls_exp = [reader.postings(t) for t in exps]
+            pls_exp = [pl for pl in pls_exp if pl is not None]
+            arrays = [pl.ids for _t, pl in pls_base] + [
+                pl.ids for pl in pls_exp
+            ]
+            if not arrays:
+                continue
+            cand = arrays[0]
+            for arr in arrays[1:]:
+                cand = np.union1d(cand, arr)
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for _t, pl in pls_base:  # ascending term order
+                _dense(pl, reader)
+                idx = np.searchsorted(pl.ids, cand)
+                ok = idx < pl.ids.size
+                ok[ok] &= pl.ids[np.minimum(idx, pl.ids.size - 1)][
+                    ok
+                ] == cand[ok]
+                scores[ok] += pl.dense_contrib[idx[ok]]
+            if pls_exp:
+                eids = pls_exp[0].ids
+                for pl in pls_exp[1:]:
+                    eids = np.union1d(eids, pl.ids)
+                pos = np.searchsorted(eids, cand)
+                member = pos < eids.size
+                member[member] &= eids[np.minimum(pos, eids.size - 1)][
+                    member
+                ] == cand[member]
+                scores[member] += 1.0
+            ids, sc = _rank_topk(cand, scores, top_k)
+            q_out.extend([qid] * ids.size)
+            id_out.append(ids)
+            sc_out.append(sc)
+        return pa.table(
+            {
+                "qid": pa.array(q_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g):
+        import pandas as pd  # noqa: F401
+
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["did"] = g["doc_id"].astype(str)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "did", "doc_id", "score", "rank"]]
+
+    qds = rd.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array(sorted(full)),
+                "text": pa.array([""] * len(full)),
+            }
+        )
+    )
+    return (
+        qds.map_batches(_qtext_explode(bounds), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(mbp_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )

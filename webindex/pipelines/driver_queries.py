@@ -6448,6 +6448,113 @@ SELECT qid, doc_id, rank FROM (
 """
 
 
+def q_terms_set_top10(sf_dir: str):
+    """ES terms_set with minimum_should_match_field: each doc requires
+    (n_chars % 3) + 1 distinct query terms present (pinned per-doc rule
+    both engines re-derive), scored as the OR-match BM25 sum of present
+    terms (webindex/search.py terms_set_queries)."""
+    from webindex.search import terms_set_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = terms_set_queries(_queries_ds(), idx, "n_chars", top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TERMS_SET_TOP10 = _sql_bm25_scores() + f"""
+, dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+mt AS (
+  SELECT q.qid, d.doc_id, count(DISTINCT q.term)::BIGINT AS c
+  FROM qterms q JOIN dterms d ON d.term = q.term
+  GROUP BY q.qid, d.doc_id
+),
+keep AS (
+  SELECT m.qid, m.doc_id
+  FROM mt m JOIN documents dd ON dd.doc_id = m.doc_id
+  WHERE m.c >= (dd.n_chars % 3) + 1
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER
+             AS rank
+  FROM scores s JOIN keep k ON k.qid = s.qid AND k.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
+MBP_QUERIES = [("mb1", "merge jo"), ("mb2", "customer ord"),
+               ("mb3", "fast sl")]
+
+
+def q_match_bool_prefix_top10(sf_dir: str):
+    """ES match_bool_prefix: base terms score OR-match BM25, the last
+    term is a PREFIX contributing constant 1.0 when any of its top-50
+    dictionary expansions is present (Lucene PrefixQuery CONSTANT_SCORE
+    rewrite inside the bool — unlike match_phrase_prefix, the open-ended
+    clause gets no idf). One dict scan + shard fan-out
+    (webindex/lexicon.py match_bool_prefix)."""
+    from webindex.lexicon import match_bool_prefix
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = match_bool_prefix(MBP_QUERIES, idx, top_k=TOPK,
+                             max_expansions=50)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def _mbp_base_values_sql() -> str:
+    rows = [
+        f"('{qid}', '{t}')"
+        for qid, text in MBP_QUERIES
+        for t in sorted(set(_sql_an.tokens(text)[:-1]))
+    ]
+    rows = rows or ["('__none__', '__none__')"]
+    return f"(VALUES {', '.join(rows)}) AS q(qid, term)"
+
+
+def _mbp_prefix_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{_sql_an.tokens(text)[-1]}')"
+        for qid, text in MBP_QUERIES
+    )
+    return f"(VALUES {rows}) AS v(qid, pat)"
+
+
+SQL_MATCH_BOOL_PREFIX = _sql_bm25_scores(_mbp_base_values_sql()) + f"""
+, pexp AS (
+  SELECT DISTINCT v.qid, e.term
+  FROM {_mbp_prefix_values_sql()},
+  LATERAL (
+    SELECT term FROM df WHERE starts_with(term, v.pat)
+    ORDER BY df DESC, term LIMIT 50
+  ) e
+),
+pdocs AS (
+  SELECT DISTINCT px.qid, tk.doc_id
+  FROM pexp px JOIN toks tk ON tk.term = px.term
+),
+un AS (
+  SELECT coalesce(s.qid, p.qid) AS qid,
+         coalesce(s.doc_id, p.doc_id) AS doc_id,
+         coalesce(s.score, 0.0)
+         + CASE WHEN p.qid IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+  FROM scores s
+  FULL JOIN pdocs p ON p.qid = s.qid AND p.doc_id = s.doc_id
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM un
+) WHERE rank <= {TOPK}
+"""
+
+
 SQ8_K, SQ8_OVERSAMPLE = 5, 4
 
 
@@ -9178,6 +9285,9 @@ REGISTRY: dict[str, tuple] = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "ann_sq8_top5": (q_ann_sq8_top5, SQL_ANN_SQ8_TOP5),
+    "match_bool_prefix": (q_match_bool_prefix_top10,
+                          SQL_MATCH_BOOL_PREFIX),
+    "terms_set_top10": (q_terms_set_top10, SQL_TERMS_SET_TOP10),
     "has_child_top10": (q_has_child_top10, SQL_HAS_CHILD_TOP10),
     "has_child_sum_top10": (q_has_child_sum_top10,
                             SQL_HAS_CHILD_SUM_TOP10),

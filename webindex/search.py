@@ -3261,3 +3261,99 @@ def decay_queries(queries_ds, index_dir: str, col: str, *,
         .groupby("qid")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def terms_set_queries(queries_ds, index_dir: str, m_col: str, *,
+                      top_k: int = 10, m_mod: int = 3,
+                      n_shards: int = SEARCH_SHARDS):
+    """queries(qid, text) -> runs: the ES ``terms_set`` query with
+    ``minimum_should_match_field`` — each DOC carries its own required
+    match count, here derived from the ``m_col`` integer docvalue as
+    ``(value % m_mod) + 1`` (a pinned per-doc requirement both engines
+    re-derive); a doc matches when it contains at least that many
+    DISTINCT query terms, scored as the ordinary OR-match BM25 sum of
+    the present terms (ascending unicode). Docs lacking the docvalue
+    never match (ES missing-field semantics).
+
+    Per shard: one scatter pass accumulates both the distinct-term count
+    and the score over the union candidate set; the per-doc cut composes
+    with the exact (score desc, docID asc) scatter-gather merge because
+    the requirement is a per-document property."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import _dense, _rank_topk
+
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def ts_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        s = searcher.inner
+        reader = s.reader
+        reader._load_docvalues([m_col])
+        arr, valid = reader._dv[m_col]
+        mvals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_ids = reader._dl_ids
+        q_out, id_out, sc_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = sorted(set(s.an.tokens(text or "")))
+            pls = [reader.postings(t) for t in terms]
+            pls = [pl for pl in pls if pl is not None]
+            if not pls:
+                continue
+            cand = pls[0].ids
+            for pl in pls[1:]:
+                cand = np.union1d(cand, pl.ids)
+            scores = np.zeros(cand.size, dtype=np.float64)
+            cnt = np.zeros(cand.size, dtype=np.int64)
+            for pl in pls:  # ascending term order
+                idx = np.searchsorted(pl.ids, cand)
+                ok = idx < pl.ids.size
+                ok[ok] &= pl.ids[np.minimum(idx, pl.ids.size - 1)][
+                    ok
+                ] == cand[ok]
+                _dense(pl, reader)
+                scores[ok] += pl.dense_contrib[idx[ok]]
+                cnt[ok] += 1
+            pos = np.searchsorted(dl_ids, cand)
+            ok_dv = valid[pos]
+            req = (mvals[pos] % m_mod) + 1
+            keep = ok_dv & (cnt >= req)
+            ids, sc = _rank_topk(cand[keep], scores[keep], top_k)
+            q_out.extend([qid] * ids.size)
+            id_out.append(ids)
+            sc_out.append(sc)
+        return pa.table(
+            {
+                "qid": pa.array(q_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["did"] = g["doc_id"].astype(str)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "did", "doc_id", "score", "rank"]]
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(ts_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )
