@@ -475,3 +475,38 @@ def test_field_term_to_sql_duckdb_identity(index_dir, field_index_dirs):
         for (_, _, gs), (_, _, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-12, q
     con.close()
+
+
+def test_fuzzy_leaf_equals_fuzzy_search(index_dir):
+    """query_string `word~N` == the dedicated fuzzy path (same Lucene
+    top-terms rewrite, each expansion with its own idf)."""
+    from webindex.lexicon import fuzzy_search
+
+    got = _runs(query_string_search([("x", "rare1~1")], index_dir))
+    want = _runs(fuzzy_search([("x", "rare1")], index_dir, top_k=10,
+                              max_edits=1, max_expansions=50).map_batches(
+        lambda t: t.select(["qid", "doc_id", "score", "rank"]),
+        batch_format="pyarrow",
+    ))
+    assert want and got == want
+
+
+def test_fuzzy_leaf_edits_and_composition(index_dir):
+    """~0 == the exact term; bare ~ widens to 2 edits (superset of 1);
+    fuzzy composes with plain terms through the bool tree."""
+    exact = _runs(query_string_search([("x", "rare1~0")], index_dir))
+    plain = _runs(query_string_search([("x", "rare1")], index_dir))
+    assert exact == plain
+    one = {r[2] for r in _runs(
+        query_string_search([("x", "rare1~1")], index_dir, top_k=1000))}
+    two = {r[2] for r in _runs(
+        query_string_search([("x", "rare1~")], index_dir, top_k=1000))}
+    # rare1 -> rare1/rare2 at 1 edit; 2 edits must never shrink matches
+    assert one and one <= two
+    both = _runs(query_string_search([("x", "alpha rare2~1")], index_dir))
+    assert both  # composes without error
+
+
+def test_fuzzy_wildcard_mix_rejected():
+    with pytest.raises(QueryStringError, match="fuzzy and wildcard"):
+        parse_query_string("ra*e~1")

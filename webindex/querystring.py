@@ -12,7 +12,7 @@ is famously inconsistent; ours is conventional and documented):
     or     := and ((OR | <adjacency>) and)*      -- default_operator=OR
     and    := unary (AND unary)*
     unary  := (NOT | '+' | '-')* atom ('^' NUMBER)?
-    atom   := '(' or ')' | '"' words '"' ('~' INT)? | WORD
+    atom   := '(' or ')' | '"' words '"' ('~' INT)? | WORD ('~' [012])?
             | FIELD ':' VALUE | FIELD ':[' (INT|'*') TO (INT|'*') ']'
 
 and maps it onto the Lucene BooleanQuery model: an OR-group's clauses are
@@ -172,6 +172,7 @@ _RANGE_RE = re.compile(
     r"\[(?P<lo>\*|-?\d+) TO (?P<hi>\*|-?\d+)\]$"
 )
 _BOOST_RE = re.compile(r"^(?P<body>.*?)\^(?P<boost>\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(?P<body>[^~]+)~(?P<edits>[012]?)$")
 
 
 class QueryStringError(ValueError):
@@ -318,6 +319,15 @@ class _Parser:
             if fm:
                 return ("rawfield", fm.group("col"), fm.group("val"),
                         boost)
+            zm = _FUZZY_RE.match(val)
+            if zm:
+                body = zm.group("body")
+                if "*" in body or "?" in body:
+                    raise QueryStringError(
+                        f"fuzzy and wildcard do not combine: {val!r}"
+                    )
+                edits = int(zm.group("edits") or 2)  # bare ~ = 2 (Lucene)
+                return ("rawfuzzy", body, edits, boost)
             return ("rawword", val, boost)
         raise QueryStringError(f"unexpected {val!r}")
 
@@ -361,6 +371,21 @@ def bind(node, analyzer, expansions: dict[str, list[str]] | None = None,
                 return FieldTerm(col, terms[0], boost)
             return Bool([("should", FieldTerm(col, t, boost))
                          for t in terms])
+        if kind == "rawfuzzy":
+            # the Lucene top-terms fuzzy rewrite: the analyzed term's
+            # dictionary neighbours within N edits, each scored with its
+            # OWN idf (df desc, term asc order — same as wildcards);
+            # reuses the Wildcard leaf, whose eval is exactly that
+            _, word, edits, boost = node
+            terms = analyzer.tokens(word)
+            if not terms:
+                return Nothing(boost)
+            if len(terms) != 1:
+                raise QueryStringError(
+                    f"fuzzy word must analyze to one term: {word!r}"
+                )
+            key = f"{terms[0]}~{edits}"
+            return Wildcard(key, boost, (expansions or {}).get(key))
         if kind == "rawword":
             _, word, boost = node
             if "*" in word or "?" in word:
@@ -394,6 +419,20 @@ def bind(node, analyzer, expansions: dict[str, list[str]] | None = None,
             raise QueryStringError("pure-negative query matches nothing")
         return out
     return node
+
+
+def fuzzy_patterns(node) -> list[tuple[str, int]]:
+    """All (word, edits) fuzzy leaves in a raw AST (driver rewrite)."""
+    if isinstance(node, tuple):
+        if node[0] == "rawfuzzy":
+            return [(node[1], node[2])]
+        return []
+    if isinstance(node, Bool):
+        out = []
+        for _, c in node.clauses:
+            out.extend(fuzzy_patterns(c))
+        return out
+    return []
 
 
 def wildcard_patterns(node) -> list[str]:
@@ -806,6 +845,25 @@ def query_string_search(queries: list[tuple[str, str]], index_dir: str, *,
             lambda t, p: res[p].fullmatch(t) is not None, max_expansions,
         )
         expansions = exp.groupby("pattern")["term"].apply(list).to_dict()
+    fpats = sorted({fp for r in raw.values() for fp in fuzzy_patterns(r)})
+    if fpats:
+        from webindex.lexicon import fuzzy_expand
+
+        by_edits: dict[int, list[str]] = {}
+        keyof: dict[tuple[str, int], str] = {}
+        for word, edits in fpats:
+            terms = an.tokens(word)
+            if len(terms) != 1:
+                continue  # bind() raises/Nothing-s; nothing to expand
+            by_edits.setdefault(edits, []).append(terms[0])
+            keyof[(word, edits)] = f"{terms[0]}~{edits}"
+        for edits, terms in sorted(by_edits.items()):
+            fx = fuzzy_expand(
+                index_dir, terms, max_edits=edits,
+                max_expansions=max_expansions,
+            )
+            for t, grp in fx.groupby("qterm"):
+                expansions[f"{t}~{edits}"] = grp["term"].tolist()
     bound = {
         qid: bind(r, an, expansions, text_fields=tuple(field_dirs))
         for qid, r in raw.items()
