@@ -226,7 +226,7 @@ def cmd_keywords(args) -> int:
     )
     out = textrank_keywords(ds, top_k=args.top_k).to_pandas()
     for row in out.sort_values("rank").itertuples(index=False):
-        print(f"{row.rank}\t{row.term}\t{row.score:.6f}")
+        print(f"{row.rank}\t{row.term}\t{row.score_q}")
     return 0
 
 
