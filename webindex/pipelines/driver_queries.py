@@ -8920,6 +8920,92 @@ SELECT qid, doc_id, rank, score_r FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# ES rank_feature / distance_feature (search.rank_feature_queries /
+# distance_feature_queries): ADDITIVE static-signal boosts over a numeric
+# docvalue — final = bm25 + contrib(v). Single adds/divides are
+# engine-portable; ln is per-distinct math.log (bit-identical to DuckDB).
+# ---------------------------------------------------------------------------
+
+RF_PIVOT, RF_BOOST = 300.0, 1.5
+RF_LOG_SCALING, RF_LOG_BOOST = 1.0, 0.7
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 350.0, 120.0, 2.0
+
+
+def _runs_round6_proj(t: pa.Table) -> pa.Table:
+    sc = [round(x, 6) for x in t.column("score").to_pylist()]
+    return pa.table(
+        {
+            "qid": t.column("qid"),
+            "doc_id": t.column("doc_id"),
+            "rank": t.column("rank"),
+            "score_r": pa.array(sc, pa.float64()),
+        }
+    )
+
+
+def q_rank_feature_top10(sf_dir: str):
+    from webindex.search import rank_feature_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = rank_feature_queries(
+        _queries_ds(), idx, "n_chars", function="saturation",
+        pivot=RF_PIVOT, boost=RF_BOOST, top_k=TOPK,
+    )
+    return runs.map_batches(_runs_round6_proj, batch_format="pyarrow")
+
+
+def q_rank_feature_log_top10(sf_dir: str):
+    from webindex.search import rank_feature_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = rank_feature_queries(
+        _queries_ds(), idx, "n_chars", function="log",
+        scaling=RF_LOG_SCALING, boost=RF_LOG_BOOST, top_k=TOPK,
+    )
+    return runs.map_batches(_runs_round6_proj, batch_format="pyarrow")
+
+
+def q_distance_feature_top10(sf_dir: str):
+    from webindex.search import distance_feature_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = distance_feature_queries(
+        _queries_ds(), idx, "n_chars", origin=DF_ORIGIN, pivot=DF_PIVOT,
+        boost=DF_BOOST, top_k=TOPK,
+    )
+    return runs.map_batches(_runs_round6_proj, batch_format="pyarrow")
+
+
+def _sql_additive_feature(contrib_sql: str) -> str:
+    return _sql_bm25_scores() + f"""
+, nc AS (SELECT doc_id, n_chars FROM documents),
+rf AS (
+  SELECT s.qid, s.doc_id, s.score + {contrib_sql} AS score
+  FROM scores s JOIN nc ON nc.doc_id = s.doc_id
+)
+SELECT qid, doc_id, rank, score_r FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank,
+         round(score, 6) AS score_r
+  FROM rf
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_RANK_FEATURE_TOP10 = _sql_additive_feature(
+    f"{RF_BOOST!r} * (nc.n_chars / (nc.n_chars + {RF_PIVOT!r}))"
+)
+SQL_RANK_FEATURE_LOG_TOP10 = _sql_additive_feature(
+    f"{RF_LOG_BOOST!r} * ln({RF_LOG_SCALING!r} + nc.n_chars)"
+)
+SQL_DISTANCE_FEATURE_TOP10 = _sql_additive_feature(
+    f"{DF_BOOST!r} * ({DF_PIVOT!r} / "
+    f"({DF_PIVOT!r} + abs(nc.n_chars - {DF_ORIGIN!r})))"
+)
+
+
 # query_string docvalue leaves: field:value / field:[LO TO HI] are
 # constant-score predicates over the index's attribute sidecar (lang,
 # source, n_chars) — ES's filter-in-query-context. Same two-backend
@@ -9167,6 +9253,11 @@ REGISTRY: dict[str, tuple] = {
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "decay_top10": (q_decay_top10, SQL_DECAY_TOP10),
+    "rank_feature_top10": (q_rank_feature_top10, SQL_RANK_FEATURE_TOP10),
+    "rank_feature_log_top10": (q_rank_feature_log_top10,
+                               SQL_RANK_FEATURE_LOG_TOP10),
+    "distance_feature_top10": (q_distance_feature_top10,
+                               SQL_DISTANCE_FEATURE_TOP10),
     "rerank_overlap": (q_rerank_overlap, SQL_RERANK_OVERLAP),
     "docs_by_lang": (q_docs_by_lang, SQL_DOCS_BY_LANG),
     "top_longest": (q_top_longest, SQL_TOP_LONGEST),

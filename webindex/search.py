@@ -3357,3 +3357,180 @@ def terms_set_queries(queries_ds, index_dir: str, m_col: str, *,
         .groupby("qid")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _additive_dv_queries(queries_ds, index_dir: str, col: str, contrib_fn, *,
+                         top_k: int, match: str, filter_pred,
+                         n_shards: int):
+    """Shared kernel for ADDITIVE docvalue feature queries — the ES
+    ``rank_feature`` / ``distance_feature`` clauses inside a bool
+    ``should``: every doc in the BM25 match set scores
+
+        final = bm25 + contrib(docvalue)
+
+    and docs missing the docvalue keep bare BM25 (contribution 0, the ES
+    missing-field convention: a rank_feature should-clause that cannot
+    match contributes nothing and never filters).
+
+    WAND/theta bounds are invalid under a per-doc bonus (a boosted doc
+    can outrank one the pruner would keep), so each shard rescored its
+    whole match set (force_exhaustive) and emits a local top-k; the
+    bonus is a per-document property, so the exact (score desc, docID
+    asc) scatter-gather merge proof of ``decay_queries`` carries over
+    unchanged. Float-op order inside ``contrib_fn`` is pinned to the SQL
+    oracle text (driver_queries SQL_RANK_FEATURE_* — single adds/divides
+    are engine-portable; ln is evaluated per DISTINCT argument with
+    scalar math.log, measured bit-identical to DuckDB's ln())."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import _rank_topk
+
+    filter_pred = (
+        tuple(tuple(c) for c in filter_pred) if filter_pred else None
+    )
+    bounds = shard_salt_bounds(index_dir, n_shards)
+
+    def feat_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_ids = s.reader._dl_ids
+        qid_out, id_out, sc_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            terms = s.an.tokens(text or "")
+            ids, scores = s._ranked(
+                terms, max(int(dl_ids.size), 1), force_exhaustive=True
+            )
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(dl_ids, ids)
+            ok = valid[pos]
+            final = scores.copy()
+            if ok.any():
+                final[ok] = scores[ok] + contrib_fn(vals_np[pos[ok]])
+            tids, tsc = _rank_topk(ids, final, top_k)
+            qid_out.extend([qid] * tids.size)
+            id_out.append(tids)
+            sc_out.append(tsc)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "rank"]]
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(feat_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def rank_feature_queries(queries_ds, index_dir: str, col: str, *,
+                         function: str = "saturation", pivot: float = None,
+                         boost: float = 1.0, scaling: float = 1.0,
+                         exponent: int = 2, top_k: int = 10,
+                         match: str = "or", filter_pred=None,
+                         n_shards: int = SEARCH_SHARDS):
+    """The ES ``rank_feature`` query (static-signal boosting — how web
+    search folds pagerank/url_length/freshness features into BM25):
+
+        saturation : final = bm25 + boost * (v / (v + pivot))
+        log        : final = bm25 + boost * ln(scaling + v)
+        sigmoid    : final = bm25 + boost * (v^e / (v^e + pivot^e))
+
+    ``v`` is the ``col`` docvalue; ``e`` (sigmoid) is a positive INTEGER
+    exponent evaluated by repeated multiplication so the float op
+    sequence is engine-portable (pow() bit-identity across engines is
+    not established; repeated multiply is). Reference analog: the
+    function_score composition SGPT's web-ranking notebooks delegate to
+    ES (SURVEY.md §2.6); sibling of web_rank_top10's linear blend."""
+    import math
+
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(
+            f"function must be saturation/log/sigmoid, got {function!r}"
+        )
+    if function in ("saturation", "sigmoid"):
+        if pivot is None or not pivot > 0:
+            raise ValueError("pivot must be > 0")
+    e = int(exponent)
+    if function == "sigmoid" and e < 1:
+        raise ValueError("exponent must be a positive integer")
+
+    if function == "saturation":
+        def contrib(v: np.ndarray) -> np.ndarray:
+            return boost * (v / (v + pivot))
+    elif function == "log":
+        def contrib(v: np.ndarray) -> np.ndarray:
+            args = scaling + v
+            uniq, inv = np.unique(args, return_inverse=True)
+            ln = np.fromiter(
+                (math.log(a) for a in uniq.tolist()), np.float64, uniq.size
+            )
+            return boost * ln[inv]
+    else:
+        pe = 1.0
+        for _ in range(e):
+            pe = pe * pivot
+
+        def contrib(v: np.ndarray) -> np.ndarray:
+            ve = v.copy()
+            for _ in range(e - 1):
+                ve = ve * v
+            return boost * (ve / (ve + pe))
+
+    return _additive_dv_queries(
+        queries_ds, index_dir, col, contrib, top_k=top_k, match=match,
+        filter_pred=filter_pred, n_shards=n_shards,
+    )
+
+
+def distance_feature_queries(queries_ds, index_dir: str, col: str, *,
+                             origin: float, pivot: float,
+                             boost: float = 1.0, top_k: int = 10,
+                             match: str = "or", filter_pred=None,
+                             n_shards: int = SEARCH_SHARDS):
+    """The ES ``distance_feature`` query (recency/proximity boosting):
+
+        final = bm25 + boost * (pivot / (pivot + |v - origin|))
+
+    over a numeric/timestamp docvalue ``v``. Unlike function_score decay
+    (multiplicative, decay_queries) this is ADDITIVE — a far doc keeps
+    its full BM25 score; only the bonus fades."""
+    if not pivot > 0:
+        raise ValueError("pivot must be > 0")
+
+    def contrib(v: np.ndarray) -> np.ndarray:
+        d = np.abs(v - origin)
+        return boost * (pivot / (pivot + d))
+
+    return _additive_dv_queries(
+        queries_ds, index_dir, col, contrib, top_k=top_k, match=match,
+        filter_pred=filter_pred, n_shards=n_shards,
+    )
