@@ -8921,6 +8921,115 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# Lucene/ES intervals query family (webindex/intervals.py): minimal-
+# interval algebra (match/any_of/all_of + containing-family filters) over
+# the positional index. The oracle replays existence (and, for the
+# NOT-filter, MINIMALITY via a NOT EXISTS contained-chain subquery)
+# with exhaustive position self-joins over the pos CTE; matched docs
+# rank by the shared OR-match BM25 scores over each query's leaf terms.
+# ---------------------------------------------------------------------------
+
+INTERVAL_QUERIES: list[tuple[str, dict]] = [
+    ("i1", {"match": {"query": "merge join", "ordered": True,
+                      "max_gaps": 3}}),
+    ("i2", {"any_of": {"intervals": [
+        {"match": {"query": "fast key", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "slow query", "ordered": True, "max_gaps": 0}},
+    ]}}),
+    ("i3", {"all_of": {"ordered": True, "max_gaps": 4, "intervals": [
+        {"match": {"query": "merge join", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "sort"}},
+    ]}}),
+    ("i4", {"match": {"query": "hash table", "ordered": True, "max_gaps": 3,
+            "filter": {"not_containing": {"match": {"query": "scan"}}}}}),
+    ("i5", {"match": {"query": "window stream", "max_gaps": 5}}),
+]
+
+
+def q_intervals_top10(sf_dir: str):
+    from webindex.intervals import intervals_search
+
+    idx = ensure_index(sf_dir, "pos")
+    runs = intervals_search(INTERVAL_QUERIES, idx, top_k=TOPK)
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _interval_terms_values_sql() -> str:
+    from webindex.intervals import leaf_terms, parse_intervals
+
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, spec in INTERVAL_QUERIES
+        for t in leaf_terms(parse_intervals(spec, _sql_an))
+    )
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+_INTERVAL_MATCH_SQLS = [
+    # i1: ordered match, gaps (p1-p0)-1 <= 3 (existence; gaps cut is
+    # monotone under containment so minimality is immaterial)
+    "SELECT DISTINCT 'i1' AS qid, t0.doc_id FROM pos t0 "
+    "JOIN pos t1 ON t1.doc_id = t0.doc_id "
+    "WHERE t0.term = 'merge' AND t1.term = 'join' AND t1.p > t0.p "
+    "AND (t1.p - t0.p) - 1 <= 3",
+    # i2: any_of of two exact adjacencies
+    "SELECT DISTINCT 'i2' AS qid, t0.doc_id FROM pos t0 "
+    "JOIN pos t1 ON t1.doc_id = t0.doc_id "
+    "WHERE (t0.term = 'fast' AND t1.term = 'key' AND t1.p = t0.p + 1) "
+    "OR (t0.term = 'slow' AND t1.term = 'query' AND t1.p = t0.p + 1)",
+    # i3: all_of(ordered, max_gaps=4) of [adjacent 'merge join', 'sort']:
+    # envelope coverage gaps = (ps - pa + 1) - 3
+    "SELECT DISTINCT 'i3' AS qid, t0.doc_id FROM pos t0 "
+    "JOIN pos t1 ON t1.doc_id = t0.doc_id "
+    "JOIN pos t2 ON t2.doc_id = t0.doc_id "
+    "WHERE t0.term = 'merge' AND t1.term = 'join' AND t1.p = t0.p + 1 "
+    "AND t2.term = 'sort' AND t2.p > t1.p "
+    "AND (t2.p - t0.p + 1) - 3 <= 4",
+    # i4: MINIMAL ordered 'hash table' chains (no contained chain),
+    # gaps <= 3, not containing a 'scan' occurrence
+    "SELECT DISTINCT 'i4' AS qid, a.doc_id FROM pos a "
+    "JOIN pos b ON b.doc_id = a.doc_id "
+    "WHERE a.term = 'hash' AND b.term = 'table' AND b.p > a.p "
+    "AND (b.p - a.p) - 1 <= 3 "
+    "AND NOT EXISTS (SELECT 1 FROM pos a2 JOIN pos b2 "
+    "  ON b2.doc_id = a2.doc_id WHERE a2.doc_id = a.doc_id "
+    "  AND a2.term = 'hash' AND b2.term = 'table' AND b2.p > a2.p "
+    "  AND a2.p >= a.p AND b2.p <= b.p "
+    "  AND NOT (a2.p = a.p AND b2.p = b.p)) "
+    "AND NOT EXISTS (SELECT 1 FROM pos g WHERE g.doc_id = a.doc_id "
+    "  AND g.term = 'scan' AND g.p BETWEEN a.p AND b.p)",
+    # i5: unordered match, window gaps = |pw-ps|+1-2 <= 5
+    "SELECT DISTINCT 'i5' AS qid, t0.doc_id FROM pos t0 "
+    "JOIN pos t1 ON t1.doc_id = t0.doc_id "
+    "WHERE t0.term = 'window' AND t1.term = 'stream' "
+    "AND abs(t1.p - t0.p) <= 6",
+]
+
+
+def _sql_intervals_top10() -> str:
+    return _sql_bm25_scores(_interval_terms_values_sql()) + f"""
+, dt AS (SELECT doc_id, {_TOK_SQL} AS tl FROM documents WHERE text <> ''),
+pos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(len(tl))) AS p FROM dt
+),
+pm AS (
+  {" UNION ALL ".join(_INTERVAL_MATCH_SQLS)}
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_INTERVALS_TOP10 = _sql_intervals_top10()
+
+
+# ---------------------------------------------------------------------------
 # ES rank_feature / distance_feature (search.rank_feature_queries /
 # distance_feature_queries): ADDITIVE static-signal boosts over a numeric
 # docvalue — final = bm25 + contrib(v). Single adds/divides are
@@ -9370,6 +9479,7 @@ REGISTRY: dict[str, tuple] = {
     "regexp_top10": (q_regexp_top10, SQL_REGEXP_TOP10),
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
+    "intervals_top10": (q_intervals_top10, SQL_INTERVALS_TOP10),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
