@@ -8921,6 +8921,129 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# C4 cleaning rules (textstats.c4_filters, Raffel et al. 2020 §2.2): the
+# documents table is deterministically re-lined (7-word lines; terminal
+# '.' when (doc_id+ln)%3 != 0; pinned trigger lines appended by doc_id
+# mod) so the LINE-level rules act non-trivially, then the full rule set
+# runs in both engines over identical strings — kept_text string identity
+# is part of the hash.
+# ---------------------------------------------------------------------------
+
+from webindex.textstats import C4_MIN_KEPT_LINES as _C4_MINL
+from webindex.textstats import C4_MIN_LINE_WORDS as _C4_MINW
+
+C4_LINE_WORDS = 7
+C4_EXTRAS = [
+    (89, "lorem ipsum dolor sit amet.", 5),
+    (97, "var x = { a };", 6),
+    (101, "this page has badword1 content.", 5),
+    (83, "click here to enable javascript now.", 6),
+]
+
+
+def _c4_lined(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = []
+    for did, text in zip(ids, texts):
+        words = (text or "").split()
+        lines = []
+        for ln in range(0, (len(words) + C4_LINE_WORDS - 1)
+                        // C4_LINE_WORDS):
+            lt = " ".join(
+                words[ln * C4_LINE_WORDS:(ln + 1) * C4_LINE_WORDS]
+            )
+            if (did + ln) % 3 != 0:
+                lt += "."
+            lines.append(lt)
+        for mod, extra, _nw in C4_EXTRAS:
+            if did % mod == 0:
+                lines.append(extra)
+        out.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+        }
+    )
+
+
+def q_c4_filters(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.textstats import c4_filters
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).filter(expr="text != ''")
+    lined = docs.map_batches(_c4_lined, batch_format="pyarrow")
+    return c4_filters(lined, badwords={"badword1"})
+
+
+_C4_WORDSET = (
+    "list_transform(str_split(lt, ' '), x -> rtrim(lower(x), '.!?\"'))"
+)
+SQL_C4_FILTERS = f"""
+WITH dt AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\f\\r]+') AS wl
+  FROM documents WHERE text <> ''
+),
+words AS (
+  SELECT doc_id, unnest(wl) AS w, unnest(range(len(wl))) AS i FROM dt
+),
+lines0 AS (
+  SELECT doc_id, i // {C4_LINE_WORDS} AS ln,
+         string_agg(w, ' ' ORDER BY i) AS lt0, count(*)::BIGINT AS nw
+  FROM words GROUP BY doc_id, (i // {C4_LINE_WORDS})
+),
+lines1 AS (
+  SELECT doc_id, ln,
+         CASE WHEN (doc_id + ln) % 3 <> 0 THEN lt0 || '.' ELSE lt0 END AS lt,
+         nw
+  FROM lines0
+),
+extras AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {1000000 + j} AS ln, '{extra}' AS lt, "
+      f"{nw}::BIGINT AS nw FROM dt WHERE doc_id % {mod} = 0"
+      for j, (mod, extra, nw) in enumerate(C4_EXTRAS)
+  )}
+),
+lines AS (SELECT * FROM lines1 UNION ALL SELECT * FROM extras),
+flags AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+    max(CASE WHEN contains(lower(lt), 'lorem ipsum')
+             THEN 1 ELSE 0 END)::BIGINT AS has_lorem,
+    max(CASE WHEN contains(lt, '{{') THEN 1 ELSE 0 END)::BIGINT AS has_brace,
+    max(CASE WHEN list_contains({_C4_WORDSET}, 'badword1')
+             THEN 1 ELSE 0 END)::BIGINT AS has_badword
+  FROM lines GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, ln, lt, nw FROM lines
+  WHERE regexp_matches(lt, '[.!?"]$') AND nw >= {_C4_MINW}
+    AND NOT list_contains({_C4_WORDSET}, 'javascript')
+),
+ka AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept_lines,
+         sum(nw)::BIGINT AS n_kept_words,
+         string_agg(lt, chr(10) ORDER BY ln) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_lines,
+  coalesce(k.n_kept_lines, 0)::BIGINT AS n_kept_lines,
+  coalesce(k.n_kept_words, 0)::BIGINT AS n_kept_words,
+  f.has_badword, f.has_lorem, f.has_brace,
+  (CASE WHEN coalesce(k.n_kept_lines, 0) >= {_C4_MINL}
+        AND f.has_badword = 0 AND f.has_lorem = 0 AND f.has_brace = 0
+        THEN 1 ELSE 0 END)::BIGINT AS keep,
+  coalesce(k.kept_text, '') AS kept_text
+FROM flags f LEFT JOIN ka k ON k.doc_id = f.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Lucene/ES intervals query family (webindex/intervals.py): minimal-
 # interval algebra (match/any_of/all_of + containing-family filters) over
 # the positional index. The oracle replays existence (and, for the
@@ -9480,6 +9603,7 @@ REGISTRY: dict[str, tuple] = {
     "wildcard_top10": (q_wildcard_top10, SQL_WILDCARD_TOP10),
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "intervals_top10": (q_intervals_top10, SQL_INTERVALS_TOP10),
+    "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
