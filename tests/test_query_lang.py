@@ -1899,3 +1899,35 @@ def test_terms_set_matches_brute(index_dir, oracle):
         assert [
             (int(d), float(s)) for d, s in zip(g["doc_id"], g["score"])
         ] == want, qid
+
+
+def test_pinned_matches_brute(index_dir, oracle):
+    """ES pinned query: pins first in given order (unmatched pins score
+    0.0), organic BM25 fills the rest excluding pins."""
+    from webindex.search import pinned_queries
+
+    k = 8
+    pins = {"q1": [140, 3], "q4": [0, 1, 2]}
+    runs = pinned_queries(
+        _queries_ds(QUERIES[:2] + [("q4", "rare2")]), index_dir, pins,
+        top_k=k,
+    )
+    got = {}
+    for r in sorted(runs.take_all(), key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["score"], r["pinned"])
+        )
+    for qid, text in [("q1", QUERIES[0][1]), ("q2", QUERIES[1][1]),
+                      ("q4", "rare2")]:
+        scores = _oracle_all_scores(oracle, text)
+        p = [d for d in pins.get(qid, []) if d < N_DOCS]
+        want = [(d, scores.get(d, 0.0), 1) for d in p]
+        org = sorted(
+            ((d, s) for d, s in scores.items() if d not in p),
+            key=lambda t: (-t[1], t[0]),
+        )
+        want += [(d, s, 0) for d, s in org]
+        want = want[:k]
+        assert got[qid] == [
+            (d, pytest.approx(s, rel=1e-12), f) for d, s, f in want
+        ], qid

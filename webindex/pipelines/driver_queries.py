@@ -8921,6 +8921,81 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# ES pinned query (search.pinned_queries): promoted ids rank first in
+# the given order (even when they don't match the organic query), then
+# the organic BM25 ranking fills the rest, pins excluded.
+# ---------------------------------------------------------------------------
+
+PINNED_IDS: dict[str, list[int]] = {
+    "q1": [371, 42],      # 42 likely unmatched by q1 -> score 0.0 pin
+    "q3": [7],
+    "q6": [123, 9, 450],
+}
+
+
+def q_pinned_top10(sf_dir: str):
+    from webindex.search import pinned_queries
+
+    idx = ensure_index(sf_dir, "nostem")
+    runs = pinned_queries(_queries_ds(), idx, PINNED_IDS, top_k=TOPK)
+
+    def proj(t: pa.Table) -> pa.Table:
+        sc = [round(x, 6) for x in t.column("score").to_pylist()]
+        return pa.table(
+            {
+                "qid": t.column("qid"),
+                "doc_id": t.column("doc_id"),
+                "score_r": pa.array(sc, pa.float64()),
+                "pinned": t.column("pinned"),
+                "rank": t.column("rank"),
+            }
+        )
+
+    return runs.map_batches(proj, batch_format="pyarrow")
+
+
+def _sql_pinned_top10() -> str:
+    rows = ", ".join(
+        f"('{qid}', {did}, {pos})"
+        for qid, ids in sorted(PINNED_IDS.items())
+        for pos, did in enumerate(ids)
+    )
+    return _sql_bm25_scores() + f"""
+, pins AS (SELECT * FROM (VALUES {rows}) p(qid, doc_id, pos)),
+pin_rows AS (
+  SELECT p.qid, p.doc_id, coalesce(s.score, 0.0) AS score, p.pos
+  FROM pins p
+  LEFT JOIN scores s ON s.qid = p.qid AND s.doc_id = p.doc_id
+  WHERE EXISTS (SELECT 1 FROM docs d WHERE d.doc_id = p.doc_id)
+),
+org AS (
+  SELECT s.qid, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id) AS r
+  FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.qid = s.qid AND p.doc_id = s.doc_id)
+),
+npins AS (SELECT qid, count(*) AS n FROM pin_rows GROUP BY qid),
+unioned AS (
+  SELECT qid, doc_id, score, 1 AS pinned,
+         row_number() OVER (PARTITION BY qid ORDER BY pos)::INTEGER AS rank
+  FROM pin_rows
+  UNION ALL
+  SELECT o.qid, o.doc_id, o.score, 0,
+         (o.r + coalesce(n.n, 0))::INTEGER
+  FROM org o LEFT JOIN npins n ON n.qid = o.qid
+)
+SELECT qid, doc_id, round(score, 6) AS score_r, pinned::BIGINT AS pinned,
+       rank
+FROM unioned WHERE rank <= {TOPK}
+"""
+
+
+SQL_PINNED_TOP10 = _sql_pinned_top10()
+
+
+# ---------------------------------------------------------------------------
 # C4 cleaning rules (textstats.c4_filters, Raffel et al. 2020 §2.2): the
 # documents table is deterministically re-lined (7-word lines; terminal
 # '.' when (doc_id+ln)%3 != 0; pinned trigger lines appended by doc_id
@@ -9604,6 +9679,7 @@ REGISTRY: dict[str, tuple] = {
     "span_near_top10": (q_span_near_top10, SQL_SPAN_NEAR_TOP10),
     "intervals_top10": (q_intervals_top10, SQL_INTERVALS_TOP10),
     "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
+    "pinned_top10": (q_pinned_top10, SQL_PINNED_TOP10),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),

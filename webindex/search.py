@@ -3534,3 +3534,116 @@ def distance_feature_queries(queries_ds, index_dir: str, col: str, *,
         queries_ds, index_dir, col, contrib, top_k=top_k, match=match,
         filter_pred=filter_pred, n_shards=n_shards,
     )
+
+
+def pinned_queries(queries_ds, index_dir: str, pinned: dict, *,
+                   top_k: int = 10, match: str = "or",
+                   n_shards: int = SEARCH_SHARDS):
+    """The ES ``pinned`` query (promoted results): per qid, the ids in
+    ``pinned[qid]`` rank FIRST in the given order (provided they exist
+    in the index — ES pins docs even when they don't match the organic
+    query), then the organic BM25 ranking fills the remaining slots,
+    pinned ids excluded. Pinned docs report their organic BM25 score
+    when they match and 0.0 otherwise, with ``pinned=1``.
+
+    Shard shape: each shard returns (a) any pinned docs it OWNS (docID
+    membership in its doclen subset) scored by the same ascending-term
+    fold as the OR scorer, and (b) its post-exclusion organic top-k from
+    a top-(k + |pins|) fetch — a superset of the global organic fill by
+    the usual exchange argument, so the scatter-gather merge is exact.
+    The organic path keeps WAND pruning (no exhaustive rescore: pinning
+    permutes ranks but never alters organic scores)."""
+    import pandas as pd
+
+    from webindex.serve import shard_salt_bounds
+    from webindex.wand import _dense
+
+    pinned = {q: list(ids) for q, ids in pinned.items()}
+    bounds = shard_salt_bounds(index_dir, n_shards)
+    _ORG_POS = 1 << 31
+
+    def pin_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, top_k, "auto", False)
+        s = searcher.inner
+        dl_ids = s.reader._dl_ids
+        rows = {"qid": [], "doc_id": [], "score": [], "pinned": [],
+                "pin_pos": []}
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            pins = pinned.get(qid, [])
+            terms = s.an.tokens(text or "")
+            # (a) pinned docs owned by this shard, scored by the same
+            # ascending-term fold as the OR scorer
+            owned = []
+            for pos, did in enumerate(pins):
+                j = int(np.searchsorted(dl_ids, did))
+                if j < dl_ids.size and dl_ids[j] == did:
+                    owned.append((pos, did))
+            if owned:
+                od = np.array([d for _, d in owned], np.int64)
+                order = np.argsort(od)
+                od_sorted = od[order]
+                sc = np.zeros(od.size, dtype=np.float64)
+                for t in sorted(set(terms)):
+                    pl = s.reader.postings(t)
+                    if pl is None:
+                        continue
+                    idx = np.searchsorted(pl.ids, od_sorted)
+                    ok = idx < pl.ids.size
+                    ok[ok] &= pl.ids[np.minimum(idx, pl.ids.size - 1)][
+                        ok
+                    ] == od_sorted[ok]
+                    _dense(pl, s.reader)
+                    sc_sorted = np.zeros(od.size, np.float64)
+                    sc_sorted[ok] = pl.dense_contrib[idx[ok]]
+                    inv = np.empty(od.size, np.int64)
+                    inv[order] = np.arange(od.size)
+                    sc += sc_sorted[inv]
+                for (pos, did), v in zip(owned, sc.tolist()):
+                    rows["qid"].append(qid)
+                    rows["doc_id"].append(did)
+                    rows["score"].append(v)
+                    rows["pinned"].append(1)
+                    rows["pin_pos"].append(pos)
+            # (b) organic top-k after excluding the pinned ids
+            ids, scores = s._ranked(terms, top_k + len(pins), False)
+            if ids.size:
+                keep = ~np.isin(ids, np.array(pins, np.int64)) \
+                    if pins else np.ones(ids.size, bool)
+                ids, scores = ids[keep][:top_k], scores[keep][:top_k]
+                rows["qid"].extend([qid] * ids.size)
+                rows["doc_id"].extend(ids.tolist())
+                rows["score"].extend(scores.tolist())
+                rows["pinned"].extend([0] * ids.size)
+                rows["pin_pos"].extend([_ORG_POS] * ids.size)
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.string()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+                "pinned": pa.array(rows["pinned"], pa.int64()),
+                "pin_pos": pa.array(rows["pin_pos"], pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pin = g[g["pinned"] == 1].sort_values("pin_pos",
+                                              kind="mergesort")
+        org = g[g["pinned"] == 0].sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        out = pd.concat([pin, org], ignore_index=True).head(top_k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        return out[["qid", "doc_id", "score", "pinned", "rank"]]
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pin_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )
