@@ -1931,3 +1931,55 @@ def test_pinned_matches_brute(index_dir, oracle):
         assert got[qid] == [
             (d, pytest.approx(s, rel=1e-12), f) for d, s, f in want
         ], qid
+
+
+@pytest.fixture(scope="module")
+def shingle_index_dir(ray_session, tmp_path_factory):
+    """Same corpus through the word-bigram (shingle) analyzer."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from webindex.config import AnalyzerConfig
+
+    out = str(tmp_path_factory.mktemp("qidx") / "shingle_index")
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in DOCS], pa.int64()),
+            "text": pa.array([d["text"] for d in DOCS]),
+        }
+    )
+    cfg = dataclasses.replace(
+        CFG, analyzer=AnalyzerConfig(shingle_only=True)
+    )
+    build_index(rd.from_arrow(tab), out, cfg)
+    return out
+
+
+def test_shingle_phrase_matches_brute(index_dir, shingle_index_dir, oracle):
+    """index_phrases accelerator: bigram-index matching must reproduce
+    the adjacency oracle exactly (rank AND score) for 2-word phrases."""
+    from webindex.phrase import shingle_phrase_search
+
+    two_word = [(q, t) for q, t in PHRASES if len(t.split()) == 2]
+    assert two_word
+    runs = shingle_phrase_search(
+        _queries_ds(two_word), index_dir, shingle_index_dir, top_k=6
+    )
+    got = _runs_rows(runs)
+    for qid, text in two_word:
+        want = _oracle_phrase(oracle, text, 6)
+        rows = got.get(qid, [])
+        assert [d for d, _ in rows] == [d for d, _ in want], (qid, text)
+        for (_, a), (_, b) in zip(rows, want):
+            assert a == b, (qid, text)
+
+
+def test_shingle_phrase_rejects_long_phrases(index_dir, shingle_index_dir):
+    from webindex.phrase import shingle_phrase_search
+
+    with pytest.raises(Exception, match="two-word"):
+        shingle_phrase_search(
+            _queries_ds([("p", "alpha beta gamma")]), index_dir,
+            shingle_index_dir, top_k=5,
+        ).take_all()

@@ -237,6 +237,11 @@ class Analyzer:
             # AnalyzerConfig.synonyms)
             syn = self._syn
             raw = raw + [s for t in raw if t in syn for s in syn[t]]
+        if self.cfg.shingle_only:
+            # Lucene index_phrases analog: emit word bigrams (space-
+            # joined; analyzed tokens cannot contain spaces) INSTEAD of
+            # unigrams — see AnalyzerConfig.shingle_only
+            raw = [f"{a} {b}" for a, b in zip(raw, raw[1:])]
         return raw
 
     def term_freqs(self, text: str) -> Counter:

@@ -38,6 +38,14 @@ class AnalyzerConfig:
     # tokens would take tail positions, not Lucene's same-position
     # semantics — build_index refuses the combination).
     synonyms: tuple = ()
+    # Lucene index_phrases analog: the token stream becomes its word
+    # BIGRAMS (space-joined — analyzed tokens cannot contain spaces, so
+    # shingle terms never collide with unigrams). A shingle index is a
+    # MATCHING accelerator for exact two-word phrases (the bigram term
+    # exists in a doc iff the adjacency occurs); scoring stays on the
+    # main index. Like Lucene's ._index_phrase subfield, it is a
+    # separate index, so main-field statistics are untouched.
+    shingle_only: bool = False
 
     def __post_init__(self):
         # normalize (e.g. JSON-roundtripped lists) to nested tuples so the

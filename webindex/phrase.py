@@ -239,3 +239,100 @@ def _empty_runs() -> pa.Table:
             "rank": pa.array([], pa.int32()),
         }
     )
+
+
+def shingle_phrase_search(queries_ds, main_index: str, shingle_index: str,
+                          *, top_k: int = 10, n_shards: int | None = None):
+    """Exact two-word phrase queries through a SHINGLE (word-bigram)
+    index — the Lucene ``index_phrases: true`` accelerator: a bigram
+    term exists in a doc iff the adjacency occurs, so matching is ONE
+    posting-list read (no positions decode, no corpus verify), and the
+    match set is provably identical to the positional / lazy-verify
+    phrase paths. Scoring stays on the MAIN index (BM25 over the
+    phrase's unique terms, the shared ``_score_matched`` fold), so ranks
+    are bit-identical to ``phrase_topk`` — the shingle index never
+    influences statistics, mirroring Lucene's ``._index_phrase``
+    subfield design.
+
+    Both indexes must be built from the same corpus (docIDs derive from
+    the corpus, not the token stream, so they agree by construction) and
+    share ``num_buckets``; each shard task loads the salt-range subset
+    of BOTH. Phrases longer than two words raise — route those to
+    ``phrase_search`` / ``positional.phrase_topk`` (Lucene combines
+    bigrams with positions there; the exactness argument needs only the
+    bigram for m=2)."""
+    import pandas as pd
+
+    from webindex.positional import _score_matched
+    from webindex.search import _qtext_explode, _shard_searcher
+    from webindex.serve import shard_salt_bounds
+
+    from webindex.search import SEARCH_SHARDS
+
+    n_shards = n_shards or SEARCH_SHARDS
+    bounds = shard_salt_bounds(main_index, n_shards)
+
+    def sh_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        main = _shard_searcher(main_index, lo, hi, top_k, "auto", False)
+        shin = _shard_searcher(shingle_index, lo, hi, top_k, "auto", False)
+        s, sh = main.inner, shin.inner
+        qid_out, id_out, sc_out = [], [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            grams = sh.an.tokens(text or "")
+            words = s.an.tokens(text or "")
+            if len(words) != 2 or len(grams) != 1:
+                raise ValueError(
+                    "shingle_phrase_search handles exactly two-word "
+                    f"phrases; got {words!r} — use phrase_search / "
+                    "positional.phrase_topk for longer phrases"
+                )
+            gpl = sh.reader.postings(grams[0])
+            if gpl is None:
+                continue
+            pls = []
+            for t in sorted(set(words)):
+                pl = s.reader.postings(t)
+                if pl is None:
+                    pls = None
+                    break
+                pls.append(pl)
+            if pls is None:
+                continue  # bigram exists => terms exist; defensive
+            ids, scores = _score_matched(s.reader, pls, gpl.ids, top_k,
+                                         None)
+            qid_out.extend([qid] * ids.size)
+            id_out.append(ids)
+            sc_out.append(scores)
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(id_out) if id_out
+                    else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(sc_out) if sc_out
+                    else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", "doc_id", "score", "rank"]]
+
+    return (
+        queries_ds.map_batches(_qtext_explode(bounds),
+                               batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(sh_shard, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -110,6 +110,18 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
         cfg = IndexConfig(
             analyzer=SQL_SAFE_ANALYZER, num_buckets=16, store_positions=True
         )
+    elif variant == "shingle":
+        # word-bigram index: the Lucene index_phrases accelerator
+        # (phrase.shingle_phrase_search) — matching only, never scoring
+        from webindex.config import AnalyzerConfig
+
+        cfg = IndexConfig(
+            analyzer=AnalyzerConfig(
+                remove_stopwords=False, stem=False, ascii_only=True,
+                shingle_only=True,
+            ),
+            num_buckets=16,
+        )
     else:
         cfg = IndexConfig(num_buckets=16)
     # docvalues sidecar (lang/source/n_chars) powers the filtered-search
@@ -8921,6 +8933,64 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# Lucene index_phrases (phrase.shingle_phrase_search): two-word phrases
+# through a word-BIGRAM shingle index — matching is one posting read
+# (exact: the bigram term exists iff the adjacency occurs), scoring
+# stays on the main index, ranks bit-identical to the positional and
+# lazy-verify phrase paths (same adjacency oracle).
+# ---------------------------------------------------------------------------
+
+SHINGLE_PHRASES = [(q, t) for q, t in PHRASE_QUERIES
+                   if len(_sql_an.tokens(t)) == 2]
+
+
+def q_bm25_phrase_shingle_top10(sf_dir: str):
+    from webindex.phrase import shingle_phrase_search
+
+    main = ensure_index(sf_dir, "nostem")
+    shingle = ensure_index(sf_dir, "shingle")
+    runs = shingle_phrase_search(
+        _queries_ds_of(SHINGLE_PHRASES), main, shingle, top_k=TOPK
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _sql_phrase_shingle() -> str:
+    terms = ", ".join(
+        f"('{q}', '{t}')"
+        for q, text in SHINGLE_PHRASES
+        for t in sorted(set(_sql_an.tokens(text)))
+    )
+    phrases = ", ".join(
+        f"('{q}', '{' '.join(_sql_an.tokens(t))}')"
+        for q, t in SHINGLE_PHRASES
+    )
+    return _sql_bm25_scores(f"(VALUES {terms}) AS q(qid, term)") + f"""
+, phr AS (SELECT * FROM (VALUES {phrases}) p(qid, phrase)),
+dt AS (
+  SELECT doc_id, ' ' || array_to_string({_TOK_SQL}, ' ') || ' ' AS ts
+  FROM documents WHERE text <> ''
+),
+pm AS (
+  SELECT p.qid, d.doc_id
+  FROM phr p JOIN dt d ON strpos(d.ts, ' ' || p.phrase || ' ') > 0
+)
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s
+  JOIN pm ON pm.qid = s.qid AND pm.doc_id = s.doc_id
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_BM25_PHRASE_SHINGLE_TOP10 = _sql_phrase_shingle()
+
+
+# ---------------------------------------------------------------------------
 # ES pinned query (search.pinned_queries): promoted ids rank first in
 # the given order (even when they don't match the organic query), then
 # the organic BM25 ranking fills the rest, pins excluded.
@@ -9680,6 +9750,8 @@ REGISTRY: dict[str, tuple] = {
     "intervals_top10": (q_intervals_top10, SQL_INTERVALS_TOP10),
     "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
     "pinned_top10": (q_pinned_top10, SQL_PINNED_TOP10),
+    "bm25_phrase_shingle_top10": (q_bm25_phrase_shingle_top10,
+                                  SQL_BM25_PHRASE_SHINGLE_TOP10),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),
