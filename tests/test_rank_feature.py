@@ -212,3 +212,30 @@ def test_param_validation(index_dir):
     with pytest.raises(ValueError, match="pivot"):
         distance_feature_queries(qds, index_dir, "n_chars", origin=0.0,
                                  pivot=-1.0)
+
+
+def test_exists_missing_filters(partial_dv_index, oracle):
+    """ES exists/missing queries: docvalue-presence selection, scores
+    untouched (partial_dv_index has docvalues only for EVEN doc_ids)."""
+    from webindex.search import search_queries
+
+    def run(op):
+        runs = search_queries(
+            _qds(QUERIES), partial_dv_index, top_k=9,
+            filter_pred=(("n_chars", op, None),),
+        )
+        return _got(runs)
+
+    got_e, got_m = run("exists"), run("missing")
+    for qid, text in QUERIES:
+        scores = dict(oracle.topk(text, 10**9))
+        for got, keep in ((got_e, lambda d: d % 2 == 0),
+                          (got_m, lambda d: d % 2 == 1)):
+            want = sorted(
+                ((d, s) for d, s in scores.items() if keep(d)),
+                key=lambda t: (-t[1], t[0]),
+            )[:9]
+            rows = got.get(qid, [])
+            assert [d for d, _ in rows] == [d for d, _ in want], (qid, keep)
+            for (_, a), (_, b) in zip(rows, want):
+                assert a == pytest.approx(b, rel=1e-12)

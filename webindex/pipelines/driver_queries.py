@@ -93,7 +93,7 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(_INDEX_CACHE_ROOT, f"{tag}-{variant}")
-    if variant == "nostem":
+    if variant in ("nostem", "pdv"):
         cfg = IndexConfig(analyzer=SQL_SAFE_ANALYZER, num_buckets=16)
     elif variant == "synidx":
         from webindex.config import AnalyzerConfig
@@ -133,6 +133,15 @@ def ensure_index(sf_dir: str, variant: str = "nostem") -> str:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "source", "n_chars"],
     )
+    if variant == "pdv":
+        # PARTIAL docvalues: sidecar rows only for doc_id % 3 != 0 — powers
+        # the ES exists/missing entries (missing-field semantics need
+        # genuinely absent values)
+        def _pdv_subset(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(ids % 3 != 0))
+
+        dv = dv.map_batches(_pdv_subset, batch_format="pyarrow")
     build_index(corpus_from_documents(_docs(sf_dir)), out, cfg,
                 docvalues_ds=dv)
     return out
@@ -8933,6 +8942,56 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# ES exists / missing queries (SegmentReader.filter_mask "exists" /
+# "missing" ops) over the PARTIAL-docvalues index variant ("pdv":
+# n_chars present only for doc_id % 3 != 0) — missing-field semantics
+# need genuinely absent values. Scores untouched; selection only.
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_exists_top10(sf_dir: str):
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pdv")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        filter_pred=(("n_chars", "exists", None),),
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_bm25_missing_top10(sf_dir: str):
+    from webindex.search import search_queries
+
+    idx = ensure_index(sf_dir, "pdv")
+    runs = search_queries(
+        _queries_ds(), idx, top_k=TOPK, concurrency=2, batch_size=8,
+        filter_pred=(("n_chars", "missing", None),),
+    )
+    return runs.map_batches(
+        lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _sql_exists_missing(cond: str) -> str:
+    return _sql_bm25_scores() + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id)::INTEGER AS rank
+  FROM scores s
+  WHERE {cond}
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_BM25_EXISTS_TOP10 = _sql_exists_missing("s.doc_id % 3 <> 0")
+SQL_BM25_MISSING_TOP10 = _sql_exists_missing("s.doc_id % 3 = 0")
+
+
+# ---------------------------------------------------------------------------
 # Lucene index_phrases (phrase.shingle_phrase_search): two-word phrases
 # through a word-BIGRAM shingle index — matching is one posting read
 # (exact: the bigram term exists iff the adjacency occurs), scoring
@@ -9752,6 +9811,8 @@ REGISTRY: dict[str, tuple] = {
     "pinned_top10": (q_pinned_top10, SQL_PINNED_TOP10),
     "bm25_phrase_shingle_top10": (q_bm25_phrase_shingle_top10,
                                   SQL_BM25_PHRASE_SHINGLE_TOP10),
+    "bm25_exists_top10": (q_bm25_exists_top10, SQL_BM25_EXISTS_TOP10),
+    "bm25_missing_top10": (q_bm25_missing_top10, SQL_BM25_MISSING_TOP10),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
     "span_first_top10": (q_span_first_top10, SQL_SPAN_FIRST_TOP10),

@@ -202,6 +202,14 @@ class SegmentReader:
         }
         for col, op, val in pred:
             arr, valid = self._dv[col]
+            if op == "exists":
+                # ES exists query: docvalue present (val ignored)
+                mask &= valid
+                continue
+            if op == "missing":
+                # ES missing/must_not-exists: docvalue absent
+                mask &= ~valid
+                continue
             if op == "in":
                 r = pc.is_in(arr, value_set=pa.array(list(val), arr.type))
             elif op in ops:
