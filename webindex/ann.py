@@ -962,3 +962,64 @@ def sq8_topk(codes_ds, emb_ds, params: dict, query_ids: list[int],
         .groupby("query_id")
         .map_groups(_merge_topk_factory(k), batch_format="pandas")
     )
+
+
+def semdedup(emb_ds, *, n_clusters: int = 8, eps: float = 0.93,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then thresholded pairwise cosine WITHIN each
+    cluster — the clustering bounds the quadratic term, which is the
+    whole point of the method at corpus scale (pairwise over a cluster,
+    never over the corpus).
+
+    Pinned spec (replayed exactly by the DuckDB oracle):
+    - coarse clusters = :func:`seed_centroids` (n smallest-id vectors)
+      + :func:`ivf_assign` argmax-cosine assignment, ties -> lowest
+      centroid index;
+    - within a cluster, rows order by (cent_sim ASC, id ASC) — SemDeDup
+      keeps the LOW-centroid-similarity representative (paper §3);
+    - row i is a duplicate iff some EARLIER row j has cos(i, j) > eps
+      (the paper's upper-triangular implementation: suppression does
+      not consult whether j itself was dropped, so there is no
+      recursion and the rule is one self-join);
+    - both the ordering key and the threshold compare 6dp-ROUNDED
+      cosines, so the decision boundary is engine-portable (the repo's
+      bm25_scores rounding precedent).
+
+    Scale shape: one tiny centroid broadcast, one stateless assignment
+    pass, one hash shuffle on ``centroid``, quadratic work only within
+    clusters (at 100 TB: n_clusters grows so cluster size stays
+    bounded; the paper uses 50k clusters for LAION). Returns
+    ``(id, centroid, cent_sim_r, dup)`` for every input row."""
+    import pandas as pd
+
+    cents = seed_centroids(emb_ds, n_clusters, id_col=id_col,
+                           vec_col=vec_col)
+    assigned = ivf_assign(emb_ds, cents, vec_col=vec_col)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        c = int(g["centroid"].iloc[0])
+        ids = g[id_col].to_numpy(np.int64)
+        mat = _normalize(np.array(g[vec_col].tolist(), dtype=np.float64))
+        cs = np.round(mat @ cents[c], 6)
+        order = np.lexsort((ids, cs))  # cent_sim asc, id asc
+        m, oids, ocs = mat[order], ids[order], cs[order]
+        sims = np.round(m @ m.T, 6)
+        n = oids.size
+        dup = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            tri = np.tril(np.ones((n, n), dtype=bool), k=-1).T  # j < i
+            masked = np.where(tri, sims, -np.inf)
+            dup = (masked.max(axis=0) > eps).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: oids,
+                "centroid": np.full(n, c, dtype=np.int64),
+                "cent_sim_r": ocs,
+                "dup": dup,
+            }
+        )
+
+    return assigned.groupby("centroid").map_groups(
+        per_cluster, batch_format="pandas"
+    )

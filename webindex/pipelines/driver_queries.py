@@ -8942,6 +8942,71 @@ SELECT qid, doc_id, rank, score_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (ann.semdedup, Abbas et al. 2023): clustered semantic dedup —
+# seeded coarse clusters, within-cluster upper-triangular thresholded
+# pairwise cosine in (cent_sim ASC, id ASC) order. 6dp-rounded cosines
+# at BOTH the ordering key and the threshold make the decision boundary
+# engine-portable; the oracle replays assignment, ordering and the
+# earlier-row self-join exactly.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_EPS, SEMDEDUP_K = 0.93, 8
+
+
+def q_semdedup(sf_dir: str):
+    import ray.data as rd
+
+    from webindex.ann import semdedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds, n_clusters=SEMDEDUP_K, eps=SEMDEDUP_EPS)
+
+
+SQL_SEMDEDUP = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}
+),
+cid_idx AS (
+  SELECT cid, cvec, row_number() OVER (ORDER BY cid) - 1 AS cidx FROM cent
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cidx, c.cvec,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                           c.cvec::DOUBLE[]) DESC, c.cidx
+         ) AS rn
+  FROM embeddings e CROSS JOIN cid_idx c
+),
+assigned AS (
+  SELECT vec_id, embedding, cidx,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+                                      cvec::DOUBLE[]), 6) AS cs
+  FROM assign WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, embedding, cidx, cs,
+         row_number() OVER (PARTITION BY cidx ORDER BY cs, vec_id) AS pos
+  FROM assigned
+),
+dups AS (
+  SELECT r1.vec_id, r1.cidx, r1.cs,
+         max(CASE WHEN round(list_cosine_similarity(
+                    r1.embedding::DOUBLE[], r2.embedding::DOUBLE[]), 6)
+                    > {SEMDEDUP_EPS!r} THEN 1 ELSE 0 END) AS dup
+  FROM ranked r1
+  LEFT JOIN ranked r2 ON r2.cidx = r1.cidx AND r2.pos < r1.pos
+  GROUP BY r1.vec_id, r1.cidx, r1.cs
+)
+SELECT vec_id, cidx::BIGINT AS centroid, cs AS cent_sim_r,
+       coalesce(dup, 0)::BIGINT AS dup
+FROM dups
+"""
+
+
+# ---------------------------------------------------------------------------
 # ES exists / missing queries (SegmentReader.filter_mask "exists" /
 # "missing" ops) over the PARTIAL-docvalues index variant ("pdv":
 # n_chars present only for doc_id % 3 != 0) — missing-field semantics
@@ -9812,6 +9877,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_shingle_top10": (q_bm25_phrase_shingle_top10,
                                   SQL_BM25_PHRASE_SHINGLE_TOP10),
     "bm25_exists_top10": (q_bm25_exists_top10, SQL_BM25_EXISTS_TOP10),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "bm25_missing_top10": (q_bm25_missing_top10, SQL_BM25_MISSING_TOP10),
     "span_unordered_top10": (q_span_unordered_top10,
                              SQL_SPAN_UNORDERED_TOP10),
