@@ -253,3 +253,21 @@ def test_cli_dym_and_keywords(tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) == 3
     assert lines[0].split("\t")[1] == "graph"
+
+
+def test_cli_intervals(tmp_path, capsys):
+    tab = synth_pages_table(120, seed=13)
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, pages_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", pages_path, "--out", idx,
+                 "--no-stemmed", "--positions"]) == 0
+    capsys.readouterr()
+    assert main([
+        "intervals", "--index", idx, "--spec",
+        '{"match": {"query": "the and", "ordered": true, "max_gaps": 5}}',
+        "--top-k", "3",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(lines) <= 3
+    assert lines[0].split("\t")[0] == "1"

@@ -247,3 +247,30 @@ def test_parse_validation():
                                    "filter": {"inside":
                                               {"match": {"query": "b"}}}}},
                         AN)
+
+
+def test_allof_ordered_stopword_scale():
+    """Regression: all_of over stopword-frequency children must stay
+    polynomial (the DFS it replaced blew the chain budget on a real
+    crawl page via the CLI). 1500 occurrences per child; the exact
+    result is checked against the brute oracle on a smaller prefix."""
+    rng = np.random.default_rng(5)
+    toks = ["alpha" if x < 0.4 else ("beta" if x < 0.8 else "gamma")
+            for x in rng.random(4000)]
+    posmap = {
+        t: np.array([p for p, tt in enumerate(toks) if tt == t], np.int64)
+        for t in ("alpha", "beta", "gamma")
+    }
+    spec = {"all_of": {"ordered": True, "max_gaps": 2, "intervals": [
+        {"match": {"query": "alpha"}}, {"match": {"query": "beta"}},
+        {"match": {"query": "gamma"}},
+    ]}}
+    node = parse_intervals(spec, AN)
+    s, e = eval_node(node, posmap)  # must not raise / hang
+    assert s.size > 0
+    # exactness on a small prefix where the brute product is feasible
+    small = toks[:60]
+    pm = {t: np.array([p for p, tt in enumerate(small) if tt == t],
+                      np.int64) for t in ("alpha", "beta", "gamma")}
+    gs, ge = eval_node(node, pm)
+    assert list(zip(gs.tolist(), ge.tolist())) == _brute_eval(spec, small)

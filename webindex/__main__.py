@@ -152,6 +152,21 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_intervals(args) -> int:
+    """Lucene intervals query (ES intervals-JSON spec) over a
+    positional index."""
+    _init_ray()
+
+    from webindex.intervals import intervals_search
+
+    spec = json.loads(args.spec)
+    runs = intervals_search([("cli", spec)], args.index,
+                            top_k=args.top_k)
+    for r in sorted(runs.take_all(), key=lambda r: r["rank"]):
+        print(f"{r['rank']}\t{r['doc_id']}\t{r['score']:.6f}")
+    return 0
+
+
 def cmd_msearch(args) -> int:
     _init_ray()
 
@@ -366,6 +381,14 @@ def main(argv=None) -> int:
     kw.add_argument("--text", required=True)
     kw.add_argument("--top-k", type=int, default=5)
     kw.set_defaults(fn=cmd_keywords)
+
+    iv = sub.add_parser("intervals")
+    iv.add_argument("--index", required=True)
+    iv.add_argument("--spec", required=True,
+                    help='ES intervals JSON, e.g. {"match": {"query": '
+                         '"a b", "ordered": true, "max_gaps": 2}}')
+    iv.add_argument("--top-k", type=int, default=10, dest="top_k")
+    iv.set_defaults(fn=cmd_intervals)
 
     e = sub.add_parser("eval")
     e.add_argument("--runs", required=True)

@@ -54,7 +54,10 @@ import numpy as np
 import pyarrow as pa
 
 _BIG = np.int64(np.iinfo(np.int64).max)
-_MAX_CHAINS = 200_000  # bounded DFS guard (per doc, per all_of node)
+# per-doc, per-level cap on the vectorized all_of chain expansion (numpy
+# rows, not Python recursion) — a memory guard for pathological queries
+# (several stopword-frequency children under one ordered all_of)
+_MAX_CHAINS = 20_000_000
 
 _FILTER_KINDS = (
     "containing", "not_containing", "contained_by", "not_contained_by",
@@ -230,50 +233,70 @@ def _match_unordered(plists, max_gaps: int):
 
 
 def _allof_ordered(child_ivs, max_gaps: int):
-    """Exhaustive bounded DFS over one-interval-per-child chains
-    (s_{j+1} > e_j), collecting (envelope, covered) per chain; gaps =
-    envelope size - covered positions. Exhaustiveness (not greedy) keeps
-    existence equal to the oracle's plain EXISTS join — see module doc."""
+    """Exact level-wise VECTORIZED expansion of one-interval-per-child
+    chains (s_{j+1} > e_j) with per-start Pareto pruning; gaps =
+    envelope size - covered positions. Exhaustive over the qualifying
+    envelope set (not greedy — a shorter child can reach the same
+    envelope with more gaps), so existence equals the oracle's plain
+    EXISTS join.
+
+    Pruning is lossless for the emitted MINIMAL set: partial chains with
+    the same start keep, per envelope end, only the max coverage, then
+    only the (end asc, coverage strictly asc) Pareto frontier — a
+    dominated partial (same start, later end, no more coverage) can only
+    produce finals with the same start, a later final end and no better
+    gaps, which the dominating partial's finals already shadow in the
+    (min qualifying end per start) antichain. This replaces a DFS that
+    was exponential on stopword-frequency children (found by driving
+    all_of('the','and') over a real crawl page)."""
     m = len(child_ivs)
     if any(c[0].size == 0 for c in child_ivs):
         return _EMPTY_IV
-    starts, ends = [], []
-    budget = [_MAX_CHAINS]
-
-    cs0, ce0 = child_ivs[0]
-
-    def rec(j, prev_end, cov, s0):
-        if budget[0] <= 0:
+    s0, e0 = child_ivs[0]
+    S, E = s0.copy(), e0.copy()
+    COV = e0 - s0 + 1
+    for cs, ce in child_ivs[1:]:
+        clen = ce - cs + 1
+        i0 = np.searchsorted(cs, E + 1, side="left")
+        counts = cs.size - i0
+        alive = counts > 0
+        if not alive.any():
+            return _EMPTY_IV
+        S, COV, i0, counts = S[alive], COV[alive], i0[alive], counts[alive]
+        total = int(counts.sum())
+        if total > _MAX_CHAINS:
             raise RuntimeError(
-                "intervals all_of chain enumeration exceeded the "
-                f"per-doc bound ({_MAX_CHAINS})"
+                "intervals all_of expansion exceeded the per-doc bound "
+                f"({total} > {_MAX_CHAINS})"
             )
-        if j == m:
-            return
-        cs, ce = child_ivs[j]
-        i0 = int(np.searchsorted(cs, prev_end + 1, side="left"))
-        for i in range(i0, cs.size):
-            budget[0] -= 1
-            ncov = cov + int(ce[i] - cs[i] + 1)
-            if j == m - 1:
-                starts.append(s0)
-                ends.append(int(ce[i]))
-                _cov_list.append(ncov)
-            else:
-                rec(j + 1, int(ce[i]), ncov, s0)
-
-    _cov_list: list[int] = []
-    for i in range(cs0.size):
-        rec(1, int(ce0[i]), int(ce0[i] - cs0[i] + 1), int(cs0[i]))
-    if not starts:
-        return _EMPTY_IV
-    s = np.array(starts, np.int64)
-    e = np.array(ends, np.int64)
+        rep = np.repeat(np.arange(S.size), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ci = i0[rep] + offs
+        S = S[rep]
+        COV = COV[rep] + clen[ci]
+        E = ce[ci]
+        # per (S, E) keep max COV, then per S the (E asc, COV strictly
+        # asc) Pareto frontier — see docstring for the exactness proof
+        order = np.lexsort((-COV, E, S))
+        S, E, COV = S[order], E[order], COV[order]
+        first = np.ones(S.size, dtype=bool)
+        first[1:] = (S[1:] != S[:-1]) | (E[1:] != E[:-1])
+        S, E, COV = S[first], E[first], COV[first]
+        newgrp = np.ones(S.size, dtype=bool)
+        newgrp[1:] = S[1:] != S[:-1]
+        grp = np.cumsum(newgrp) - 1
+        big = np.int64(1) << 40  # > any coverage (positions are < 2^32)
+        cm_incl = np.maximum.accumulate(COV + grp * big) - grp * big
+        cm_excl = np.concatenate(([np.int64(-1)], cm_incl[:-1]))
+        cm_excl[newgrp] = -1
+        keep = COV > cm_excl
+        S, E, COV = S[keep], E[keep], COV[keep]
     if max_gaps >= 0:
-        cov = np.array(_cov_list, np.int64)
-        keep = (e - s + 1) - cov <= max_gaps
-        s, e = s[keep], e[keep]
-    return _minimalize(s, e)
+        ok = (E - S + 1) - COV <= max_gaps
+        S, E = S[ok], E[ok]
+    return _minimalize(S, E)
 
 
 def _allof_unordered(child_ivs):
