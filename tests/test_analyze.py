@@ -106,3 +106,22 @@ def test_synonyms_config_roundtrip_and_positions_guard():
 
     with _pytest.raises(ValueError, match="synonyms"):
         build_index(None, "/tmp/never-built", cfg)
+
+
+def test_synonyms_shingle_only_guard():
+    import pytest as _pytest
+
+    from webindex.build import build_index
+    from webindex.config import AnalyzerConfig, IndexConfig
+
+    # synonym expansions are appended at the tail of the token stream,
+    # so shingling would emit a bigram spanning last-real-token + first
+    # synonym — the combination is refused at build time like
+    # synonyms+store_positions
+    cfg = IndexConfig(
+        analyzer=AnalyzerConfig(
+            synonyms=[["slow", ["fast"]]], shingle_only=True
+        ),
+    )
+    with _pytest.raises(ValueError, match="shingle_only"):
+        build_index(None, "/tmp/never-built", cfg)

@@ -130,6 +130,33 @@ def test_train_from_ds_partition_invariance(ray_session):
     assert outs[0] == want
 
 
+def test_train_from_ds_min_word_count_floor(ray_session):
+    import ray.data as rd
+
+    from webindex.bpe import train_bpe
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t in DOCS]),
+        }
+    )
+    # the floor drops sub-floor words DISTRIBUTEDLY before the driver
+    # pull; result == training on the floored word table directly
+    wc = Counter()
+    for _, t in DOCS:
+        wc.update(TOK.findall(t.lower()))
+    floored = sorted((w, c) for w, c in wc.items() if c >= 2)
+    assert floored and len(floored) < len(wc)  # floor actually engages
+    got = train_bpe_from_ds(
+        rd.from_arrow(tab), 20, n_parts=8, min_word_count=2
+    )
+    assert got == train_bpe(floored, 20)
+    # default floor (1) is exact: identical to the unfloored train
+    assert train_bpe_from_ds(rd.from_arrow(tab), 20, n_parts=8) == \
+        train_bpe(sorted(wc.items()), 20)
+
+
 def test_word_counts_exact(ray_session):
     import ray.data as rd
 

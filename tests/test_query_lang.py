@@ -870,6 +870,58 @@ def test_facet_cardinality_matches_brute(index_dir, oracle, ray_session):
         ), qid
 
 
+def test_facet_cardinality_approx_and_guard(index_dir, oracle,
+                                            ray_session):
+    import pytest as _pytest
+    import ray
+
+    from webindex.search import facet_cardinality
+
+    # approx=True (HLL sketch): at tiny cardinality the linear-counting
+    # regime rounds to the exact answer, and the max-merged registers
+    # are deterministic — so the estimate must EQUAL the exact path here
+    exact = facet_cardinality(
+        _queries_ds(QUERIES), index_dir, "lang"
+    ).to_pandas().set_index("qid")
+    approx = facet_cardinality(
+        _queries_ds(QUERIES), index_dir, "lang", approx=True
+    ).to_pandas().set_index("qid")
+    assert sorted(exact.index) == sorted(approx.index)
+    for qid in exact.index:
+        assert int(approx.loc[qid, "cardinality"]) == int(
+            exact.loc[qid, "cardinality"]
+        ), qid
+
+    # the exact path's circuit breaker: a max_distinct below the true
+    # per-shard distinct count must raise and point at approx=True
+    with _pytest.raises(ray.exceptions.RayTaskError,
+                        match="approx=True"):
+        facet_cardinality(
+            _queries_ds(QUERIES), index_dir, "lang", max_distinct=1
+        ).to_pandas()
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL registers: max-merge of split sketches == sketch of the
+    union, and the estimate is within ~3 sigma at realistic scale."""
+    import numpy as np
+
+    from webindex.search import _hll_estimate, _hll_registers
+    from webindex.util import stable_hash64
+
+    n, p = 50_000, 14
+    hs = np.fromiter(
+        (stable_hash64(f"value-{i}") for i in range(n)),
+        dtype=np.uint64, count=n,
+    )
+    whole = _hll_registers(hs, p)
+    merged = np.maximum(_hll_registers(hs[: n // 3], p),
+                        _hll_registers(hs[n // 3:], p))
+    assert np.array_equal(whole, merged)
+    est = _hll_estimate(whole)
+    assert abs(est - n) / n < 3 * 1.04 / (1 << p) ** 0.5
+
+
 def test_facet_multi_terms_matches_brute(index_dir, oracle, ray_session):
     """ES multi_terms: composite (lang, source) buckets over the match
     set; a doc missing either key field joins no bucket."""

@@ -334,18 +334,26 @@ def kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return cent
 
 
-def ivf_assign(emb_ds, cents: np.ndarray, *, vec_col: str = "embedding"):
+def ivf_assign(emb_ds, cents: np.ndarray, *, vec_col: str = "embedding",
+               round6: bool = False):
     """Add a ``centroid`` column: nearest (cosine) coarse centroid per row.
 
     Ties take the lowest centroid index (``np.argmax`` keeps the first
     maximum), matching the SQL oracle's ``ORDER BY sim DESC, cid`` rule.
+    ``round6=True`` rounds the assignment cosines to 6dp BEFORE the
+    argmax (the repo's rounded-threshold portability rule) so a near-tie
+    between two centroids resolves identically in the engine and a SQL
+    oracle that rounds in its ORDER BY — semdedup uses this.
     Centroids are tiny -> stateless task closure (no actor reservation);
     a big centroid table would go through ``ray.put`` + actor ``__init__``.
     """
 
     def assign(batch: pa.Table) -> pa.Table:
         mat = _normalize(_batch_vecs(batch, vec_col))
-        a = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        sims = mat @ cents.T
+        if round6:
+            sims = np.round(sims, 6)
+        a = np.argmax(sims, axis=1).astype(np.int32)
         return batch.append_column("centroid", pa.array(a, pa.int32()))
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
@@ -995,7 +1003,7 @@ def semdedup(emb_ds, *, n_clusters: int = 8, eps: float = 0.93,
 
     cents = seed_centroids(emb_ds, n_clusters, id_col=id_col,
                            vec_col=vec_col)
-    assigned = ivf_assign(emb_ds, cents, vec_col=vec_col)
+    assigned = ivf_assign(emb_ds, cents, vec_col=vec_col, round6=True)
 
     def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
         c = int(g["centroid"].iloc[0])

@@ -200,15 +200,31 @@ def train_bpe(word_count_rows, num_merges: int,
 
 
 def train_bpe_from_ds(docs_ds, num_merges: int, *, n_parts: int = 64,
-                      text_col: str = "text"):
+                      text_col: str = "text", min_word_count: int = 1,
+                      max_vocab_words: int = 5_000_000):
     """documents Dataset -> ordered merge list (counts distributed, the
-    inherently-sequential loop on the driver's bounded word table)."""
+    inherently-sequential loop on the driver's bounded word table).
+
+    ``min_word_count`` is the scale guard for the driver-resident word
+    table: words with corpus count below the floor are dropped
+    DISTRIBUTEDLY (a ``filter`` on the counted Dataset) before the pull,
+    so at 100 TB of web text — where the distinct-word count is billions
+    but the count->=2 vocabulary is orders of magnitude smaller (Zipf:
+    roughly half of distinct words are hapax legomena) — the driver
+    never sees the long tail. This is an explicit approximation: pairs
+    contributed only by sub-floor words are lost, exactly as in every
+    production BPE trainer that applies a frequency cutoff (GPT-2's
+    trainer floors at 2). Default 1 = exact (contract-scale behavior
+    unchanged). ``max_vocab_words`` still hard-caps the pull after the
+    floor; raise the floor rather than the cap when it trips."""
     wc = word_counts(docs_ds, n_parts=n_parts, text_col=text_col)
+    if min_word_count > 1:
+        wc = wc.filter(expr=f"cnt >= {int(min_word_count)}")
     rows = [
         (r["word"], r["cnt"]) for r in wc.iter_rows()
     ]  # vocab-sized pull, the documented driver-resident table
     rows.sort()  # iteration order must not depend on partition order
-    return train_bpe(rows, num_merges)
+    return train_bpe(rows, num_merges, max_vocab_words=max_vocab_words)
 
 
 # ---------------------------------------------------------------------------

@@ -670,6 +670,14 @@ def build_index(corpus_ds, out_dir: str, cfg: IndexConfig | None = None,
             "appended synonym tokens would take tail positions, not "
             "Lucene's same-position semantics (AnalyzerConfig.synonyms)"
         )
+    if cfg.analyzer.shingle_only and cfg.analyzer.synonyms:
+        raise ValueError(
+            "shingle_only does not compose with index-time synonyms: "
+            "synonym expansions are appended at the tail of the token "
+            "stream, so shingling would emit a spurious bigram spanning "
+            "the last real token and the first appended synonym "
+            "(AnalyzerConfig.synonyms)"
+        )
     runner = StageRunner(out_dir)
     atomic_write_json(os.path.join(out_dir, "config.json"), cfg.to_dict())
     stats_path = os.path.join(out_dir, "stats.json")

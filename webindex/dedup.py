@@ -23,6 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 import re
+from collections import Counter
 from hashlib import blake2b
 
 import numpy as np
@@ -835,10 +836,17 @@ class SimHashStage:
     def __init__(self, base_hash: str = "blake2b"):
         self.base_hash = base_hash
         self.nbits = 61 if base_hash == "poly" else 64
+        # per-actor word->hash memo (Zipf vocabulary makes repeated token
+        # hashing near-free, the Analyzer._stem_cache pattern)
+        self._hash_cache: dict[str, int] = {}
+        self._shifts = np.arange(self.nbits, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         poly = self.base_hash == "poly"
         nbits = self.nbits
+        shifts = self._shifts
+        hf = _poly_hash if poly else _hash64
+        cache = self._hash_cache
         out = []
         for t in batch.column("text").to_pylist():
             toks = (
@@ -849,21 +857,28 @@ class SimHashStage:
             if not toks:
                 out.append(0)
                 continue
-            hf = _poly_hash if poly else _hash64
-            vals, counts = np.unique(
-                np.fromiter((hf(w) for w in toks), dtype=np.uint64),
-                return_counts=True,
+            cnt = Counter(toks)
+            hs = np.empty(len(cnt), dtype=np.uint64)
+            counts = np.empty(len(cnt), dtype=np.int64)
+            for i, (w, n) in enumerate(cnt.items()):
+                h = cache.get(w)
+                if h is None:
+                    h = cache[w] = hf(w)
+                hs[i] = h
+                counts[i] = n
+            # tf-weighted per-bit majority vote (+count for a 1 bit,
+            # -count for a 0 bit): bitwise expand, weighted column sums —
+            # identical acc to hashing every occurrence since integer
+            # sums are order-independent and exact
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
             )
-            bits = (
-                (vals[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64)
-            acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-            sh = np.uint64(0)
-            for j in range(nbits):
-                if acc[j] > 0:
-                    sh |= np.uint64(1) << np.uint64(j)
-            out.append(int(sh) - (1 << 63) if not poly else int(sh))
+            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            # bit assembly: sum of distinct powers of two == bitwise OR
+            sh = int(((acc > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            ))
+            out.append(sh - (1 << 63) if not poly else sh)
         return pa.table(
             {"doc_id": batch.column("doc_id"),
              "simhash": pa.array(out, pa.int64())}
@@ -966,9 +981,18 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
     """
 
     def bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], n_planes))
+        from webindex.ann import _batch_vecs
+
+        vecs = _batch_vecs(batch, vec_col)
+        # plane matrix is seed-deterministic: memoize per worker instead
+        # of re-drawing it every batch
+        key = ("embdedup_planes", seed, vecs.shape[1], n_planes)
+        planes = _STAGE_CACHE.get(key)
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = _STAGE_CACHE[key] = rng.standard_normal(
+                (vecs.shape[1], n_planes)
+            )
         signs = (vecs @ planes) > 0
         keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         return pa.table(
@@ -987,11 +1011,26 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
     # Arrow's hash join rejects list<float> payload columns — carry the
     # vectors through the join as float64 byte blobs instead
     def to_blob(batch: pa.Table) -> pa.Table:
-        vecs = batch.column(vec_col).to_pylist()
-        blobs = [np.asarray(v, np.float64).tobytes() for v in vecs]
+        from webindex.ann import _batch_vecs
+
+        mat = np.ascontiguousarray(_batch_vecs(batch, vec_col))
+        n = mat.shape[0]
+        step = (mat.shape[1] if mat.ndim == 2 else 0) * 8
+        if n and step and n * step < 2**31:
+            # build the binary array straight from the flat float64
+            # buffer (fixed row stride -> arithmetic offsets, zero
+            # Python-row hops)
+            offsets = np.arange(n + 1, dtype=np.int32) * step
+            blobs = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(mat.tobytes())],
+            )
+        else:
+            blobs = pa.array(
+                [mat[i].tobytes() for i in range(n)], pa.binary()
+            )
         return pa.table(
-            {id_col: batch.column(id_col),
-             "vecblob": pa.array(blobs, pa.binary())}
+            {id_col: batch.column(id_col), "vecblob": blobs}
         )
 
     _warn_truncated(pairs_ds, "embedding_dedup")

@@ -8975,8 +8975,9 @@ assign AS (
   SELECT e.vec_id, e.embedding, c.cidx, c.cvec,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                           c.cvec::DOUBLE[]) DESC, c.cidx
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.cvec::DOUBLE[]), 6)
+                    DESC, c.cidx
          ) AS rn
   FROM embeddings e CROSS JOIN cid_idx c
 ),
@@ -9215,7 +9216,8 @@ def _c4_lined(t: pa.Table) -> pa.Table:
     texts = t.column("text").to_pylist()
     out = []
     for did, text in zip(ids, texts):
-        words = (text or "").split()
+        # same explicit word class as the oracle's regexp_extract_all
+        words = re.findall(r"[^ \t\n\f\r]+", text or "")
         lines = []
         for ln in range(0, (len(words) + C4_LINE_WORDS - 1)
                         // C4_LINE_WORDS):
@@ -9246,7 +9248,12 @@ def q_c4_filters(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     ).filter(expr="text != ''")
-    lined = docs.map_batches(_c4_lined, batch_format="pyarrow")
+    # drop docs that produced zero lines (whitespace-only text, no
+    # extras) — the oracle's flags CTE groups over lines and emits no
+    # row for them, so the engine must not either
+    lined = docs.map_batches(_c4_lined, batch_format="pyarrow").filter(
+        expr="text != ''"
+    )
     return c4_filters(lined, badwords={"badword1"})
 
 
@@ -9499,7 +9506,7 @@ SQL_RANK_FEATURE_TOP10 = _sql_additive_feature(
     f"{RF_BOOST!r} * (nc.n_chars / (nc.n_chars + {RF_PIVOT!r}))"
 )
 SQL_RANK_FEATURE_LOG_TOP10 = _sql_additive_feature(
-    f"{RF_LOG_BOOST!r} * ln({RF_LOG_SCALING!r} + nc.n_chars)"
+    f"{RF_LOG_BOOST!r} * ln({RF_LOG_SCALING!r} * nc.n_chars + 1)"
 )
 SQL_DISTANCE_FEATURE_TOP10 = _sql_additive_feature(
     f"{DF_BOOST!r} * ({DF_PIVOT!r} / "

@@ -2043,24 +2043,83 @@ def facet_counts(queries_ds, index_dir: str, facet_cols: list[str], *,
     )
 
 
+#: exact facet_cardinality circuit breaker: max distinct values ONE
+#: shard may emit for ONE query before the merge is declared a scale
+#: hazard (an unbounded-domain column — URLs, ids — would otherwise
+#: OOM the distinct-merge; ES uses HLL++ for exactly this reason).
+FACET_CARDINALITY_MAX_DISTINCT = 2_000_000
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """64-bit hashes -> 2**p uint8 HyperLogLog registers (max-merge).
+
+    Register index = top ``p`` hash bits; rho = 1 + leading zeros of the
+    remaining ``64-p``-bit window. Pure integer state — deterministic
+    and partition-order-independent under elementwise max."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if hashes.size == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    bl = np.zeros(w.shape, np.int64)  # bit_length(w) - 1 where w > 0
+    nz = w > 0
+    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    # float conversion can round w up across a power of two; verify the
+    # candidate with an exact integer shift and correct downward
+    over = nz & ((w >> bl.clip(0, 63).astype(np.uint64)) == 0)
+    bl[over] -= 1
+    rho = np.where(nz, (64 - p) - bl, (64 - p) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Classic HLL estimate with the small-range linear-counting
+    correction (64-bit hashes need no large-range correction)."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
 def facet_cardinality(queries_ds, index_dir: str, col: str, *,
                       match: str = "or", filter_pred=None,
-                      n_shards: int = SEARCH_SHARDS):
-    """queries(qid, text) -> (qid, cardinality): the EXACT number of
-    distinct values of a docvalues column over each query's FULL match
-    set — the ES ``cardinality`` aggregation (ES approximates with
-    HyperLogLog++; per-doc docvalues make the exact answer a distinct
-    Sum-free merge here, so the SQL ``COUNT(DISTINCT ...)`` oracle
-    hash-matches).
+                      n_shards: int = SEARCH_SHARDS, approx: bool = False,
+                      hll_p: int = 14,
+                      max_distinct: int = FACET_CARDINALITY_MAX_DISTINCT):
+    """queries(qid, text) -> (qid, cardinality): the number of distinct
+    values of a docvalues column over each query's FULL match set — the
+    ES ``cardinality`` aggregation.
 
-    Scale shape: each salt-range shard emits only its DISTINCT
-    (qid, value) rows — bounded by the column's value domain, never the
-    match count — and the merge dedups across shards then counts. Docs
-    lacking the docvalue don't contribute (ES missing-field semantics).
+    Default = EXACT distinct merge, hash-matching the SQL
+    ``COUNT(DISTINCT ...)`` oracle. Each salt-range shard emits only its
+    DISTINCT (qid, value) rows — bounded by the column's VALUE DOMAIN,
+    never the match count — so the exact path is safe for enumerable
+    fields (lang, tld, status) but a scale hazard on an
+    unbounded-domain column (URL-like). A shard that would emit more
+    than ``max_distinct`` values for one query raises and points at
+    ``approx=True`` instead of silently OOMing the merge.
+
+    ``approx=True`` = HyperLogLog sketch (what ES actually runs:
+    HLL++-style, ``2**hll_p`` uint8 registers/query). Shards emit fixed
+    ~16 KiB register blobs regardless of cardinality; the merge is an
+    elementwise max — exact-merge semantics over sketches, so the
+    estimate is partition-count-independent and deterministic (stable
+    64-bit value hash). Typical error ~1.04/sqrt(2**hll_p) ≈ 0.8 % at
+    the default p=14.
+
+    Docs lacking the docvalue don't contribute (ES missing-field
+    semantics) on either path.
     """
     from ray.data.aggregate import Count
 
     from webindex.serve import shard_salt_bounds
+    from webindex.util import stable_hash64
     from webindex.wand import match_positions
 
     filter_pred = (
@@ -2104,6 +2163,14 @@ def facet_cardinality(queries_ds, index_dir: str, col: str, *,
             if sel.size == 0:
                 continue
             uniq = np.unique(vals_np[sel].astype(str))
+            if uniq.size > max_distinct:
+                raise ValueError(
+                    f"facet_cardinality(col={col!r}): one shard matched "
+                    f"{uniq.size} distinct values for qid {qid!r} > "
+                    f"max_distinct={max_distinct}; this column's value "
+                    "domain is too large for the exact distinct merge — "
+                    "pass approx=True (HLL sketch) or raise max_distinct"
+                )
             qid_out.extend([qid] * uniq.size)
             v_out.extend(uniq.tolist())
         return pa.table(
@@ -2113,9 +2180,65 @@ def facet_cardinality(queries_ds, index_dir: str, col: str, *,
             }
         )
 
+    def hll_shard(g: pa.Table) -> pa.Table:
+        sid = g.column("shard")[0].as_py()
+        lo, hi = bounds[sid]
+        searcher = _shard_searcher(index_dir, lo, hi, 1, "auto", False)
+        searcher.inner.set_constraints(filter_pred, match)
+        s = searcher.inner
+        s.reader._load_docvalues([col])
+        arr, valid = s.reader._dv[col]
+        vals_np = arr.to_numpy(zero_copy_only=False)
+        qid_out, reg_out = [], []
+        for qid, text in zip(
+            g.column("qid").to_pylist(), g.column("text").to_pylist()
+        ):
+            sel = match_positions(
+                s.reader, s.an.tokens(text or ""), mask=s._mask(),
+                require_all=s.match == "and",
+            )
+            sel = sel[valid[sel]]
+            if sel.size == 0:
+                continue
+            uniq = np.unique(vals_np[sel].astype(str))
+            hs = np.fromiter(
+                (stable_hash64(v) for v in uniq.tolist()),
+                dtype=np.uint64, count=uniq.size,
+            )
+            qid_out.append(qid)
+            reg_out.append(_hll_registers(hs, hll_p).tobytes())
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.string()),
+                "regs": pa.array(reg_out, pa.binary()),
+            }
+        )
+
+    def hll_merge(g: pa.Table) -> pa.Table:
+        regs = np.frombuffer(
+            g.column("regs")[0].as_py(), np.uint8
+        ).copy()
+        for blob in g.column("regs").to_pylist()[1:]:
+            np.maximum(regs, np.frombuffer(blob, np.uint8), out=regs)
+        return pa.table(
+            {
+                "qid": g.column("qid").slice(0, 1),
+                "cardinality": pa.array(
+                    [_hll_estimate(regs)], pa.int64()
+                ),
+            }
+        )
+
+    exploded = queries_ds.map_batches(explode, batch_format="pyarrow")
+    if approx:
+        return (
+            exploded.groupby("shard")
+            .map_groups(hll_shard, batch_format="pyarrow")
+            .groupby("qid")
+            .map_groups(hll_merge, batch_format="pyarrow")
+        )
     return (
-        queries_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shard")
+        exploded.groupby("shard")
         .map_groups(distinct_shard, batch_format="pyarrow")
         .groupby(["qid", "value"])
         .aggregate(Count(alias_name="_n"))  # dedup across shards
@@ -3461,8 +3584,11 @@ def rank_feature_queries(queries_ds, index_dir: str, col: str, *,
     search folds pagerank/url_length/freshness features into BM25):
 
         saturation : final = bm25 + boost * (v / (v + pivot))
-        log        : final = bm25 + boost * ln(scaling + v)
+        log        : final = bm25 + boost * ln(scaling * v + 1)
         sigmoid    : final = bm25 + boost * (v^e / (v^e + pivot^e))
+
+    ``log`` is the exact ES/Lucene form (scaling_factor * S + 1 inside
+    the ln), so scaling scales the FEATURE, not an additive offset.
 
     ``v`` is the ``col`` docvalue; ``e`` (sigmoid) is a positive INTEGER
     exponent evaluated by repeated multiplication so the float op
@@ -3488,7 +3614,7 @@ def rank_feature_queries(queries_ds, index_dir: str, col: str, *,
             return boost * (v / (v + pivot))
     elif function == "log":
         def contrib(v: np.ndarray) -> np.ndarray:
-            args = scaling + v
+            args = scaling * v + 1.0
             uniq, inv = np.unique(args, return_inverse=True)
             ln = np.fromiter(
                 (math.log(a) for a in uniq.tolist()), np.float64, uniq.size

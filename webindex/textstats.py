@@ -1220,6 +1220,11 @@ C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 5
 C4_MIN_KEPT_LINES = 3
 _C4_STRIP = '.!?"'
+# The explicit ASCII-whitespace word class shared with the SQL oracle's
+# regexp_extract_all('[^ \t\n\f\r]+') — NOT str.split(), which also
+# splits on \v / NBSP / other Unicode whitespace and would diverge from
+# any SQL engine's character-class tokenizer on such docs.
+_C4_WORD_RE = re.compile(r"[^ \t\n\f\r]+")
 
 
 def c4_filters(docs_ds, *, badwords=frozenset(),
@@ -1229,7 +1234,9 @@ def c4_filters(docs_ds, *, badwords=frozenset(),
     pipeline; the line-level sibling of :func:`gopher_rules`). Documents
     are ``\\n``-lined pages; per line the rule set keeps lines that end
     in a terminal punctuation mark (``. ! ? "``), contain at least
-    ``min_line_words`` whitespace words, and do not contain the word
+    ``min_line_words`` words (words = maximal runs of the explicit
+    ``[^ \\t\\n\\f\\r]`` class, matching the SQL oracle's character-class
+    tokenizer exactly), and do not contain the word
     "javascript" (case-insensitive, trailing punctuation stripped).
     Page-level: ``has_badword`` (any word, lowercased + punct-stripped,
     in ``badwords``), ``has_lorem`` ("lorem ipsum" substring of the
@@ -1252,7 +1259,7 @@ def c4_filters(docs_ds, *, badwords=frozenset(),
             kept, n_kept_words = [], 0
             has_bad = False
             for line in lines:
-                words = line.split()
+                words = _C4_WORD_RE.findall(line)
                 lw = [w.lower().rstrip(_C4_STRIP) for w in words]
                 if bw and not has_bad and any(w in bw for w in lw):
                     has_bad = True
