@@ -1,0 +1,149 @@
+"""Masked pruning + the quantized-impact pass must be invisible.
+
+An index with tombstones (or a docvalues filter) now routes to the
+pruned kernels with the mask passed through; results must stay
+bit-identical to exhaustive_constrained(mask=...) — the previous
+only-path — and to a brute per-doc oracle over live docs. The
+quantized-impact uint16 first pass must likewise be invisible: it only
+SELECTS candidates, exact scores come from the pinned ascending-term
+rescore.
+"""
+
+import numpy as np
+import pytest
+
+from webindex.config import AnalyzerConfig, IndexConfig
+from webindex.oracle import OracleBM25
+
+CFG = IndexConfig(num_buckets=4, n_parts=4,
+                  analyzer=AnalyzerConfig(remove_stopwords=False))
+
+
+@pytest.fixture(scope="module")
+def masked_idx(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webindex.build import build_index
+
+    rng = np.random.default_rng(23)
+    common = ["alpha", "beta", "gamma", "delta"]
+    rare = [f"rare{i}" for i in range(30)]
+    docs = []
+    for i in range(500):
+        words = list(rng.choice(common, size=rng.integers(3, 10)))
+        if i % 9 == 0:
+            words += list(rng.choice(rare, size=2))
+        rng.shuffle(words)
+        docs.append((i, " ".join(words)))
+
+    idx = str(tmp_path_factory.mktemp("masked") / "idx")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    ).repartition(3)
+    build_index(ds, idx, CFG)
+
+    # tombstone every 7th doc
+    from webindex.lifecycle import delete_docs
+
+    dead = [d for d, _ in docs if d % 7 == 0]
+    delete_docs(idx, dead)
+    live_docs = [(d, t) for d, t in docs if d % 7 != 0]
+    return idx, docs, live_docs, set(dead)
+
+
+QUERIES = [
+    "alpha rare3",
+    "alpha beta gamma delta",   # all dense: the quantized-pass regime
+    "rare1 rare2 alpha beta",
+    "beta",                     # single term under mask
+    "alpha gamma",
+]
+
+
+def test_masked_kernels_bit_identical(masked_idx, ray_session):
+    from webindex.search import SearcherActor
+    from webindex.wand import (block_max_wand, exhaustive_constrained,
+                               exhaustive_topk)
+
+    idx, docs, _live_docs, dead = masked_idx
+    s = SearcherActor(idx, top_k=20, mode="auto", request_cache=False)
+    mask = s._mask()
+    assert mask is not None and not mask.all()
+    # pinned tombstone semantics: deleted docs are FILTERED but df/avgdl
+    # still count them (lifecycle.delete_docs docstring) — so the oracle
+    # scores on the full corpus and drops dead docs from the ranking
+    oracle = OracleBM25(docs, CFG)
+    for q in QUERIES:
+        terms = s.an.tokens(q)
+        i1, s1 = exhaustive_constrained(s.reader, terms, 20, mask=mask)
+        i2, s2 = exhaustive_topk(s.reader, terms, 20, mask=mask)
+        i3, s3 = block_max_wand(s.reader, terms, 20, mask=mask)
+        assert np.array_equal(i1, i2) and np.array_equal(s1, s2), q
+        assert np.array_equal(i1, i3) and np.array_equal(s1, s3), q
+        # and the routed searcher equals the brute oracle over live docs
+        ids, scores = s.search_one("q", q)
+        want = [
+            (d, sc) for d, sc in oracle.topk(q, len(docs))
+            if d not in dead
+        ][:20]
+        assert ids.tolist() == [d for d, _ in want], q
+        assert np.allclose(scores, [sc for _, sc in want], atol=1e-12), q
+
+
+def test_quantized_pass_engages_and_is_exact(masked_idx, ray_session):
+    """Force the quantized path (bypass two-phase routing) and check it
+    returns exactly the unquantized result, mask on and off."""
+    from webindex.search import SearcherActor
+    from webindex.wand import (_dense, _quantized_topk, _refined_theta,
+                               exhaustive_constrained, query_postings)
+
+    idx, docs, _live, _dead = masked_idx
+    s = SearcherActor(idx, top_k=15, mode="auto", request_cache=False)
+    reader = s.reader
+    mask = s._mask()
+    for q in ["alpha beta gamma delta", "alpha gamma"]:
+        terms = sorted(set(s.an.tokens(q)))
+        pls = query_postings(reader, terms)
+        for pl in pls:
+            _dense(pl, reader)
+        for m in (None, mask):
+            theta = _refined_theta(pls, 15, -np.inf, mask=m)
+            assert np.isfinite(theta) and theta > 0
+            res = _quantized_topk(reader, pls, 15, theta, m)
+            assert res is not None, (q, m is None)
+            want = exhaustive_constrained(reader, terms, 15, mask=m)
+            assert np.array_equal(res[0], want[0]), q
+            assert np.array_equal(res[1], want[1]), q
+
+
+def test_impact_exponent_overflow_budget(masked_idx, ray_session):
+    """Summed per-term ceil-quantized maxima always fit uint16."""
+    import math
+
+    from webindex.search import SearcherActor
+    from webindex.wand import _dense, _impact_exponent, _impacts, \
+        query_postings
+
+    idx, _docs, _live, _dead = masked_idx
+    s = SearcherActor(idx, top_k=5, mode="auto", request_cache=False)
+    reader = s.reader
+    terms = sorted(set(s.an.tokens("alpha beta gamma delta rare1 rare2")))
+    pls = query_postings(reader, terms)
+    for pl in pls:
+        _dense(pl, reader)
+    e = _impact_exponent(pls)
+    assert sum(
+        math.ceil(p.max_score / 2.0 ** e) for p in pls
+    ) <= 65535
+    for pl in pls:
+        iq = _impacts(pl, reader, e)
+        assert iq.dtype == np.uint16
+        # ceil quantization: iq * 2**e is an upper bound, within one step
+        assert (iq * 2.0 ** e >= pl.dense_contrib).all()
+        assert (iq * 2.0 ** e <= pl.dense_contrib + 2.0 ** e).all()

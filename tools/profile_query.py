@@ -21,7 +21,9 @@ def main():
     from webindex.search import SearcherActor
     from webindex.synth import synth_queries_table
 
-    s = SearcherActor(idx, top_k=1000, mode="auto")
+    # request_cache off: the warm loop runs the same texts, so a cached
+    # searcher would measure dict lookups, not the engine
+    s = SearcherActor(idx, top_k=1000, mode="auto", request_cache=False)
     texts = synth_queries_table(n=50).column("text").to_pylist()
     for t in texts:
         s.search_one("warm", t)

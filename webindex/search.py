@@ -385,13 +385,17 @@ class SearcherActor:
                 )
             return phrase_topk(self.reader, terms, k, mask=mask)
         mask = self._mask()
-        if (mask is not None or self.match == "and" or self.min_match
+        if (self.match == "and" or self.min_match
                 or self.boosts or self.must_not or self.neg_boost
                 or self.field_factor or self.dis_max is not None):
-            # constrained queries (filter predicate, pending deletes, AND
-            # match, minimum_should_match, boosts) take the dedicated
-            # exhaustive kernel (pruning θ bounds are invalid under
-            # filters/boosts — see wand.exhaustive_constrained)
+            # score-shaping / conjunctive constraints (AND match,
+            # minimum_should_match, boosts, must_not, dis_max, ...) take
+            # the dedicated exhaustive kernel (pruning θ bounds are
+            # invalid under boosts — see wand.exhaustive_constrained).
+            # A PURE filter mask (docvalues predicate and/or tombstones)
+            # does NOT route here anymore: the pruned kernels accept the
+            # mask directly with masked-θ validity, so an index with
+            # pending deletes keeps its pruned fast path.
             return exhaustive_constrained(
                 self.reader, terms, k, mask=mask,
                 require_all=self.match == "and",
@@ -405,8 +409,9 @@ class SearcherActor:
             mode = route_mode(
                 dfs, k, max(1, self.reader.cfg.block_size)
             )
-        fn = block_max_wand if mode == "wand" else exhaustive_topk
-        return fn(self.reader, terms, k)
+        if mode == "wand":
+            return block_max_wand(self.reader, terms, k, mask=mask)
+        return exhaustive_topk(self.reader, terms, k, mask=mask)
 
     def facet_one(self, text: str, facet_cols: list[str]):
         """ES terms-aggregation analog: per docvalues column, value counts

@@ -86,7 +86,8 @@ def _theta_seed(top: PostingList, k: int):
     return ent
 
 
-def _refined_theta(pls, k: int, base_theta: float) -> float:
+def _refined_theta(pls, k: int, base_theta: float,
+                   mask: np.ndarray | None = None) -> float:
     """Tighten θ to the k-th best EXACT score over the union of every
     term's top-k seed docs.
 
@@ -97,7 +98,13 @@ def _refined_theta(pls, k: int, base_theta: float) -> float:
     for stopword-scale multi-term queries from ~2.5M docs to ~k.
     Seeds are cached per (term, k); the union costs one small unique +
     one searchsorted per term. Exact seed scores are summed in the same
-    ascending-term order as the main scoring paths."""
+    ascending-term order as the main scoring paths.
+
+    Under ``mask`` (live/filter bitset over doclen positions) the seed
+    pool is restricted to docs PASSING the mask, so the k-th best seed
+    score is a valid lower bound of the FILTERED k-th score (every seed
+    is an attainable filtered result). ``base_theta`` must then come
+    from masked scores too — callers pass -inf."""
     seeds = []
     for pl in pls:
         if pl.dense_contrib.size > k:
@@ -105,6 +112,8 @@ def _refined_theta(pls, k: int, base_theta: float) -> float:
         else:
             seeds.append(pl.dense_pos)
     seed_pos = np.unique(np.concatenate(seeds))
+    if mask is not None:
+        seed_pos = seed_pos[mask[seed_pos]]
     if seed_pos.size < k:
         return base_theta
     seed_sc = np.zeros(seed_pos.size, dtype=np.float64)
@@ -133,6 +142,123 @@ def _zero_scratch(reader: SegmentReader, n: int) -> np.ndarray:
     out = buf[:n]
     out.fill(0.0)
     return out
+
+
+# --------------------------------------------------------------------------
+# quantized-impact first pass (the dense-query fast path)
+# --------------------------------------------------------------------------
+
+#: uint16 accumulator budget for a query's summed quantized impacts —
+#: headroom below 65535 for the +1-per-term ceil excess
+_IMPACT_BUDGET = 60000
+_IMPACT_MAX_TERMS = 8
+#: per-posting-list cap on cached impact grids (each is 2 B/posting)
+_IMPACT_CACHE_CAP = 4
+
+
+def _impact_exponent(pls) -> int:
+    """Smallest power-of-two grid 2**e such that the query's summed
+    per-term quantized impacts fit the uint16 budget:
+    Σ_t ceil(max_t / 2**e) <= Σ_t max_t / 2**e + n_terms <= BUDGET.
+
+    A query-ADAPTIVE scale is what makes the first pass sharp: dense
+    low-idf terms have max contributions ~100x below the index-wide idf
+    bound, so an index-global grid wastes almost all of the integer
+    range (measured: 220k candidates at the global grid vs ~6k here).
+    Snapping to powers of two keeps the per-term quantized arrays
+    cacheable — a term meets only a handful of distinct exponents
+    across all queries."""
+    import math
+
+    summax = sum(p.max_score for p in pls)
+    e = math.ceil(math.log2(summax / (_IMPACT_BUDGET - len(pls))))
+    # exact overflow check on the true per-term ceils (the log bound
+    # ignores flooring): bump until the worst-case sum fits
+    while sum(math.ceil(p.max_score / 2.0 ** e) for p in pls) > 65535:
+        e += 1
+    return e
+
+
+def _impacts(pl: PostingList, reader: SegmentReader, e: int) -> np.ndarray:
+    """uint16 CEIL-quantized contributions on the 2**e grid (cached on
+    the posting list per exponent, like the dense arrays — query-
+    independent given e). iq * 2**e >= contrib, so integer sums are
+    score upper bounds."""
+    cache = getattr(pl, "impact_q", None)
+    if cache is None:
+        cache = pl.impact_q = {}
+    arr = cache.get(e)
+    if arr is None:
+        if len(cache) >= _IMPACT_CACHE_CAP:
+            cache.pop(next(iter(cache)))
+        arr = cache[e] = np.ceil(
+            pl.dense_contrib / 2.0 ** e
+        ).astype(np.uint16)
+    return arr
+
+
+def _u16_scratch(reader: SegmentReader, n: int) -> np.ndarray:
+    """Reader-owned reusable uint16 impact accumulator (same resident-
+    buffer rationale as _zero_scratch; a 2-byte slot quarters the
+    scatter's memory traffic vs the float64 dense array)."""
+    buf = getattr(reader, "_impact_scratch", None)
+    if buf is None or buf.size < n:
+        buf = reader._impact_scratch = np.empty(n, dtype=np.uint16)
+    out = buf[:n]
+    out.fill(0)
+    return out
+
+
+def _rescore_exact(pls, cand_pos: np.ndarray) -> np.ndarray:
+    """Exact float64 scores of candidate doclen positions, summed
+    per-term in ascending unicode order (``pls`` comes from
+    query_postings, already sorted) — bit-identical to the dense
+    scatter path and the pure-Python oracle.
+
+    Kernel choice note: per-candidate binary search into each sorted
+    posting list measures FASTER on this host than a position->rank
+    lookup table (60 ms) or a u16-membership gather (70 ms) at the
+    200k-candidate tie-plateau worst case (37 ms) — sorted candidates
+    give the probe sequence high locality, while linear random gathers
+    into even L2-sized tables run ~7 ns/element here."""
+    scores = np.zeros(cand_pos.size, dtype=np.float64)
+    for pl in pls:
+        idx = np.searchsorted(pl.dense_pos, cand_pos)
+        idx = np.minimum(idx, pl.dense_pos.size - 1)
+        match = pl.dense_pos[idx] == cand_pos
+        scores[match] += pl.dense_contrib[idx[match]]
+    return scores
+
+
+def _quantized_topk(reader: SegmentReader, pls, k: int, theta: float,
+                    mask: np.ndarray | None):
+    """Dense-query top-k via a quantized-impact integer first pass.
+
+    The float64 full scatter is memory-bound (8-byte read-modify-write
+    per posting into a corpus-sized array); accumulating cached uint16
+    ceil-quantized impacts instead quarters that traffic. The integer
+    sum is a per-doc score UPPER bound (each iq * scale >= contrib), so
+    ``acc >= floor(θ/scale)`` selects a superset of every doc with true
+    score >= θ; the superset is tiny (quantization slack is
+    n_terms * 2**e ≈ n_terms * Σ max_t / 60000 BM25 points) and gets
+    exact-rescored in pinned ascending-term order — final scores and
+    ranks bit-identical to the unquantized path. Returns None when the
+    integer threshold degenerates so the caller falls back."""
+    e = _impact_exponent(pls)
+    s = 2.0 ** e
+    T = int(theta / s)  # floor: acc >= T is a superset of acc*s >= θ
+    if T < 1:
+        return None
+    dl_ids = reader._dl_ids
+    acc = _u16_scratch(reader, dl_ids.size)
+    for pl in pls:
+        acc[pl.dense_pos] += _impacts(pl, reader, e)
+    cand_pos = np.flatnonzero(acc >= T)
+    if mask is not None:
+        cand_pos = cand_pos[mask[cand_pos]]
+    scores = _rescore_exact(pls, cand_pos)
+    keep = scores >= theta
+    return _rank_topk(dl_ids[cand_pos[keep]], scores[keep], k)
 
 
 def exhaustive_constrained(reader: SegmentReader, terms: list[str], k: int,
@@ -277,7 +403,8 @@ def match_positions(reader: SegmentReader, terms: list[str],
     return sel
 
 
-def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
+def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int,
+                    mask: np.ndarray | None = None):
     """Score every doc containing any query term; exact top-k.
 
     Accumulates into a dense array indexed by the doc's position in the
@@ -286,6 +413,15 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
     Summation stays ascending-term per doc (bit-identical to the oracle);
     positions within one posting list are unique, so the fancy-indexed
     ``+=`` is safe.
+
+    ``mask`` (optional live/predicate bitset over doclen positions)
+    keeps PRUNING valid under filtering: θ derives from masked seed
+    scores only (every seed an attainable filtered result — see
+    _refined_theta), candidates are mask-filtered before exact rescore,
+    and survivor scores are the same ascending-term sums — bit-identical
+    to exhaustive_constrained(mask=...) for the pure-filter case, which
+    previously had no pruned path at all (every query on an index with
+    tombstones paid the full scatter).
     """
     pls = query_postings(reader, terms)
     if not pls:
@@ -297,7 +433,10 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         # accumulator, no candidate scan, just top-k over contributions
         # (identical values/order to the scatter path by construction)
         pl = _dense(pls[0], reader)
-        return _rank_topk(pl.ids, pl.dense_contrib, k)
+        if mask is None:
+            return _rank_topk(pl.ids, pl.dense_contrib, k)
+        keep = mask[pl.dense_pos]
+        return _rank_topk(pl.ids[keep], pl.dense_contrib[keep], k)
 
     # MAXSCORE candidate pruning (term-level upper bounds): a doc appearing
     # ONLY in non-essential terms — those whose summed max_score stays
@@ -314,8 +453,17 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             for pl in pls:
                 _dense(pl, reader)
             # θ refinement: k-th best exact score over the union of all
-            # terms' seed docs (see _refined_theta)
-            theta = _refined_theta(pls, k, _theta_seed(top, k)[0])
+            # terms' seed docs (see _refined_theta). Under a mask the
+            # top term's unmasked k-th contribution is NOT a valid
+            # filtered bound — seed from -inf and let the masked seed
+            # set provide (or withhold) the bound.
+            if mask is None:
+                theta = _refined_theta(pls, k, _theta_seed(top, k)[0])
+            else:
+                theta = _refined_theta(pls, k, -np.inf, mask=mask)
+                if not np.isfinite(theta):
+                    theta = None
+        if theta is not None:
             suffix = np.cumsum(
                 [p.max_score for p in by_max][::-1]
             )[::-1]
@@ -327,7 +475,13 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             non_ess = [p for j, p in enumerate(by_max) if suffix[j] < theta]
 
     total_postings = sum(p.ids.size for p in pls)
-    if non_ess and sum(p.ids.size for p in ess) * len(pls) < total_postings:
+    # phase A pays only when the essential lists are genuinely sparse:
+    # its worst-case candidate set is the essential postings themselves,
+    # so charge the full phase-B rate up front — borderline-dense
+    # queries otherwise burn a float64 scatter here and STILL fall
+    # through to the quantized pass below (measured ~20 ms wasted)
+    if non_ess and (sum(p.ids.size for p in ess) * len(pls)
+                    * _PHASE_B_COST < total_postings):
         # two-phase MAXSCORE: (A) scatter-add ONLY the essential lists
         # (typically the rare, high-idf terms — the stopword-scale lists
         # are never scatter-added) into a bound array; a candidate must
@@ -357,6 +511,8 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
             cand_pos = np.flatnonzero(bound >= thr)
         else:
             cand_pos = np.flatnonzero(bound)
+        if mask is not None:
+            cand_pos = cand_pos[mask[cand_pos]]
         # Routing cost model: one phase-B candidate costs ~4-5x one
         # scatter-added posting (searchsorted binary probes + compare +
         # two gathers + masked add, measured 53ns/lookup vs 9ns/posting
@@ -364,16 +520,22 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         # fall through to the full scatter — an all-stopword query with
         # cand ~= ess postings ran 480ms two-phase vs 76ms scatter.
         if cand_pos.size * len(pls) * _PHASE_B_COST < total_postings:
-            scores = np.zeros(cand_pos.size, dtype=np.float64)
-            for pl in pls:  # ascending term order (query_postings sorts)
-                _dense(pl, reader)
-                idx = np.searchsorted(pl.dense_pos, cand_pos)
-                idx = np.minimum(idx, pl.dense_pos.size - 1)
-                match = pl.dense_pos[idx] == cand_pos
-                scores[match] += pl.dense_contrib[idx[match]]
+            scores = _rescore_exact(pls, cand_pos)
             keep = scores >= theta
             return _rank_topk(dl_ids[cand_pos[keep]], scores[keep], k)
         # candidates not sparse enough: the full scatter-add is cheaper
+
+    # quantized-impact pass: quarter-traffic uint16 scatter selecting a
+    # tiny exact-rescored superset — the dense-query path where MAXSCORE
+    # term pruning degenerates (all terms essential). Falls through to
+    # the float64 scatter when no θ exists or the term count exceeds the
+    # accumulator's overflow budget.
+    if theta is not None and len(pls) <= _IMPACT_MAX_TERMS:
+        for pl in pls:
+            _dense(pl, reader)
+        res = _quantized_topk(reader, pls, k, theta, mask)
+        if res is not None:
+            return res
 
     # (reuses — and re-zeros — the same scratch `bound` may occupy;
     # `bound` is never read past this point)
@@ -385,11 +547,14 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int):
         nz = np.flatnonzero(scores >= theta)  # top-k all score >= θ
     else:
         nz = np.flatnonzero(scores)  # BM25 contribs are > 0: nonzero==match
+    if mask is not None:
+        nz = nz[mask[nz]]
     return _rank_topk(dl_ids[nz], scores[nz], k)
 
 
 def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
-                   stats: dict | None = None):
+                   stats: dict | None = None,
+                   mask: np.ndarray | None = None):
     """Block-Max top-k (exact), fully vectorized — no per-document and no
     per-interval Python loop.
 
@@ -412,6 +577,11 @@ def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
 
     ``stats`` (optional) receives {"n_scored": docs fully scored,
     "n_candidates": OR-set size bound, "n_intervals": intervals kept}.
+
+    ``mask`` (live/predicate bitset) composes the same way as in
+    :func:`exhaustive_topk`: masked θ seeds, candidates mask-filtered
+    before exact scoring — results bit-identical to
+    exhaustive_constrained(mask=...) for the pure-filter case.
     """
     pls = query_postings(reader, terms)
     if not pls:
@@ -421,16 +591,22 @@ def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
         _dense(pl, reader)
 
     # θ from the top term's k-th best contribution (same bound the
-    # exhaustive MAXSCORE path uses; cached per (term, k))
+    # exhaustive MAXSCORE path uses; cached per (term, k)); under a mask
+    # the bound must come from masked seed scores (see exhaustive_topk)
     by_max = sorted(pls, key=lambda p: -p.max_score)
     top = by_max[0]
     theta = None
     if len(pls) > 1 and top.dense_contrib.size > k:
-        theta = _refined_theta(pls, k, _theta_seed(top, k)[0])
+        if mask is None:
+            theta = _refined_theta(pls, k, _theta_seed(top, k)[0])
+        else:
+            theta = _refined_theta(pls, k, -np.inf, mask=mask)
+            if not np.isfinite(theta):
+                theta = None
     if len(pls) == 1:
         # single term: no cross-term bound to prune with — the dense
         # exhaustive scorer is the right kernel
-        ids, scores = exhaustive_topk(reader, terms, k)
+        ids, scores = exhaustive_topk(reader, terms, k, mask=mask)
         if stats is not None:
             stats["n_scored"] = int(sum(pl.ids.size for pl in pls))
             stats["n_intervals"] = 0
@@ -503,12 +679,26 @@ def block_max_wand(reader: SegmentReader, terms: list[str], k: int,
             np.concatenate([pl.dense_pos[x] for pl, x in zip(pls, sel)
                             if x.size])
         )
+        if mask is not None:
+            # masked-out docs never score (θ comes from masked seeds, so
+            # dropping them before the scatter keeps k-th bounds valid)
+            cand_pos = cand_pos[mask[cand_pos]]
+            if cand_pos.size == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.float64))
         sc = np.zeros(cand_pos.size, dtype=np.float64)
         for pl, x in zip(pls, sel):
             if x.size == 0:
                 continue  # ascending term order preserved (zip keeps order)
-            at = np.searchsorted(cand_pos, pl.dense_pos[x])
-            sc[at] += pl.dense_contrib[x]
+            dpos = pl.dense_pos[x]
+            at = np.searchsorted(cand_pos, dpos)
+            if mask is not None:
+                # some gathered postings belong to masked-out docs and
+                # are absent from cand_pos — guard the scatter
+                at = np.minimum(at, cand_pos.size - 1)
+                ok = cand_pos[at] == dpos
+                sc[at[ok]] += pl.dense_contrib[x][ok]
+            else:
+                sc[at] += pl.dense_contrib[x]
         return cand_pos, sc
 
     # Round 1: exactly score the highest-UB interval prefix (enough
