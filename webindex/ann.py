@@ -403,11 +403,16 @@ def seed_centroids(emb_ds, n_centroids: int, *, id_col: str = "vec_id",
     return _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
 
 
-def _probe_plan(cents: np.ndarray, query_ids, query_vecs, nprobe: int):
+def _probe_plan(cents: np.ndarray, query_ids, query_vecs, nprobe: int,
+                round6: bool = False):
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     # stable sort: equal-similarity centroids probe lowest-index first,
-    # matching the SQL oracle's ORDER BY sim DESC, cid tie-break
-    probes = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    # matching the SQL oracle's ORDER BY sim DESC, cid tie-break;
+    # round6 compares 6dp-rounded similarities (the portability rule)
+    sims = qmat @ cents.T
+    if round6:
+        sims = np.round(sims, 6)
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     probe_set = sorted({int(c) for row in probes for c in row})
     allowed = {int(q): {int(c) for c in probes[i]}
                for i, q in enumerate(query_ids)}
@@ -591,12 +596,36 @@ def pq_train(emb_ds, *, m_subs: int = 8, n_codes: int = 16,
     return books
 
 
+def pq_seed_books(emb_ds, *, m_subs: int = 8, n_codes: int = 32,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic, SQL-expressible PQ codebooks: subspace slices of
+    the (normalized) ``n_codes`` smallest-id vectors — the
+    :func:`seed_centroids` rule applied per subspace, trading codebook
+    quality for end-to-end DuckDB verifiability (the ``ivf_seed_top5``
+    precedent extended to product quantization). Code index = ascending
+    id order. Returns ``(m_subs, n_codes, d/m_subs)`` float64."""
+    cents = seed_centroids(emb_ds, n_codes, id_col=id_col, vec_col=vec_col)
+    d = cents.shape[1]
+    if d % m_subs:
+        raise ValueError(f"dim {d} not divisible by m_subs {m_subs}")
+    dsub = d // m_subs
+    return np.ascontiguousarray(
+        cents.reshape(n_codes, m_subs, dsub).swapaxes(0, 1)
+    )
+
+
 def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", round6: bool = False):
     """Vectors -> ``(id, pq_code list<uint8>)``: nearest codebook entry
     per subspace (L2, ties -> lowest code). Stateless ``map_batches`` —
     the codebook rides the task closure (a few KB); at scale the encoded
-    table is what you store and scan."""
+    table is what you store and scan.
+
+    ``round6``: the argmin compares the 6dp-ROUNDED reduced distance
+    ``-2 x.c + ||c||^2`` so a DuckDB oracle computing the same
+    expression reproduces every code exactly (near-ties resolve to the
+    lowest code on both engines — the rounded-threshold rule)."""
     m_subs, n_codes, dsub = codebooks.shape
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -610,6 +639,8 @@ def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
                 -2.0 * (sub @ codebooks[j].T)
                 + (codebooks[j] ** 2).sum(axis=1)[None, :]
             )
+            if round6:
+                d2 = np.round(d2, 6)
             codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
         return pa.table(
             {
@@ -625,7 +656,7 @@ def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
 
 def pq_topk(codes_ds, codebooks: np.ndarray, query_ids: list[int],
             query_vecs: np.ndarray, k: int, *, id_col: str = "vec_id",
-            concurrency=4, batch_size: int = 4096):
+            concurrency=4, batch_size: int = 4096, round6: bool = False):
     """Asymmetric-distance (ADC) top-k over PQ codes: per query one
     (m_subs x n_codes) inner-product lookup table against the RAW query
     subvectors; each batch scores as ``sum_j LUT[j, code_j]`` (two numpy
@@ -659,6 +690,11 @@ def pq_topk(codes_ds, codebooks: np.ndarray, query_ids: list[int],
         cols = np.arange(m_subs)
         for qi in range(len(qids_np)):
             sims = lut_b[qi][cols[None, :], codes].sum(axis=1)
+            if round6:
+                # ranking (and the k-merge downstream) keys on the
+                # 6dp-rounded ADC sum, engine-portable vs a SQL SUM
+                # whose float addition order differs by ~1 ulp
+                sims = np.round(sims, 6)
             kk = min(k, sims.size)
             # partial top-k with (sim desc, id asc) tie order
             sel = np.lexsort((ids, -sims))[:kk]
@@ -728,10 +764,54 @@ def ivfpq_build(emb_ds, *, n_centroids: int = 16, m_subs: int = 8,
     return emb_ds.map_batches(encode, batch_format="pyarrow"), cents, books
 
 
+def ivfpq_seed_build(emb_ds, *, n_centroids: int = 8, m_subs: int = 8,
+                     n_codes: int = 32, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """IVF-PQ with fully seeded, SQL-expressible parameters: coarse
+    centroids = :func:`seed_centroids`, codebooks = :func:`pq_seed_books`,
+    assignment + encoding on 6dp-rounded keys — every build artifact a
+    DuckDB oracle can reproduce bit for bit (the ``ivf_seed_top5``
+    precedent extended to the full IVFADC layout). Returns
+    ``(codes_ds, cents, books)`` with codes_ds = (id, centroid, pq_code);
+    the same one-pass scale shape as :func:`ivfpq_build`."""
+    cents = seed_centroids(emb_ds, n_centroids, id_col=id_col,
+                           vec_col=vec_col)
+    books = pq_seed_books(emb_ds, m_subs=m_subs, n_codes=n_codes,
+                          id_col=id_col, vec_col=vec_col)
+    m, nc, dsub = books.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_vecs(batch, vec_col))
+        assign = np.argmax(
+            np.round(mat @ cents.T, 6), axis=1
+        ).astype(np.int32)
+        n = mat.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub: (j + 1) * dsub]
+            d2 = np.round(
+                -2.0 * (sub @ books[j].T)
+                + (books[j] ** 2).sum(axis=1)[None, :], 6,
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "centroid": pa.array(assign),
+                "pq_code": pa.array(
+                    codes.tolist(), pa.list_(pa.uint8(), m)
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow"), cents, books
+
+
 def ivfpq_topk(codes_ds, cents: np.ndarray, books: np.ndarray,
                query_ids: list[int], query_vecs: np.ndarray, k: int, *,
                nprobe: int = 4, id_col: str = "vec_id",
-               concurrency=4, batch_size: int = 4096):
+               concurrency=4, batch_size: int = 4096,
+               round6: bool = False):
     """IVF-PQ query: probe the ``nprobe`` nearest coarse centroids per
     query, ADC-score ONLY rows in probed partitions (lookup-table sums
     over uint8 codes, no decode), exact k-merge. Doubly approximate
@@ -742,7 +822,7 @@ def ivfpq_topk(codes_ds, cents: np.ndarray, books: np.ndarray,
 
     m, nc, dsub = books.shape
     qmat, probe_set, allowed = _probe_plan(
-        cents, query_ids, query_vecs, nprobe
+        cents, query_ids, query_vecs, nprobe, round6=round6
     )
     lut = np.einsum(
         "qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), books
@@ -777,6 +857,8 @@ def ivfpq_topk(codes_ds, cents: np.ndarray, books: np.ndarray,
             if not mask.any():
                 continue
             sims = lut_b[qi][cols[None, :], codes[mask]].sum(axis=1)
+            if round6:
+                sims = np.round(sims, 6)  # portable rank key (pq_topk)
             v = ids[mask]
             kk = min(k, sims.size)
             sel = np.lexsort((v, -sims))[:kk]

@@ -975,10 +975,11 @@ SELECT a, b, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY a, b
 
 def q_bpe_merges(sf_dir: str):
     """Corpus-trained BPE merge list (webindex/bpe.py train_bpe_from_ds,
-    100 merges): the iterative argmax loop has no SQL form (each round
-    depends on the last), so this is rows-only — gated by the
-    independent stream-based pytest oracle (tests/test_bpe.py) plus the
-    SQL-checked round-1 inputs (bpe_word_counts / bpe_pair_counts)."""
+    100 merges). The iteration count is pinned, so the sequential argmax
+    loop UNROLLS into a generated 100-round DuckDB CTE chain
+    (webindex/pipelines/sql_bpe.py) — full SQL oracle, upgraded from
+    rows-only; the independent stream-based pytest oracle
+    (tests/test_bpe.py) still gates the trainer itself."""
     import pandas as pd
     import ray.data as rd
 
@@ -1001,9 +1002,12 @@ def q_bpe_subword_counts(sf_dir: str):
     """Corpus-trained BPE encode (webindex/bpe.py bpe_token_counts):
     train 100 merges, broadcast ranks once via ray.put, stream the
     corpus through the memoizing actor pool -> (doc_id, n_words,
-    n_bpe_tokens). Rows-only (trained-merge encode has no SQL form);
-    the encode kernel is pytest-gated against a sequential-application
-    reference (tests/test_bpe.py)."""
+    n_bpe_tokens). SQL oracle: the unrolled training replay's FINAL
+    vocab state is each corpus word's encoded segmentation (greedy
+    train == greedy encode for in-vocab words, asserted in
+    tests/test_bpe.py), so per-doc token counts join against it
+    (webindex/pipelines/sql_bpe.py). The encode kernel itself stays
+    pytest-gated against a sequential-application reference."""
     import ray.data as rd
 
     from webindex.bpe import bpe_token_counts, train_bpe_from_ds
@@ -1626,8 +1630,12 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_bm25_stemmed_top10(sf_dir: str):
-    """Full english-analyzer BM25 (Porter stem + stopwords) — rank identity
-    vs the pure-Python oracle is asserted in tests/test_build_search.py."""
+    """Full english-analyzer BM25 (Porter stem + Lucene stopwords) — rank
+    identity vs the pure-Python oracle is asserted in
+    tests/test_build_search.py, and the DuckDB oracle replays the ENTIRE
+    chain including a generated-SQL Porter stemmer
+    (webindex/pipelines/sql_porter.py): tokenize -> stopword filter ->
+    per-distinct-word Porter CTE chain -> doc rewrite -> standard BM25."""
     from webindex.search import search_queries
 
     idx = ensure_index(sf_dir, "stemmed")
@@ -1637,6 +1645,67 @@ def q_bm25_stemmed_top10(sf_dir: str):
     return runs.map_batches(
         lambda t: t.select(["qid", "doc_id", "rank"]), batch_format="pyarrow"
     )
+
+
+def _sql_bm25_stemmed_top10() -> str:
+    from webindex.analyze import LUCENE_STOPWORDS
+    from webindex.config import AnalyzerConfig
+    from webindex.pipelines.sql_porter import porter_sql_stages
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(LUCENE_STOPWORDS))
+    # query terms through the full english analyzer (the established
+    # query-side precedent: analyzer output as SQL VALUES constants —
+    # the corpus side is stemmed fully in SQL)
+    stem_an = Analyzer(AnalyzerConfig())
+    rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in DOC_QUERIES
+        for t in sorted(set(stem_an.tokens(text)))
+    )
+    # docs rewritten to their analyzed token stream (stems space-joined;
+    # stems are [a-z0-9]+ so the outer _TOK_SQL re-tokenization
+    # round-trips exactly); docs whose tokens all drop stay as empty
+    # rows — they count in N / avgdl like the engine's dl=0 docs
+    docs_sql = f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE text <> ''),
+rtok AS (
+  SELECT doc_id, t AS tok, i FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS t,
+           unnest(range(len({_TOK_SQL}))) AS i
+    FROM raw
+  ) WHERE length(t) <= 64 AND t NOT IN ({stoplist})
+),
+svocab AS (SELECT DISTINCT tok AS word FROM rtok),
+{porter_sql_stages('svocab')},
+sagg AS (
+  SELECT k.doc_id, string_agg(sm.stem, ' ' ORDER BY k.i) AS text
+  FROM rtok k JOIN stem_map sm ON sm.word = k.tok
+  GROUP BY k.doc_id
+)
+SELECT r.doc_id, coalesce(a.text, '') AS text
+FROM raw r LEFT JOIN sagg a ON a.doc_id = r.doc_id
+"""
+    return _sql_bm25_scores(
+        values_sql=f"(VALUES {rows}) AS q(qid, term)", docs_sql=docs_sql
+    ) + f"""
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scores
+) WHERE rank <= {TOPK}
+"""
+
+
+SQL_BM25_STEMMED_TOP10 = _sql_bm25_stemmed_top10()
+
+from webindex.pipelines.sql_bpe import (  # noqa: E402
+    sql_bpe_merges as _sql_bpe_merges_fn,
+    sql_bpe_subword_counts as _sql_bpe_subword_fn,
+)
+
+SQL_BPE_MERGES = _sql_bpe_merges_fn(100)
+SQL_BPE_SUBWORD_COUNTS = _sql_bpe_subword_fn(100)
 
 
 def q_minhash_clusters(sf_dir: str):
@@ -1717,63 +1786,177 @@ def q_ivf_top5(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
-def q_pq_top5(sf_dir: str):
-    """Product-quantized ANN (Jegou et al. 2011): seeded per-subspace
-    codebooks trained on a bounded sample, vectors -> m uint8 codes (the
-    64x memory cut that makes 100x-scale embedding search fit), queries
-    answered by ADC lookup-table sums with an exact k-merge
-    (webindex/ann.py pq_train/pq_encode/pq_topk). Approximate by
-    construction -> rows-only; determinism + ADC math are pytest-gated
-    (tests/test_ann.py vs a from-scratch Python oracle)."""
+def _query_vecs(sf_dir: str):
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from webindex.ann import pq_encode, pq_topk, pq_train
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    tab = pq.read_table(path)
+    tab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     vid = np.asarray(tab.column("vec_id").to_pylist())
     order = np.argsort(vid)
-    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
+    return np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
         order[:3]
     ]
+
+
+def q_pq_top5(sf_dir: str):
+    """Product-quantized ANN (Jegou et al. 2011) with SEEDED codebooks:
+    per-subspace codebooks = subvector slices of the 32 smallest-id
+    normalized vectors (the seed_centroids rule per subspace), encode
+    argmin + ADC ranking on 6dp-rounded keys — the full PQ path
+    (codebook -> uint8 codes -> ADC lookup-table sums -> k-merge)
+    replayed end-to-end by the DuckDB oracle. The kmeans-trained
+    variant stays available as ann.pq_train (pytest-gated vs a
+    from-scratch Python oracle); this entry pins the verifiable one.
+    webindex/ann.py pq_seed_books/pq_encode/pq_topk."""
+    import ray.data as rd
+
+    from webindex.ann import pq_encode, pq_seed_books, pq_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qvecs = _query_vecs(sf_dir)
     emb = rd.read_parquet(path)
-    books = pq_train(emb, m_subs=8, n_codes=32, sample_n=500, seed=13)
+    books = pq_seed_books(emb, m_subs=8, n_codes=32)
     out = pq_topk(
-        pq_encode(emb, books), books, [0, 1, 2], qvecs, 5
+        pq_encode(emb, books, round6=True), books, [0, 1, 2], qvecs, 5,
+        round6=True,
     ).to_pandas()
-    out["sim_r"] = out["sim"].round(6)
+    out["sim_r"] = out["sim"]  # already 6dp-rounded (round6 ranking key)
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
 def q_ivfpq_top5(sf_dir: str):
-    """IVF-PQ (FAISS IVFADC layout): coarse centroids prune the scan to
-    nprobe partitions, PQ uint8 codes + ADC lookup-table sums score what
-    remains — the memory-AND-compute scale combination for 100x
-    embedding search (webindex/ann.py ivfpq_build/ivfpq_topk). Doubly
-    approximate -> rows-only; exactness vs a from-scratch Python
-    recomputation + partition invariance are pytest-gated."""
-    import pyarrow.parquet as pq
+    """IVF-PQ (FAISS IVFADC layout) with fully seeded, SQL-expressible
+    parameters: 8 seed coarse centroids, 32-code seeded books, nprobe=3;
+    assignment/encode/probe/rank all on 6dp-rounded keys. The DuckDB
+    oracle replays coarse assignment, probe selection, PQ encoding and
+    the ADC candidate ranking — closing the oracle gap the kmeans
+    ``ivf_top5`` entry leaves open for the compressed-codes layout.
+    webindex/ann.py ivfpq_seed_build/ivfpq_topk."""
     import ray.data as rd
 
-    from webindex.ann import ivfpq_build, ivfpq_topk
+    from webindex.ann import ivfpq_seed_build, ivfpq_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    tab = pq.read_table(path)
-    vid = np.asarray(tab.column("vec_id").to_pylist())
-    order = np.argsort(vid)
-    qvecs = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)[
-        order[:3]
-    ]
-    codes_ds, cents, books = ivfpq_build(
-        rd.read_parquet(path), n_centroids=16, m_subs=8, n_codes=32,
-        sample_n=500, seed=13,
+    qvecs = _query_vecs(sf_dir)
+    codes_ds, cents, books = ivfpq_seed_build(
+        rd.read_parquet(path), n_centroids=8, m_subs=8, n_codes=32,
     )
     out = ivfpq_topk(
-        codes_ds, cents, books, [0, 1, 2], qvecs, 5, nprobe=4
+        codes_ds, cents, books, [0, 1, 2], qvecs, 5, nprobe=3,
+        round6=True,
     ).to_pandas()
-    out["sim_r"] = out["sim"].round(6)
+    out["sim_r"] = out["sim"]  # already 6dp-rounded (round6 ranking key)
     return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+# shared PQ SQL pieces: normalized vectors, seeded subspace codebooks
+# (32 smallest-id vectors sliced into 8 x 8-dim subvectors), encode =
+# per-(vector, subspace) argmin of the 6dp-rounded reduced L2 distance
+# -2 x.c + ||c||^2, ties -> lowest code — replaying ann.pq_seed_books +
+# pq_encode(round6=True) exactly.
+_PQ_NORM_BOOKS_SQL = """
+norm AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+         ) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 32),
+cidx AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM cent
+),
+books AS (
+  SELECT s.j, ci.c, ci.v[s.j * 8 + 1 : s.j * 8 + 8] AS cv
+  FROM (SELECT unnest(range(8)) AS j) s CROSS JOIN cidx ci
+),
+enc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT n.vec_id, b.j, b.c,
+           row_number() OVER (
+             PARTITION BY n.vec_id, b.j
+             ORDER BY round(
+               -2 * list_inner_product(
+                      n.v[b.j * 8 + 1 : b.j * 8 + 8], b.cv)
+               + list_inner_product(b.cv, b.cv), 6), b.c
+           ) AS rn
+    FROM norm n CROSS JOIN books b
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM norm WHERE vec_id IN (0, 1, 2))
+"""
+
+SQL_PQ_TOP5 = f"""
+WITH {_PQ_NORM_BOOKS_SQL},
+adc AS (
+  SELECT q.query_id, e.vec_id,
+         round(sum(list_inner_product(
+           q.qv[e.j * 8 + 1 : e.j * 8 + 8], b.cv)), 6) AS sim_r
+  FROM enc e
+  JOIN books b ON b.j = e.j AND b.c = e.code
+  CROSS JOIN q
+  GROUP BY q.query_id, e.vec_id
+)
+SELECT query_id, vec_id, sim_r, rank FROM (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim_r DESC, vec_id
+         )::INTEGER AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+SQL_IVFPQ_TOP5 = f"""
+WITH {_PQ_NORM_BOOKS_SQL},
+ccent AS (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 8),
+ccidx AS (
+  SELECT vec_id, v AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM ccent
+),
+assigned AS (
+  SELECT vec_id, c AS centroid FROM (
+    SELECT n.vec_id, cc.c,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_inner_product(n.v, cc.cv), 6) DESC, cc.c
+           ) AS rn
+    FROM norm n CROSS JOIN ccidx cc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, cc.c,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_inner_product(q.qv, cc.cv), 6) DESC, cc.c
+           ) AS pr
+    FROM q CROSS JOIN ccidx cc
+  ) WHERE pr <= 3
+),
+adc AS (
+  SELECT p.query_id, e.vec_id,
+         round(sum(list_inner_product(
+           q.qv[e.j * 8 + 1 : e.j * 8 + 8], b.cv)), 6) AS sim_r
+  FROM probes p
+  JOIN assigned a ON a.centroid = p.c
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN books b ON b.j = e.j AND b.c = e.code
+  JOIN q ON q.query_id = p.query_id
+  GROUP BY p.query_id, e.vec_id
+)
+SELECT query_id, vec_id, sim_r, rank FROM (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim_r DESC, vec_id
+         )::INTEGER AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
 
 
 def q_ivf_seed_top5(sf_dir: str):
@@ -9944,18 +10127,18 @@ REGISTRY: dict[str, tuple] = {
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
     "langid_nb": (q_langid_nb, SQL_LANGID_NB),
     # rows-only (non-SQL-expressible; gated by pytest oracles)
-    "bm25_stemmed_top10": (q_bm25_stemmed_top10, None),
+    "bm25_stemmed_top10": (q_bm25_stemmed_top10, SQL_BM25_STEMMED_TOP10),
     "minhash_clusters": (q_minhash_clusters, None),
     "simhash_clusters": (q_simhash_clusters, None),
     "minhash_sigs": (q_minhash_sigs, SQL_MINHASH_SIGS),
     "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "ivf_top5": (q_ivf_top5, None),
-    "pq_top5": (q_pq_top5, None),
-    "ivfpq_top5": (q_ivfpq_top5, None),
+    "pq_top5": (q_pq_top5, SQL_PQ_TOP5),
+    "ivfpq_top5": (q_ivfpq_top5, SQL_IVFPQ_TOP5),
     "openai_search": (q_openai_search, None),
     "media_features": (q_media_features, None),
-    "bpe_merges": (q_bpe_merges, None),
-    "bpe_subword_counts": (q_bpe_subword_counts, None),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_subword_counts": (q_bpe_subword_counts, SQL_BPE_SUBWORD_COUNTS),
     "quality_classifier": (q_quality_classifier, None),
 }
