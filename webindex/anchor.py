@@ -44,7 +44,7 @@ def anchor_corpus(docs_ds, n_docs: int, *, n_tokens: int = 4,
     """documents(doc_id, text, n_chars) -> (doc_id, text, n_anchors):
     the anchor-field corpus (see module docstring for the pinned spec).
     Targets with no tokenized in-links are absent (no anchor field)."""
-    from webindex.relational import hash_partitioned_groupby
+    from webindex.relational import hash_partitioned_groupby_arrow
     from webindex.textstats import _ASCII_TOK_RE
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -79,24 +79,50 @@ def anchor_corpus(docs_ds, n_docs: int, *, n_tokens: int = 4,
 
     rows = docs_ds.map_batches(emit, batch_format="pyarrow")
 
-    def local_cut(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["dst", "src"], kind="mergesort")
-        return df.groupby("dst", sort=False).head(max_inlinks)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["dst", "src"], kind="mergesort")
-        df = df.groupby("dst", sort=False).head(max_inlinks)
-        g = df.groupby("dst", sort=False).agg(
-            text=("anchor", " ".join), n_anchors=("anchor", "size")
-        ).reset_index()
-        return pd.DataFrame(
-            {"doc_id": g["dst"].to_numpy(np.int64),
-             "text": g["text"],
-             "n_anchors": g["n_anchors"].to_numpy(np.int64)}
+    def _group_slices(t: pa.Table):
+        """(sorted table, group-start idx, per-group kept count) under
+        the (dst, src) order + max_inlinks cut."""
+        d = t.column("dst").to_numpy()
+        s = t.column("src").to_numpy()
+        order = np.lexsort((s, d))
+        d2 = d[order]
+        new = np.ones(d2.size, dtype=bool)
+        new[1:] = d2[1:] != d2[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, d2.size))
+        return t.take(pa.array(order)), d2, starts, np.minimum(
+            lens, max_inlinks
         )
 
-    return hash_partitioned_groupby(rows, ["dst"], local_cut, final,
-                                    n_parts=n_parts)
+    def local_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t2, d2, starts, cut = _group_slices(t)
+        idx = np.arange(d2.size) - np.repeat(
+            starts, np.diff(np.append(starts, d2.size))
+        )
+        return t2.filter(pa.array(idx < max_inlinks))
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string()),
+                 "n_anchors": pa.array([], pa.int64())}
+            )
+        t2, d2, starts, cut = _group_slices(t)
+        anchors = t2.column("anchor").to_pylist()
+        texts = [
+            " ".join(anchors[a: a + c]) for a, c in zip(starts, cut)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(d2[starts], pa.int64()),
+             "text": pa.array(texts, pa.string()),
+             "n_anchors": pa.array(cut.astype(np.int64), pa.int64())}
+        )
+
+    return hash_partitioned_groupby_arrow(rows, ["dst"], local_cut, final,
+                                          n_parts=n_parts)
 
 
 def anchor_corpus_reference(docs: list[tuple[int, str, int]], n_docs: int,

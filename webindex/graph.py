@@ -99,14 +99,20 @@ def _outdegrees(edges_ds, n_parts: int):
              "part": pa.array(_part_of(u, n_parts))}
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("src", as_index=False)["cnt"].sum()
-        return out.rename(columns={"cnt": "outdeg"})
+    def final(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy()
+        u, inv = np.unique(src, return_inverse=True)
+        sums = np.zeros(u.size, dtype=np.int64)
+        np.add.at(sums, inv, g.column("cnt").to_numpy())
+        return pa.table(
+            {"src": pa.array(u, pa.int64()),
+             "outdeg": pa.array(sums, pa.int64())}
+        )
 
     return (
         edges_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -122,13 +128,16 @@ def _node_table(edges_ds, n_parts: int):
              "part": pa.array(_part_of(u, n_parts))}
         )
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": np.unique(g["node"].to_numpy())})
+    def dedup(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(np.unique(g.column("node").to_numpy()),
+                              pa.int64())}
+        )
 
     return (
         edges_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(dedup, batch_format="pyarrow")
     )
 
 
@@ -203,8 +212,11 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
 
     # static per-iteration state: (node, pr_q, outdeg) co-partitioned with
     # the edges by hash(node) == hash(src). outdeg == 0 marks dangling.
-    def seed_pr(g: pd.DataFrame) -> pd.DataFrame:
-        return g.assign(pr_q=np.int64(SCALE // n))
+    def seed_pr(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "pr_q",
+            pa.array(np.full(g.num_rows, SCALE // n, np.int64), pa.int64()),
+        )
 
     def tag_nodes(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy().astype(np.int64)
@@ -222,22 +234,36 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
              "part": pa.array(_part_of(src, n_parts))}
         )
 
-    def join_deg(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["outdeg"].isna()][["node"]]
-        right = g[g["outdeg"].notna()][["node", "outdeg"]]
-        out = left.merge(right, on="node", how="left")
-        # float64 intermediates stay exact: every quantity here is
-        # <= SCALE = 1e12 < 2^53
-        out["outdeg"] = out["outdeg"].fillna(0).astype(np.int64)
-        return out
+    def join_deg(g: pa.Table) -> pa.Table:
+        valid = g.column("outdeg").combine_chunks().is_valid().to_numpy(
+            zero_copy_only=False
+        )
+        node = g.column("node").to_numpy().astype(np.int64)
+        degv = g.column("outdeg").to_numpy(zero_copy_only=False)
+        left = node[~valid]
+        rn = node[valid]
+        rdeg = degv[valid].astype(np.int64)
+        order = np.argsort(rn, kind="stable")
+        rn_s, rdeg_s = rn[order], rdeg[order]
+        out = np.zeros(left.size, dtype=np.int64)
+        if rn_s.size:
+            pos = np.minimum(
+                np.searchsorted(rn_s, left), rn_s.size - 1
+            )
+            m = rn_s[pos] == left
+            out[m] = rdeg_s[pos[m]]
+        return pa.table(
+            {"node": pa.array(left, pa.int64()),
+             "outdeg": pa.array(out, pa.int64())}
+        )
 
     tagged = nodes.map_batches(tag_nodes, batch_format="pyarrow").union(
         deg.map_batches(tag_deg, batch_format="pyarrow")
     )
     state = (
         tagged.groupby("part")
-        .map_groups(join_deg, batch_format="pandas")
-        .map_batches(seed_pr, batch_format="pandas")
+        .map_groups(join_deg, batch_format="pyarrow")
+        .map_batches(seed_pr, batch_format="pyarrow")
         .materialize()
     )
 
@@ -284,26 +310,36 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
             dm = 0
 
         # phase 1: co-locate pr/outdeg with edges by src, emit contribs
-        def emit_contribs(g: pd.DataFrame, n_parts=n_parts) -> pd.DataFrame:
-            st = g[g["dst"].isna()]
-            ed = g[g["dst"].notna()]
-            if ed.empty:
-                return pd.DataFrame(
-                    {"dst": pd.Series(dtype=np.int64),
-                     "contrib": pd.Series(dtype=np.int64)}
+        def emit_contribs(g: pa.Table) -> pa.Table:
+            is_edge = g.column("dst").combine_chunks().is_valid().to_numpy(
+                zero_copy_only=False
+            )
+            if not is_edge.any():
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()),
+                     "contrib": pa.array([], pa.int64())}
                 )
-            node = st["node"].to_numpy(np.int64)
+            node_all = g.column("node").to_numpy().astype(np.int64)
+            pr_all = g.column("pr_q").to_numpy(zero_copy_only=False)
+            deg_all = g.column("outdeg").to_numpy(zero_copy_only=False)
+            st = ~is_edge
+            node = node_all[st]
             order = np.argsort(node, kind="stable")
             node_s = node[order]
-            pr_s = st["pr_q"].to_numpy(np.int64)[order]
-            deg_s = st["outdeg"].to_numpy(np.int64)[order]
-            src = ed["node"].to_numpy(np.int64)
+            pr_s = pr_all[st].astype(np.int64)[order]
+            deg_s = deg_all[st].astype(np.int64)[order]
+            src = node_all[is_edge]
             pos = np.searchsorted(node_s, src)
             # every edge src exists in the node table by construction
             contrib = pr_s[pos] // np.maximum(deg_s[pos], 1)
-            return pd.DataFrame(
-                {"dst": ed["dst"].to_numpy(np.int64),
-                 "contrib": contrib.astype(np.int64)}
+            # dst rode through the padded union as float64 (the shared
+            # schema); values are node ids <= 2^53, exact
+            dst = g.column("dst").to_numpy(
+                zero_copy_only=False
+            )[is_edge].astype(np.int64)
+            return pa.table(
+                {"dst": pa.array(dst, pa.int64()),
+                 "contrib": pa.array(contrib.astype(np.int64), pa.int64())}
             )
 
         def tag_state_for_join(batch: pa.Table) -> pa.Table:
@@ -337,7 +373,7 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
                 )
             )
             .groupby("part")
-            .map_groups(emit_contribs, batch_format="pandas")
+            .map_groups(emit_contribs, batch_format="pyarrow")
             .materialize()
         )
 
@@ -361,35 +397,52 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
                  "part": pa.array(_part_of(node, n_parts))}
             )
 
-        def update(g: pd.DataFrame, base=base, dm=dm,
-                   seeds_ref=seeds_ref) -> pd.DataFrame:
-            st = g[g["outdeg"].notna()][["node", "outdeg"]]
-            cb = g[g["outdeg"].isna()][["node", "contrib"]]
-            sums = (
-                cb.groupby("node", as_index=False)["contrib"].sum()
-                if not cb.empty
-                else pd.DataFrame({"node": [], "contrib": []})
-            )
-            out = st.merge(sums, on="node", how="left")
-            s = out["contrib"].fillna(0).astype(np.int64).to_numpy()
+        def update(g: pa.Table, base=base, dm=dm,
+                   seeds_ref=seeds_ref) -> pa.Table:
+            is_state = g.column("outdeg").combine_chunks().is_valid() \
+                .to_numpy(zero_copy_only=False)
+            node_all = g.column("node").to_numpy().astype(np.int64)
+            st_node = node_all[is_state]
+            st_deg = g.column("outdeg").to_numpy(
+                zero_copy_only=False
+            )[is_state].astype(np.int64)
+            cb = ~is_state
+            # exact int64 contribution sums per node, order-free
+            s = np.zeros(st_node.size, dtype=np.int64)
+            if cb.any():
+                cn = node_all[cb]
+                cv = g.column("contrib").to_numpy(
+                    zero_copy_only=False
+                )[cb].astype(np.int64)
+                order = np.argsort(st_node, kind="stable")
+                st_sorted = st_node[order]
+                pos = np.minimum(
+                    np.searchsorted(st_sorted, cn),
+                    max(st_sorted.size - 1, 0),
+                )
+                # every contrib dst is a node in this partition's state
+                # by the shared hash partitioning; the match guard keeps
+                # a violation from silently corrupting a neighbor
+                m = st_sorted[pos] == cn if st_sorted.size else \
+                    np.zeros(cn.size, bool)
+                np.add.at(s, order[pos[m]], cv[m])
             if seeds_ref is None:
                 pr = base + (_DAMP_NUM * (s + dm)) // _DAMP_DEN
             else:
                 import ray
 
                 sd = ray.get(seeds_ref)  # zero-copy sorted seed ids
-                node_a = out["node"].to_numpy(np.int64)
-                pos = np.searchsorted(sd, node_a)
+                pos = np.searchsorted(sd, st_node)
                 m = (pos < sd.size) & (
-                    sd[np.minimum(pos, sd.size - 1)] == node_a
+                    sd[np.minimum(pos, sd.size - 1)] == st_node
                 )
                 pr = (np.where(m, base, 0)
                       + (_DAMP_NUM * (s + np.where(m, dm, 0)))
                       // _DAMP_DEN)
-            return pd.DataFrame(
-                {"node": out["node"].to_numpy(np.int64),
-                 "outdeg": out["outdeg"].to_numpy(np.int64),
-                 "pr_q": pr.astype(np.int64)}
+            return pa.table(
+                {"node": pa.array(st_node, pa.int64()),
+                 "outdeg": pa.array(st_deg, pa.int64()),
+                 "pr_q": pa.array(pr.astype(np.int64), pa.int64())}
             )
 
         state = (
@@ -400,7 +453,7 @@ def pagerank(edges_ds, *, iters: int = 10, n_parts: int = 64,
                 )
             )
             .groupby("part")
-            .map_groups(update, batch_format="pandas")
+            .map_groups(update, batch_format="pyarrow")
             .materialize()
         )
 
@@ -452,7 +505,7 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
         contrib_vec = pr // np.maximum(outdeg, 1)
         ref = ray.put((node_ids, contrib_vec))
 
-        def partial(batch: pa.Table, ref=ref, n_parts=n_parts) -> pa.Table:
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
             ids, cv = ray.get(ref)  # zero-copy numpy from the store
             src = batch.column("src").to_numpy().astype(np.int64)
             dst = batch.column("dst").to_numpy().astype(np.int64)
@@ -462,22 +515,19 @@ def _pagerank_broadcast(edges_ds, nodes, deg, *, n: int, base: int,
             np.add.at(sums, inv, c)
             return pa.table(
                 {"node": pa.array(ud, pa.int64()),
-                 "psum": pa.array(sums, pa.int64()),
-                 "part": pa.array(_part_of(ud, n_parts))}
+                 "psum": pa.array(sums, pa.int64())}
             )
 
-        def final(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", as_index=False)["psum"].sum()
-
-        sums_ds = (
-            edges_mat.map_batches(partial, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(final, batch_format="pandas")
-        )
+        # the driver already holds the node vector (that IS the
+        # broadcast-path contract), so per-batch partials merge here by
+        # exact int64 scatter-add — no per-iteration shuffle; addition
+        # is order-free so the result stays bit-identical
         s = np.zeros(node_ids.size, dtype=np.int64)
-        for b in sums_ds.iter_batches(batch_format="pyarrow"):
+        for b in edges_mat.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
             pos = np.searchsorted(node_ids, b.column("node").to_numpy())
-            s[pos] = b.column("psum").to_numpy()
+            np.add.at(s, pos, b.column("psum").to_numpy())
         pr = base_v + (_DAMP_NUM * (s + dm * dm_m)) // _DAMP_DEN
 
     return rd.from_arrow(
@@ -590,22 +640,19 @@ def _hits_broadcast(edges_ds, nodes, *, n: int, iters: int, n_parts: int):
             np.add.at(sums, inv, c)
             return pa.table(
                 {"node": pa.array(ud, pa.int64()),
-                 "psum": pa.array(sums, pa.int64()),
-                 "part": pa.array(_part_of(ud, n_parts))}
+                 "psum": pa.array(sums, pa.int64())}
             )
 
-        def final(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", as_index=False)["psum"].sum()
-
+        # driver-side exact int64 merge of per-batch partials — the node
+        # vector is already driver-resident on this path, so the
+        # per-phase shuffle (2 x iters of them) buys nothing; order-free
+        # integer addition keeps it bit-identical
         raw = np.zeros(node_ids.size, dtype=np.int64)
-        parts = (
-            edges_mat.map_batches(partial, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(final, batch_format="pandas")
-        )
-        for b in parts.iter_batches(batch_format="pyarrow"):
+        for b in edges_mat.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
             pos = np.searchsorted(node_ids, b.column("node").to_numpy())
-            raw[pos] = b.column("psum").to_numpy()
+            np.add.at(raw, pos, b.column("psum").to_numpy())
         return raw
 
     for _ in range(iters):
@@ -735,14 +782,24 @@ def _hits_distributed(edges_ds, nodes, *, n: int, iters: int,
 
         return ds.map_batches(f, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)[["hub_q", "auth_q"]].sum()
+    def merge(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy()
+        u, inv = np.unique(node, return_inverse=True)
+        hq = np.zeros(u.size, dtype=np.int64)
+        aq = np.zeros(u.size, dtype=np.int64)
+        np.add.at(hq, inv, g.column("hub_q").to_numpy())
+        np.add.at(aq, inv, g.column("auth_q").to_numpy())
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "hub_q": pa.array(hq, pa.int64()),
+             "auth_q": pa.array(aq, pa.int64())}
+        )
 
     return (
         tag(nodes, "none").union(tag(h_state, "hub_q"))
         .union(tag(a_state, "auth_q"))
         .groupby("part")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

@@ -63,6 +63,49 @@ def hash_partitioned_groupby(ds, keys: list[str], partial_fn, final_fn,
     )
 
 
+def hash_partitioned_groupby_arrow(ds, keys: list[str], partial_fn,
+                                   final_fn, n_parts: int = 64):
+    """Arrow-native sibling of :func:`hash_partitioned_groupby`:
+    ``partial_fn`` / ``final_fn`` take and return ``pyarrow.Table`` — no
+    pandas block hop, which for string-heavy tables (anchor text) drops
+    an object-dtype copy per block on both sides of the shuffle. Same
+    partitioning rule (xor-mix of key columns, strings via
+    stable_hash64)."""
+    import pyarrow as pa
+
+    def _hash_tab(t: "pa.Table") -> np.ndarray:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = t.column(k)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                v = np.fromiter(
+                    (stable_hash64(x) for x in col.to_pylist()),
+                    dtype=np.uint64, count=t.num_rows,
+                )
+            elif pa.types.is_timestamp(col.type):
+                v = col.cast(pa.int64()).to_numpy().astype(np.uint64)
+            else:
+                v = col.to_numpy().astype(np.uint64)
+            h = (h ^ v) * _MIX
+        return h
+
+    def partial(t):
+        out = partial_fn(t)
+        part = (_hash_tab(out) % n_parts).astype(np.int32)
+        return out.append_column("_part", pa.array(part, pa.int32()))
+
+    def final(g):
+        return final_fn(g.drop_columns(["_part"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def grouped_topk(ds, keys: list[str], order_col: str, k: int, *,
                  descending: bool = True, tie_cols: list[str] | None = None,
                  n_parts: int = 64):
