@@ -620,3 +620,22 @@ def test_paragraph_dedup_matches_brute(ray_session):
             )
     # the engineered duplicates actually dedup
     assert want[1][1] < want[1][2] and want[3][0] == ""
+
+
+def test_lsh_plan_properties():
+    """The planner returns exact factorizations whose S-curve collision
+    threshold (1/b)^(1/r) tracks the target, monotonically in it."""
+    from webindex.dedup import lsh_plan
+
+    prev_thresh = 0.0
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = lsh_plan(t, 128)
+        assert b * r == 128
+        curve_t = (1.0 / b) ** (1.0 / r)
+        assert abs(curve_t - t) < 0.15
+        assert curve_t >= prev_thresh  # monotone in the target
+        prev_thresh = curve_t
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_plan(1.0)

@@ -706,6 +706,35 @@ def jaccard(text_a: str, text_b: str, k: int = 3,
     return len(sa & sb) / len(sa | sb)
 
 
+def lsh_plan(threshold: float, num_perm: int = 128) -> tuple[int, int]:
+    """Optimal (bands, rows_per_band) for a MinHash-LSH Jaccard
+    ``threshold`` — the datasketch/Broder planning rule: over every
+    factorization b*r = num_perm, minimize the weighted sum of the
+    false-positive area (∫₀^t P(s)) and false-negative area (∫ₜ¹ 1−P(s))
+    of the S-curve P(s) = 1 − (1 − s^r)^b. A 100-TB user picks num_perm
+    for memory and gets the banding that centers the collision
+    threshold (≈ (1/b)^(1/r)) at their target instead of hand-tuning.
+
+    Pure driver-side math (a few hundred curve evaluations); feed the
+    result straight into :func:`minhash_dedup`'s ``bands``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    xs = np.linspace(0.0, 1.0, 201)
+    below = xs <= threshold
+    best, best_cost = None, None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - xs ** r) ** b
+        fp = float(np.trapz(p[below], xs[below]))
+        fn = float(np.trapz((1.0 - p)[~below], xs[~below]))
+        cost = 0.5 * fp + 0.5 * fn
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
+
+
 def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.8,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
