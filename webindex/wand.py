@@ -209,15 +209,17 @@ def _u16_scratch(reader: SegmentReader, n: int) -> np.ndarray:
     return out
 
 
-#: per-reader cap on resident contribution-lookup tables (each is one
-#: uint8 byte per resident doc — 3.2 MB at 3.2M docs; 32 tables cover a
-#: Zipf query workload's hot terms within ~100 MB)
-_CONTRIB_LUT_CAP = 32
+#: per-reader cap on resident contribution-lookup tables (each is two
+#: bytes per resident doc — 6.4 MB at 3.2M docs; 24 tables cover a Zipf
+#: query workload's hot terms within ~150 MB)
+_CONTRIB_LUT_CAP = 24
 
 
 def _contrib_lut(pl: PostingList, reader: SegmentReader):
-    """(uint8 position->code table, distinct contribs) for a term, or
-    None when the term has > 254 distinct contribution values.
+    """(uint16 position->code table, distinct contribs) for a term, or
+    None when the term has > 65534 distinct contribution values
+    (realistic dense web terms measure ~1k distinct: tf and doclen are
+    small ints).
 
     BM25 contributions are highly discrete (tf and doclen are small
     ints), so a corpus-position-indexed byte table decodes a term's
@@ -231,7 +233,7 @@ def _contrib_lut(pl: PostingList, reader: SegmentReader):
     if ent is not None:
         return ent if ent != "none" else None
     uniq, codes = np.unique(pl.dense_contrib, return_inverse=True)
-    if uniq.size > 254:
+    if uniq.size > 65534:
         pl.contrib_lut = "none"
         return None
     lru = getattr(reader, "_contrib_lut_lru", None)
@@ -239,8 +241,8 @@ def _contrib_lut(pl: PostingList, reader: SegmentReader):
         from collections import OrderedDict
 
         lru = reader._contrib_lut_lru = OrderedDict()
-    lut = np.zeros(reader._dl_ids.size, dtype=np.uint8)
-    lut[pl.dense_pos] = codes.astype(np.uint8) + 1  # 0 = term absent
+    lut = np.zeros(reader._dl_ids.size, dtype=np.uint16)
+    lut[pl.dense_pos] = codes.astype(np.uint16) + 1  # 0 = term absent
     ent = pl.contrib_lut = (lut, uniq)
     lru[pl.term] = pl
     lru.move_to_end(pl.term)
