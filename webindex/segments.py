@@ -368,6 +368,10 @@ class SegmentReader:
             return False
         self._stats_override_key = key
         self._postings.clear()
+        # contribution-lookup tables bake contributions too; drop their
+        # LRU so stale PostingList references don't pin memory
+        if getattr(self, "_contrib_lut_lru", None):
+            self._contrib_lut_lru.clear()
         if stats is None:
             self.N = self.stats["N"]
             self.avgdl = self.stats["avgdl"]

@@ -579,9 +579,14 @@ def exhaustive_topk(reader: SegmentReader, terms: list[str], k: int,
     # quantized-impact pass: quarter-traffic uint16 scatter selecting a
     # tiny exact-rescored superset — the dense-query path where MAXSCORE
     # term pruning degenerates (all terms essential). Falls through to
-    # the float64 scatter when no θ exists or the term count exceeds the
-    # accumulator's overflow budget.
-    if theta is not None and len(pls) <= _IMPACT_MAX_TERMS:
+    # the float64 scatter when no θ exists, the term count exceeds the
+    # accumulator's overflow budget, or the query is SMALL — below
+    # ~500k postings the plain scatter is already sub-millisecond and
+    # the pass's fixed costs (θ seeds, impact/LUT cache builds, second
+    # candidate scan) dominate (measured: sf0.1 bench query p50 doubled
+    # with the pass unconditionally on).
+    if (theta is not None and len(pls) <= _IMPACT_MAX_TERMS
+            and total_postings >= 500_000):
         for pl in pls:
             _dense(pl, reader)
         res = _quantized_topk(reader, pls, k, theta, mask)
