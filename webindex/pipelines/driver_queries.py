@@ -1858,11 +1858,16 @@ def q_ivfpq_top5(sf_dir: str):
 # pq_encode(round6=True) exactly.
 _PQ_NORM_BOOKS_SQL = """
 norm AS (
+  -- zero vectors divide by 1, matching ann._normalize's n==0 guard
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
-           x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
-                                            embedding::DOUBLE[]))
+           x -> x / (CASE WHEN list_inner_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+                     THEN 1.0
+                     ELSE sqrt(list_inner_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                     END)
          ) AS v
   FROM embeddings
 ),
