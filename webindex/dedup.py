@@ -719,6 +719,7 @@ def lsh_plan(threshold: float, num_perm: int = 128) -> tuple[int, int]:
     result straight into :func:`minhash_dedup`'s ``bands``."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
+    trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy 2 rename
     xs = np.linspace(0.0, 1.0, 201)
     below = xs <= threshold
     best, best_cost = None, None
@@ -727,8 +728,8 @@ def lsh_plan(threshold: float, num_perm: int = 128) -> tuple[int, int]:
             continue
         r = num_perm // b
         p = 1.0 - (1.0 - xs ** r) ** b
-        fp = float(np.trapz(p[below], xs[below]))
-        fn = float(np.trapz((1.0 - p)[~below], xs[~below]))
+        fp = float(trapz(p[below], xs[below]))
+        fn = float(trapz((1.0 - p)[~below], xs[~below]))
         cost = 0.5 * fp + 0.5 * fn
         if best_cost is None or cost < best_cost:
             best, best_cost = (b, r), cost
