@@ -1665,7 +1665,12 @@ def _sql_bm25_stemmed_top10() -> str:
     # docs rewritten to their analyzed token stream (stems space-joined;
     # stems are [a-z0-9]+ so the outer _TOK_SQL re-tokenization
     # round-trips exactly); docs whose tokens all drop stay as empty
-    # rows — they count in N / avgdl like the engine's dl=0 docs
+    # rows — they count in N / avgdl like the engine's dl=0 docs.
+    # Tokenization parity note: the engine's default analyzer NFC-
+    # normalizes and tokenizes [^\W_]+ Unicode; the oracle tokenizes
+    # [a-z0-9]+ — identical on the driver corpora, which are pure ASCII
+    # at every scale factor (verified), where NFC is the identity and
+    # the token classes coincide on lowercased text
     docs_sql = f"""
 WITH raw AS (SELECT doc_id, text FROM documents WHERE text <> ''),
 rtok AS (
