@@ -3385,6 +3385,23 @@ GROUP BY qid
 """
 
 
+def q_facet_cardinality_hll(sf_dir: str):
+    """ES cardinality aggregation, APPROX (what ES actually runs): the
+    HyperLogLog sketch path — per-shard 2^14 uint8 registers, max-merge,
+    linear-counting estimate (webindex/search.py facet_cardinality
+    approx=True). The sketch is deterministic (stable 64-bit value
+    hash), and at contract-scale cardinalities (handful of langs,
+    d << sqrt(m)) the linear-counting estimate is exactly invertible —
+    m*ln(m/(m-d)) rounds to d — so the COUNT(DISTINCT) oracle
+    hash-matches; at real scale the entry's semantics are the ~0.8%%
+    HLL estimate (tests/test_query_lang.py gates accuracy + merge
+    associativity at 50k distinct values)."""
+    from webindex.search import facet_cardinality
+
+    idx = ensure_index(sf_dir, "nostem")
+    return facet_cardinality(_queries_ds(), idx, "lang", approx=True)
+
+
 def q_facet_multi_terms(sf_dir: str):
     """ES multi_terms aggregation: buckets keyed by the (lang, source)
     COMPOSITE over each query's full match set; docs missing either key
@@ -10003,6 +10020,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_phrase_pos_top10": (q_bm25_phrase_pos_top10, SQL_BM25_PHRASE_TOP10),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "facet_cardinality": (q_facet_cardinality, SQL_FACET_CARDINALITY),
+    "facet_cardinality_hll": (q_facet_cardinality_hll,
+                              SQL_FACET_CARDINALITY),
     "facet_multi_terms": (q_facet_multi_terms, SQL_FACET_MULTI_TERMS),
     "facet_rare_terms": (q_facet_rare_terms, SQL_FACET_RARE_TERMS),
     "top_hits_per_lang": (q_top_hits_per_lang, SQL_TOP_HITS_PER_LANG),
