@@ -117,11 +117,16 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_ws_tokens, n_bpeish_tokens): whitespace split count and a
-    BPE-ish regex pre-token count (proxy for model token budgeting)."""
+    BPE-ish regex pre-token count (proxy for model token budgeting).
+
+    Whitespace = the explicit ``[ \\t\\n\\f\\r]`` class (RE2 ``\\S+``,
+    what the SQL oracle counts) — NOT str.split(), which also splits on
+    ``\\v``/NBSP/other Unicode whitespace (the c4_filters divergence
+    class)."""
     ws, bpe, dids = [], [], batch.column("doc_id").to_pylist()
     for t in batch.column("text").to_pylist():
         t = t or ""
-        ws.append(len(t.split()))
+        ws.append(len(_WS_SPLIT_RE.findall(t)))
         bpe.append(sum(1 for m in _BPEISH_RE.finditer(t) if m.group().strip()))
     return pa.table(
         {
@@ -155,13 +160,24 @@ def rolling_fingerprint(text: str) -> int:
     return int(h) - (1 << 63)
 
 
+_MD5_NORM_RE = re.compile(r"[ \t\n\f\r]+")
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, fp_md5, fp_roll): md5 of normalized text (SQL-checkable via
-    DuckDB ``md5()``) + the rolling hash."""
+    DuckDB ``md5()``) + the rolling hash.
+
+    The md5 normalization collapses runs of the explicit
+    ``[ \\t\\n\\f\\r]`` class and strips spaces — exactly the oracle's
+    ``trim(regexp_replace(text, '\\s+', ' ', 'g'))`` under RE2's ASCII
+    ``\\s``; str.split() would additionally split on ``\\v``/NBSP (the
+    c4_filters divergence class). The rolling hash keeps its own pinned
+    str.split() normalization (no SQL contract; changing it would
+    change stored fingerprints)."""
     dids = batch.column("doc_id").to_pylist()
     md5s, rolls = [], []
     for t in batch.column("text").to_pylist():
-        norm = " ".join((t or "").split())
+        norm = _MD5_NORM_RE.sub(" ", t or "").strip(" ")
         md5s.append(md5(norm.encode("utf-8")).hexdigest())
         rolls.append(rolling_fingerprint(t or ""))
     return pa.table(
