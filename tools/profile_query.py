@@ -25,8 +25,13 @@ def main():
     # searcher would measure dict lookups, not the engine
     s = SearcherActor(idx, top_k=1000, mode="auto", request_cache=False)
     texts = synth_queries_table(n=50).column("text").to_pylist()
-    for t in texts:
-        s.search_one("warm", t)
+    # two warm passes: contribution-lookup tables build on a term's
+    # SECOND rescore (strike policy — a one-shot term never pays the
+    # ~120 ms table build), so pass two is where steady-state caches
+    # finish forming
+    for _ in range(2):
+        for t in texts:
+            s.search_one("warm", t)
     lats = []
     for t in texts:
         t0 = time.time()

@@ -209,29 +209,45 @@ def _u16_scratch(reader: SegmentReader, n: int) -> np.ndarray:
     return out
 
 
-#: per-reader cap on resident contribution-lookup tables (each is two
-#: bytes per resident doc — 6.4 MB at 3.2M docs; 24 tables cover a Zipf
-#: query workload's hot terms within ~150 MB)
-_CONTRIB_LUT_CAP = 24
+#: byte budget for a reader's resident contribution-lookup tables (each
+#: costs 2 bytes per resident doc, so the table COUNT scales inversely
+#: with corpus size: ~80 tables at 3.2M docs, thousands at bench scale;
+#: shard-scoped readers get proportionally more tables per byte)
+_CONTRIB_LUT_BYTES = 512 * 2**20
+
+
+def _contrib_lut_cap(dl_size: int) -> int:
+    return max(8, _CONTRIB_LUT_BYTES // max(2 * dl_size, 1))
 
 
 def _contrib_lut(pl: PostingList, reader: SegmentReader):
     """(uint16 position->code table, distinct contribs) for a term, or
-    None when the term has > 65534 distinct contribution values
-    (realistic dense web terms measure ~1k distinct: tf and doclen are
-    small ints).
+    None when the table isn't (yet) worth holding.
 
-    BM25 contributions are highly discrete (tf and doclen are small
-    ints), so a corpus-position-indexed byte table decodes a term's
-    exact contribution with ONE linear gather — replacing the
-    per-candidate binary search in the tie-plateau rescore (measured
-    37 ms -> ~6 ms at 200k candidates). Query-independent; cached on
-    the posting list under a reader-level LRU so resident bytes stay
-    bounded (shard-scoped readers bound the per-table size the same
-    way they bound the dense arrays)."""
+    BM25 contributions are highly discrete (dense web terms measure ~1k
+    distinct values: tf and doclen are small ints), so a
+    corpus-position-indexed uint16 code table decodes a term's exact
+    contribution with ONE linear gather — replacing the per-candidate
+    binary search in the tie-plateau rescore (measured 37 -> ~6 ms at
+    200k candidates). BUT a table costs ~120 ms to build (np.unique
+    over the postings) and only pays through REUSE, so:
+
+    - a term must be rescored twice before its table is built (strike
+      counter — the binary-search fallback serves the first hit);
+    - the reader-level LRU bounds resident bytes (2 B/doc per table;
+      shard-scoped readers bound table size like the dense arrays);
+    - an EVICTED term's strike requirement doubles each rebuild
+      (exponential backoff), so a workload whose hot-term set exceeds
+      the cap degrades to the binary-search path instead of thrashing
+      rebuild-per-query (measured: p95 261 ms under a 50-query mixed
+      load vs 38 ms same-query repeats before this guard)."""
     ent = getattr(pl, "contrib_lut", None)
     if ent is not None:
         return ent if ent != "none" else None
+    hits = getattr(pl, "lut_hits", 0) + 1
+    pl.lut_hits = hits
+    if hits < 2 ** getattr(pl, "lut_builds", 1):
+        return None
     uniq, codes = np.unique(pl.dense_contrib, return_inverse=True)
     if uniq.size > 65534:
         pl.contrib_lut = "none"
@@ -244,9 +260,11 @@ def _contrib_lut(pl: PostingList, reader: SegmentReader):
     lut = np.zeros(reader._dl_ids.size, dtype=np.uint16)
     lut[pl.dense_pos] = codes.astype(np.uint16) + 1  # 0 = term absent
     ent = pl.contrib_lut = (lut, uniq)
+    pl.lut_builds = getattr(pl, "lut_builds", 1) + 1
+    pl.lut_hits = 0
     lru[pl.term] = pl
     lru.move_to_end(pl.term)
-    if len(lru) > _CONTRIB_LUT_CAP:
+    if len(lru) > _contrib_lut_cap(reader._dl_ids.size):
         _, old = lru.popitem(last=False)
         old.contrib_lut = None  # rebuildable; frees the byte table
     return ent
