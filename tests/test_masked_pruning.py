@@ -147,3 +147,55 @@ def test_impact_exponent_overflow_budget(masked_idx, ray_session):
         # ceil quantization: iq * 2**e is an upper bound, within one step
         assert (iq * 2.0 ** e >= pl.dense_contrib).all()
         assert (iq * 2.0 ** e <= pl.dense_contrib + 2.0 ** e).all()
+
+
+def test_contrib_lut_strike_and_backoff(masked_idx, ray_session,
+                                        monkeypatch):
+    """The lookup-table policy: no build on a term's first rescore, a
+    build on the second, and bounded rebuilds under an over-budget LRU
+    (exponential backoff — no rebuild-per-query thrash)."""
+    import webindex.wand as wand
+    from webindex.search import SearcherActor
+    from webindex.wand import _contrib_lut, _dense, query_postings
+
+    idx, _docs, _live, _dead = masked_idx
+    s = SearcherActor(idx, top_k=10, mode="auto", request_cache=False)
+    reader = s.reader
+    pls = query_postings(reader, ["alpha", "beta", "gamma", "delta"])
+    for pl in pls:
+        _dense(pl, reader)
+        pl.contrib_lut = None
+        pl.lut_hits = 0
+        pl.lut_builds = 1
+    # strike 1: no table; strike 2: built
+    assert _contrib_lut(pls[0], reader) is None
+    assert _contrib_lut(pls[0], reader) is not None
+    assert pls[0].contrib_lut not in (None, "none")
+
+    # over-budget LRU (cap floors at 8 via a tiny byte budget; cycle 12
+    # terms so eviction genuinely engages): round-robin sweeps must not
+    # rebuild every encounter — each term's strike requirement doubles
+    # per rebuild
+    monkeypatch.setattr(wand, "_CONTRIB_LUT_BYTES", 1)
+    many = query_postings(
+        reader,
+        ["alpha", "beta", "gamma", "delta"]
+        + [f"rare{i}" for i in range(12)],
+    )
+    assert len(many) > wand._contrib_lut_cap(reader._dl_ids.size)
+    for pl in many:
+        _dense(pl, reader)
+        pl.contrib_lut = None
+        pl.lut_hits = 0
+        pl.lut_builds = 1
+    reader._contrib_lut_lru = None
+    builds = 0
+    for _ in range(32):  # 32 round-robin sweeps = 384 encounters
+        for pl in many:
+            before = pl.contrib_lut is not None
+            ent = _contrib_lut(pl, reader)
+            if ent is not None and not before:
+                builds += 1
+    # unbounded thrash would be ~#encounters (32 * len(many)); backoff
+    # keeps the total build count ~log2(32 sweeps) per term
+    assert builds <= len(many) * 6
