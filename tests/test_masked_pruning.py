@@ -165,18 +165,52 @@ def test_contrib_lut_strike_and_backoff(masked_idx, ray_session,
     for pl in pls:
         _dense(pl, reader)
         pl.contrib_lut = None
-        pl.lut_hits = 0
-        pl.lut_builds = 1
+    reader._lut_strikes = {}
     # strike 1: no table; strike 2: built
     assert _contrib_lut(pls[0], reader) is None
     assert _contrib_lut(pls[0], reader) is not None
     assert pls[0].contrib_lut not in (None, "none")
 
-    # over-budget LRU (cap floors at 8 via a tiny byte budget; cycle 12
+    # counters are READER state keyed by term: a PostingList cycled out
+    # of the postings cache and reloaded must resume its strike level,
+    # not restart (ADVICE r3 — postings-cache churn resets backoff)
+    reader._lut_strikes = {}
+    reader._contrib_lut_lru = None
+    pls[1].contrib_lut = None
+    assert _contrib_lut(pls[1], reader) is None  # strike 1
+    # simulate churn: evict + reload the same term
+    reader._postings.pop(pls[1].term, None)
+    repl = query_postings(reader, [pls[1].term])[0]
+    assert repl is not pls[1]
+    _dense(repl, reader)
+    assert _contrib_lut(repl, reader) is not None  # strike 2 survives churn
+
+    # hit path refreshes LRU recency: after hitting term A, inserting
+    # one-over-cap evicts the non-hit term, not A (ADVICE r3 — eviction
+    # was build-order)
+    monkeypatch.setattr(wand, "_CONTRIB_LUT_BYTES", 1)
+    assert wand._contrib_lut_cap(reader._dl_ids.size) == 8
+    cyc = query_postings(
+        reader, ["alpha", "beta", "gamma", "delta"]
+        + [f"rare{i}" for i in range(12)],
+    )[: 8 + 1]
+    assert len(cyc) == 9
+    for pl in cyc:
+        _dense(pl, reader)
+        pl.contrib_lut = None
+    reader._lut_strikes = {t.term: [1, 1] for t in cyc}  # next hit builds
+    reader._contrib_lut_lru = None
+    for pl in cyc[:8]:  # fill the LRU exactly to cap, build order 0..7
+        assert _contrib_lut(pl, reader) is not None
+    assert _contrib_lut(cyc[0], reader) is not None  # HIT oldest-built
+    assert _contrib_lut(cyc[8], reader) is not None  # push one over cap
+    assert cyc[0].contrib_lut not in (None, "none")  # survived (was hit)
+    assert cyc[1].contrib_lut is None  # least-recently-USED got evicted
+
+    # over-budget LRU (cap floors at 8 via a tiny byte budget; cycle 16
     # terms so eviction genuinely engages): round-robin sweeps must not
     # rebuild every encounter — each term's strike requirement doubles
     # per rebuild
-    monkeypatch.setattr(wand, "_CONTRIB_LUT_BYTES", 1)
     many = query_postings(
         reader,
         ["alpha", "beta", "gamma", "delta"]
@@ -186,11 +220,10 @@ def test_contrib_lut_strike_and_backoff(masked_idx, ray_session,
     for pl in many:
         _dense(pl, reader)
         pl.contrib_lut = None
-        pl.lut_hits = 0
-        pl.lut_builds = 1
+    reader._lut_strikes = {}
     reader._contrib_lut_lru = None
     builds = 0
-    for _ in range(32):  # 32 round-robin sweeps = 384 encounters
+    for _ in range(32):  # 32 round-robin sweeps = 512 encounters
         for pl in many:
             before = pl.contrib_lut is not None
             ent = _contrib_lut(pl, reader)

@@ -57,6 +57,72 @@ def test_hf_backend_loads_when_weights_present(tmp_path, monkeypatch):
         models.HFEmbedStage("sgpt-125m")
 
 
+class _FakeTok:
+    """Duck-typed HF-tokenizer surface for specb_pack: whitespace words
+    -> ids via a growing vocab; brackets get their own ids via encode."""
+
+    def __init__(self):
+        self.vocab = {}
+
+    def _id(self, w):
+        return self.vocab.setdefault(w, len(self.vocab) + 10)
+
+    def tokenize(self, txt):
+        return txt.split()
+
+    def convert_tokens_to_ids(self, toks):
+        return [self._id(t) for t in toks]
+
+    def encode(self, txt):
+        return [self._id(txt)]
+
+    def prepare_for_model(self, ids, add_special_tokens=True):
+        # GPT-style: no model specials added
+        return {"input_ids": list(ids), "attention_mask": [1] * len(ids)}
+
+
+def test_specb_pack_matches_reference_semantics():
+    """ADVICE r3 (medium): brackets are separately-encoded token ids
+    concatenated AROUND the pre-truncated text tokens — the text budget
+    is max_tokens - 2, the opening bracket can never merge with the
+    first word, and right-truncation can never drop the closing
+    bracket (reference beir_dense_retriever.py:134-198)."""
+    tok = _FakeTok()
+    text = " ".join(f"w{i}" for i in range(10))
+
+    # long text, query role, max_tokens=6 -> 4 text tokens + brackets
+    ids, mask, trunc = models.specb_pack(
+        tok, [text], role="query", max_tokens=6)
+    assert trunc == [True]
+    assert len(ids[0]) == 6 and len(mask[0]) == 6
+    assert ids[0][0] == tok.vocab["["]      # opening bracket, own token
+    assert ids[0][-1] == tok.vocab["]"]     # closing bracket SURVIVES
+    assert ids[0][1:-1] == tok.convert_tokens_to_ids(
+        ["w0", "w1", "w2", "w3"])           # text truncated to max-2
+    assert mask[0] == [1] * 6
+
+    # doc role uses curly brackets; left truncation keeps the tail
+    ids, _, _ = models.specb_pack(
+        tok, [text], role="doc", max_tokens=6, truncate_side="left")
+    assert ids[0][0] == tok.vocab["{"] and ids[0][-1] == tok.vocab["}"]
+    assert ids[0][1:-1] == tok.convert_tokens_to_ids(
+        ["w6", "w7", "w8", "w9"])
+
+    # no role -> no brackets, full max_tokens budget for text
+    ids, mask, trunc = models.specb_pack(
+        tok, [text], role=None, max_tokens=6)
+    assert len(ids[0]) == 6 and trunc == [True]
+    assert ids[0] == tok.convert_tokens_to_ids(
+        ["w0", "w1", "w2", "w3", "w4", "w5"])
+
+    # short text: untruncated, newlines normalized to spaces
+    ids, mask, trunc = models.specb_pack(
+        tok, ["a\nb"], role="query", max_tokens=6)
+    assert trunc == [False]
+    assert ids[0] == [tok.vocab["["], tok.vocab["a"], tok.vocab["b"],
+                      tok.vocab["]"]]
+
+
 def test_hf_completion_client_shape_contract():
     """The stand-in's response shape is exactly what get_score consumes
     — the same contract HFCompletionClient implements."""

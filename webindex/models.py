@@ -64,12 +64,55 @@ def hf_available(name: str | None = None) -> bool:
     return True if name is None else model_dir(name) is not None
 
 
+def specb_pack(tok, texts: list[str], *, role: str | None,
+               max_tokens: int, truncate_side: str = "right"):
+    """SGPT specb token assembly, exactly the reference's order of
+    operations (beir_dense_retriever.py:130-198): the TEXT token list is
+    truncated to a budget of ``max_tokens - 2`` first, and the bracket
+    token ids — encoded separately, so they can never merge with a text
+    token or be truncated away — are concatenated around it, with the
+    attention mask extended to match.
+
+    ``tok`` is duck-typed (tokenize / convert_tokens_to_ids /
+    prepare_for_model / encode — the HF tokenizer surface), so the
+    assembly is unit-testable without torch. Returns
+    ``(ids_list, mask_list, truncated_list)``.
+    """
+    if role == "query":
+        bos, eos = tok.encode("["), tok.encode("]")
+    elif role == "doc":
+        bos, eos = tok.encode("{"), tok.encode("}")
+    else:
+        bos = eos = []
+    budget = max(0, max_tokens - (len(bos) + len(eos)))
+    ids_list, mask_list, trunc = [], [], []
+    for t in texts:
+        # OpenAI-docs recommendation mirrored by the reference
+        toks = tok.convert_tokens_to_ids(
+            tok.tokenize((t or "").replace("\n", " "))
+        )
+        trunc.append(len(toks) > budget)
+        if truncate_side == "right":
+            kept = toks[:budget]
+        else:
+            kept = toks[-budget:] if budget else []
+        d = tok.prepare_for_model(kept, add_special_tokens=True)
+        ids_list.append(bos + d["input_ids"] + eos)
+        mask_list.append(
+            [1] * len(bos) + d["attention_mask"] + [1] * len(eos)
+        )
+    return ids_list, mask_list, trunc
+
+
 class HFEmbedStage:
     """HF-backed drop-in for :class:`webindex.embed.EmbedStage`.
 
     Same output schema; ``role`` selects SGPT specb brackets ("[" "]"
-    for queries, "{" "}" for docs) injected as raw text around the
-    input, exactly the reference's wrapping before tokenization."""
+    for queries, "{" "}" for docs) appended as SEPARATELY-ENCODED token
+    ids around the pre-truncated text tokens (:func:`specb_pack`) —
+    never wrapped into the raw text, where the opening bracket could
+    merge with the first word and right-truncation could drop the
+    closing bracket (reference: beir_dense_retriever.py:134-198)."""
 
     def __init__(self, name: str, *, role: str | None = None,
                  max_tokens: int = 300, truncate_side: str = "right",
@@ -85,10 +128,8 @@ class HFEmbedStage:
                 "(set WEBINDEX_MODELS; no network download is attempted)"
             )
         self.tok = AutoTokenizer.from_pretrained(d)
-        # HF tokenizers expose truncation side as an attribute
-        self.tok.truncation_side = (
-            "right" if truncate_side == "right" else "left"
-        )
+        if self.tok.pad_token is None:
+            self.tok.pad_token = self.tok.eos_token
         self.model = AutoModel.from_pretrained(d)
         self.model.eval()
         self.torch = torch
@@ -99,42 +140,38 @@ class HFEmbedStage:
         self.text_col = text_col
         self.batch_size = batch_size
 
-    def _wrap(self, t: str) -> str:
-        if self.role == "query":
-            return "[" + t + "]"
-        if self.role == "doc":
-            return "{" + t + "}"
-        return t
-
     def _encode(self, texts: list[str]):
         torch = self.torch
-        enc = self.tok(
-            [self._wrap(t or "") for t in texts],
-            padding=True, truncation=True, max_length=self.max_tokens,
-            return_tensors="pt",
+        ids, mask, trunc = specb_pack(
+            self.tok, texts, role=self.role, max_tokens=self.max_tokens,
+            truncate_side=self.truncate_side,
+        )
+        enc = self.tok.pad(
+            {"input_ids": ids, "attention_mask": mask},
+            padding=True, return_tensors="pt",
         )
         with torch.no_grad():
             out = self.model(**enc).last_hidden_state  # (b, t, d)
-        mask = enc["attention_mask"].unsqueeze(-1).float()
+        amask = enc["attention_mask"].unsqueeze(-1).float()
         # SGPT position-weighted mean over real tokens (weights 1..t)
         w = torch.arange(
             1, out.shape[1] + 1, dtype=torch.float32
         ).unsqueeze(0).unsqueeze(-1)
-        num = (out * mask * w).sum(dim=1)
-        den = (mask * w).sum(dim=1).clamp(min=1e-9)
+        num = (out * amask * w).sum(dim=1)
+        den = (amask * w).sum(dim=1).clamp(min=1e-9)
         emb = (num / den).cpu().numpy().astype(np.float32)
         n_tok = enc["attention_mask"].sum(dim=1).cpu().numpy()
-        return emb, n_tok
+        return emb, n_tok, trunc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         embs, n_toks, trunc = [], [], []
         for i in range(0, len(texts), self.batch_size):
             chunk = texts[i: i + self.batch_size]
-            e, n = self._encode(chunk)
+            e, n, t = self._encode(chunk)
             embs.append(e)
             n_toks.extend(int(x) for x in n)
-            trunc.extend(bool(x >= self.max_tokens) for x in n)
+            trunc.extend(t)
         emb = np.concatenate(embs) if embs else np.zeros((0, 0), np.float32)
         return pa.table(
             {

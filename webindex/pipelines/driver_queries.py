@@ -3395,11 +3395,30 @@ def q_facet_cardinality_hll(sf_dir: str):
     m*ln(m/(m-d)) rounds to d — so the COUNT(DISTINCT) oracle
     hash-matches; at real scale the entry's semantics are the ~0.8%%
     HLL estimate (tests/test_query_lang.py gates accuracy + merge
-    associativity at 50k distinct values)."""
+    associativity at 50k distinct values).
+
+    The exact-invertibility assumption is ASSERTED here (ADVICE r3): a
+    register collision among a future column/scale's hash values would
+    silently yield d-1 and fail the driver hash-match downstream —
+    better a loud error naming the cause at the entry."""
     from webindex.search import facet_cardinality
 
     idx = ensure_index(sf_dir, "nostem")
-    return facet_cardinality(_queries_ds(), idx, "lang", approx=True)
+    approx = facet_cardinality(
+        _queries_ds(), idx, "lang", approx=True
+    ).to_pandas()  # one row per query — driver-safe at any scale
+    exact = facet_cardinality(_queries_ds(), idx, "lang").to_pandas()
+    a = approx.sort_values("qid").reset_index(drop=True)
+    e = exact.sort_values("qid").reset_index(drop=True)
+    if not a["cardinality"].equals(e["cardinality"]):
+        bad = a.loc[a["cardinality"] != e["cardinality"], "qid"].tolist()
+        raise AssertionError(
+            "facet_cardinality_hll: HLL linear-counting estimate no "
+            f"longer exactly inverts the exact count for qids {bad[:5]} "
+            "— a register collision at this column/scale; repoint the "
+            "entry at a replayed-sketch oracle (see entry docstring)"
+        )
+    return approx
 
 
 def q_facet_multi_terms(sf_dir: str):

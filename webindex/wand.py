@@ -220,6 +220,12 @@ def _contrib_lut_cap(dl_size: int) -> int:
     return max(8, _CONTRIB_LUT_BYTES // max(2 * dl_size, 1))
 
 
+#: bound on the reader-level strike/backoff bookkeeping dict (~50 B per
+#: term); a term evicted from it restarts at strike 1, which only costs
+#: one extra deferred build — never correctness
+_LUT_STRIKES_CAP = 1 << 16
+
+
 def _contrib_lut(pl: PostingList, reader: SegmentReader):
     """(uint16 position->code table, distinct contribs) for a term, or
     None when the table isn't (yet) worth holding.
@@ -240,17 +246,39 @@ def _contrib_lut(pl: PostingList, reader: SegmentReader):
       (exponential backoff), so a workload whose hot-term set exceeds
       the cap degrades to the binary-search path instead of thrashing
       rebuild-per-query (measured: p95 261 ms under a 50-query mixed
-      load vs 38 ms same-query repeats before this guard)."""
+      load vs 38 ms same-query repeats before this guard).
+
+    Strike/backoff counters live on the READER keyed by term (not on
+    the transient PostingList): a PL evicted from the postings cache
+    and reloaded must resume at its true strike level, not restart at
+    strike 2 with a fresh backoff — and the LRU is touched on HITS so
+    eviction order is least-recently-USED, not build order."""
     ent = getattr(pl, "contrib_lut", None)
     if ent is not None:
-        return ent if ent != "none" else None
-    hits = getattr(pl, "lut_hits", 0) + 1
-    pl.lut_hits = hits
-    if hits < 2 ** getattr(pl, "lut_builds", 1):
+        if ent == "none":
+            return None
+        lru = getattr(reader, "_contrib_lut_lru", None)
+        if lru is not None and lru.get(pl.term) is pl:
+            lru.move_to_end(pl.term)
+        return ent
+    st = getattr(reader, "_lut_strikes", None)
+    if st is None:
+        st = reader._lut_strikes = {}
+    rec = st.get(pl.term)
+    if rec == "none":  # distinct-value overflow is a property of the term
+        pl.contrib_lut = "none"
+        return None
+    if rec is None:
+        rec = st[pl.term] = [1, 0]  # [builds, hits]
+        if len(st) > _LUT_STRIKES_CAP:
+            st.pop(next(iter(st)))
+    rec[1] += 1
+    if rec[1] < 2 ** rec[0]:
         return None
     uniq, codes = np.unique(pl.dense_contrib, return_inverse=True)
     if uniq.size > 65534:
         pl.contrib_lut = "none"
+        st[pl.term] = "none"
         return None
     lru = getattr(reader, "_contrib_lut_lru", None)
     if lru is None:
@@ -260,10 +288,12 @@ def _contrib_lut(pl: PostingList, reader: SegmentReader):
     lut = np.zeros(reader._dl_ids.size, dtype=np.uint16)
     lut[pl.dense_pos] = codes.astype(np.uint16) + 1  # 0 = term absent
     ent = pl.contrib_lut = (lut, uniq)
-    pl.lut_builds = getattr(pl, "lut_builds", 1) + 1
-    pl.lut_hits = 0
+    rec[0] += 1
+    rec[1] = 0
+    stale = lru.pop(pl.term, None)
+    if stale is not None and stale is not pl:
+        stale.contrib_lut = None  # reloaded term: release the stale table
     lru[pl.term] = pl
-    lru.move_to_end(pl.term)
     if len(lru) > _contrib_lut_cap(reader._dl_ids.size):
         _, old = lru.popitem(last=False)
         old.contrib_lut = None  # rebuildable; frees the byte table
