@@ -233,8 +233,9 @@ def run_bench() -> dict:
     )
     t0 = time.time()
     cc = minhash_dedup(docs, threshold=0.8, concurrency=max(2, NUM_CPUS - 2))
+    n_clustered = cc.count()  # labels are a Dataset; count is the consume
     timings["dedup_minhash"] = time.time() - t0
-    extra["minhash_clustered"] = len(cc)
+    extra["minhash_clustered"] = n_clustered
 
     from webindex.dedup import cross_doc_dup_ngrams
 

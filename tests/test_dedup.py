@@ -20,6 +20,17 @@ from webindex.dedup import (
 )
 
 
+def _labels_df(ds) -> pd.DataFrame:
+    """Dedup surfaces return a (doc_id, cluster) DATASET; normalize to a
+    sorted int64 frame for assertions (inputs here are tiny)."""
+    return (
+        ds.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
 def test_mod_p_mul_add_matches_python_ints():
     rng = np.random.default_rng(0)
     x = rng.integers(0, _MERSENNE, size=50, dtype=np.uint64)
@@ -95,7 +106,8 @@ def test_minhash_dedup_clusters_near_dups():
         (4, BASE.replace("ray", "beam")),                 # near-dup of 1
         (5, "another unrelated text on medieval history of europe " * 6),
     ]
-    cc = minhash_dedup(_docs_ds(rows), threshold=0.5, concurrency=2)
+    cc = _labels_df(minhash_dedup(_docs_ds(rows), threshold=0.5,
+                                  concurrency=2))
     m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
     assert m.get(1) == m.get(2) == m.get(4) == 1
     assert 3 not in m and 5 not in m
@@ -108,7 +120,8 @@ def test_simhash_dedup():
         (2, BASE + " extra"),
         (3, "gardens flowers unrelated " * 30),
     ]
-    cc = simhash_dedup(_docs_ds(rows), max_hamming=6, concurrency=2)
+    cc = _labels_df(simhash_dedup(_docs_ds(rows), max_hamming=6,
+                                  concurrency=2))
     m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
     assert m.get(1) == m.get(2) == 1
     assert 3 not in m
@@ -132,7 +145,8 @@ def test_embedding_dedup():
             pa.list_(pa.float32()),
         ),
     }
-    cc = embedding_dedup(rd.from_arrow(pa.table(rows)), threshold=0.95)
+    cc = _labels_df(embedding_dedup(rd.from_arrow(pa.table(rows)),
+                                    threshold=0.95))
     m = dict(zip(cc["doc_id"].astype(int), cc["cluster"].astype(int)))
     assert m.get(1) == m.get(2) == 1
     assert 3 not in m and 4 not in m
@@ -177,12 +191,11 @@ def test_minhash_dedup_distributed_cc_matches_driver():
         (5, "another unrelated text on medieval history of europe " * 6),
         (6, BASE.replace("pipeline", "dataflow")),
     ]
-    drv = minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="driver")
-    dist = minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="distributed")
-    pd.testing.assert_frame_equal(
-        drv.reset_index(drop=True).astype(np.int64),
-        dist.reset_index(drop=True).astype(np.int64),
-    )
+    drv = _labels_df(
+        minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="driver"))
+    dist = _labels_df(
+        minhash_dedup(_docs_ds(rows), threshold=0.5, cc_mode="distributed"))
+    pd.testing.assert_frame_equal(drv, dist)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -209,10 +222,9 @@ def test_simhash_dedup_matches_brute_oracle_on_testdata():
     a = np.minimum(ids[ii], ids[jj])
     b = np.maximum(ids[ii], ids[jj])
     want = connected_components(pd.DataFrame({"a": a, "b": b}))
-    got = simhash_dedup(rd.from_arrow(tab), max_hamming=3)
+    got = _labels_df(simhash_dedup(rd.from_arrow(tab), max_hamming=3))
     pd.testing.assert_frame_equal(
-        got.reset_index(drop=True).astype(np.int64),
-        want.reset_index(drop=True).astype(np.int64),
+        got, want.reset_index(drop=True).astype(np.int64),
     )
 
 
@@ -238,11 +250,62 @@ def test_ngram_jaccard_dedup_matches_brute_oracle():
                 a, b = sorted((ids[i], ids[j]))
                 pairs.append((a, b))
     want = connected_components(pd.DataFrame(pairs, columns=["a", "b"]))
-    got = ngram_jaccard_dedup(rd.from_arrow(tab), threshold=0.5)
+    got = _labels_df(ngram_jaccard_dedup(rd.from_arrow(tab), threshold=0.5))
     pd.testing.assert_frame_equal(
-        got.reset_index(drop=True).astype(np.int64),
-        want.reset_index(drop=True).astype(np.int64),
+        got, want.reset_index(drop=True).astype(np.int64),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_labels_are_a_dataset_surface():
+    """The dedup surfaces return a ray.data.Dataset of (doc_id, cluster)
+    — at web scale the membership table is billions of rows, so the
+    labels must be consumable DISTRIBUTED (filter/join in map_batches)
+    and identical regardless of input partitioning."""
+    import ray.data as rd
+
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("careful", "cautious")),
+        (3, "unrelated short document about gardens and flowers " * 6),
+        (4, BASE.replace("ray", "beam")),
+        (5, "another unrelated text on medieval history of europe " * 6),
+        (6, BASE.replace("pipeline", "dataflow")),
+    ]
+    labels = minhash_dedup(_docs_ds(rows), threshold=0.5)
+    assert isinstance(labels, rd.Dataset)
+
+    # distributed consumption: keep only each cluster's canonical doc
+    # (doc_id == cluster) without ever pulling labels to the driver
+    canon = labels.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t.column("doc_id"), t.column("cluster"))
+        ),
+        batch_format="pyarrow",
+    )
+    assert canon.count() == 1  # docs 1/2/4/6 cluster to min-label 1
+
+    # partition invariance: labels identical at 1 block and many blocks
+    one = _labels_df(
+        minhash_dedup(_docs_ds(rows).repartition(1), threshold=0.5))
+    many = _labels_df(
+        minhash_dedup(_docs_ds(rows).repartition(7), threshold=0.5))
+    pd.testing.assert_frame_equal(one, many)
+
+    # the distributed-CC path is partition-invariant too
+    dist = _labels_df(
+        minhash_dedup(_docs_ds(rows).repartition(5), threshold=0.5,
+                      cc_mode="distributed"))
+    pd.testing.assert_frame_equal(one, dist)
+
+    # empty result is still a Dataset with the pinned schema
+    empty = minhash_dedup(
+        _docs_ds([(7, "zebra quartz " * 5), (8, "unrelated mosaic " * 5)]),
+        threshold=0.9,
+    )
+    assert isinstance(empty, rd.Dataset)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"doc_id", "cluster"}
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -645,24 +645,37 @@ def connected_components_ds(pairs_ds, *, n_parts: int = 64,
     return cur.map_batches(emit_labels, batch_format="pyarrow")
 
 
+def _empty_labels_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "cluster": pa.array([], pa.int64())})
+    )
+
+
 def cluster_pairs(pairs_ds, *, mode: str = "auto",
                   driver_threshold: int = 100_000,
-                  n_parts: int = 64) -> pd.DataFrame:
-    """Verified pair Dataset -> (doc_id, cluster) frame, routing between the
-    driver union-find (small inputs) and distributed hash-to-min rounds."""
+                  n_parts: int = 64):
+    """Verified pair Dataset -> (doc_id, cluster) DATASET, routing between
+    the driver union-find (small inputs) and distributed hash-to-min
+    rounds.
+
+    The Dataset is the primary surface: at web scale the cluster-
+    membership table is billions of rows (30-50%% duplication), so
+    callers join/filter against it distributed and only ``.to_pandas()``
+    results they know are small. Below ``driver_threshold`` PAIRS the
+    labels are computed with the driver union-find (identical labels)
+    and re-wrapped — the convenience path, never the contract."""
     pairs_ds = pairs_ds.materialize()
     n = pairs_ds.count()
     if n == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+        return _empty_labels_ds()
     if mode == "driver" or (mode == "auto" and n <= driver_threshold):
-        return connected_components(pairs_ds.to_pandas())
-    labels = connected_components_ds(pairs_ds, n_parts=n_parts)
-    return (
-        labels.to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-        .astype(np.int64)
-    )
+        import ray.data as rd
+
+        return rd.from_pandas(connected_components(pairs_ds.to_pandas()))
+    return connected_components_ds(pairs_ds, n_parts=n_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -671,24 +684,42 @@ def cluster_pairs(pairs_ds, *, mode: str = "auto",
 
 
 def minhash_bands(sig_ds, num_perm: int = 128, bands: int = 16):
-    """signatures -> (band_id, band_hash, doc_id) rows (flat explode)."""
+    """signatures -> (band_id, band_hash, doc_id) rows (flat explode).
+
+    Fully vectorized: the fixed-size sig column reshapes to a
+    (docs, bands, r) matrix and each band row is hashed with r
+    xor-multiply mix rounds over whole columns — no per-(doc, band)
+    Python work. The hash only needs the band slices' EQUALITY
+    structure (equal slices -> equal hashes by construction; a 64-bit
+    collision can only ADD a candidate pair, which the exact-verify
+    stage then discards), so bucket contents are output-invariant."""
     r = num_perm // bands
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def explode(batch: pa.Table) -> pa.Table:
-        sigs = batch.column("sig").to_pylist()
-        dids = batch.column("doc_id").to_pylist()
-        band_ids, band_hashes, out_ids = [], [], []
-        for did, sig in zip(dids, sigs):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * r : (bi + 1) * r])
-                band_ids.append(bi)
-                band_hashes.append(_hash64(repr(chunk)) - (1 << 63))
-                out_ids.append(did)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"band_id": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        col = batch.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.uint64).reshape(n, bands, r)
+        h = np.zeros((n, bands), np.uint64)
+        for j in range(r):
+            h = (h ^ (mat[:, :, j] + _MIX)) * _MIX
+        dids = batch.column("doc_id").to_numpy().astype(np.int64)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(out_ids, pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(h.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(dids, bands)),
             }
         )
 
@@ -740,14 +771,14 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.8,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
                   driver_threshold: int = 100_000,
-                  base_hash: str = "blake2b") -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline -> (doc_id, cluster) pandas frame.
+                  base_hash: str = "blake2b"):
+    """Full MinHash-LSH near-dup pipeline -> (doc_id, cluster) Dataset.
 
     ``ds`` needs (doc_id, text). Verification hash-joins the LSH candidate
     pair list against the corpus (both sides) and recomputes exact shingle
-    Jaccard inside ``map_batches`` — the corpus itself never materializes
-    on the driver; only the pruned pair list does (and above
-    ``driver_threshold`` pairs, clustering too runs distributed).
+    Jaccard inside ``map_batches`` — the corpus never materializes on the
+    driver, and neither do the labels: the result is a Dataset callers
+    join/filter distributed (``.to_pandas()`` only when known-small).
     """
     # stateless tasks with a process-global stage cache: actor pools pay
     # startup per actor, which dominates on small inputs (measured ~2s of
@@ -770,7 +801,7 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
         bands_ds, ["band_id", "band_hash"]
     ).materialize()
     if pairs_ds.count() == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+        return _empty_labels_ds()
     _warn_truncated(pairs_ds, "minhash_dedup")
     withpay = attach_pair_payloads(
         pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
@@ -795,8 +826,8 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
 
 def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
                         max_bucket: int = 2000, cc_mode: str = "auto",
-                        driver_threshold: int = 100_000) -> pd.DataFrame:
-    """Exact n-gram Jaccard near-dup -> (doc_id, cluster).
+                        driver_threshold: int = 100_000):
+    """Exact n-gram Jaccard near-dup -> (doc_id, cluster) Dataset.
 
     Candidate generation is COMPLETE for threshold > 0 *as long as no
     bucket exceeds* ``max_bucket``: any pair with nonzero Jaccard shares
@@ -831,7 +862,7 @@ def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
         buckets, ["band_id", "band_hash"], max_bucket=max_bucket
     ).materialize()
     if pairs_ds.count() == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+        return _empty_labels_ds()
     _warn_truncated(pairs_ds, "ngram_jaccard_dedup")
     withpay = attach_pair_payloads(
         pairs_ds, ds.select_columns(["doc_id", "text"]), ["text"]
@@ -934,11 +965,12 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 def simhash_dedup(ds, *, max_hamming: int = 3,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
                   driver_threshold: int = 100_000,
-                  base_hash: str = "blake2b") -> pd.DataFrame:
-    """SimHash near-dup: 4 x 16-bit band buckets (any doc pair within
-    hamming distance 3 shares at least one exact band), verified by full
-    hamming distance computed in ``map_batches`` after hash-joining the
-    signatures onto both pair sides (no driver materialization)."""
+                  base_hash: str = "blake2b"):
+    """SimHash near-dup -> (doc_id, cluster) Dataset: 4 x 16-bit band
+    buckets (any doc pair within hamming distance 3 shares at least one
+    exact band), verified by full hamming distance computed in
+    ``map_batches`` after hash-joining the signatures onto both pair
+    sides (no driver materialization, labels included)."""
     del concurrency
 
     def sig_batch(batch: pa.Table, base_hash=base_hash):
@@ -953,19 +985,20 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
     sig = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
+        # vectorized 4 x 16-bit band split: one shift/mask broadcast,
+        # row-major flatten matches the tile/repeat ordering
         sh = batch.column("simhash").to_numpy().astype(np.int64)
-        u = sh.view(np.uint64) if sh.dtype == np.int64 else sh
-        band_ids, band_vals, dids = [], [], []
-        for did, v in zip(batch.column("doc_id").to_pylist(), u):
-            iv = int(v)
-            for bi in range(4):
-                band_ids.append(bi)
-                band_vals.append((iv >> (16 * bi)) & 0xFFFF)
-                dids.append(did)
+        u = sh.view(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        vals = (
+            (u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        dids = batch.column("doc_id").to_numpy().astype(np.int64)
         return pa.table(
-            {"band_id": pa.array(band_ids, pa.int32()),
-             "band_hash": pa.array(band_vals, pa.int64()),
-             "doc_id": pa.array(dids, pa.int64())}
+            {"band_id": pa.array(np.tile(np.arange(4, dtype=np.int32),
+                                         u.size)),
+             "band_hash": pa.array(vals.reshape(-1)),
+             "doc_id": pa.array(np.repeat(dids, 4))}
         )
 
     bands_ds = sig.map_batches(explode, batch_format="pyarrow")
@@ -973,7 +1006,7 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
         bands_ds, ["band_id", "band_hash"]
     ).materialize()
     if pairs_ds.count() == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+        return _empty_labels_ds()
     _warn_truncated(pairs_ds, "simhash_dedup")
     withpay = attach_pair_payloads(
         pairs_ds, sig, ["simhash"],
@@ -1001,8 +1034,9 @@ def simhash_dedup(ds, *, max_hamming: int = 3,
 def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
                     seed: int = 5, id_col: str = "vec_id",
                     vec_col: str = "embedding", cc_mode: str = "auto",
-                    driver_threshold: int = 100_000) -> pd.DataFrame:
-    """Near-dup by cosine >= threshold, bucketed by random-hyperplane LSH.
+                    driver_threshold: int = 100_000):
+    """Near-dup by cosine >= threshold -> (doc_id, cluster) Dataset,
+    bucketed by random-hyperplane LSH.
 
     Candidate generation: sign pattern of ``n_planes`` random projections
     (near-identical vectors almost surely share the exact pattern);
@@ -1036,7 +1070,7 @@ def embedding_dedup(emb_ds, *, threshold: float = 0.95, n_planes: int = 12,
         buckets, ["band_id", "band_hash"]
     ).materialize()
     if pairs_ds.count() == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(np.int64)
+        return _empty_labels_ds()
 
     # Arrow's hash join rejects list<float> payload columns — carry the
     # vectors through the join as float64 byte blobs instead
