@@ -594,13 +594,43 @@ def write_dict_from_partials(praw: str, tmp: str, cfg: IndexConfig,
     import glob as _glob
 
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from webindex.relational import hash_partitioned_groupby_arrow
+
+    # term is vocab-cardinality (billions of distinct rows at design
+    # scale): Ray's native groupby().aggregate() measures ~50x a
+    # hash-partitioned merge at key cardinality near the row count, so
+    # route through the pinned term-hash partitioning like every other
+    # high-cardinality merge here (dup_ngrams precedent). Counts are
+    # int64 partial sums — exact under any merge order.
+    def _psum(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate(
+            [("df_p", "sum"), ("cf_p", "sum")]
+        )
+        return pa.table(
+            {"term": g.column("term"),
+             "df_p": g.column("df_p_sum"),
+             "cf_p": g.column("cf_p_sum")}
+        )
+
+    def _fsum(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate(
+            [("df_p", "sum"), ("cf_p", "sum")]
+        )
+        # per-partition term sort: deterministic row order independent
+        # of shuffle arrival order (vocab/n_parts rows — cheap)
+        g = pa.table(
+            {"term": g.column("term"),
+             "df": g.column("df_p_sum"),
+             "cf": g.column("cf_p_sum")}
+        )
+        return g.sort_by("term")
 
     partial = rd.read_parquet(
         sorted(_glob.glob(os.path.join(praw, "_dictpart-*.parquet")))
-    ).repartition(8)
-    dict_ds = partial.groupby("term").aggregate(
-        Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+    )
+    dict_ds = hash_partitioned_groupby_arrow(
+        partial, ["term"], _psum, _fsum, n_parts=cfg.n_parts
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
