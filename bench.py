@@ -183,6 +183,29 @@ def run_bench() -> dict:
         lats.append(time.time() - t1)
     extra["query_p50_ms"] = round(float(np.percentile(lats, 50)) * 1000, 2)
     extra["query_p95_ms"] = round(float(np.percentile(lats, 95)) * 1000, 2)
+
+    # ---- mixed-workload single-pass sweep (LUT-thrash regression gate) --
+    # tools/profile_query.py semantics: two warm passes (the strike-2
+    # contribution tables finish forming on a term's second rescore),
+    # then ONE timed pass over the 50 distinct queries. Best-of-N
+    # same-query repeats HIDE cache thrash (measured: p95 261 ms under a
+    # mixed load vs 38 ms same-query before the lazy-LUT policy), so the
+    # driver's BENCH_r*.json carries this field to catch any regression.
+    for r in range(2):
+        for t in texts:
+            s.search_one(f"mwarm{r}", t)
+    lats_m = []
+    for t in texts:
+        t1 = time.time()
+        s.search_one("qm", t)
+        lats_m.append(time.time() - t1)
+    extra["query_p50_ms_mixed"] = round(
+        float(np.percentile(lats_m, 50)) * 1000, 2
+    )
+    extra["query_p95_ms_mixed"] = round(
+        float(np.percentile(lats_m, 95)) * 1000, 2
+    )
+
     # cache-served repeat queries (the ES request-cache path)
     s.request_cache = True
     for t in texts:
