@@ -243,6 +243,27 @@ def test_media_actor_pipeline():
     assert np.allclose(got["mean_value"], expect["mean_value"])
 
 
+def test_media_features_pinned_fixture_hash():
+    """The media_features driver entry is rows-only (binary codec decode
+    has no SQL form), so its SEMANTICS are pinned here instead: the
+    decoded feature table over the exact seeded fixture the entry uses
+    (synth_media_table(120)) must hash to a frozen constant — any codec
+    or feature drift across rounds becomes a loud failure, the oracle
+    role an SQL hash-match plays elsewhere."""
+    import hashlib
+
+    tab = synth_media_table(120)
+    df = DecodeStage()(tab).to_pandas().sort_values(
+        "media_id").reset_index(drop=True)
+    df["mean_r"] = df["mean_value"].round(6)
+    df["std_r"] = df["std_value"].round(6)
+    key = df[["media_id", "kind", "width", "height", "channels",
+              "n_frames", "mean_r", "std_r"]].to_csv(index=False).encode()
+    assert hashlib.sha256(key).hexdigest() == (
+        "98f7c96f0391f054b775cf37468b83fa5c5b94bcf5b0a35ae9b40d555cfcc1e2"
+    )
+
+
 def test_bpeish_count_re2_equivalent():
     """The SQL oracle for bpe_token_counts uses an RE2-safe pattern (no
     lookahead); its match count must equal token_count_batch's filtered
