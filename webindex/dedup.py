@@ -179,19 +179,33 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(h, pa.int64()))
 
 
-def exact_dedup(ds, text_col: str = "text"):
-    """Keep the min-doc_id row per exact text; one hash-partition shuffle."""
+def exact_dedup(ds, text_col: str = "text", n_parts: int = 64):
+    """Keep the min-doc_id row per exact text; one hash-partition shuffle.
+
+    text_hash is row-cardinality (mostly-unique texts), so this routes
+    through a pinned hash partitioning with ONE vectorized keep-first
+    per partition — never Ray's native per-key groupby, which at key
+    cardinality near the row count measures ~50x slower (CLAUDE.md
+    rule; same shape as exact_pair_dedup)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        batch = add_text_hash(batch, text_col)
+        h = batch.column("text_hash").to_numpy().astype(np.uint64)
+        part = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(n_parts)
+        return batch.append_column(
+            "_part", pa.array(part.astype(np.int32))
+        )
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+        g = g.sort_values(["text_hash", "doc_id"], kind="mergesort")
+        g = g[~g["text_hash"].duplicated()]
+        return g.drop(columns=["text_hash", "_part"])
 
-    hashed = ds.map_batches(
-        lambda t: add_text_hash(t, text_col), batch_format="pyarrow"
-    )
     return (
-        hashed.groupby("text_hash")
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
         .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["text_hash"])
     )
 
 
