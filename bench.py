@@ -440,6 +440,9 @@ def run_scaling() -> dict:
                     "build_sec": r["queries"]["build_pages"],
                     "total_sec": r["value"],
                     "bw_probe_gbps": r["extra"]["bw_probe_gbps"],
+                    "query_p95_ms_mixed": r["extra"].get(
+                        "query_p95_ms_mixed"
+                    ),
                 }
                 for r in rs
             ]

@@ -309,6 +309,79 @@ def test_dedup_labels_are_a_dataset_surface():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_canonical_applies_labels_distributed():
+    """dedup_keep_canonical = corpus anti-join dropped-ids: keeps every
+    unclustered doc plus each cluster's min-docID canonical member, via
+    one hash-partitioned shuffle (no driver materialization)."""
+    import ray.data as rd
+
+    from webindex.dedup import dedup_keep_canonical
+
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("careful", "cautious")),
+        (3, "unrelated short document about gardens and flowers " * 6),
+        (4, BASE.replace("ray", "beam")),
+        (5, "another unrelated text on medieval history of europe " * 6),
+    ]
+    docs = _docs_ds(rows)
+    labels = minhash_dedup(docs, threshold=0.5)
+    kept = dedup_keep_canonical(
+        docs, labels,
+        rows_types={"doc_id": pa.int64(), "text": pa.string()},
+    )
+    got = sorted(kept.to_pandas()["doc_id"].tolist())
+    assert got == [1, 3, 5]  # 2 and 4 dropped (cluster 1's non-canonical)
+
+    # empty label set keeps everything
+    from webindex.dedup import _empty_labels_ds
+
+    all_kept = dedup_keep_canonical(
+        docs, _empty_labels_ds(),
+        rows_types={"doc_id": pa.int64(), "text": pa.string()},
+    )
+    assert sorted(all_kept.to_pandas()["doc_id"].tolist()) == [1, 2, 3, 4, 5]
+
+    # partition invariance of the join
+    kept7 = dedup_keep_canonical(
+        docs.repartition(7), labels,
+        rows_types={"doc_id": pa.int64(), "text": pa.string()},
+    )
+    assert sorted(kept7.to_pandas()["doc_id"].tolist()) == got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_semi_join_modes():
+    """hash_semi_join: semi keeps key-matched rows, anti keeps the rest;
+    string keys route through stable_hash64 partitioning."""
+    import ray.data as rd
+
+    from webindex.relational import hash_semi_join
+
+    rows = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde")),
+    }))
+    side = rd.from_arrow(pa.table({"k": pa.array([2, 4, 9], pa.int64())}))
+    types = {"k": pa.int64(), "v": pa.string()}
+    semi = hash_semi_join(rows, "k", side, rows_types=types).to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 4]
+    anti = hash_semi_join(rows, "k", side, rows_types=types,
+                          anti=True).to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 3, 5]
+
+    srows = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "y", "z"]),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    }))
+    sside = rd.from_arrow(pa.table({"k": pa.array(["y"])}))
+    stypes = {"k": pa.string(), "v": pa.int64()}
+    assert sorted(hash_semi_join(
+        srows, "k", sside, rows_types=stypes, anti=True
+    ).to_pandas()["k"].tolist()) == ["x", "z"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ngram_truncation_is_surfaced():
     """Bucket truncation (shingle shared by > max_bucket docs) must warn —
     pairs whose only shared shingles sit in truncated buckets are missing,

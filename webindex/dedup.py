@@ -692,6 +692,37 @@ def cluster_pairs(pairs_ds, *, mode: str = "auto",
     return connected_components_ds(pairs_ds, n_parts=n_parts)
 
 
+def dedup_keep_canonical(docs_ds, labels_ds, *, id_col: str = "doc_id",
+                         rows_types: dict | None = None,
+                         n_parts: int = 64):
+    """Apply a (doc_id, cluster) label Dataset to the corpus: keep every
+    unclustered doc plus each cluster's canonical member (its min-docID,
+    which IS the cluster label), dropping the other members.
+
+    This is the canonical DISTRIBUTED consumption of the dedup
+    surfaces' Dataset output — one hash-partitioned anti-join against
+    the dropped-id set; neither the corpus nor the labels ever touch
+    the driver (D4 set-difference at membership-table scale)."""
+    import pyarrow.compute as pc
+
+    from webindex.relational import hash_semi_join
+
+    drops = labels_ds.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column(id_col), t.column("cluster"))
+        ).select([id_col]),
+        batch_format="pyarrow",
+    )
+    if rows_types is None:
+        rows_types = {
+            f.name: f.type for f in _arrow_schema(docs_ds)
+        }
+    return hash_semi_join(
+        docs_ds, id_col, drops, rows_types=rows_types,
+        n_parts=n_parts, anti=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup
 # ---------------------------------------------------------------------------

@@ -3122,6 +3122,50 @@ SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node
 """
 
 
+def q_minhash_dedup_kept(sf_dir: str):
+    """The canonical DISTRIBUTED consumption of the Dataset-native dedup
+    label surface (round 4): run the SQL-proven poly MinHash pipeline,
+    then apply the labels to the corpus with dedup_keep_canonical — a
+    hash-partitioned anti-join that keeps every unclustered doc plus
+    each cluster's min-docID canonical member. Neither corpus nor
+    labels ever touch the driver; the oracle replays the full poly
+    chain and subtracts the non-canonical members."""
+    from webindex.dedup import dedup_keep_canonical, minhash_dedup
+
+    def keep_tokenful(t: pa.Table) -> pa.Table:
+        has = pc.match_substring_regex(
+            pc.utf8_lower(pc.coalesce(t.column("text"), pa.scalar(""))),
+            "[a-z0-9]",
+        )
+        return t.filter(has)
+
+    docs = _docs(sf_dir).map_batches(keep_tokenful, batch_format="pyarrow")
+    labels = minhash_dedup(
+        docs, num_perm=_MH_PERMS, bands=4, shingle_k=3, threshold=0.8,
+        base_hash="poly",
+    )
+    kept = dedup_keep_canonical(
+        docs, labels,
+        rows_types={"doc_id": pa.int64(), "text": pa.string()},
+    )
+    return kept.select_columns(["doc_id"])
+
+
+SQL_MINHASH_DEDUP_KEPT = f"""
+SELECT d.doc_id
+FROM (
+  SELECT doc_id
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents)
+  WHERE len(tk) > 0
+) d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({SQL_MINHASH_POLY_CLUSTERS}) c
+  WHERE c.doc_id <> c.cluster
+)
+"""
+
+
 def q_simhash_poly_clusters(sf_dir: str):
     """END-TO-END SQL-proven SimHash near-dup: tf-weighted bit-majority
     signature (poly base hash, 61-bit) -> 4 x 16-bit band buckets ->
@@ -10170,6 +10214,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_suggest": (q_phrase_suggest, SQL_PHRASE_SUGGEST),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
                               SQL_MINHASH_POLY_CLUSTERS),
+    "minhash_dedup_kept": (q_minhash_dedup_kept, SQL_MINHASH_DEDUP_KEPT),
     "simhash_poly_clusters": (q_simhash_poly_clusters,
                               SQL_SIMHASH_POLY_CLUSTERS),
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),

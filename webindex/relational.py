@@ -294,6 +294,87 @@ def hash_join_attach(rows_ds, key_col: str, side_ds, val_cols: list[str],
     )
 
 
+def hash_semi_join(rows_ds, key_col: str, side_ds, *, rows_types: dict,
+                   n_parts: int = 64, side_key: str | None = None,
+                   anti: bool = False):
+    """Semi-join (``anti=False``: keep rows whose key appears in
+    ``side_ds``) or anti-join (``anti=True``: keep rows whose key does
+    NOT) — the same padded-union + hash-partition shape as
+    :func:`hash_join_attach`, ONE shuffle for both sides, nothing on
+    the driver. The canonical consumer is dedup key-removal: docs minus
+    a Dataset of dropped doc_ids (set difference, D4 at scale)."""
+    import pyarrow as pa
+
+    row_cols = list(rows_types)
+    side_key = side_key or key_col
+
+    def key_hash(arr: "pa.ChunkedArray", n: int) -> np.ndarray:
+        if pa.types.is_integer(arr.type):
+            h = arr.to_numpy().astype(np.uint64) * _MIX
+        else:
+            h = np.fromiter(
+                (stable_hash64(str(x)) for x in arr.to_pylist()),
+                dtype=np.uint64, count=n,
+            )
+        return ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_part": pa.array(key_hash(batch.column(key_col),
+                                       batch.num_rows)),
+            "_kind": pa.array(np.ones(batch.num_rows, np.int8)),
+        }
+        for c in row_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_side(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_part": pa.array(key_hash(batch.column(side_key),
+                                       batch.num_rows)),
+            "_kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+        }
+        for c in row_cols:
+            if c == key_col:
+                cols[c] = batch.column(side_key)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, rows_types[c])
+        return pa.table(cols)
+
+    tagged = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        side_ds.map_batches(tag_side, batch_format="pyarrow")
+    )
+
+    def join_group(g: "pa.Table") -> "pa.Table":
+        kind = g.column("_kind").to_numpy()
+        rows = g.filter(pa.array(kind == 1)).drop_columns(
+            ["_part", "_kind"]
+        )
+        keys = g.filter(pa.array(kind == 0)).column(key_col)
+        if rows.num_rows == 0:
+            return rows
+        if keys.length() == 0:
+            return rows.slice(0, 0) if not anti else rows
+        rk = rows.column(key_col)
+        if pa.types.is_integer(rk.type):
+            kk = np.sort(keys.to_numpy())
+            rk_np = rk.to_numpy()
+            pos = np.searchsorted(kk, rk_np)
+            pos = np.minimum(pos, kk.size - 1)
+            hit = kk[pos] == rk_np
+        else:
+            kset = set(keys.to_pylist())
+            hit = np.fromiter(
+                (x in kset for x in rk.to_pylist()),
+                dtype=bool, count=rows.num_rows,
+            )
+        return rows.filter(pa.array(~hit if anti else hit))
+
+    return tagged.groupby("_part").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+
+
 def temperature_mix(docs_ds, *, source_col: str = "source",
                     text_col: str = "text", key_col: str = "doc_id",
                     n_parts: int = 64, salt: str = ""):
