@@ -351,6 +351,25 @@ def test_dedup_keep_canonical_applies_labels_distributed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_bands_non_divisor_bands():
+    """bands need not divide num_perm: the tail permutations are unused
+    (the pre-vectorization slice semantics) — must not crash the
+    reshape and must emit exactly docs x bands rows."""
+    import ray.data as rd
+
+    from webindex.dedup import minhash_bands
+
+    sig = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "sig": pa.array([list(range(10)), list(range(10, 20))],
+                        pa.list_(pa.int64(), 10)),
+    }))
+    out = minhash_bands(sig, num_perm=10, bands=3).to_pandas()
+    assert len(out) == 2 * 3
+    assert sorted(out["band_id"].unique().tolist()) == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_semi_join_modes():
     """hash_semi_join: semi keeps key-matched rows, anti keeps the rest;
     string keys route through stable_hash64 partitioning."""

@@ -232,3 +232,12 @@ def test_contrib_lut_strike_and_backoff(masked_idx, ray_session,
     # unbounded thrash would be ~#encounters (32 * len(many)); backoff
     # keeps the total build count ~log2(32 sweeps) per term
     assert builds <= len(many) * 6
+
+    # a stats override bakes NEW contributions: strike/backoff records
+    # (and 'none' overflow markers) from the old stats must clear with
+    # the postings + LUT caches
+    assert reader._lut_strikes
+    reader.set_stats_override(
+        {"N": reader.N + 1, "avgdl": reader.avgdl, "dfs": {}}
+    )
+    assert not reader._lut_strikes

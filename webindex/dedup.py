@@ -753,7 +753,10 @@ def minhash_bands(sig_ds, num_perm: int = 128, bands: int = 16):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
-        mat = flat.astype(np.uint64).reshape(n, bands, r)
+        # when bands does not divide num_perm, the tail permutations are
+        # unused — same semantics as the old per-band slices
+        mat = flat.astype(np.uint64).reshape(n, num_perm)[:, : bands * r]
+        mat = mat.reshape(n, bands, r)
         h = np.zeros((n, bands), np.uint64)
         for j in range(r):
             h = (h ^ (mat[:, :, j] + _MIX)) * _MIX

@@ -78,10 +78,21 @@ def specb_pack(tok, texts: list[str], *, role: str | None,
     assembly is unit-testable without torch. Returns
     ``(ids_list, mask_list, truncated_list)``.
     """
+    def _enc(s: str) -> list:
+        # bracket ids must be BARE tokens: the reference's plain
+        # encode() is equivalent for GPT-style tokenizers (no model
+        # specials), but a CLS/SEP- or BOS-injecting tokenizer would
+        # otherwise smuggle specials inside the brackets and silently
+        # shrink the text budget
+        try:
+            return tok.encode(s, add_special_tokens=False)
+        except TypeError:  # duck-typed test tokenizers
+            return tok.encode(s)
+
     if role == "query":
-        bos, eos = tok.encode("["), tok.encode("]")
+        bos, eos = _enc("["), _enc("]")
     elif role == "doc":
-        bos, eos = tok.encode("{"), tok.encode("}")
+        bos, eos = _enc("{"), _enc("}")
     else:
         bos = eos = []
     budget = max(0, max_tokens - (len(bos) + len(eos)))

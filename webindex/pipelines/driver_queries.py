@@ -3139,7 +3139,12 @@ def q_minhash_dedup_kept(sf_dir: str):
         )
         return t.filter(has)
 
-    docs = _docs(sf_dir).map_batches(keep_tokenful, batch_format="pyarrow")
+    # materialize once: the filtered corpus is consumed by the sig
+    # stage, the verify payload join AND the anti-join rows side —
+    # without this the read+regex lineage re-executes three times
+    docs = _docs(sf_dir).map_batches(
+        keep_tokenful, batch_format="pyarrow"
+    ).materialize()
     labels = minhash_dedup(
         docs, num_perm=_MH_PERMS, bands=4, shingle_k=3, threshold=0.8,
         base_hash="poly",

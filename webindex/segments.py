@@ -369,9 +369,14 @@ class SegmentReader:
         self._stats_override_key = key
         self._postings.clear()
         # contribution-lookup tables bake contributions too; drop their
-        # LRU so stale PostingList references don't pin memory
+        # LRU so stale PostingList references don't pin memory, and the
+        # strike/backoff records with it — old-stats backoff levels (or
+        # "none" overflow markers) are meaningless under new
+        # contributions and would wrongly defer or forbid rebuilds
         if getattr(self, "_contrib_lut_lru", None):
             self._contrib_lut_lru.clear()
+        if getattr(self, "_lut_strikes", None):
+            self._lut_strikes.clear()
         if stats is None:
             self.N = self.stats["N"]
             self.avgdl = self.stats["avgdl"]
