@@ -363,11 +363,13 @@ def hash_semi_join(rows_ds, key_col: str, side_ds, *, rows_types: dict,
             pos = np.minimum(pos, kk.size - 1)
             hit = kk[pos] == rk_np
         else:
-            kset = set(keys.to_pylist())
-            hit = np.fromiter(
-                (x in kset for x in rk.to_pylist()),
-                dtype=bool, count=rows.num_rows,
-            )
+            # Arrow-native membership (hash set in C++), no Python rows
+            import pyarrow.compute as pc
+
+            hit = pc.is_in(
+                rk, value_set=keys.combine_chunks()
+                if isinstance(keys, pa.ChunkedArray) else keys
+            ).to_numpy(zero_copy_only=False)
         return rows.filter(pa.array(~hit if anti else hit))
 
     return tagged.groupby("_part").map_groups(
