@@ -785,6 +785,33 @@ def jaccard(text_a: str, text_b: str, k: int = 3,
     return len(sa & sb) / len(sa | sb)
 
 
+def _jaccard_keep(ta: list, tb: list, k: int, thr: float,
+                  base_hash: str) -> list[bool]:
+    """Vector of ``jaccard(a, b) >= thr`` over pair columns, shingling
+    each DISTINCT text once per batch — bucketed candidate pairs repeat
+    the same docs heavily, so per-pair re-shingling (the dominant cost:
+    tokenize + hash per text) would redo the same work many times."""
+    cache: dict[str, frozenset] = {}
+
+    def sets(t: str) -> frozenset:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = frozenset(_shingle_hashes(t, k, base_hash))
+        return s
+
+    out = []
+    for x, y in zip(ta, tb):
+        sa, sb = sets(x or ""), sets(y or "")
+        if not sa and not sb:
+            out.append(thr <= 1.0)
+            continue
+        if not sa or not sb:
+            out.append(thr <= 0.0)
+            continue
+        out.append(len(sa & sb) / len(sa | sb) >= thr)
+    return out
+
+
 def lsh_plan(threshold: float, num_perm: int = 128) -> tuple[int, int]:
     """Optimal (bands, rows_per_band) for a MinHash-LSH Jaccard
     ``threshold`` — the datasketch/Broder planning rule: over every
@@ -857,14 +884,11 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
 
     def verify(batch: pa.Table, k=shingle_k, thr=threshold,
                bh=base_hash) -> pa.Table:
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        keep = pa.array(
-            [jaccard(x or "", y or "", k, bh) >= thr
-             for x, y in zip(ta, tb)]
-        )
-        out = batch.filter(keep)
-        return out.select(["a", "b"])
+        keep = pa.array(_jaccard_keep(
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(), k, thr, bh,
+        ))
+        return batch.filter(keep).select(["a", "b"])
 
     verified = withpay.map_batches(verify, batch_format="pyarrow")
     return cluster_pairs(
@@ -917,11 +941,10 @@ def ngram_jaccard_dedup(ds, *, shingle_k: int = 3, threshold: float = 0.5,
     )
 
     def verify(batch: pa.Table, k=shingle_k, thr=threshold) -> pa.Table:
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        keep = pa.array(
-            [jaccard(x or "", y or "", k) >= thr for x, y in zip(ta, tb)]
-        )
+        keep = pa.array(_jaccard_keep(
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(), k, thr, "blake2b",
+        ))
         return batch.filter(keep).select(["a", "b"])
 
     verified = withpay.map_batches(verify, batch_format="pyarrow")
