@@ -110,18 +110,22 @@ class MinHashStage:
         return _mod_p_mul_add(sh, self.a, self.b).min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.signature(t or "")
-            for t in batch.column("text").to_pylist()
-        ]
+        # per-doc permutation math is the MEASURED fastest shape on this
+        # host: a doc's (shingles x 128) temps stay L2-resident, while
+        # concatenating docs into bigger chunks (tried 512-16k shingle
+        # chunks, minimum.reduceat mins) pushed _mod_p_mul_add's temp
+        # matrices out of cache and ran 1.2-2x SLOWER end to end
+        texts = batch.column("text").to_pylist()
+        if texts:
+            sigs = np.stack([self.signature(t or "") for t in texts])
+        else:
+            sigs = np.zeros((0, self.num_perm), np.uint64)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()),
+            self.num_perm,
+        )
         return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "sig": pa.array(
-                    [s.astype(np.int64).tolist() for s in sigs],
-                    pa.list_(pa.int64(), self.num_perm),
-                ),
-            }
+            {"doc_id": batch.column("doc_id"), "sig": sig_arr}
         )
 
 
