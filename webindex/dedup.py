@@ -300,16 +300,20 @@ def exact_pair_dedup(pairs_ds, n_parts: int = 64):
 
 
 def count_truncated_pairs(pairs_ds) -> int:
-    """Candidate pairs that touched a ``> max_bucket`` bucket (streamed
-    sum of the ``truncated`` flag; never materializes the pair list)."""
+    """Candidate pairs that touched a ``> max_bucket`` bucket —
+    per-batch partial sums reduced distributed; only the final scalar
+    reaches the driver (the old iter_batches walk streamed every block
+    through the driver sequentially)."""
     import pyarrow.compute as pc
 
-    n = 0
-    for b in pairs_ds.select_columns(["truncated"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        n += int(pc.sum(b.column("truncated")).as_py() or 0)
-    return n
+    def psum(b: pa.Table) -> pa.Table:
+        s = pc.sum(b.column("truncated")).as_py() or 0
+        return pa.table({"n": pa.array([int(s)], pa.int64())})
+
+    out = pairs_ds.select_columns(["truncated"]).map_batches(
+        psum, batch_format="pyarrow"
+    ).sum("n")
+    return int(out or 0)
 
 
 def _warn_truncated(pairs_ds, op: str) -> None:
