@@ -76,6 +76,47 @@ def test_run_beir_bm25_end_to_end(tmp_path, ray_session):
     assert np.isclose(m["ndcg@10"], float(np.mean(ndcgs)), atol=1e-12)
 
 
+def test_run_beir_bm25_large_idmap_distributed_join(tmp_path, ray_session):
+    """The docID->string-did reattach must survive a corpus-sized idmap:
+    3000 docs (idmap >> |queries| x k) with unique marker tokens; each
+    judged query hits exactly its marker doc, so ndcg@10 == 1.0 IFF the
+    distributed hash join re-attached the right string dids (qrels key
+    on the string id — a wrong/missing did scores 0). Regression for
+    the round-4 perf_weak: beir.py used to pull the whole idmap into a
+    driver pandas frame."""
+    import json
+    import os
+
+    from webindex.config import IndexConfig
+    from webindex.pipelines.beir import run_beir_bm25
+
+    ds_dir = str(tmp_path / "synth")
+    os.makedirs(os.path.join(ds_dir, "qrels"), exist_ok=True)
+    n = 3000
+    with open(os.path.join(ds_dir, "corpus.jsonl"), "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "_id": f"D{i:04d}", "title": "",
+                "text": f"marker{i:04d} common filler words",
+            }) + "\n")
+    targets = [7, 123, 1998, 2999]
+    with open(os.path.join(ds_dir, "queries.jsonl"), "w") as f:
+        for i in targets:
+            f.write(json.dumps({"_id": f"q{i}",
+                                "text": f"marker{i:04d}"}) + "\n")
+    with open(os.path.join(ds_dir, "qrels", "test.tsv"), "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for i in targets:
+            f.write(f"q{i}\tD{i:04d}\t1\n")
+
+    out = str(tmp_path / "out")
+    m = run_beir_bm25(ds_dir, out, split="test", top_k=10,
+                      cfg=IndexConfig(num_buckets=4, n_parts=4),
+                      num_shards=4)
+    assert m["n_queries"] == len(targets)
+    assert m["ndcg@10"] == 1.0
+
+
 def test_run_beir_cli_from_zip(tmp_path, ray_session):
     """tools/run_beir.py path resolution: zip -> nested dataset dir."""
     import sys

@@ -194,7 +194,8 @@ def exact_dedup(ds, text_col: str = "text", n_parts: int = 64):
 
     def add_part(batch: pa.Table) -> pa.Table:
         batch = add_text_hash(batch, text_col)
-        h = batch.column("text_hash").to_numpy().astype(np.uint64)
+        from .relational import _int_key_u64
+        h = _int_key_u64(batch.column("text_hash"), "text_hash")
         part = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
             % np.uint64(n_parts)
         return batch.append_column(
@@ -743,9 +744,13 @@ def minhash_bands(sig_ds, num_perm: int = 128, bands: int = 16):
     (docs, bands, r) matrix and each band row is hashed with r
     xor-multiply mix rounds over whole columns — no per-(doc, band)
     Python work. The hash only needs the band slices' EQUALITY
-    structure (equal slices -> equal hashes by construction; a 64-bit
-    collision can only ADD a candidate pair, which the exact-verify
-    stage then discards), so bucket contents are output-invariant."""
+    structure (equal slices -> equal hashes by construction). A 64-bit
+    collision can only ADD a candidate pair; exact-verify discards it
+    when its true Jaccard is below threshold (the common case), but a
+    colliding pair that happens to sit at/above threshold WOULD be
+    kept — a ~2^-64-probability divergence from the SQL oracle, which
+    buckets by the slice itself (the equality-structure claim is
+    one-directional). Negligible, not impossible."""
     r = num_perm // bands
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 

@@ -95,7 +95,15 @@ def specb_pack(tok, texts: list[str], *, role: str | None,
         bos, eos = _enc("{"), _enc("}")
     else:
         bos = eos = []
-    budget = max(0, max_tokens - (len(bos) + len(eos)))
+    # prepare_for_model(add_special_tokens=True) may inject CLS/SEP/BOS
+    # around the text; budget for those too (0 for GPT-style tokenizers,
+    # 2 for BERT-style — the reference shrinks max_token_len by 2 there),
+    # so len(ids) <= max_tokens holds for ANY tokenizer.
+    try:
+        n_special = int(tok.num_special_tokens_to_add())
+    except (AttributeError, TypeError):
+        n_special = 0
+    budget = max(0, max_tokens - (len(bos) + len(eos)) - n_special)
     ids_list, mask_list, trunc = [], [], []
     for t in texts:
         # OpenAI-docs recommendation mirrored by the reference

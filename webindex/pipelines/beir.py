@@ -122,23 +122,33 @@ def run_beir_bm25(dataset_dir: str, out_dir: str, *, split: str = "test",
     judged = set(qrels["qid"])
     queries_pd = queries.to_pandas()
     queries_pd = queries_pd[queries_pd["qid"].isin(judged)]
-    runs = search_queries(
+    runs_ds = search_queries(
         rd.from_pandas(queries_pd), idx_dir, top_k=top_k, mode="auto",
         concurrency=searcher_concurrency,
-    ).to_pandas()
-
-    # int docID -> string did (bounded: |queries| x top_k rows)
-    import pyarrow.dataset as pads
-
-    idmap = pads.dataset(idmap_dir).to_table().to_pandas()
-    idmap = idmap.rename(columns={"doc_id": "doc_id", "url": "did"})
-    runs = runs.drop(columns=["did"], errors="ignore").merge(
-        idmap, on="doc_id", how="left"
     )
 
-    _, macro = evaluate_runs(
-        rd.from_pandas(runs), qrels, k_values=k_values
+    # int docID -> string did: distributed hash join against the
+    # corpus-sized idmap (the runs side is bounded at |queries| x top_k,
+    # but the idmap is |corpus| rows — at BioASQ scale a driver pandas
+    # frame of it is ~GB and at 100x it dies, so neither side touches
+    # the driver)
+    from webindex.relational import hash_join_attach
+
+    runs_ds = hash_join_attach(
+        runs_ds.drop_columns(["did"]), "doc_id",
+        rd.read_parquet(idmap_dir), ["url"],
+        rows_types={"qid": pa.string(), "doc_id": pa.int64(),
+                    "score": pa.float64(), "rank": pa.int32()},
+        val_types={"url": pa.string()},
     )
+    runs_ds = runs_ds.map_batches(
+        lambda t: t.rename_columns(
+            ["did" if c == "url" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    _, macro = evaluate_runs(runs_ds, qrels, k_values=k_values)
     macro["dataset"] = os.path.basename(os.path.normpath(dataset_dir))
     macro["split"] = split
     macro["reference_macro_ndcg10"] = REFERENCE_BM25_MACRO

@@ -23,6 +23,22 @@ from .util import stable_hash64
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _int_key_u64(arr, col: str) -> np.ndarray:
+    """Arrow integer ChunkedArray -> uint64 numpy, REFUSING nulls.
+
+    ``to_numpy()`` on a nulled int array silently yields float64 with
+    NaN, whose uint64 cast is undefined — nondeterministic partition
+    assignment instead of a loud error. Every hash-partition key path
+    routes through here."""
+    if arr.null_count:
+        raise ValueError(
+            f"null value in integer join/partition key column {col!r} "
+            f"({arr.null_count} nulls) — drop or fill nulls before "
+            "hash-partitioning"
+        )
+    return arr.to_numpy().astype(np.uint64)
+
+
 def _key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     h = np.zeros(len(df), dtype=np.uint64)
     for k in keys:
@@ -218,7 +234,7 @@ def hash_join_attach(rows_ds, key_col: str, side_ds, val_cols: list[str],
 
     def key_hash(arr: "pa.ChunkedArray", n: int) -> np.ndarray:
         if pa.types.is_integer(arr.type):
-            h = arr.to_numpy().astype(np.uint64) * _MIX
+            h = _int_key_u64(arr, f"{key_col} (or side {side_key})") * _MIX
         else:
             h = np.fromiter(
                 (stable_hash64(str(x)) for x in arr.to_pylist()),
@@ -310,7 +326,7 @@ def hash_semi_join(rows_ds, key_col: str, side_ds, *, rows_types: dict,
 
     def key_hash(arr: "pa.ChunkedArray", n: int) -> np.ndarray:
         if pa.types.is_integer(arr.type):
-            h = arr.to_numpy().astype(np.uint64) * _MIX
+            h = _int_key_u64(arr, f"{key_col} (or side {side_key})") * _MIX
         else:
             h = np.fromiter(
                 (stable_hash64(str(x)) for x in arr.to_pylist()),
