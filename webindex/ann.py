@@ -187,34 +187,37 @@ def paraphrase_mining(emb_ds, *, max_pairs: int = 500_000,
             n_planes=n_planes, n_bands=n_bands, seed=seed,
         )
 
-    pdf = emb_ds.to_pandas()
-    ids_all = pdf[id_col].to_numpy(np.int64)
-    mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    # broadcast side assembled from Arrow batch stacks (bounded by the
+    # <= broadcast_limit gate above) — no driver pandas frame, no
+    # per-row tolist
+    id_chunks, vec_chunks = [], []
+    for b in emb_ds.iter_batches(batch_format="pyarrow"):
+        id_chunks.append(b.column(id_col).to_numpy().astype(np.int64))
+        vec_chunks.append(_batch_vecs(b, vec_col))
+    ids_all = np.concatenate(id_chunks)
+    mat = _normalize(np.concatenate(vec_chunks).astype(np.float64))
     ref = ray.put({"ids": ids_all, "mat": mat})
 
     def mine(batch: pa.Table) -> pa.Table:
         side = ray.get(ref)  # numpy payload: zero-copy from object store
         all_ids, all_mat = side["ids"], side["mat"]
-        q_ids = batch.column(id_col).to_numpy()
+        q_ids = batch.column(id_col).to_numpy().astype(np.int64)
         q = _normalize(_batch_vecs(batch, vec_col))
         sims = q @ all_mat.T  # (chunk, n)
         k = min(query_chunk_top_k + 1, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        a_out, b_out, s_out = [], [], []
-        for r, qi in enumerate(q_ids):
-            for c in idx[r]:
-                other = int(all_ids[c])
-                if other == int(qi):
-                    continue  # self-pair
-                # both sides may emit (reference: added_pairs set over
-                # sorted (i, j)); exact_pair_dedup collapses duplicates
-                a, b = sorted((int(qi), other))
-                a_out.append(a)
-                b_out.append(b)
-                s_out.append(float(sims[r, c]))
+        # flat vectorized pair-emit, row-major like the reference's
+        # per-row loop; both sides may emit (reference: added_pairs set
+        # over sorted (i, j)) — exact_pair_dedup collapses duplicates
+        qi = np.repeat(q_ids, k)
+        other = all_ids[idx.reshape(-1)]
+        s = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = other != qi  # self-pairs out
+        a = np.minimum(qi, other)[keep]
+        b = np.maximum(qi, other)[keep]
         return pa.table(
-            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
-             "sim": pa.array(s_out, pa.float64())}
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+             "sim": pa.array(s[keep], pa.float64())}
         )
 
     pairs = emb_ds.map_batches(
