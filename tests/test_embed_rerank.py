@@ -216,3 +216,58 @@ def test_embed_stage_extended_poolings_deterministic():
         np.array(wl.column("embedding").to_pylist()),
         np.array(mn.column("embedding").to_pylist()), rtol=1e-6,
     )
+
+
+def test_max_query_tokens_aggregate(ray_session):
+    """A4: distributed partial-max equals the driver-side max, and the
+    doc budget follows the reference truncation rule (tokens kept =
+    max_token_len - max_query_len - 1)."""
+    import ray.data as rd
+
+    from webindex.analyze import Analyzer
+    from webindex.config import SQL_SAFE_ANALYZER
+    from webindex.embed import doc_token_budget, max_query_tokens
+
+    texts = ["alpha beta gamma", "", "one two three four five six",
+             "x", "the quick brown fox jumps"]
+    ds = rd.from_items(
+        [{"qid": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    an = Analyzer(SQL_SAFE_ANALYZER)
+    expect = max(len(an.tokens(t)) for t in texts)
+    assert max_query_tokens(ds) == expect
+
+    assert doc_token_budget(2048, expect) == 2048 - expect - 1
+    with pytest.raises(ValueError):
+        doc_token_budget(10, 10)
+
+    # empty query set -> 0 (and the budget degenerates to the window - 1)
+    empty = rd.from_items([{"qid": 0, "text": ""}])
+    assert max_query_tokens(empty) == 0
+
+
+def test_dense_retrieve_budgeted_truncation(ray_session):
+    """budget_total wires A4 into the doc-side EmbedStage: with a tight
+    window, docs truncate to budget_total - max_query_len - 1 tokens and
+    the runs match an explicitly-truncated dense_retrieve."""
+    import ray.data as rd
+
+    docs = [
+        {"doc_id": 1, "text": "aa bb cc dd ee ff gg hh"},
+        {"doc_id": 2, "text": "aa bb cc"},
+        {"doc_id": 3, "text": "zz yy xx ww vv"},
+    ]
+    queries = ["aa bb", "zz"]
+    corpus = rd.from_items(docs)
+    budget_total = 6  # max_query_len = 2 -> doc budget 3
+    got = (
+        dense_retrieve(corpus, [0, 1], queries, k=3, dim=16,
+                       budget_total=budget_total, concurrency=1)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        dense_retrieve(rd.from_items(docs), [0, 1], queries, k=3, dim=16,
+                       max_tokens=3, concurrency=1)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

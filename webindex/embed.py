@@ -222,22 +222,80 @@ def embed_texts(texts: list[str], **kw) -> np.ndarray:
     return np.array(out.column("embedding").to_pylist(), dtype=np.float64)
 
 
+def max_query_tokens(queries_ds, *, analyzer_cfg=None,
+                     text_col: str = "text") -> int:
+    """A4 (SURVEY.md §2.5): global max tokenized query length as a
+    Dataset aggregate.
+
+    The reference computes ``max(len(tokenizer.tokenize(q)) for q in
+    queries.values())`` on the driver
+    (beir_openai_embeddings_batched_parallel.py:310) and hands it to the
+    retriever to budget doc truncation (:212-213). Here the counts stay
+    distributed: each batch emits ONE int64 partial-max row, and only
+    the scalar global max reaches the driver — a 500M-query set costs
+    the driver one int.
+    """
+    an_cfg = analyzer_cfg or SQL_SAFE_ANALYZER
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        an = Analyzer(an_cfg)
+        m = 0
+        for t in batch.column(text_col).to_pylist():
+            n = len(an.tokens(t or ""))
+            if n > m:
+                m = n
+        return pa.table({"max_toks": pa.array([m], pa.int64())})
+
+    v = queries_ds.map_batches(
+        partial_max, batch_format="pyarrow"
+    ).max("max_toks")
+    return int(v) if v is not None else 0
+
+
+def doc_token_budget(max_token_len: int, max_query_len: int) -> int:
+    """Doc truncation budget from the A4 aggregate — the reference's
+    rule (beir_openai_embeddings_batched_parallel.py:212-213): a doc
+    with ``token_len + max_query_len > max_token_len`` keeps
+    ``max_token_len - max_query_len - 1`` tokens; :97 asserts the query
+    side alone never exceeds the window."""
+    if max_query_len >= max_token_len:
+        raise ValueError(
+            f"max_query_len {max_query_len} >= context window "
+            f"{max_token_len} (reference asserts the same)"
+        )
+    return max_token_len - max_query_len - 1
+
+
 def dense_retrieve(corpus_ds, query_ids: list[int], query_texts: list[str],
                    k: int = 100, *, dim: int = 64, pooling: str = "mean",
                    max_tokens: int = 256, specb: bool = False,
                    concurrency=4, batch_size: int = 1024,
-                   vec_source: str = "blake2b"):
+                   vec_source: str = "blake2b",
+                   budget_total: int | None = None):
     """Corpus (doc_id, text) + queries -> runs (query_id, vec_id, sim, rank).
 
     Corpus embedding is the actor-pool stage; queries are embedded
     driver-side (tiny) and broadcast into the chunked top-k (K1).
+    ``budget_total``: when set, doc-side ``max_tokens`` is derived from
+    the query set per the reference's A4 rule — ``budget_total -
+    max(query token len) - 1`` (queries here are a driver list, so the
+    max is computed in place; :func:`max_query_tokens` is the Dataset
+    form for query sets that are themselves big data).
     """
     from webindex.ann import brute_topk
+
+    doc_max_tokens = max_tokens
+    if budget_total is not None:
+        an = Analyzer(SQL_SAFE_ANALYZER)
+        mql = max(
+            (len(an.tokens(q or "")) for q in query_texts), default=0
+        )
+        doc_max_tokens = doc_token_budget(budget_total, mql)
 
     emb = corpus_ds.map_batches(
         EmbedStage,
         fn_constructor_kwargs=dict(
-            dim=dim, pooling=pooling, max_tokens=max_tokens,
+            dim=dim, pooling=pooling, max_tokens=doc_max_tokens,
             role="doc" if specb else None, vec_source=vec_source,
         ),
         batch_format="pyarrow",

@@ -1267,6 +1267,22 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_max_query_tokens(sf_dir: str):
+    """A4 (SURVEY.md §2.5): global max tokenized length as a Dataset
+    aggregate (reference beir_openai_embeddings_batched_parallel.py:310;
+    documents stand in for the query set). Per-batch int64 partial max;
+    the driver sees one scalar."""
+    from webindex.embed import max_query_tokens
+
+    v = max_query_tokens(_docs(sf_dir))
+    return pa.table({"max_toks": pa.array([v], pa.int64())})
+
+
+SQL_MAX_QUERY_TOKENS = f"""
+SELECT max(len({_TOK_SQL}))::BIGINT AS max_toks FROM documents
+"""
+
+
 def q_fingerprints(sf_dir: str):
     from webindex.textstats import fingerprint_batch
 
@@ -10051,6 +10067,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_calendar": (q_events_calendar, SQL_EVENTS_CALENDAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "max_query_tokens": (q_max_query_tokens, SQL_MAX_QUERY_TOKENS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
     "hnsw_top5": (q_hnsw_top5, SQL_ANN_TOP5),
