@@ -451,8 +451,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup_scale() -> dict:
+    """MinHash dedup at the 3.2M-page --scaling corpus, as ONE tracked
+    JSON line (VERDICT r4 #6): per-stage wall times (signatures, band
+    explode + candidate pairs, connected components) plus which CC path
+    engaged, so the dedup-at-scale numbers in BASELINE.md regress loudly
+    instead of living in an untracked tool run. Corpus size via
+    GRAFT_DEDUP_PAGES (default 3200000; cached under /tmp/webindex-synth).
+    """
+    from webindex.synth import synth_dir
+
+    n_pages = int(os.environ.get("GRAFT_DEDUP_PAGES", "3200000"))
+    pages_dir = synth_dir(n_pages)
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "bench_dedup_scale.py"),
+         os.path.join(pages_dir, "pages.parquet"),
+         "--cpus", str(NUM_CPUS)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    r = json.loads(out.strip().splitlines()[-1])
+    r["n_pages"] = n_pages
+    return r
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-scale" in sys.argv:
+        print(json.dumps(run_dedup_scale()))
     else:
         print(json.dumps(run_bench()))
