@@ -6,6 +6,7 @@ compares row count, column names, and an order-insensitive value hash —
 the same comparison shape the driver records in CORRECTNESS_r{N}.json.
 
 Usage: PYTHONPATH=/root/repo python tools/check_contract.py [sf_dir] [names...]
+       [--json OUT.json]   # also write a driver-auditable per-entry artifact
 """
 
 from __future__ import annotations
@@ -56,8 +57,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -81,6 +88,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = 0
+    records = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,9 +98,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
             n_fail += 1
+            records.append({"name": name, "ok": False,
+                            "err": f"{type(e).__name__}: {e}"})
             continue
         wall = time.time() - t0
         sql = sqls.get(name)
+        rec = {"name": name, "rows": len(got), "wall_sec": round(wall, 1),
+               "oracle": "sql" if sql is not None else "rows_only"}
         if sql is None:
             status = f"rows-only rows={len(got)}"
             ok = len(got) >= 0
@@ -102,6 +114,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: SQL error {e}")
                 n_fail += 1
+                records.append({"name": name, "ok": False,
+                                "err": f"SQL error: {e}"})
                 continue
             cols_ok = sorted(got.columns) == sorted(want.columns)
             rows_ok = len(got) == len(want)
@@ -112,10 +126,30 @@ def main():
             )
             if not cols_ok:
                 status += f" got={sorted(got.columns)} want={sorted(want.columns)}"
+            rec.update(cols_ok=bool(cols_ok), rows_match=bool(rows_ok),
+                       hash_ok=bool(hash_ok))
+        rec["ok"] = bool(ok)
+        records.append(rec)
         print(f"{'PASS' if ok else 'FAIL'} {name}: {status} ({wall:.1f}s)")
         n_pass += ok
         n_fail += not ok
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+        from datetime import date
+
+        payload = {
+            "sweep": "check_contract full registry",
+            "sf_dir": sf_dir,
+            "date": str(date.today()),
+            "n_entries": len(records),
+            "n_pass": int(n_pass),
+            "n_fail": int(n_fail),
+            "entries": records,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1)
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
