@@ -252,6 +252,40 @@ def max_query_tokens(queries_ds, *, analyzer_cfg=None,
     return int(v) if v is not None else 0
 
 
+def truncation_counters(docs_ds, *, max_tokens: int, analyzer_cfg=None,
+                        text_col: str = "text") -> dict:
+    """A3 (SURVEY.md §2.5): corpus truncation counters.
+
+    The reference accumulates ``docs_truncated`` (docs over the token
+    budget), ``toks_truncated`` (tokens dropped) and ``total_toks``
+    while batching docs for the embedding API
+    (beir_dense_retriever.py:160-218). Here each batch emits ONE int64
+    partial row and the driver reduces one row per block — corpus-size
+    independent."""
+    an_cfg = analyzer_cfg or SQL_SAFE_ANALYZER
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = Analyzer(an_cfg)
+        dt = tt = tot = 0
+        for t in batch.column(text_col).to_pylist():
+            n = len(an.tokens(t or ""))
+            tot += n
+            if n > max_tokens:
+                dt += 1
+                tt += n - max_tokens
+        return pa.table(
+            {"docs_truncated": pa.array([dt], pa.int64()),
+             "toks_truncated": pa.array([tt], pa.int64()),
+             "total_toks": pa.array([tot], pa.int64()),
+             "n_docs": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    parts = docs_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # one row per block — bounded by block count, not rows
+    return {c: int(parts[c].sum()) for c in parts.columns}
+
+
 def doc_token_budget(max_token_len: int, max_query_len: int) -> int:
     """Doc truncation budget from the A4 aggregate — the reference's
     rule (beir_openai_embeddings_batched_parallel.py:212-213): a doc

@@ -1282,6 +1282,201 @@ SQL_MAX_QUERY_TOKENS = f"""
 SELECT max(len({_TOK_SQL}))::BIGINT AS max_toks FROM documents
 """
 
+_TRUNC_BUDGET = 64
+
+
+def q_truncation_counters(sf_dir: str):
+    """A3 (SURVEY.md §2.5): docs_truncated / toks_truncated / total_toks
+    at a 64-token budget (reference beir_dense_retriever.py:160-218) as
+    distributed int64 partial sums — one partial row per block, the
+    driver reduces block-count rows."""
+    from webindex.embed import truncation_counters
+
+    c = truncation_counters(_docs(sf_dir), max_tokens=_TRUNC_BUDGET)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in c.items()})
+
+
+SQL_TRUNCATION_COUNTERS = f"""
+WITH tk AS (
+  SELECT len({_TOK_SQL})::BIGINT AS n FROM documents
+)
+SELECT count(*) FILTER (n > {_TRUNC_BUDGET})::BIGINT AS docs_truncated,
+       coalesce(sum(CASE WHEN n > {_TRUNC_BUDGET}
+                         THEN n - {_TRUNC_BUDGET} ELSE 0 END),
+                0)::BIGINT AS toks_truncated,
+       sum(n)::BIGINT AS total_toks,
+       count(*)::BIGINT AS n_docs
+FROM tk
+"""
+
+
+def q_unique_first_seen(sf_dir: str):
+    """D2 order-preserving unique (reference plugin_io_utils.py:31-42
+    ``unique_list``) at Dataset scale: distinct event_type in FIRST-SEEN
+    order over events ordered by event_id. Per-batch partial
+    (type, min event_id) -> tiny final min -> the driver ranks a result
+    bounded by type cardinality; unique_list replays the ordered
+    sequence (exercising the reference helper itself)."""
+    import ray.data as rd
+
+    from webindex.textutil import unique_list
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(
+            "event_type", as_index=False
+        )["event_id"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    firsts = parts.groupby("event_type", as_index=False)["event_id"].min()
+    firsts = firsts.sort_values("event_id")
+    ordered = unique_list(firsts["event_type"].tolist())
+    return pa.table(
+        {"event_type": pa.array(ordered, pa.string()),
+         "seq": pa.array(range(1, len(ordered) + 1), pa.int64())}
+    )
+
+
+SQL_UNIQUE_FIRST_SEEN = """
+SELECT event_type,
+       row_number() OVER (ORDER BY min(event_id))::BIGINT AS seq
+FROM events GROUP BY event_type
+"""
+
+
+def q_clean_truncate_docs(sf_dir: str):
+    """M11 cleaning/truncation helpers + M12 pct projection, SQL-proven:
+    clean_text_array (strip; empty -> null, plugin_io_utils.py:65-80),
+    truncate_text_array (50-char cap + " (...)" marker, :45-62), and
+    pct_round over a min-max rescale of n_chars whose lo/hi come from
+    Dataset min/max aggregates (M12, useb/evaluators/base.py:23-24) —
+    stateless per-batch Arrow kernels after two scalar aggregates."""
+    import ray.data as rd
+
+    from webindex.textutil import (clean_text_array, pct_round,
+                                   truncate_text_array)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    lo = float(ds.min("n_chars"))
+    hi = float(ds.max("n_chars"))
+
+    def project(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        n = t.column("n_chars").to_numpy().astype(np.float64)
+        rescaled = (n - lo) / (hi - lo) if hi > lo else np.zeros_like(n)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cleaned": clean_text_array(text),
+                "t50": truncate_text_array(text, 50),
+                "pct": pa.array(pct_round(rescaled), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CLEAN_TRUNCATE_DOCS = r"""
+WITH mm AS (
+  SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi
+  FROM documents
+)
+SELECT doc_id,
+       nullif(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                         || chr(12)), '') AS cleaned,
+       CASE WHEN length(text) > 50
+            THEN substr(text, 1, 50) || ' (...)' ELSE text END AS t50,
+       round((n_chars - lo) / (hi - lo) * 100, 2) AS pct
+FROM documents, mm
+"""
+
+
+def _model_metrics(sf_dir: str):
+    """Deterministic (model, dataset, metric) table for the K5/A6
+    entries: model = m<user_id%4>_ck<user_id%3>, dataset = event_type,
+    metric = event count. INTEGER counts make every downstream macro
+    average an exact int64 sum + ONE float division on both engines
+    (the CLAUDE.md float-fold rule), so the ranking keys hash-match
+    without rounding."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            model="m" + (df.user_id % 4).astype(str)
+                  + "_ck" + (df.user_id % 3).astype(str)
+        )
+        return (
+            df.groupby(["model", "event_type"]).size()
+            .rename("n").reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(["model", "event_type"], as_index=False)["n"].sum()
+    return m.rename(columns={"event_type": "dataset", "n": "ndcg@10"})
+
+
+_MODEL_METRICS_SQL = """
+m AS (
+  SELECT 'm' || (user_id % 4)::VARCHAR || '_ck'
+             || (user_id % 3)::VARCHAR AS model,
+         event_type AS dataset, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+a AS (SELECT model, avg(n) AS avg_metric FROM m GROUP BY model)
+"""
+
+
+def q_model_ranking(sf_dir: str):
+    """K5 model ranking (reference beir_dense_retriever.py:594-604
+    ``rank_model_avg``) + A6 per-model macro averages (:520-541) over
+    the deterministic metrics table: top-5 by average metric desc, name
+    asc tie-break."""
+    from webindex.eval import rank_models
+
+    out = rank_models(_model_metrics(sf_dir), metric_col="ndcg@10",
+                      top_n=5)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+SQL_MODEL_RANKING = f"""
+WITH {_MODEL_METRICS_SQL}
+SELECT model, avg_metric AS "avg_ndcg@10",
+       row_number() OVER (ORDER BY avg_metric DESC, model)::BIGINT AS rank
+FROM a ORDER BY rank LIMIT 5
+"""
+
+
+def q_best_ckpt(sf_dir: str):
+    """K5 checkpoint selection (reference beir_dense_retriever.py:543-592):
+    best checkpoint per model family (name minus final _<ckpt> segment)
+    by average metric, strict-> ties keeping the first in sorted-name
+    order."""
+    from webindex.eval import select_best_ckpt
+
+    return select_best_ckpt(_model_metrics(sf_dir), metric_col="ndcg@10")
+
+
+SQL_BEST_CKPT = f"""
+WITH {_MODEL_METRICS_SQL},
+f AS (SELECT model, avg_metric,
+             regexp_replace(model, '_[^_]*$', '') AS family FROM a)
+SELECT family, model, avg_metric AS "avg_ndcg@10" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY family ORDER BY avg_metric DESC, model
+  ) AS rn FROM f
+) WHERE rn = 1
+"""
+
 
 def q_fingerprints(sf_dir: str):
     from webindex.textstats import fingerprint_batch
@@ -3322,6 +3517,81 @@ def q_dense_top5_poly(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+def q_dense_top5_poly_left(sf_dir: str):
+    """M9 left-truncation windowing (keep the TAIL when over budget;
+    reference crossencoder sgptce.py:199-205), SQL-proven: the
+    dense_top5_poly path with doc-side ``truncate_side="left"`` — the
+    oracle slices the last {maxtok} tokens instead of the first."""
+    from webindex.ann import brute_topk
+    from webindex.embed import EmbedStage, embed_texts
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(
+                pc.utf8_lower(t.column("text")), "[a-z0-9]"
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    emb = docs.map_batches(
+        EmbedStage,
+        fn_constructor_kwargs=dict(
+            dim=_DENSE_DIM, pooling="mean", max_tokens=_DENSE_MAXTOK,
+            truncate_side="left", vec_source="poly",
+        ),
+        batch_format="pyarrow", concurrency=2,
+    )
+    qvecs = embed_texts(
+        [t for _, t in _DENSE_PROBES], dim=_DENSE_DIM,
+        max_tokens=_DENSE_MAXTOK, vec_source="poly",
+    )
+    out = brute_topk(
+        emb, [q for q, _ in _DENSE_PROBES], qvecs, 5, id_col="doc_id",
+        concurrency=2,
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
+def q_module_chain_top5(sf_dir: str):
+    """T5 module pipeline, SQL-proven: the dense_top5_poly parity path
+    re-expressed through the ordered-module surface (ModuleChain =
+    Tokenizer -> Pooling over the poly backend; corpus side runs inside
+    ModuleEncodeStage, the actor-pool wrapper) — same DuckDB oracle, so
+    chain == monolithic EmbedStage == SQL end-to-end."""
+    from webindex.ann import brute_topk
+    from webindex.modules import (ModuleChain, ModuleEncodeStage,
+                                  PoolingModule, TokenizerModule)
+
+    def mk():
+        return ModuleChain([
+            TokenizerModule(dim=_DENSE_DIM, max_tokens=_DENSE_MAXTOK,
+                            vec_source="poly"),
+            PoolingModule("mean"),
+        ])
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(
+                pc.utf8_lower(t.column("text")), "[a-z0-9]"
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    emb = docs.map_batches(
+        ModuleEncodeStage,
+        fn_constructor_kwargs=dict(chain_spec=mk),
+        batch_format="pyarrow", concurrency=2,
+    )
+    qvecs = mk().encode([t for _, t in _DENSE_PROBES])
+    out = brute_topk(
+        emb, [q for q, _ in _DENSE_PROBES], qvecs, 5, id_col="doc_id",
+        concurrency=2,
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
 def _dense_probe_values_sql() -> str:
     rows = ", ".join(f"({q}, '{t}')" for q, t in _DENSE_PROBES)
     return f"(VALUES {rows}) AS q(query_id, qtext)"
@@ -3390,6 +3660,26 @@ SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank FROM (
   FROM cos
 ) WHERE rank <= 5
 """
+
+
+
+_DT_RIGHT = """dt AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    1, 64) AS tk
+  FROM documents WHERE trim(text) <> ''
+),"""
+_DT_LEFT = """dt AS (
+  SELECT doc_id,
+         CASE WHEN len(tk0) > 64
+              THEN list_slice(tk0, len(tk0) - 63, len(tk0))
+              ELSE tk0 END AS tk
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk0
+        FROM documents WHERE trim(text) <> '') t0
+),"""
+assert _DT_RIGHT in SQL_DENSE_TOP5_POLY, "dense poly SQL drifted"
+SQL_DENSE_TOP5_POLY_LEFT = SQL_DENSE_TOP5_POLY.replace(_DT_RIGHT, _DT_LEFT)
 
 
 # ---------------------------------------------------------------------------
@@ -10068,6 +10358,11 @@ REGISTRY: dict[str, tuple] = {
     "events_calendar": (q_events_calendar, SQL_EVENTS_CALENDAR),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "max_query_tokens": (q_max_query_tokens, SQL_MAX_QUERY_TOKENS),
+    "truncation_counters": (q_truncation_counters, SQL_TRUNCATION_COUNTERS),
+    "unique_first_seen": (q_unique_first_seen, SQL_UNIQUE_FIRST_SEEN),
+    "clean_truncate_docs": (q_clean_truncate_docs, SQL_CLEAN_TRUNCATE_DOCS),
+    "model_ranking": (q_model_ranking, SQL_MODEL_RANKING),
+    "best_ckpt": (q_best_ckpt, SQL_BEST_CKPT),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
     "hnsw_top5": (q_hnsw_top5, SQL_ANN_TOP5),
@@ -10119,6 +10414,8 @@ REGISTRY: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "dense_top5": (q_dense_top5, None),
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
+    "module_chain_top5": (q_module_chain_top5, SQL_DENSE_TOP5_POLY),
+    "dense_top5_poly_left": (q_dense_top5_poly_left, SQL_DENSE_TOP5_POLY_LEFT),
     "langid": (q_langid, SQL_LANGID),
     "quality": (q_quality, SQL_QUALITY),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
