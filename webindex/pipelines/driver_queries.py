@@ -1310,6 +1310,56 @@ FROM tk
 """
 
 
+def q_giant_json_extract(sf_dir: str):
+    """S3 streaming giant-JSON field extraction (reference
+    crossencoder_bioasq_bm25.ipynb cell 4: the 19 GB BioASQ file is
+    scanned line-by-line pulling pmid/abstractText with str.find marker
+    literals, never JSON-parsed): documents re-emitted as a JSON-lines
+    file (driver-side prep, cached per sf dir), then ``read_text`` ->
+    per-line marker extraction -> (doc_id, text). The oracle reads the
+    parquet directly, so a green hash proves the streaming extractor
+    byte-exact on the round trip. At scale the prep side would be the
+    sharded jsonl sink (S5); the SOURCE is what this entry pins."""
+    import ray.data as rd
+
+    from webindex.sources import read_giant_json
+
+    os.makedirs("/tmp/webindex-cache", exist_ok=True)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/webindex-cache/giantjson-{base}.jsonl"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        with open(path + ".tmp", "w", encoding="utf-8") as f:
+            for did, txt in zip(tab.column("doc_id").to_pylist(),
+                                tab.column("text").to_pylist()):
+                f.write('{"pmid":"%d","journal":"x",'
+                        '"abstractText":"%s","year":"2020"}\n'
+                        % (did, txt))
+        os.replace(path + ".tmp", path)
+
+    out = read_giant_json(
+        path,
+        {"pmid": ('"pmid":"', '"'),
+         "text": ('"abstractText":"', '"')},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t.column("pmid"), pa.int64()),
+             "text": t.column("text")}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GIANT_JSON_EXTRACT = "SELECT doc_id, text FROM documents"
+
+
 def q_unique_first_seen(sf_dir: str):
     """D2 order-preserving unique (reference plugin_io_utils.py:31-42
     ``unique_list``) at Dataset scale: distinct event_type in FIRST-SEEN
@@ -10360,6 +10410,7 @@ REGISTRY: dict[str, tuple] = {
     "max_query_tokens": (q_max_query_tokens, SQL_MAX_QUERY_TOKENS),
     "truncation_counters": (q_truncation_counters, SQL_TRUNCATION_COUNTERS),
     "unique_first_seen": (q_unique_first_seen, SQL_UNIQUE_FIRST_SEEN),
+    "giant_json_extract": (q_giant_json_extract, SQL_GIANT_JSON_EXTRACT),
     "clean_truncate_docs": (q_clean_truncate_docs, SQL_CLEAN_TRUNCATE_DOCS),
     "model_ranking": (q_model_ranking, SQL_MODEL_RANKING),
     "best_ckpt": (q_best_ckpt, SQL_BEST_CKPT),
