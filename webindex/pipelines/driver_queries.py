@@ -3603,6 +3603,34 @@ def q_dense_top5_poly_left(sf_dir: str):
     return out[["query_id", "vec_id", "sim_r", "rank"]]
 
 
+def q_specb_top5_poly(sf_dir: str):
+    """M6 specb bracket wrapping, SQL-proven for the deterministic
+    stand-in: dense_top5_poly with ``specb=True`` — docs get ``{`` ``}``
+    marker TOKENS, queries ``[`` ``]`` (reference
+    beir_dense_retriever.py:134-198), wrap-then-truncate. The markers
+    are ordinary tokens to the poly vector generator, so the oracle
+    list_concats them around the token list before the slice. (Real-HF
+    exec parity stays blocked on torch; specb_pack's protected-bracket
+    assembly is unit-tested in test_hf_structural.)"""
+    from webindex.embed import dense_retrieve
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(
+                pc.utf8_lower(t.column("text")), "[a-z0-9]"
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    out = dense_retrieve(
+        docs, [q for q, _ in _DENSE_PROBES], [t for _, t in _DENSE_PROBES],
+        k=5, dim=_DENSE_DIM, max_tokens=_DENSE_MAXTOK, concurrency=2,
+        vec_source="poly", specb=True,
+    ).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "vec_id", "sim_r", "rank"]]
+
+
 def q_module_chain_top5(sf_dir: str):
     """T5 module pipeline, SQL-proven: the dense_top5_poly parity path
     re-expressed through the ordered-module surface (ModuleChain =
@@ -3711,6 +3739,22 @@ SELECT query_id, vec_id, round(sim, 6) AS sim_r, rank FROM (
 ) WHERE rank <= 5
 """
 
+
+
+_QT_PLAIN = """list_slice(regexp_extract_all(lower(qtext), '[a-z0-9]+'),
+                    1, 64) AS tk"""
+_SPECB_DT = """list_slice(list_concat(list_concat(['{'],
+                    regexp_extract_all(lower(text), '[a-z0-9]+')), ['}']),
+                    1, 64) AS tk"""
+_SPECB_QT = """list_slice(list_concat(list_concat(['['],
+                    regexp_extract_all(lower(qtext), '[a-z0-9]+')), [']']),
+                    1, 64) AS tk"""
+_DT_PLAIN = """list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    1, 64) AS tk"""
+assert _DT_PLAIN in SQL_DENSE_TOP5_POLY and _QT_PLAIN in SQL_DENSE_TOP5_POLY
+SQL_SPECB_TOP5_POLY = SQL_DENSE_TOP5_POLY.replace(
+    _DT_PLAIN, _SPECB_DT
+).replace(_QT_PLAIN, _SPECB_QT)
 
 
 _DT_RIGHT = """dt AS (
@@ -10467,6 +10511,7 @@ REGISTRY: dict[str, tuple] = {
     "dense_top5_poly": (q_dense_top5_poly, SQL_DENSE_TOP5_POLY),
     "module_chain_top5": (q_module_chain_top5, SQL_DENSE_TOP5_POLY),
     "dense_top5_poly_left": (q_dense_top5_poly_left, SQL_DENSE_TOP5_POLY_LEFT),
+    "specb_top5_poly": (q_specb_top5_poly, SQL_SPECB_TOP5_POLY),
     "langid": (q_langid, SQL_LANGID),
     "quality": (q_quality, SQL_QUALITY),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
