@@ -794,3 +794,61 @@ def test_lsh_plan_properties():
 
     with _pytest.raises(ValueError):
         lsh_plan(1.0)
+
+
+def test_minhash_dedup_incremental(tmp_path, ray_session):
+    """Incremental (new-vs-store) dedup: dup_of = min matching STORED
+    doc at exact Jaccard >= threshold; new-new dups are NOT flagged
+    (the store is the reference set); store params come from meta.json."""
+    import json
+
+    import ray.data as rd
+
+    from webindex.dedup import (_jaccard_keep, build_minhash_store,
+                                minhash_dedup_incremental)
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with many words shared across documents for shingling")
+    store_docs = [
+        {"doc_id": 2, "text": base},
+        {"doc_id": 4, "text": base + " tail tokens"},
+        {"doc_id": 6, "text": "completely different content about rivers "
+                              "and mountains and weather patterns today"},
+    ]
+    new_docs = [
+        {"doc_id": 1, "text": base},                      # exact dup of 2 (and 4-ish)
+        {"doc_id": 3, "text": "unique new document with words nothing "
+                              "else contains whatsoever in this corpus"},
+        {"doc_id": 5, "text": "unique new document with words nothing "
+                              "else contains whatsoever in this corpus"},
+        # 3 and 5 duplicate EACH OTHER but no stored doc -> not flagged
+    ]
+    store_dir = str(tmp_path / "store")
+    build_minhash_store(rd.from_items(store_docs), store_dir,
+                        num_perm=64, bands=8, shingle_k=3)
+    meta = json.load(open(store_dir + "/meta.json"))
+    assert meta["num_perm"] == 64 and meta["bands"] == 8
+
+    labels = minhash_dedup_incremental(
+        rd.from_items(new_docs), store_dir, threshold=0.8
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force oracle: for each new doc, min stored doc with
+    # exact shingle Jaccard >= 0.8 (same _jaccard_keep kernel)
+    want = {}
+    for n in new_docs:
+        matches = [
+            s["doc_id"] for s in store_docs
+            if _jaccard_keep([s["text"]], [n["text"]], 3, 0.8, "blake2b")[0]
+        ]
+        if matches:
+            want[n["doc_id"]] = min(matches)
+    assert dict(zip(labels["doc_id"], labels["dup_of"])) == want
+    assert 1 in want          # the exact dup was caught
+    assert 3 not in want and 5 not in want  # new-new pair not flagged
+
+    # empty new batch -> empty labels with the right schema
+    empty = minhash_dedup_incremental(
+        rd.from_items([{"doc_id": 99, "text": "zz qq ww"}]), store_dir
+    ).to_pandas()
+    assert len(empty) == 0

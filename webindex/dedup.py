@@ -855,6 +855,24 @@ def lsh_plan(threshold: float, num_perm: int = 128) -> tuple[int, int]:
     return best
 
 
+def _minhash_sig_ds(ds, *, num_perm: int, shingle_k: int, base_hash: str):
+    """(doc_id, text) -> (doc_id, sig) via the process-global stage cache
+    (stateless tasks; actors pay per-actor startup that dominates small
+    inputs — the minhash_dedup measurement)."""
+
+    def sig_batch(batch: pa.Table, num_perm=num_perm, shingle_k=shingle_k,
+                  base_hash=base_hash):
+        key = ("minhash", num_perm, shingle_k, base_hash)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = MinHashStage(
+                num_perm=num_perm, shingle_k=shingle_k, base_hash=base_hash
+            )
+        return st(batch)
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
 def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.8,
                   concurrency: int | tuple = 4, cc_mode: str = "auto",
@@ -873,17 +891,8 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     # a 6.8s sf0.1 run); tasks scale elastically with the data
     del concurrency
 
-    def sig_batch(batch: pa.Table, num_perm=num_perm, shingle_k=shingle_k,
-                  base_hash=base_hash):
-        key = ("minhash", num_perm, shingle_k, base_hash)
-        st = _STAGE_CACHE.get(key)
-        if st is None:
-            st = _STAGE_CACHE[key] = MinHashStage(
-                num_perm=num_perm, shingle_k=shingle_k, base_hash=base_hash
-            )
-        return st(batch)
-
-    sig = ds.map_batches(sig_batch, batch_format="pyarrow")
+    sig = _minhash_sig_ds(ds, num_perm=num_perm, shingle_k=shingle_k,
+                          base_hash=base_hash)
     bands_ds = minhash_bands(sig, num_perm=num_perm, bands=bands)
     pairs_ds = pairs_from_buckets(
         bands_ds, ["band_id", "band_hash"]
@@ -906,6 +915,162 @@ def minhash_dedup(ds, *, num_perm: int = 128, bands: int = 16,
     verified = withpay.map_batches(verify, batch_format="pyarrow")
     return cluster_pairs(
         verified, mode=cc_mode, driver_threshold=driver_threshold
+    )
+
+
+def build_minhash_store(ds, store_dir: str, *, num_perm: int = 128,
+                        bands: int = 16, shingle_k: int = 3,
+                        base_hash: str = "blake2b") -> None:
+    """Persist the LSH index of a (deduped) corpus for INCREMENTAL dedup:
+    ``bands/`` partitioned parquet of (band_id, band_hash, doc_id) rows,
+    ``docs/`` (doc_id, text) payloads for the verify join, ``meta.json``
+    pinning the signature parameters (an incremental query with different
+    params would silently bucket against garbage — refuse instead).
+
+    The band table is the index (``bands`` rows per doc, two int64s each);
+    at corpus scale it is a small multiple of a docID column, not a copy
+    of the corpus. Partitioned parquet = resumable output."""
+    import os
+
+    from webindex.util import atomic_write_json
+
+    sig = _minhash_sig_ds(ds, num_perm=num_perm, shingle_k=shingle_k,
+                          base_hash=base_hash)
+    minhash_bands(sig, num_perm=num_perm, bands=bands).write_parquet(
+        os.path.join(store_dir, "bands")
+    )
+    ds.select_columns(["doc_id", "text"]).write_parquet(
+        os.path.join(store_dir, "docs")
+    )
+    atomic_write_json(
+        os.path.join(store_dir, "meta.json"),
+        {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+         "base_hash": base_hash},
+    )
+
+
+def minhash_dedup_incremental(new_ds, store_dir: str, *,
+                              threshold: float = 0.8,
+                              max_bucket: int = 2000, n_parts: int = 64):
+    """NEW docs vs a persisted corpus LSH store (the ongoing-crawl shape:
+    the existing corpus is never re-signed or relabeled) -> Dataset
+    (doc_id, dup_of): every new doc whose exact shingle Jaccard with some
+    STORED doc is >= ``threshold``; ``dup_of`` is the smallest matching
+    stored docID. Callers keep the survivors with
+    ``relational.hash_semi_join(new, labels, anti=True)`` and append
+    them (+ their band rows) to the store.
+
+    Shuffle shape: ONE hash partition co-locating stored and new band
+    rows by (band_id, band_hash); each partition emits old x new pairs
+    with a vectorized merge (never old x old — the store was deduped
+    when built); verify hash-joins the texts of ONLY the touched docs;
+    the dup_of reduce is the same partitioned min. Nothing corpus-sized
+    reaches the driver."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(store_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sig = _minhash_sig_ds(new_ds, num_perm=meta["num_perm"],
+                          shingle_k=meta["shingle_k"],
+                          base_hash=meta["base_hash"])
+    new_bands = minhash_bands(sig, num_perm=meta["num_perm"],
+                              bands=meta["bands"])
+    old_bands = rd.read_parquet(os.path.join(store_dir, "bands"))
+
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            key = t.column("band_hash").to_numpy()
+            bid = t.column("band_id").to_numpy()
+            part = ((key.astype(np.uint64) * _MIX64
+                     + bid.astype(np.uint64)) >> np.uint64(40)) % n_parts
+            return pa.table(
+                {"part": pa.array(part.astype(np.int32)),
+                 "kind": pa.array(np.full(t.num_rows, kind, np.int8)),
+                 "band_id": t.column("band_id"),
+                 "band_hash": t.column("band_hash"),
+                 "doc_id": t.column("doc_id")}
+            )
+        return f
+
+    tagged = old_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        new_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+    keys = ["band_id", "band_hash"]
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64),
+             "b": pd.Series(dtype=np.int64),
+             "truncated": pd.Series(dtype=bool)}
+        )
+        sizes = g.groupby(keys)["doc_id"].transform("size")
+        g = g.assign(_trunc=sizes > max_bucket)
+        g = (
+            g.sort_values(["kind", "doc_id"])
+            .groupby(keys, sort=False)
+            .head(max_bucket)
+        )
+        old = g[g["kind"] == 0]
+        new = g[g["kind"] == 1]
+        if old.empty or new.empty:
+            return empty
+        m = old.merge(new, on=keys, suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {"a": m["doc_id_a"].to_numpy(np.int64),
+             "b": m["doc_id_b"].to_numpy(np.int64),
+             "truncated": (m["_trunc_a"] | m["_trunc_b"]).to_numpy(bool)}
+        )
+        return out.drop_duplicates(["a", "b"])
+
+    pairs_ds = exact_pair_dedup(
+        tagged.groupby("part").map_groups(emit, batch_format="pandas"),
+        n_parts=n_parts,
+    ).materialize()
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dup_of": pa.array([], pa.int64())})
+        )
+    _warn_truncated(pairs_ds, "minhash_dedup_incremental")
+
+    payload = rd.read_parquet(os.path.join(store_dir, "docs")).union(
+        new_ds.select_columns(["doc_id", "text"])
+    )
+    withpay = attach_pair_payloads(
+        pairs_ds, payload, ["text"], payload_types={"text": pa.string()}
+    )
+
+    def verify(batch: pa.Table, k=meta["shingle_k"], thr=threshold,
+               bh=meta["base_hash"]) -> pa.Table:
+        keep = pa.array(_jaccard_keep(
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(), k, thr, bh,
+        ))
+        return batch.filter(keep).select(["a", "b"])
+
+    verified = withpay.map_batches(verify, batch_format="pyarrow")
+
+    def add_part_b(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy().astype(np.uint64)
+        part = ((b * _MIX64) >> np.uint64(33)) % np.uint64(n_parts)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("b", as_index=False)["a"].min()
+        return pd.DataFrame(
+            {"doc_id": out["b"].to_numpy(np.int64),
+             "dup_of": out["a"].to_numpy(np.int64)}
+        )
+
+    return (
+        verified.map_batches(add_part_b, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_min, batch_format="pandas")
     )
 
 

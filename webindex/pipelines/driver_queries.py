@@ -3383,6 +3383,85 @@ SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental MinHash dedup (the ongoing-crawl shape): even doc_ids
+    play the persisted corpus store (build_minhash_store: band-table
+    index + verify payloads), odd doc_ids the incoming batch; each new
+    doc that exact-Jaccard-matches a stored doc at >= 0.8 reports the
+    smallest such stored docID as dup_of. Fully SQL-proven on the poly
+    base hash — the oracle replays signature, banding, old x new
+    bucketing and the verify, with a parity predicate standing in for
+    the store split."""
+    import shutil
+
+    from webindex.dedup import (build_minhash_store,
+                                minhash_dedup_incremental)
+
+    def keep_tokenful(t: pa.Table) -> pa.Table:
+        has = pc.match_substring_regex(
+            pc.utf8_lower(pc.coalesce(t.column("text"), pa.scalar(""))),
+            "[a-z0-9]",
+        )
+        return t.filter(has)
+
+    docs = _docs(sf_dir).map_batches(
+        keep_tokenful, batch_format="pyarrow"
+    ).materialize()
+
+    def parity(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            even = pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(1)),
+                pa.scalar(0),
+            )
+            return t.filter(even if keep_even else pc.invert(even))
+        return f
+
+    store_dir = os.path.join(
+        "/tmp/webindex-cache",
+        f"mhstore-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(store_dir, ignore_errors=True)
+    build_minhash_store(
+        docs.map_batches(parity(True), batch_format="pyarrow"), store_dir,
+        num_perm=_MH_PERMS, bands=4, shingle_k=3, base_hash="poly",
+    )
+    return minhash_dedup_incremental(
+        docs.map_batches(parity(False), batch_format="pyarrow"),
+        store_dir, threshold=0.8,
+    )
+
+
+_INC_CAND_OLD = """cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.sl = y.sl AND x.doc_id < y.doc_id
+),"""
+_INC_CAND_NEW = """cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.sl = y.sl
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+),"""
+_INC_TAIL_OLD = """edges AS (SELECT a AS u, b AS v FROM good UNION SELECT b, a FROM good),
+walk(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.m FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(m)::BIGINT AS cluster FROM walk GROUP BY node"""
+_INC_TAIL_NEW = (
+    # the preceding CTE closes with a comma; absorb it with a no-op CTE
+    "fin AS (SELECT 1)\n"
+    "SELECT b AS doc_id, min(a)::BIGINT AS dup_of FROM good GROUP BY b"
+)
+assert _INC_CAND_OLD in SQL_MINHASH_POLY_CLUSTERS, "poly SQL drifted"
+assert _INC_TAIL_OLD in SQL_MINHASH_POLY_CLUSTERS, "poly SQL drifted"
+SQL_INCREMENTAL_DEDUP = SQL_MINHASH_POLY_CLUSTERS.replace(
+    _INC_CAND_OLD, _INC_CAND_NEW
+).replace(_INC_TAIL_OLD, _INC_TAIL_NEW)
+
+
 def q_minhash_dedup_kept(sf_dir: str):
     """The canonical DISTRIBUTED consumption of the Dataset-native dedup
     label surface (round 4): run the SQL-proven poly MinHash pipeline,
@@ -10629,6 +10708,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_suggest": (q_phrase_suggest, SQL_PHRASE_SUGGEST),
     "minhash_poly_clusters": (q_minhash_poly_clusters,
                               SQL_MINHASH_POLY_CLUSTERS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_dedup_kept": (q_minhash_dedup_kept, SQL_MINHASH_DEDUP_KEPT),
     "simhash_poly_clusters": (q_simhash_poly_clusters,
                               SQL_SIMHASH_POLY_CLUSTERS),
