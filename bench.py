@@ -467,7 +467,7 @@ def run_dedup_scale() -> dict:
         [sys.executable,
          os.path.join(REPO, "tools", "bench_dedup_scale.py"),
          os.path.join(pages_dir, "pages.parquet"),
-         "--cpus", str(NUM_CPUS)],
+         "--cpus", str(NUM_CPUS), "--incremental"],
         capture_output=True, text=True, check=True,
     ).stdout
     r = json.loads(out.strip().splitlines()[-1])

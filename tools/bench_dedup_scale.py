@@ -45,7 +45,11 @@ def main():
         )
         return pa.table({"doc_id": pa.array(ids), "text": batch.column("text")})
 
-    docs = ds.map_batches(add_ids, batch_format="pyarrow")
+    # materialize: the (doc_id, text) table feeds the sig stage, the
+    # store build, the incremental sig AND the verify payload join —
+    # without this the read + per-url hash lineage re-executes per
+    # consumer (measured ~2 extra full passes in the incremental phase)
+    docs = ds.map_batches(add_ids, batch_format="pyarrow").materialize()
     n_docs = docs.count()
 
     # signature + banding + candidate pairs (the minhash_dedup internals,
@@ -77,7 +81,7 @@ def main():
     n_labels = labels.count()
     t_cc = time.time() - t0
 
-    print(json.dumps({
+    out = {
         "metric": "dedup_scale",
         "n_docs": n_docs,
         "sig_sec": round(t_sig, 1),
@@ -88,7 +92,46 @@ def main():
         "cc_path": "distributed" if n_pairs > 100_000 else "driver",
         "total_sec": round(time.time() - t_all, 1),
         "num_cpus": cpus,
-    }))
+    }
+
+    if "--incremental" in sys.argv:
+        # incremental (new-vs-store) dedup at the same corpus scale:
+        # even docIDs play the persisted store, odd the incoming batch
+        import shutil
+
+        from webindex.dedup import (build_minhash_store,
+                                    minhash_dedup_incremental)
+
+        def even(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            return batch.filter(pa.array(ids % 2 == 0))
+
+        def odd(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            return batch.filter(pa.array(ids % 2 == 1))
+
+        store_dir = "/tmp/webindex-bench/mhstore-inc"
+        shutil.rmtree(store_dir, ignore_errors=True)
+        t0 = time.time()
+        build_minhash_store(
+            docs.map_batches(even, batch_format="pyarrow"), store_dir,
+            num_perm=128, shingle_k=3,
+        )
+        t_store = time.time() - t0
+        t0 = time.time()
+        labels = minhash_dedup_incremental(
+            docs.map_batches(odd, batch_format="pyarrow"), store_dir,
+        )
+        n_inc = labels.count()
+        t_inc = time.time() - t0
+        out.update(
+            store_build_sec=round(t_store, 1),
+            incremental_sec=round(t_inc, 1),
+            incremental_dups=n_inc,
+            total_sec=round(time.time() - t_all, 1),
+        )
+
+    print(json.dumps(out))
     ray.shutdown()
 
 
