@@ -1360,6 +1360,89 @@ def q_giant_json_extract(sf_dir: str):
 SQL_GIANT_JSON_EXTRACT = "SELECT doc_id, text FROM documents"
 
 
+def q_fetch_unzip_roundtrip(sf_dir: str):
+    """S2 fetch+unzip (reference beir.util.download_and_unzip at
+    beir_dense_retriever.py:378-382) + S5 jsonl writer + S1 loader,
+    SQL-proven as a round trip: documents -> write_beir_corpus jsonl ->
+    zip -> ``download_and_unzip`` over a ``file://`` URL (streamed
+    http_get, traversal-validated extract, idempotent dir marker) ->
+    ``read_beir_corpus`` -> (doc_id, text). The oracle reads the parquet
+    directly, so a green hash proves the whole acquisition path
+    byte-exact. file:// is the sandbox transport; http(s) shares every
+    line of code after the urlopen."""
+    import zipfile
+
+    from webindex.fetch import download_and_unzip
+    from webindex.sources import read_beir_corpus, write_beir_corpus
+
+    os.makedirs("/tmp/webindex-cache", exist_ok=True)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    zip_path = f"/tmp/webindex-cache/beirzip-{base}.zip"
+    if not os.path.exists(zip_path):
+        jsonl = zip_path + ".corpus.jsonl"
+        write_beir_corpus(_docs(sf_dir), jsonl)
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            zf.write(jsonl, f"corpus-{base}/corpus.jsonl")
+        os.replace(zip_path + ".tmp", zip_path)
+        os.remove(jsonl)
+
+    out_dir = f"/tmp/webindex-cache/beirunzip-{base}"
+    data_dir = download_and_unzip("file://" + zip_path, out_dir)
+    corpus = read_beir_corpus(os.path.join(data_dir, "corpus.jsonl"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "text": t.column("text")}
+        )
+
+    return corpus.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FETCH_UNZIP_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
+def q_publish_roundtrip(sf_dir: str):
+    """S10 dataset publish/download (reference Kaggle up/download,
+    useb release scripts), SQL-proven through the transport INTERFACE:
+    corpus jsonl -> init_dataset metadata -> create_dataset (zip +
+    transport.push) -> download_dataset (transport.pull + validated
+    extract) -> read_beir_corpus -> (doc_id, text) against the parquet
+    oracle. LocalStoreTransport is the sandbox transport; the
+    KaggleCliTransport shares every line except push/pull (CLI +
+    credentials, env-blocked here)."""
+    import shutil
+
+    from webindex.publish import (LocalStoreTransport, create_dataset,
+                                  download_dataset, init_dataset)
+    from webindex.sources import read_beir_corpus, write_beir_corpus
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/webindex-cache/publish-{base}"
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    write_beir_corpus(_docs(sf_dir), os.path.join(src, "corpus.jsonl"))
+    init_dataset(src, f"webindex/corpus-{base}")
+    transport = LocalStoreTransport(os.path.join(work, "store"))
+    create_dataset(src, transport)
+    data_dir = download_dataset(
+        f"webindex/corpus-{base}", os.path.join(work, "dl"), transport
+    )
+    corpus = read_beir_corpus(os.path.join(data_dir, "corpus.jsonl"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "text": t.column("text")}
+        )
+
+    return corpus.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PUBLISH_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
 def q_unique_first_seen(sf_dir: str):
     """D2 order-preserving unique (reference plugin_io_utils.py:31-42
     ``unique_list``) at Dataset scale: distinct event_type in FIRST-SEEN
@@ -1525,6 +1608,49 @@ SELECT family, model, avg_metric AS "avg_ndcg@10" FROM (
     PARTITION BY family ORDER BY avg_metric DESC, model
   ) AS rn FROM f
 ) WHERE rn = 1
+"""
+
+
+def q_metrics_accumulator_roundtrip(sf_dir: str):
+    """S9 NDCG accumulator files (the reference writes one results/
+    metrics JSON per dataset-model run and averages them later,
+    beir_dense_retriever.py:520-541 + sgpt_utils.ipynb): the
+    deterministic metrics table is accumulated into ONE JSON FILE PER
+    MODEL (atomic_write_json), read back, and macro-averaged — proving
+    the file-accumulator round trip; integer metric values keep the
+    average an exact int sum + one float division, so it hash-matches
+    the SQL avg."""
+    import json
+    import shutil
+
+    from webindex.util import atomic_write_json
+
+    m = _model_metrics(sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    outdir = f"/tmp/webindex-cache/metrics-{base}"
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+    for model, grp in m.groupby("model"):
+        atomic_write_json(
+            os.path.join(outdir, f"{model}.json"),
+            {d: int(n) for d, n in zip(grp["dataset"], grp["ndcg@10"])},
+        )
+
+    models, avgs = [], []
+    for fname in sorted(os.listdir(outdir)):
+        with open(os.path.join(outdir, fname)) as f:
+            per_ds = json.load(f)
+        models.append(fname[: -len(".json")])
+        avgs.append(sum(per_ds.values()) / len(per_ds))
+    return pa.table(
+        {"model": pa.array(models, pa.string()),
+         "avg_ndcg@10": pa.array(avgs, pa.float64())}
+    )
+
+
+SQL_METRICS_ACCUMULATOR = f"""
+WITH {_MODEL_METRICS_SQL}
+SELECT model, avg_metric AS "avg_ndcg@10" FROM a
 """
 
 
@@ -10534,9 +10660,14 @@ REGISTRY: dict[str, tuple] = {
     "truncation_counters": (q_truncation_counters, SQL_TRUNCATION_COUNTERS),
     "unique_first_seen": (q_unique_first_seen, SQL_UNIQUE_FIRST_SEEN),
     "giant_json_extract": (q_giant_json_extract, SQL_GIANT_JSON_EXTRACT),
+    "fetch_unzip_roundtrip": (q_fetch_unzip_roundtrip,
+                              SQL_FETCH_UNZIP_ROUNDTRIP),
+    "publish_roundtrip": (q_publish_roundtrip, SQL_PUBLISH_ROUNDTRIP),
     "clean_truncate_docs": (q_clean_truncate_docs, SQL_CLEAN_TRUNCATE_DOCS),
     "model_ranking": (q_model_ranking, SQL_MODEL_RANKING),
     "best_ckpt": (q_best_ckpt, SQL_BEST_CKPT),
+    "metrics_accumulator_roundtrip": (q_metrics_accumulator_roundtrip,
+                                      SQL_METRICS_ACCUMULATOR),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "ann_top5": (q_ann_top5, SQL_ANN_TOP5),
     "hnsw_top5": (q_hnsw_top5, SQL_ANN_TOP5),
