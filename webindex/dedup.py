@@ -377,16 +377,31 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
     that was not pending``) under contention. Callers passing blobs or
     signatures they constructed know the types statically.
     """
-    # Small-pairs fast path: semi-join-filter the payload down to the
-    # pair endpoints (bounded by 2x the pair count, NEVER corpus-sized)
-    # and broadcast it — skips two groupby shuffles (and needs no
-    # payload schema up front). The caller has already materialized
-    # pairs_ds, so count() is free.
+    # Route on the TOUCHED-payload size, not the pair count: only pair
+    # endpoints (<= 2 x pairs, LSH-pruned — never corpus-sized) are ever
+    # matched, and when that set is broadcast-sized the whole attach is
+    # a zero-shuffle searchsorted against one shared side table. The
+    # per-side shuffle shape costs two SORT exchanges of wide string
+    # rows (measured: 68 s vs ~2 s broadcast for 256k pairs / 30k
+    # touched docs at 400k-doc scale), so broadcast wins far beyond the
+    # old 20k-pairs proxy gate; ``broadcast_limit`` now bounds the
+    # endpoint COUNT (the side-table rows actually shipped). The caller
+    # has already materialized pairs_ds, so count() is free.
     try:
         n_pairs = pairs_ds.count()
     except Exception:
         n_pairs = None
-    if n_pairs is not None and n_pairs <= broadcast_limit:
+    need = None
+    if n_pairs is not None and n_pairs <= 20_000_000:
+        chunks = []
+        for b in pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            chunks.append(b.column("a").combine_chunks())
+            chunks.append(b.column("b").combine_chunks())
+        if chunks:
+            need = pa.concat_arrays(chunks).unique()
+    if need is not None and len(need) <= max(broadcast_limit, 300_000):
         return _attach_broadcast(
             pairs_ds, payload_ds, payload_cols, id_col
         )
@@ -396,6 +411,29 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
     else:
         pay_schema = _arrow_schema(payload_ds)
         ptypes = {c: pay_schema.field(c).type for c in payload_cols}
+
+    # Partitioned path (endpoint set too big to broadcast its payload):
+    # still pre-filter the payload to touched ids — every other payload
+    # row would be shuffled through BOTH per-side joins and matched by
+    # neither; at corpus scale that is almost all of them.
+    if need is not None:
+        import pyarrow.compute as pc
+        import ray
+
+        need_ref = ray.put(need)
+
+        def keep_touched(batch: pa.Table, _ref=need_ref) -> pa.Table:
+            ids = ray.get(_ref)  # zero-copy broadcast
+            return batch.filter(
+                pc.is_in(batch.column(id_col).cast(pa.int64()), ids)
+            )
+
+        # materialize: both per-side joins consume the filtered
+        # payload — without this the corpus scan+filter lineage
+        # re-executes per side
+        payload_ds = payload_ds.map_batches(
+            keep_touched, batch_format="pyarrow"
+        ).materialize()
 
     out = pairs_ds
     for side in ("a", "b"):
