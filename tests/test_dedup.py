@@ -852,3 +852,78 @@ def test_minhash_dedup_incremental(tmp_path, ray_session):
         rd.from_items([{"doc_id": 99, "text": "zz qq ww"}]), store_dir
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_minhash_dedup_incremental_replay_and_partition_invariance(
+        tmp_path, ray_session):
+    """The distributed incremental pipeline equals a driver-side replay
+    of the same math (MinHashStage sig -> band mix -> old x new bucket
+    match -> exact-Jaccard verify -> min per new doc), on a random
+    corpus dense with near-dups; labels are partition-count-independent."""
+    import ray.data as rd
+
+    from webindex.dedup import (MinHashStage, _jaccard_keep,
+                                build_minhash_store,
+                                minhash_dedup_incremental)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(120):
+        if i % 3 == 0 and i > 0:
+            # near-dup of an earlier doc: copy + small tail edit
+            base = texts[rng.integers(0, len(texts))]
+            texts.append(base + " " + " ".join(
+                rng.choice(vocab, size=2)
+            ))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=40)))
+    docs = [{"doc_id": i + 1, "text": t} for i, t in enumerate(texts)]
+    old = [d for d in docs if d["doc_id"] % 2 == 0]
+    new = [d for d in docs if d["doc_id"] % 2 == 1]
+
+    num_perm, bands, k, thr = 64, 16, 3, 0.8
+    store_dir = str(tmp_path / "store")
+    build_minhash_store(rd.from_items(old), store_dir,
+                        num_perm=num_perm, bands=bands, shingle_k=k)
+    got = minhash_dedup_incremental(
+        rd.from_items(new), store_dir, threshold=thr
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # driver replay with the same stage kernel + the band mix math
+    st = MinHashStage(num_perm=num_perm, shingle_k=k)
+    def band_hashes(rows):
+        tab = st(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows]),
+        }))
+        sig = np.array(tab.column("sig").to_pylist(), np.int64)
+        r = num_perm // bands
+        mat = sig.astype(np.uint64)[:, : bands * r].reshape(-1, bands, r)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        h = np.zeros(mat.shape[:2], np.uint64)
+        for j in range(r):
+            h = (h ^ (mat[:, :, j] + mix)) * mix
+        return h
+    h_old, h_new = band_hashes(old), band_hashes(new)
+    want = {}
+    for ni, n in enumerate(new):
+        cands = [
+            o for oi, o in enumerate(old)
+            if (h_old[oi] == h_new[ni]).any()
+        ]
+        hits = [
+            o["doc_id"] for o in cands
+            if _jaccard_keep([o["text"]], [n["text"]], k, thr,
+                             "blake2b")[0]
+        ]
+        if hits:
+            want[n["doc_id"]] = min(hits)
+    assert dict(zip(got["doc_id"], got["dup_of"])) == want
+    assert len(want) > 0  # the corpus really has cross-half dups
+
+    # partition invariance: 1 block vs 7 blocks, identical labels
+    got7 = minhash_dedup_incremental(
+        rd.from_items(new).repartition(7), store_dir, threshold=thr
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got7)
