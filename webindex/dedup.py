@@ -403,7 +403,7 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
             need = pa.concat_arrays(chunks).unique()
     if need is not None and len(need) <= max(broadcast_limit, 300_000):
         return _attach_broadcast(
-            pairs_ds, payload_ds, payload_cols, id_col
+            pairs_ds, payload_ds, payload_cols, id_col, need=need
         )
 
     if payload_types and all(c in payload_types for c in payload_cols):
@@ -444,19 +444,22 @@ def attach_pair_payloads(pairs_ds, payload_ds, payload_cols: list[str],
     return out
 
 
-def _attach_broadcast(pairs_ds, payload_ds, payload_cols, id_col):
+def _attach_broadcast(pairs_ds, payload_ds, payload_cols, id_col,
+                      need=None):
     import pyarrow.compute as pc
     import ray
 
-    pairs_tab = pa.concat_tables(
-        [b for b in pairs_ds.iter_batches(batch_format="pyarrow")]
-        or [pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64())})]
-    )
-    need = pa.concat_arrays(
-        [pairs_tab.column("a").combine_chunks(),
-         pairs_tab.column("b").combine_chunks()]
-    ).unique()
+    if need is None:
+        # endpoint ids not precomputed by the caller: one bounded driver
+        # pass over the (LSH-pruned) pair ids
+        chunks = []
+        for b in pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            chunks.append(b.column("a").combine_chunks())
+            chunks.append(b.column("b").combine_chunks())
+        need = (pa.concat_arrays(chunks).unique() if chunks
+                else pa.array([], pa.int64()))
 
     def keep(batch: pa.Table, ids=need) -> pa.Table:
         return batch.filter(
