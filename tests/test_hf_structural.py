@@ -136,7 +136,10 @@ class WordTok:
     def prepare_for_model(self, ids, add_special_tokens=True):
         ids = list(ids)
         if add_special_tokens and self.n_special:
-            ids = [1] + ids + [2]
+            # exactly n_special injected tokens (consistent with
+            # num_special_tokens_to_add, like a real HF tokenizer):
+            # one leading CLS, the rest trailing
+            ids = [1] + ids + list(range(2, self.n_special + 1))
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
 
     def pad(self, enc, padding=True, return_tensors="pt"):
@@ -343,3 +346,49 @@ def test_hf_completion_client_echo_shape_and_values():
     # and the echo shape feeds the reference score walk unchanged
     s = get_score(ctx, "a query", r["token_logprobs"], r["text_offset"])
     assert np.isfinite(s)
+
+
+def test_specb_budget_invariant_property():
+    """Property (hypothesis): for ANY text, role, budget, truncation side
+    and special-token count, specb_pack emits len(ids) <= max_tokens,
+    mask aligned with ids, and surviving brackets at the edges — the
+    round-5 ADVICE fix (model specials counted against the text budget)
+    holds across the whole parameter space, not just the hand examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=0, max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ws=words,
+           role=st.sampled_from([None, "query", "doc"]),
+           max_tokens=st.integers(min_value=0, max_value=12),
+           side=st.sampled_from(["right", "left"]),
+           n_special=st.integers(min_value=0, max_value=3))
+    def check(ws, role, max_tokens, side, n_special):
+        tok = WordTok(n_special=n_special)
+        text = " ".join(ws)
+        ids, mask, trunc = models.specb_pack(
+            tok, [text], role=role, max_tokens=max_tokens,
+            truncate_side=side)
+        assert len(ids[0]) == len(mask[0])
+        assert all(m == 1 for m in mask[0])
+        # THE invariant: total never exceeds the window, except the
+        # degenerate case where brackets+specials alone (which are
+        # never truncated) already overflow it
+        fixed = (2 if role else 0) + n_special
+        assert len(ids[0]) <= max(max_tokens, fixed)
+        # brackets, when they fit, sit at the very edges
+        if role and max_tokens >= 2 + n_special:
+            open_id = tok.vocab["[" if role == "query" else "{"]
+            close_id = tok.vocab["]" if role == "query" else "}"]
+            assert ids[0][0] == open_id and ids[0][-1] == close_id
+        # truncation flag is exact: set iff the word count exceeded
+        # the text budget
+        budget = max(0, max_tokens - (2 if role else 0) - n_special)
+        assert trunc[0] == (len(ws) > budget)
+
+    check()
